@@ -1,0 +1,344 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** The relational query inventory of SURVEY.md §2.6 (Q1–Q15), expressed
+  * Spark-first over the driver testdata tables. Each query is paired with
+  * DuckDB oracle SQL in [[oracle]].
+  *
+  * Determinism contract (driver hash-compares results): every query ends
+  * with a total-order `orderBy` mirrored by the oracle's ORDER BY, and all
+  * reorder-sensitive arithmetic goes through exact decimals (see
+  * [[graft.Tables]] scaladoc).
+  *
+  * Reference semantics covered here: the implied Athena analytics surface
+  * over the `transactions` fact table (reference `README.md:56,203-204`);
+  * epoch→timestamp normalization mirrors
+  * `glue/scripts/load_transactions.py:90-91`.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q1 — scan + project + filter (predicate pushdown to parquet). */
+  val filterProject: Q = (s, dir) =>
+    lineitem(s, dir)
+      .filter(
+        col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")) &&
+          col("l_returnflag") === "R" && col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** Q2 — cast / date scalar functions (epoch↔timestamp, the reference's
+    * `from_unixtime` normalization). */
+  val castDateFns: Q = (s, dir) =>
+    events(s, dir).select(
+      col("event_id"),
+      unix_timestamp(col("ts")).as("unix_ts"),
+      to_date(col("ts")).as("day"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+      from_unixtime(unix_timestamp(col("ts"))).as("roundtrip"))
+      .orderBy("event_id")
+
+  /** Q3 — hash aggregate (TPC-H Q1 shape; the flagship groupBy/agg). */
+  val aggPricing: Q = (s, dir) => {
+    val li = lineitem(s, dir)
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        d(sum(dec(col("l_quantity")))).as("sum_qty"),
+        d(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        d(sum(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))))
+          .as("sum_disc_price"),
+        d(sum(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))
+          * (lit(1) + dec4(col("l_tax"))))).as("sum_charge"),
+        (d(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (d(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q4 — grouped aggregate with HAVING. */
+  val aggHaving: Q = (s, dir) =>
+    orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        d(sum(dec(col("o_totalprice")))).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("total_price") > 500000000.0)
+      .orderBy("o_orderpriority")
+
+  /** Q5 — analytic window: running quantity per supplier (cumulative sum
+    * in a unique total order). */
+  val windowRunning: Q = (s, dir) => {
+    // (orderkey, linenumber) is not unique in the synthetic data, so the
+    // window order carries a full value tie-break and the final sort also
+    // covers running_qty — interchangeable tied rows then hash identically
+    // on any engine.
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"),
+        d(sum(dec(col("l_quantity"))).over(w)).as("running_qty"))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "running_qty")
+  }
+
+  /** Q6 — ranking window: latest lineitem per order (the precombine/dedup
+    * rank of reference `load_transactions.py:58,67`). */
+  val windowRank: Q = (s, dir) => {
+    // Full value tie-break: duplicate (orderkey, linenumber) rows exist, so
+    // the rank order must be decided by every emitted column — then the
+    // chosen row's values are identical no matter which duplicate wins.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc,
+        col("l_quantity").desc)
+    lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .orderBy("l_orderkey")
+  }
+
+  /** Q7 — top-k by computed revenue (sort + limit). */
+  val topK: Q = (s, dir) =>
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        d(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Q8 — multi-way broadcast equi-join + aggregate (dimension
+    * enrichment, the J1/J2 registry-lookup shape). */
+  val joinAgg: Q = (s, dir) => {
+    val c = customer(s, dir)
+    val n = broadcast(nation(s, dir))
+    val r = broadcast(region(s, dir))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        d(sum(dec(col("c_acctbal")))).as("total_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Q9 — left-semi join: orders having at least one heavy lineitem. */
+  val semiJoin: Q = (s, dir) => {
+    val heavy = lineitem(s, dir).filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey").as("o_orderkey"))
+    orders(s, dir).join(heavy, Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Q10 — left-anti join: orders with no heavy lineitem (the O3 delete /
+    * P4 validation shape). */
+  val antiJoin: Q = (s, dir) => {
+    val heavy = lineitem(s, dir).filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey").as("o_orderkey"))
+    orders(s, dir).join(heavy, Seq("o_orderkey"), "left_anti")
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** Q11 — set operations: customers by order status (∩, \, ∪). */
+  val setOps: Q = (s, dir) => {
+    val o = orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+    val oo = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+    val both = f.intersect(oo).withColumn("tag", lit("both"))
+    val fOnly = f.except(oo).withColumn("tag", lit("f_only"))
+    val any = f.union(oo).distinct().withColumn("tag", lit("any"))
+    both.union(fOnly).union(any)
+      .select("tag", "o_custkey")
+      .orderBy("tag", "o_custkey")
+  }
+
+  /** Q12 — distinct over a join of dimensions. */
+  val distinctPairs: Q = (s, dir) =>
+    orders(s, dir)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Q12b — approximate distinct (HLL). No SQL oracle: DuckDB's HLL
+    * differs by construction; the driver records a rows-only check. */
+  val approxDistinct: Q = (s, dir) =>
+    orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"))
+      .orderBy("o_orderstatus")
+
+  /** Q13 — time bucketing: monthly spend. */
+  val timeBucket: Q = (s, dir) =>
+    orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        d(sum(dec(col("o_totalprice")))).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("month")
+
+  /** Q14 — rollup with subtotals (nulls normalized to 'ALL' so both
+    * engines order identically). */
+  val rollupAgg: Q = (s, dir) =>
+    orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        d(sum(dec(col("o_totalprice")))).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
+  /** Q15 — JSON scalar extraction (the opaque `result` payload shape of
+    * reference `pkg/orders/common.go:18`). */
+  val jsonExtract: Q = (s, dir) =>
+    events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") >= 50)
+      .orderBy("event_id")
+
+  val queries: Map[String, Q] = Map(
+    "q01_filter_project" -> filterProject,
+    "q02_cast_datefns" -> castDateFns,
+    "q03_agg_pricing" -> aggPricing,
+    "q04_agg_having" -> aggHaving,
+    "q05_window_running" -> windowRunning,
+    "q06_window_rank" -> windowRank,
+    "q07_topk" -> topK,
+    "q08_join_agg" -> joinAgg,
+    "q09_semi_join" -> semiJoin,
+    "q10_anti_join" -> antiJoin,
+    "q11_set_ops" -> setOps,
+    "q12_distinct" -> distinctPairs,
+    "q12b_approx_distinct" -> approxDistinct,
+    "q13_time_bucket" -> timeBucket,
+    "q14_rollup" -> rollupAgg,
+    "q15_json_extract" -> jsonExtract,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_returnflag = 'R' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+    "q02_cast_datefns" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts,
+        |  CAST(ts AS DATE) AS day,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS roundtrip
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q03_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q04_agg_having" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) > 500000000.0
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q05_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, running_qty""".stripMargin,
+    "q06_window_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY l_orderkey
+        |        ORDER BY l_shipdate DESC, l_linenumber DESC, l_quantity DESC) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "q07_topk" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |ORDER BY revenue DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "q08_join_agg" ->
+      """SELECT r_name, n_name,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q11_set_ops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT 'f_only' AS tag, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT 'any' AS tag, o_custkey FROM (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q12_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority
+        |FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q13_time_bucket" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+    "q14_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+        |ORDER BY event_id""".stripMargin,
+  )
+}
