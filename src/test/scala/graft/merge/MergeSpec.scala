@@ -1,0 +1,118 @@
+package graft.merge
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** §2.4 merge-pipeline laws: precombine dedup (O4), last-writer-wins
+  * upsert (O1), idempotence, delete (O3), partition isolation — the
+  * Hudi-semantics spots SURVEY §7 flags as the hardest correctness area.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keyCols = Seq("transaction_id", "close_time")
+
+  private def tx(rows: (String, String, String, Double)*): DataFrame =
+    rows.toDF("transaction_id", "close_time", "pair", "price")
+
+  private def readTable(path: String): Seq[(String, String, String, Double)] =
+    spark.read.parquet(path)
+      .select("transaction_id", "close_time", "pair", "price")
+      .as[(String, String, String, Double)]
+      .collect().toSeq.sorted
+
+  test("precombineDedup keeps max-precombine row per key (O4)") {
+    val batch = Seq(
+      ("T1", "2024-01-01", "ADAGBP", 1.0),
+      ("T1", "2024-01-01", "ADAGBP", 2.0),
+      ("T2", "2024-01-01", "ADAGBP", 3.0)
+    ).toDF("transaction_id", "close_time", "pair", "price")
+    // precombine on price: highest price wins within the duplicate key
+    val out = Merge.precombineDedup(batch, keyCols, "price")
+    assert(out.count() === 2)
+    val t1 = out.filter($"transaction_id" === "T1").select("price")
+      .as[Double].head()
+    assert(t1 === 2.0)
+  }
+
+  test("precombineDedup tie-break is deterministic") {
+    val batch = Seq(
+      ("T1", "c", "ADAGBP", 5.0, "a"),
+      ("T1", "c", "ADAGBP", 5.0, "b")
+    ).toDF("transaction_id", "close_time", "pair", "price", "tag")
+    val out = Merge.precombineDedup(batch, keyCols, "price", Seq("tag"))
+    assert(out.select("tag").as[String].collect().toSeq === Seq("b"))
+  }
+
+  test("upsert creates table then replaces rows by key (O1)") {
+    val path = tmpDir("upsert")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c1", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 9.0)),
+      path, keyCols, "price", "pair")
+    assert(readTable(path) === Seq(
+      ("T1", "c1", "ADAGBP", 9.0),
+      ("T2", "c1", "BTCUSD", 2.0)))
+  }
+
+  test("upsert batch wins even when stored precombine is higher") {
+    // Hudi OverwriteWithLatestAvroPayload: precombine only resolves
+    // in-batch duplicates; incoming always overwrites stored.
+    val path = tmpDir("upsertwin")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 9.0)),
+      path, keyCols, "price", "pair")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    assert(readTable(path) === Seq(("T1", "c1", "ADAGBP", 1.0)))
+  }
+
+  test("upsert is idempotent") {
+    val path = tmpDir("idem")
+    val batch = tx(("T1", "c1", "ADAGBP", 1.0), ("T2", "c2", "ADAGBP", 2.0))
+    Merge.upsert(spark, batch, path, keyCols, "price", "pair")
+    val first = readTable(path)
+    Merge.upsert(spark, batch, path, keyCols, "price", "pair")
+    assert(readTable(path) === first)
+  }
+
+  test("upsert leaves untouched partitions alone (dynamic overwrite)") {
+    val path = tmpDir("dynpart")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c1", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
+    // upsert touching only ADAGBP must not rewrite BTCUSD files
+    val btcFilesBefore = new java.io.File(s"$path/pair=BTCUSD")
+      .listFiles().map(_.getName).toSet
+    Merge.upsert(spark, tx(("T3", "c1", "ADAGBP", 3.0)),
+      path, keyCols, "price", "pair")
+    val btcFilesAfter = new java.io.File(s"$path/pair=BTCUSD")
+      .listFiles().map(_.getName).toSet
+    assert(btcFilesBefore === btcFilesAfter)
+    assert(readTable(path).size === 3)
+  }
+
+  test("delete removes only matching keys in touched partitions (O3)") {
+    val path = tmpDir("delete")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c2", "ADAGBP", 2.0), ("T3", "c3", "BTCUSD", 3.0)),
+      path, keyCols, "price", "pair")
+    Merge.delete(spark, tx(("T1", "c1", "ADAGBP", 0.0)),
+      path, keyCols, "pair")
+    assert(readTable(path) === Seq(
+      ("T2", "c2", "ADAGBP", 2.0),
+      ("T3", "c3", "BTCUSD", 3.0)))
+  }
+
+  test("insert appends without key reconciliation (O2)") {
+    val path = tmpDir("insert")
+    Merge.insert(tx(("T1", "c1", "ADAGBP", 1.0)), path, "pair")
+    Merge.insert(tx(("T1", "c1", "ADAGBP", 2.0)), path, "pair")
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
+  test("compositeKey joins fields ComplexKeyGenerator-style (O5)") {
+    val df = tx(("T1", "c1", "ADAGBP", 1.0))
+      .select(Merge.compositeKey(keyCols).as("k"))
+    assert(df.as[String].head() === "T1:c1")
+  }
+}
