@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.Model
+import graft.load.LoadTransactions
+import graft.merge.Merge
+
+/** Incremental mode (SURVEY §2.5, §7 phase 5): the queue-driven
+  * process/load hop of the reference
+  * (SQS → process-orders Lambda → Glue run per file,
+  * `terraform/aws_sqs.tf:1-5`, `cmd/process_orders/main.go:117-282`)
+  * as ONE Structured Streaming query.
+  *
+  * - Source: `readStream` over the completed-transaction JSON drop dir
+  *   (T2 — the file drop stands in for the queue; at-least-once comes
+  *   from the checkpoint, which also plays T3's message-ack role).
+  * - Transform: the exact batch load transform, reused per micro-batch.
+  * - Sink: `foreachBatch` → the §2.4 upsert merge (the Glue hop is
+  *   in-process — the process-boundary was a serverless artifact).
+  * - Failure routing (T5): a failing micro-batch's rows are diverted to
+  *   a dead-letter parquet dir with the error message attached, and the
+  *   stream continues — the analogue of the reference's SNS DLQ topic.
+  * - `Trigger.AvailableNow` gives deterministic drain-and-stop runs
+  *   (test parity with the reference's one-shot Lambda invocations);
+  *   `max_concurrent_runs = 1` (T6) is native: micro-batches serialize.
+  *
+  * Scale: each micro-batch shuffles only on the upsert key and rewrites
+  * only touched `pair=` partitions (see [[graft.merge.Merge]]); the
+  * source lists incrementally (`maxFilesPerTrigger` governs batch size
+  * at high arrival rates).
+  */
+object StreamLoader {
+
+  final case class Args(
+      inputDir: String,
+      tablePath: String,
+      checkpointDir: String,
+      deadLetterDir: String,
+      additionalColumns: Map[String, String] = Map.empty,
+      maxFilesPerTrigger: Option[Int] = None)
+
+  /** Build (not start) the streaming query. */
+  def query(spark: SparkSession, args: Args): StreamingQuery = {
+    val reader = spark.readStream
+      .schema(Model.orderCompleteRawSchema)
+    val src = args.maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .json(args.inputDir)
+
+    src.writeStream
+      .option("checkpointLocation", args.checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val df = LoadTransactions.transform(batch, args.additionalColumns)
+        try {
+          Merge.upsert(spark, df, args.tablePath,
+            LoadTransactions.keyCols, LoadTransactions.precombine,
+            LoadTransactions.partitionCol)
+        } catch {
+          case e: Exception => // T5: dead-letter the batch, keep going
+            df.withColumn("_error", lit(e.toString))
+              .withColumn("_batch_id", lit(batchId))
+              .write.mode("append").parquet(args.deadLetterDir)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Drain everything currently in the input dir, then stop. */
+  def runAvailableNow(spark: SparkSession, args: Args): Unit = {
+    val q = query(spark, args)
+    q.awaitTermination()
+  }
+}

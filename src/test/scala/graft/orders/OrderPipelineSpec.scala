@@ -1,0 +1,105 @@
+package graft.orders
+
+import graft.SparkSpec
+import graft.model.Model
+import graft.load.LoadTransactions
+import org.apache.spark.sql.functions._
+
+/** Order-pipeline semantics vs the reference's unit-test surface
+  * (`cmd/execute_orders/main_test.go`, `cmd/process_orders/main_test.go`,
+  * `pkg/orders/kraken_test.go`). */
+class OrderPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def config(rows: (String, String, String, String, String, Boolean, Boolean)*) =
+    rows.toDF("exchange", "direction", "ordertype", "volume", "pair",
+      "validate", "enabled")
+
+  private val goodRow = ("kraken", "buy", "market", "10", "ADAGBP", true, true)
+
+  test("executeOrders skips disabled orders (P1) and emits pending keys") {
+    val (fulfilled, pending) = OrderPipeline.executeOrders(spark,
+      config(goodRow, ("kraken", "sell", "limit", "5", "BTCGBP", true, false)))
+    assert(fulfilled.count() === 1)
+    val p = pending.collect().head
+    // exact reference key layout: prefix/exchange=kraken/<txid>.json
+    val key = p.getAs[String]("s3_key")
+    assert(key.startsWith("transactions/status=pending/exchange=kraken/"))
+    assert(key.endsWith(".json"))
+    assert(p.getAs[String]("transaction_id").nonEmpty)
+  }
+
+  test("executeOrders fails on unregistered exchange (P4)") {
+    val e = intercept[IllegalArgumentException] {
+      OrderPipeline.executeOrders(spark,
+        config(("binance", "buy", "market", "10", "ADAGBP", true, true)))
+    }
+    assert(e.getMessage.contains("binance"))
+  }
+
+  test("fakeFulfill is deterministic across replays (S6)") {
+    val a = OrderPipeline.fakeFulfill(config(goodRow)).collect()
+    val b = OrderPipeline.fakeFulfill(config(goodRow)).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.head.getAs[Long]("timestamp") === 12345678L)
+  }
+
+  test("writePartitionedJson produces exchange= hive layout (S9)") {
+    val dir = tmpDir("pending")
+    val (fulfilled, _) = OrderPipeline.executeOrders(spark, config(goodRow))
+    OrderPipeline.writePartitionedJson(fulfilled, dir)
+    assert(new java.io.File(s"$dir/exchange=kraken").exists())
+    val back = spark.read.schema(Model.orderFulfilledSchema)
+      .json(s"$dir/exchange=kraken")
+    assert(back.count() === 1)
+  }
+
+  private def details(txid: String) = Seq(
+    (txid, "closed", "ADAGBP", "market", "buy", 0.5, 0.01, 10.0,
+      1.7e9, 1.7e9 + 1)
+  ).toDF("transaction_id", "status", "descr_pair", "descr_ordertype",
+    "descr_type", "price", "fee", "vol_exec", "opentm", "closetm")
+
+  private def pendingRows(rows: (String, String, String, String, Boolean)*) =
+    rows.toDF("transaction_id", "s3_bucket", "s3_key", "exchange", "real")
+
+  test("processOrders drops fakes (P2) and empty txids (P3)") {
+    val pending = pendingRows(
+      ("TX1", "b", "k1", "kraken", true),
+      ("TX-FAKE", "b", "k2", "kraken", false),
+      ("", "b", "k3", "kraken", true))
+    val out = OrderPipeline.processOrders(spark, pending, details("TX1"))
+    assert(out.select("transaction_id").as[String].collect().toSeq === Seq("TX1"))
+    assert(OrderPipeline.discardedFakes(pending).count() === 1)
+  }
+
+  test("processOrders standardizes to the OrderComplete shape (P5/J2)") {
+    val out = OrderPipeline.processOrders(spark,
+      pendingRows(("TX1", "b", "k1", "kraken", true)), details("TX1"))
+    assert(out.schema.fieldNames.toSeq === Seq("transaction_id",
+      "exchange_status", "pair", "order_type", "type", "price", "fee",
+      "volume", "open_time", "close_time", "exchange"))
+    val r = out.collect().head
+    assert(r.getAs[String]("exchange_status") === "closed")
+    assert(r.getAs[String]("price") === "0.5")
+    assert(r.getAs[Double]("close_time") === 1.7e9 + 1)
+  }
+
+  test("end-to-end: execute → process → load → transactions table") {
+    val completeDir = tmpDir("complete")
+    val table = tmpDir("ordertable") + "/transactions"
+    val (fulfilled, pendingCtl) = OrderPipeline.executeOrders(spark, config(goodRow))
+    val txid = fulfilled.select("transaction_id").as[String].head()
+    // flip the control record to real (the fake path never loads)
+    val pending = pendingCtl.withColumn("real", lit(true))
+    val complete = OrderPipeline.processOrders(spark, pending, details(txid))
+    complete.drop("exchange").write.mode("overwrite").json(completeDir)
+    LoadTransactions.run(spark, LoadTransactions.Args(
+      completeDir, table, "upsert", Map("exchange" -> "kraken")))
+    val loaded = spark.read.parquet(table)
+    assert(loaded.count() === 1)
+    assert(loaded.select("transaction_id").as[String].head() === txid)
+    assert(loaded.schema("close_time").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Incremental-mode semantics: drain-and-stop runs, checkpointed
+  * exactly-once file consumption (T2/T3), upsert across micro-batch
+  * boundaries, dead-letter continuity (T5). */
+class StreamLoaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTx(dir: String, name: String, txid: String,
+      price: String, closeTime: Double = 1.7e9): Unit =
+    Files.writeString(Paths.get(dir, name),
+      s"""{"transaction_id":"$txid","exchange_status":"closed","pair":"ADAGBP","order_type":"market","type":"buy","price":"$price","fee":"0.01","volume":"10","open_time":1.69e9,"close_time":$closeTime}""")
+
+  private def mkArgs(tag: String): StreamLoader.Args = {
+    val base = tmpDir(tag)
+    StreamLoader.Args(
+      inputDir = s"$base/in", tablePath = s"$base/table",
+      checkpointDir = s"$base/ckpt", deadLetterDir = s"$base/dlq",
+      additionalColumns = Map("exchange" -> "kraken"))
+  }
+
+  test("drains available files then stops; loads the table (T2)") {
+    val args = mkArgs("stream1")
+    Files.createDirectories(Paths.get(args.inputDir))
+    writeTx(args.inputDir, "a.json", "TX1", "0.5")
+    writeTx(args.inputDir, "b.json", "TX2", "0.6")
+    StreamLoader.runAvailableNow(spark, args)
+    val t = spark.read.parquet(args.tablePath)
+    assert(t.count() === 2)
+    assert(t.select("exchange").as[String].collect().toSet === Set("kraken"))
+  }
+
+  test("checkpoint means files are processed once; new files upsert (T3)") {
+    val args = mkArgs("stream2")
+    Files.createDirectories(Paths.get(args.inputDir))
+    writeTx(args.inputDir, "a.json", "TX1", "0.5")
+    StreamLoader.runAvailableNow(spark, args)
+    // same key again with a new price: second drain must upsert, not dup
+    writeTx(args.inputDir, "b.json", "TX1", "0.9")
+    StreamLoader.runAvailableNow(spark, args)
+    val rows = spark.read.parquet(args.tablePath)
+    assert(rows.count() === 1)
+    assert(rows.select($"price".cast("double")).as[Double].head() === 0.9)
+  }
+
+  test("no dead letters on the happy path (T5)") {
+    val args = mkArgs("stream3")
+    Files.createDirectories(Paths.get(args.inputDir))
+    writeTx(args.inputDir, "a.json", "TX1", "0.5")
+    StreamLoader.runAvailableNow(spark, args)
+    assert(!new java.io.File(args.deadLetterDir).exists())
+  }
+}
