@@ -15,12 +15,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     analytics.Relational.aggPricing(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data extension inventory (text / dedup / similarity /
+    * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Relational.queries
+    analytics.Relational.queries ++ text.TextAnalysis.queries ++
+      dedup.Dedup.queries ++ similarity.Similarity.queries ++
+      multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    analytics.Relational.oracle
+    analytics.Relational.oracle ++ text.TextAnalysis.oracle ++
+      dedup.Dedup.oracle ++ similarity.Similarity.oracle ++
+      multimodal.Multimodal.oracle
 }

@@ -1,0 +1,293 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH, n-gram Jaccard, SimHash, and
+  * embedding-cosine near-dup. Everything is built from codegen'd
+  * builtins — no UDFs — and every shuffle is on a key that stays
+  * balanced at corpus scale.
+  *
+  * Scale design (100 TB corpora):
+  *  - exact dedup: one hash-shuffle on a 128-bit fingerprint; partial
+  *    (map-side) aggregation kicks in since the fingerprint is the
+  *    grouping key.
+  *  - MinHash: shingle explode is a narrow map; the only shuffle is the
+  *    per-doc signature groupBy. LSH banding turns all-pairs comparison
+  *    (O(n²)) into a self-join on band keys — each bucket is tiny when
+  *    bands are wide enough, and a skewed bucket (a boilerplate cluster)
+  *    is handled by AQE skew-join splitting.
+  *  - n-gram Jaccard: the candidate join is an inverted-index self-join
+  *    on shingle; ubiquitous shingles (doc-frequency ≫ average) should
+  *    be dropped by [[jaccardPairs]]'s `maxDf` knob before the join —
+  *    they contribute candidates, not evidence, and removing them bounds
+  *    per-key fan-out.
+  *  - SimHash: one groupBy producing 64 bit-sums; near-dup candidates
+  *    via 16-bit chunk blocking (4 keys/doc), Hamming-verified.
+  *
+  * MinHash/LSH hashing is md5-based (not Spark's xxhash64) so signatures
+  * are reproducible on any engine — the DuckDB oracle computes the same
+  * bands bit-for-bit. The xxhash64 fast path lives in
+  * [[TextAnalysis.fingerprint64]] / [[simhash64]].
+  */
+object Dedup {
+
+  /** Word k-gram shingles over normalized tokens (empty when the doc has
+    * fewer than k tokens). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---- exact dedup (hash-groupBy) ----
+
+  /** Duplicate groups by normalized-content fingerprint: one row per
+    * distinct content, with the member list and the canonical keeper
+    * (min id) — the "keep first, drop rest" contract. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("keeper"),
+        // numeric sort THEN stringify (lexicographic would put "10" < "2")
+        concat_ws(",", transform(sort_array(collect_list(col(idCol))),
+          i => i.cast("string"))).as("doc_ids"))
+
+  /** The deduplicated corpus: one representative (min id) per content. */
+  def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ---- MinHash + LSH ----
+
+  val numHashes = 8
+  val numBands = 2 // 2 bands × 4 rows
+
+  /** Per-doc MinHash signature: for seed j, min over shingles of
+    * md5("<j>#<shingle>"). One explode + one groupBy shuffle. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol))).as("sh"))
+    sh.groupBy(idCol)
+      .agg(
+        min(md5(concat_ws("#", lit(0), col("sh")))).as("h0"),
+        (1 until numHashes).map(j =>
+          min(md5(concat_ws("#", lit(j), col("sh")))).as(s"h$j")): _*)
+  }
+
+  /** LSH banding: (id, band, band-key) rows — docs sharing a band key
+    * are candidate duplicates. */
+  def lshBands(sig: DataFrame, idCol: String): DataFrame = {
+    val rows = numHashes / numBands
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(j => col(s"h$j"))
+      sig.select(col(idCol), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("bkey"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs from LSH band collisions (id_a < id_b). */
+  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val b = bands.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ---- n-gram Jaccard ----
+
+  /** Exact Jaccard similarity over distinct shingle sets for every pair
+    * sharing at least one shingle, thresholded. `maxDf` drops shingles
+    * appearing in more than that many docs from candidate generation
+    * (scale guard; pass Int.MaxValue for exact-on-everything). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
+      .distinct()
+    val filtered =
+      if (maxDf == Int.MaxValue) sh
+      else {
+        val df_ = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+        sh.join(filtered_hint(df_.select("sh")), Seq("sh"))
+      }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = filtered.select(col("id").as("id_a"), col("sh"))
+      .join(filtered.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  private def filtered_hint(df: DataFrame): DataFrame = broadcast(df)
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash from xxhash64 token hashes: per-bit ±1 vote sums in
+    * ONE groupBy (64 aggregate columns — still a single shuffle), sign
+    * bits assembled into a long. Engine-native (xxhash64 is not
+    * portable); spec-tested rather than oracle-checked. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val withBits = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    // distinct powers of two: addition never carries, so + assembles bits
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withBits.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (a ≤k-bit-different
+    * pair shares at least one chunk for k ≤ 3... pigeonhole k < 4), then
+    * Hamming-verify. */
+  def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int = 3)
+      : DataFrame = {
+    val chunks = (0 until 4).map { c =>
+      sim.select(col(idCol), lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
+          .as("ckey"), col("simhash"))
+    }.reduce(_ unionByName _)
+    val a = chunks.select(col("chunk"), col("ckey"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = chunks.select(col("chunk"), col("ckey"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding-cosine near-dup ----
+
+  /** Cosine similarity of two double arrays — sequential left-fold, the
+    * same operation order as DuckDB's list_cosine_similarity, so values
+    * are bit-identical across engines. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Top near-duplicate embedding pairs by cosine (all-pairs at query
+    * scale; LSH-bucketed variant in [[graft.similarity.Similarity]] is
+    * the 100 TB path). */
+  def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
+      topN: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = e.select(col("id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("id").as("id_b"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+
+  // ---- query inventory ----
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup" -> ((s, dir) =>
+      exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("fp")),
+    "d02_minhash_sig" -> ((s, dir) =>
+      lshBands(minhashSignatures(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id").orderBy("doc_id", "band")),
+    "d03_lsh_pairs" -> ((s, dir) =>
+      lshCandidatePairs(
+        lshBands(minhashSignatures(Tables.documents(s, dir), "doc_id", "text"),
+          "doc_id"), "doc_id")
+        .orderBy("id_a", "id_b")),
+    "d04_jaccard_neardup" -> ((s, dir) =>
+      jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.8)
+        .orderBy("id_a", "id_b")),
+    "d05_simhash" -> ((s, dir) =>
+      simhash64(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "d06_embedding_topsim" -> ((s, dir) =>
+      embeddingTopPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 20)),
+  )
+
+  private val toksSql =
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
+  private val shinglesSql =
+    s"""(SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+       | THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' '))
+       | ELSE [] END) AS sh
+       | FROM (SELECT doc_id, $toksSql AS toks FROM documents))""".stripMargin.replace("\n", "")
+  private def minhashSql: String =
+    (0 until numHashes).map(j => s"min(md5('$j#' || sh)) AS h$j").mkString(", ")
+
+  /** d05 (xxhash64) and d06's cross-join cost get rows-only checks; the
+    * rest are exact DuckDB parity. d06 could be oracle'd via
+    * list_cosine_similarity (bit-identical — see [[cosine]]) but the
+    * all-pairs SQL is quadratic; covered in SimilaritySpec instead. */
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      s"""SELECT md5(array_to_string($toksSql, ' ')) AS fp,
+         |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper,
+         |  string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "d02_minhash_sig" ->
+      s"""WITH m AS (SELECT doc_id, $minhashSql FROM $shinglesSql GROUP BY doc_id)
+         |SELECT doc_id, band, bkey FROM (
+         |  SELECT doc_id, 0 AS band, md5(h0||'|'||h1||'|'||h2||'|'||h3) AS bkey FROM m
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(h4||'|'||h5||'|'||h6||'|'||h7) AS bkey FROM m)
+         |ORDER BY doc_id, band""".stripMargin,
+    "d03_lsh_pairs" ->
+      s"""WITH m AS (SELECT doc_id, $minhashSql FROM $shinglesSql GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(h0||'|'||h1||'|'||h2||'|'||h3) AS bkey FROM m
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(h4||'|'||h5||'|'||h6||'|'||h7) AS bkey FROM m)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d04_jaccard_neardup" ->
+      s"""WITH d AS (SELECT DISTINCT doc_id, sh FROM $shinglesSql),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |      FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+         |FROM i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,157 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, plus the
+  * decode / feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing is real — schema, partition-preserving
+  * narrow transforms, typed mapPartitions batching — but the actual
+  * codec work is STUBBED (no image/audio libraries in this
+  * environment): [[stubDecode]] derives deterministic fake pixels from
+  * the payload bytes. Swapping in a real decoder is a one-function
+  * change; everything around it (batching, schema, partitioning) is
+  * production-shaped.
+  *
+  * Scale notes: payloads never shuffle — all stages are narrow maps
+  * over the scan partitioning. Feature extraction happens before any
+  * join/agg so only small feature vectors (not blobs) ever move.
+  * `spark.sql.files.maxPartitionBytes` governs blob-scan granularity;
+  * binary payloads in parquet keep the metadata columns readable
+  * without materializing the blobs (column pruning).
+  */
+object Multimodal {
+
+  /** One media item: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      duration_ms: Long)
+
+  /** Fixed-shape decoded features. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      features: Array[Float])
+
+  val featureDim = 16
+
+  /** Deterministic synthetic media table derived from the documents
+    * table (the container ships no binary fixtures): payload = utf-8
+    * bytes of the text, metadata derived from doc fields. Deterministic
+    * → oracle-checkable metadata. */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("n_chars") % 64 + 1).cast("int").as("width"),
+      (col("n_chars") % 48 + 1).cast("int").as("height"),
+      lit(16000).as("sample_rate"),
+      (col("n_chars") * 10).as("duration_ms"))
+
+  /** STUB decode ??? — replace with a real codec. Deterministic fake:
+    * "pixels" are a rolling byte-mix of the payload, folded into
+    * `featureDim` float features. Runs per-partition with explicit
+    * batched iteration — the exact shape a JNI/py-codec integration
+    * needs (amortized per-batch init, bounded memory). */
+  def stubDecode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init happens HERE (real codecs: load the library
+      // once per partition, not per record)
+      it.map { m =>
+        val acc = new Array[Float](featureDim)
+        var i = 0
+        while (i < m.payload.length) {
+          // deterministic fake of pixel/sample decoding: byte mix
+          acc(i % featureDim) += (m.payload(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        val n = math.max(1, m.payload.length / featureDim)
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+          acc.map(_ / n))
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
+    * (a video "frame" stand-in). Pure builtin expression — narrow, no
+    * shuffle, codegen'd. */
+  def frameSample(payload: org.apache.spark.sql.Column, frameSize: Int,
+      stride: Int): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0),
+        greatest(floor((octet_length(payload) - 1) / (frameSize * stride))
+          .cast("int"), lit(0))),
+      i => payload.substr(i * frameSize * stride + 1, lit(frameSize)))
+
+  /** "Resize" stub: truncate/pad payload to a target byte budget —
+    * placeholder for a real image resize, keeps the narrow-map shape. */
+  def resizeStub(payload: org.apache.spark.sql.Column,
+      targetBytes: Int): org.apache.spark.sql.Column =
+    substring(payload, 1, targetBytes)
+
+  // ---- query inventory ----
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // metadata + content addressing over binary payloads (oracle: DuckDB
+    // computes identical sha256/octet_length over the same utf-8 bytes)
+    "m01_media_meta" -> ((s, dir) =>
+      syntheticMedia(s, dir).select(
+        col("media_id"), col("kind"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("content_sha256"),
+        col("width"), col("height"), col("duration_ms"))
+        .orderBy("media_id")),
+    // per-kind storage/shape profile (agg over multimodal metadata)
+    "m02_media_profile" -> ((s, dir) =>
+      syntheticMedia(s, dir)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_items"),
+          sum(octet_length(col("payload")).cast("long")).as("total_bytes"),
+          max(col("width")).as("max_width"),
+          min(col("height")).as("min_height"))
+        .orderBy("kind")),
+    // stub decode through the typed mapPartitions path (engine-native:
+    // rows-only check; exact feature values are spec-tested)
+    "m03_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = syntheticMedia(s, dir).as[MediaRecord]
+      stubDecode(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("media_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m01_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS content_sha256,
+        |  CAST(n_chars % 64 + 1 AS INT) AS width,
+        |  CAST(n_chars % 48 + 1 AS INT) AS height,
+        |  n_chars * 10 AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m02_media_profile" ->
+      """SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  MAX(CAST(n_chars % 64 + 1 AS INT)) AS max_width,
+        |  MIN(CAST(n_chars % 48 + 1 AS INT)) AS min_height
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+  )
+}

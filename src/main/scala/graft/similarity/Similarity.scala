@@ -1,0 +1,234 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup.cosine
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers:
+  *  - [[bruteTopK]]: exact cosine top-k. The query side is broadcast (a
+  *    query batch is small by definition), so the corpus is scanned once
+  *    with NO shuffle of the corpus itself — each partition ranks its
+  *    rows against every query and only per-partition top-k survive the
+  *    final window. Exact, and the baseline the approximate tiers are
+  *    measured against.
+  *  - [[lshBuckets]] / [[lshTopK]]: random-hyperplane LSH. Hyperplane
+  *    components are md5-derived (deterministic, engine-portable, no
+  *    stored model). At 100 TB the corpus is bucketed once (narrow map,
+  *    shuffle only on the small bucket-key join), and each query probes
+  *    exactly its own bucket — corpus scan cost drops by ~2^bits.
+  *  - [[ivfTopK]]: IVF with a k-means coarse quantizer (Lloyd iterations
+  *    implemented with joins+groupBy — deterministic, no MLlib model
+  *    state). The corpus is partitioned by nearest centroid; queries
+  *    probe `nProbe` nearest centroids — the classic recall/cost dial.
+  */
+object Similarity {
+
+  /** L2 norm of a double array (sequential fold, portable). */
+  def l2(v: Column): Column =
+    sqrt(aggregate(zip_with(v, v, (a, b) => a * b), lit(0.0), (s, x) => s + x))
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors. Broadcast-join of the (small) query side; ranking window
+    * is partitioned by query — scales with corpus size / cluster width. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim i): md5-derived uniform in [-0.5, 0.5). Portable: any engine
+    * with md5 reproduces the same planes. */
+  private def planeComponent(j: Int, i: Column): Column =
+    (conv(substring(md5(concat_ws(",", lit(j), i)), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)) - 0.5
+
+  /** Sign-bit bucket id from `bits` random hyperplanes (plane seeds
+    * offset by `seed0` so multiple tables use independent planes). One
+    * narrow map per row — no shuffle. */
+  def lshBucket(v: Column, bits: Int, seed0: Int = 0): Column =
+    (0 until bits).map { j =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(seed0 + j, i)),
+        lit(0.0), (s, x) => s + x)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Corpus bucketed by LSH signature (single table). */
+  def lshBuckets(corpus: DataFrame, bits: Int): DataFrame =
+    corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), bits))
+
+  /** Multi-table bucketing: `tables` independent hash tables (the
+    * standard LSH recall lever) — each row lands in one bucket per
+    * table, so storage/probe cost is ×tables, recall approaches 1. */
+  def lshBucketsMulti(df: DataFrame, bits: Int, tables: Int): DataFrame = {
+    val e = df.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val buckets = array((0 until tables).map(t =>
+      lshBucket(col("v"), bits, seed0 = t * bits)): _*)
+    e.select(col("vec_id"), col("v"),
+      posexplode(buckets).as(Seq("table", "bucket")))
+  }
+
+  /** ANN top-k: queries probe their bucket in each of `tables` hash
+    * tables; candidates deduped, then exact cosine rank. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int,
+      tables: Int = 4): DataFrame = {
+    val c = lshBucketsMulti(corpus, bits, tables)
+      .select(col("table"), col("bucket"), col("vec_id").as("corpus_id"))
+    val q = lshBucketsMulti(queries, bits, tables)
+      .select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+    val candidates = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id").distinct()
+    val cv = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    candidates.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+  }
+
+  /** Deterministic k-means (Lloyd) coarse quantizer: centroids start at
+    * the first k vec_ids, `iters` relational refinement steps. Returns
+    * (centroid_id, centroid array). Joins+groupBy only — runs at any
+    * scale, no driver-side state beyond the k centroids. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    var centroids = e.orderBy("vec_id").limit(k)
+      .select(monotonically_increasing_id().as("cid"), col("v").as("cv"))
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(e, centroids)
+      centroids = assigned
+        .groupBy("cid")
+        .agg(collectMean(col("v")).as("cv"))
+      it += 1
+    }
+    centroids
+  }
+
+  /** Element-wise mean of arrays in a group: explode by position, sum
+    * per (group, pos), reassemble. Implemented as a single expression
+    * over collect_list for coarse-quantizer-sized groups. */
+  private def collectMean(v: Column): Column = {
+    // mean vector = per-position sum / count, via fold over the list of
+    // vectors (k-means groups at quantizer granularity: fine to reduce)
+    val lst = collect_list(v)
+    val sums = aggregate(lst,
+      transform(element_at(lst, 1), _ => lit(0.0)),
+      (acc, vec) => zip_with(acc, vec, (a, b) => a + b))
+    transform(sums, s => s / size(lst))
+  }
+
+  /** Assign each vector to its nearest centroid by cosine. */
+  def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cid"),
+        cosine(col("v"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "cid")
+  }
+
+  /** IVF ANN: corpus pre-assigned to centroids; each query probes its
+    * `nProbe` nearest centroids and exact-ranks within those cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(corpus, nCentroids, iters)
+    val e = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cells = assign(e, cents)
+      .select(col("cid"), col("vec_id").as("corpus_id"), col("v").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cid"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qv", "cid")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+  }
+
+  // ---- query inventory ----
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def corpusOf(s: SparkSession, dir: String) =
+    Tables.embeddings(s, dir).filter(col("vec_id") >= 5)
+  private def queriesOf(s: SparkSession, dir: String) =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+
+  val queries: Map[String, Q] = Map(
+    "s01_knn_brute" -> ((s, dir) =>
+      bruteTopK(corpusOf(s, dir), queriesOf(s, dir), 10)
+        .orderBy("query_id", "rank")),
+    "s02_ann_lsh" -> ((s, dir) =>
+      lshTopK(corpusOf(s, dir), queriesOf(s, dir), 10, bits = 4, tables = 8)
+        .orderBy("query_id", "rank")),
+    "s03_ann_ivf" -> ((s, dir) =>
+      ivfTopK(corpusOf(s, dir), queriesOf(s, dir), 10, nCentroids = 10,
+        nProbe = 4).orderBy("query_id", "rank")),
+  )
+
+  /** s01 is exact and DuckDB list_cosine_similarity is bit-identical to
+    * our sequential fold (verified empirically), so it gets a full
+    * oracle. s02/s03 are approximate engine-native paths → rows-only;
+    * their recall-vs-brute contracts live in SimilaritySpec. */
+  val oracle: Map[String, String] = Map(
+    "s01_knn_brute" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, v AS cv FROM e WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |         list_cosine_similarity(qv, cv) AS cos_sim
+        |  FROM q CROSS JOIN c WHERE corpus_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_sim DESC, corpus_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, corpus_id, cos_sim
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+  )
+}

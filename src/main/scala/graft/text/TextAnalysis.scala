@@ -1,0 +1,168 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID, document
+  * fingerprinting. All are narrow per-row transformations built from
+  * codegen'd builtins (no UDFs) — they scan, compute, and keep whatever
+  * partitioning the input has, so they scale linearly with data size and
+  * never shuffle.
+  *
+  * Portability contract: every expression here has an exact DuckDB
+  * equivalent in [[oracle]] (same regex semantics, same md5, same double
+  * arithmetic tree), so results hash-match the oracle bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Normalized word tokens: lowercase, non-alphanumerics collapsed to
+    * single spaces, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " "),
+      t => t =!= "")
+
+  /** BPE-ish subword-count estimate: word-or-punctuation pieces plus a
+    * length penalty for long words (a public rule-of-thumb proxy for BPE
+    * vocab splits — no tokenizer model needed). */
+  def tokenEstimate(text: Column): Column = {
+    val pieces = regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    // every ~4 chars past the first adds a subword piece (floor division)
+    size(pieces).cast("long") + aggregate(pieces, lit(0L),
+      (acc, p) => acc + floor((length(p) - 1) / 4).cast("long"))
+  }
+
+  /** English stopword set (public, tiny). */
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val stopEs = Seq("el", "los", "las", "y", "es", "no")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "ne")
+
+  private def stopCount(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isin(set: _*)))
+
+  /** Quality features + composite score (length / punctuation / stopword
+    * ratios — the standard cheap heuristics for corpus filtering). */
+  def qualityFeatures(df: DataFrame, text: String): DataFrame = {
+    val toks = tokens(col(text))
+    val nChars = length(col(text)).cast("double")
+    val nToks = size(toks).cast("double")
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col(text), "[^A-Za-z]", "")).cast("double") / nChars)
+      .withColumn("digit_ratio",
+        length(regexp_replace(col(text), "[^0-9]", "")).cast("double") / nChars)
+      .withColumn("stopword_ratio",
+        when(nToks > 0, stopCount(toks, stopEn).cast("double") / nToks)
+          .otherwise(lit(0.0)))
+      .withColumn("avg_token_len",
+        when(nToks > 0,
+          aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") / nToks)
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        col("alpha_ratio") * 0.5 + col("stopword_ratio") * 0.3 +
+          when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2)
+            .otherwise(0.0))
+  }
+
+  /** n-gram-heuristic language ID: per-language stopword hit counts,
+    * fixed-priority argmax (de < en < es < fr lexicographic tie-break),
+    * 'und'(etermined) when nothing matches. */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val (de, en, es, fr) = (stopCount(toks, stopDe), stopCount(toks, stopEn),
+      stopCount(toks, stopEs), stopCount(toks, stopFr))
+    when(greatest(de, en, es, fr) === 0, "und")
+      .when(de >= en && de >= es && de >= fr, "de")
+      .when(en >= es && en >= fr, "en")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Content fingerprint: md5 of the normalized token stream — invariant
+    * to case/punctuation/whitespace, portable across engines. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** 64-bit rolling-hash fingerprint (xxhash64; engine-native fast path
+    * for in-Spark dedup — not oracle-portable, spec-tested instead). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+
+  // ---- query inventory ----
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "t01_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          tokenEstimate(col("text")).as("bpe_estimate"),
+          length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")),
+    "t02_quality" -> ((s, dir) =>
+      qualityFeatures(Tables.documents(s, dir), "text")
+        .select("doc_id", "n_tokens", "alpha_ratio", "digit_ratio",
+          "stopword_ratio", "avg_token_len", "quality_score")
+        .orderBy("doc_id")),
+    "t03_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), languageId(col("text")).as("lang_pred"),
+          col("lang").as("lang_label"))
+        .orderBy("doc_id")),
+    "t04_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+  )
+
+  /** DuckDB equivalents. Note DuckDB regexp_replace needs the 'g' flag
+    * (Spark replaces globally by default). */
+  private val toksSql =
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
+
+  private def stopSql(set: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${set.map("'" + _ + "'").mkString(",")})))"
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks,
+         |  regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]') AS pieces
+         |  FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |  CAST(len(pieces) + list_sum(list_transform(pieces, p -> (length(p)-1)//4)) AS BIGINT) AS bpe_estimate,
+         |  length(text) AS n_chars_calc
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "t02_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+         |  CASE WHEN len(toks) > 0 THEN CAST(${stopSql(stopEn)} AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
+         |  CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS avg_token_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens, alpha_ratio, digit_ratio, stopword_ratio, avg_token_len,
+         |  alpha_ratio * 0.5 + stopword_ratio * 0.3 +
+         |    CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.2 ELSE 0.0 END AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "t03_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  ${stopSql(stopDe)} AS s_de, ${stopSql(stopEn)} AS s_en,
+         |  ${stopSql(stopEs)} AS s_es, ${stopSql(stopFr)} AS s_fr FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred,
+         |  lang AS lang_label
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

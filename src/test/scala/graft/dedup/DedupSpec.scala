@@ -1,0 +1,98 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup semantics on planted duplicates (the driver testdata has no
+  * exact dups, so machinery is proven here). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "the QUICK brown fox... jumps over the lazy dog!!"), // norm-dup of 1
+    (3L, "The quick brown fox jumps over the lazy cat"),      // near-dup of 1
+    (4L, "completely different content about spark engines"),
+    (10L, "the quick brown fox jumps over the lazy dog")      // norm-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups groups normalized duplicates; keeper = min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    val dup = g.filter($"n_docs" > 1).collect()
+    assert(dup.length === 1)
+    assert(dup.head.getAs[Long]("keeper") === 1L)
+    assert(dup.head.getAs[String]("doc_ids") === "1,2,10") // numeric order
+  }
+
+  test("dropExactDups keeps one representative per content") {
+    val out = Dedup.dropExactDups(docs, "doc_id", "text")
+    assert(out.count() === 3)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 4L))
+  }
+
+  test("minhash: identical shingle sets give identical signatures") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val rows = sig.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (1 to 8).map(i => r.getString(i)).toSeq).toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L) === rows(10L))
+    assert(rows(1L) !== rows(4L))
+  }
+
+  test("LSH candidate pairs catch the planted near-dup cluster") {
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(docs, "doc_id", "text"),
+        "doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // exact dups always collide on every band
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 10L)))
+  }
+
+  test("jaccardPairs: exact dups score 1.0; near-dup scores high") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p((1L, 2L)) === 1.0)
+    assert(p((1L, 10L)) === 1.0)
+    assert(p((1L, 3L)) > 0.5 && p((1L, 3L)) < 1.0)
+    assert(!p.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs equal; near-dups close in Hamming") {
+    val sim = Dedup.simhash64(docs, "doc_id", "text")
+    val m = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L) && m(1L) === m(10L))
+    val hammingNear = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    val hammingFar = java.lang.Long.bitCount(m(1L) ^ m(4L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simhashPairs blocks+verifies within maxHamming") {
+    val sim = Dedup.simhash64(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sim, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 10L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("embeddingTopPairs ranks the most similar vectors first") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.14f, 0.0f)), // ~same direction as 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Dedup.embeddingTopPairs(emb, "vec_id", "embedding", 2).collect()
+    assert((top.head.getLong(0), top.head.getLong(1)) === (1L, 2L))
+    assert(top.head.getDouble(2) > 0.98)
+  }
+
+  test("shingles: shorter than k gives empty, order preserved") {
+    val s = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text").as("sh")).as[Seq[String]].head()
+    assert(s.isEmpty)
+    val s2 = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text").as("sh")).as[Seq[String]].head()
+    assert(s2 === Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMedia(spark, sfDir)
+
+  test("syntheticMedia: binary payload + typed metadata schema") {
+    val sch = media.schema
+    assert(sch("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(media.count() === 500)
+    assert(media.select("kind").distinct().as[String].collect().toSet ===
+      Set("image", "audio", "video"))
+  }
+
+  test("stubDecode: fixed feature shape, deterministic, batched path") {
+    val feats = Multimodal.stubDecode(media.as[Multimodal.MediaRecord])
+    val rows = feats.collect()
+    assert(rows.length === 500)
+    assert(rows.forall(_.features.length === Multimodal.featureDim))
+    val again = Multimodal.stubDecode(media.as[Multimodal.MediaRecord])
+      .collect()
+    assert(rows.map(r => r.media_id -> r.features.toSeq).toMap ===
+      again.map(r => r.media_id -> r.features.toSeq).toMap)
+  }
+
+  test("stubDecode feature values bounded by construction (bytes/255)") {
+    val feats = Multimodal.stubDecode(media.as[Multimodal.MediaRecord])
+    assert(feats.collect().forall(_.features.forall(f => f >= 0f && f <= 2f)))
+  }
+
+  test("frameSample chunks the payload at the stride") {
+    val df = Seq(("a" * 64)).toDF("text")
+      .select(encode($"text", "UTF-8").as("payload"))
+    val frames = df.select(Multimodal.frameSample($"payload", 8, 2).as("f"))
+      .select(size($"f")).as[Int].head()
+    // 64 bytes, frame 8, stride 2 → frames at offsets 0,16,32,48 (+1 pad)
+    assert(frames === 4 || frames === 5)
+  }
+
+  test("resizeStub truncates to target bytes") {
+    val df = Seq(("abcdefgh")).toDF("text")
+      .select(encode($"text", "UTF-8").as("payload"))
+    val n = df.select(octet_length(Multimodal.resizeStub($"payload", 4)))
+      .as[Int].head()
+    assert(n === 4)
+  }
+}

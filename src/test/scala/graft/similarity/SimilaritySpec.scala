@@ -1,0 +1,78 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** ANN contracts: brute-force is exact; LSH/IVF trade recall for probe
+  * cost and are measured against brute-force on real testdata. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Tables.embeddings(spark, sfDir)
+    .filter($"vec_id" >= 5)
+  private lazy val queries = Tables.embeddings(spark, sfDir)
+    .filter($"vec_id" < 5)
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Set[Long]] =
+    df.select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+
+  test("bruteTopK: k rows per query, ranks contiguous, sims descending") {
+    val top = Similarity.bruteTopK(corpus, queries, 10)
+    val byQ = top.collect().groupBy(_.getLong(0))
+    assert(byQ.size === 5)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to 10L))
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bruteTopK agrees with a hand-computed nearest neighbor") {
+    val hand = Seq(
+      (100L, Array(1.0f, 0.0f)), (101L, Array(0.9f, 0.1f)),
+      (102L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteTopK(hand, q, 1).collect().head
+    assert(top.getLong(2) === 100L)
+  }
+
+  test("LSH buckets are deterministic and split the corpus") {
+    val b1 = Similarity.lshBuckets(corpus, 8).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val b2 = Similarity.lshBuckets(corpus, 8).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(b1 === b2)
+    assert(b1.values.toSet.size > 1) // actually partitions the space
+  }
+
+  test("lshTopK recall vs brute-force (4 bits × 8 tables)") {
+    val brute = neighborSets(Similarity.bruteTopK(corpus, queries, 10))
+    val ann = neighborSets(
+      Similarity.lshTopK(corpus, queries, 10, bits = 4, tables = 8))
+    val recall = brute.keys.map { q =>
+      val hits = ann.getOrElse(q, Set.empty) & brute(q)
+      hits.size.toDouble / 10
+    }.sum / brute.size
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
+  test("ivfTopK recall vs brute-force (nProbe=4 of 10 centroids)") {
+    val brute = neighborSets(Similarity.bruteTopK(corpus, queries, 10))
+    val ann = neighborSets(Similarity.ivfTopK(corpus, queries, 10, 10, 4))
+    val recall = brute.keys.map { q =>
+      (ann.getOrElse(q, Set.empty) & brute(q)).size.toDouble / 10
+    }.sum / brute.size
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
+  test("kmeans centroids: k rows, deterministic across runs") {
+    val c1 = Similarity.kmeansCentroids(corpus, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val c2 = Similarity.kmeansCentroids(corpus, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1.size === 4)
+    assert(c1 === c2)
+  }
+}
