@@ -29,6 +29,16 @@ import graft.model.Model
   */
 object OrderPipeline {
 
+  /** S1: config-document scan — `config.json` `{"orders": [...]}` with
+    * the declared schema (`pkg/configuration/dca.go:49-73`,
+    * `schema.json:3-10`), exploded to one row per configured order.
+    * Validation (P6) is the caller's next step via
+    * [[graft.model.Model.validateConfig]]. */
+  def readConfig(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Model.dcaConfigSchema).json(path)
+      .select(explode(col("orders")).as("o"))
+      .select(col("o.*"))
+
   /** The exchange registry (J1's `map[string]Orderer`,
     * `pkg/orders/factory.go:21-36`) as a broadcastable dimension. */
   def exchangeRegistry(spark: SparkSession): DataFrame = {

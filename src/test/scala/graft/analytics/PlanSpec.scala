@@ -1,0 +1,70 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan guards: the properties that matter at 100 TB — filter
+  * and projection pushdown into the parquet scan, broadcast joins for
+  * dimension lookups, whole-stage codegen coverage — asserted so a
+  * regression (e.g. an expression change that breaks pushdown) fails CI,
+  * not the cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: predicates are pushed to the parquet scan") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_returnflag)") ||
+      p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q01: scan reads only the projected columns") {
+    val p = plan("q01_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("q08: dimension joins are broadcast, not shuffled") {
+    val p = plan("q08_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q03: aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q03_agg_pricing")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q05: window sort is within partitions (no global sort)") {
+    val p = plan("q05_window_running")
+    assert(p.contains("Window"), p)
+  }
+
+  test("flagship queries stay inside whole-stage codegen") {
+    // AQE only materializes WholeStageCodegen nodes in the final plan,
+    // so execute first and inspect the post-execution adaptive plan
+    Seq("q01_filter_project", "q03_agg_pricing", "q08_join_agg").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // codegen stages print as "*(n)" in the adaptive plan string
+      assert(p.contains("WholeStageCodegen") ||
+        """\*\(\d+\)""".r.findFirstIn(p).isDefined, s"$q:\n$p")
+    }
+  }
+
+  test("s01: native graft_dot appears in the ANN plan (not HOF fold)") {
+    val p = plan("s01_knn_brute")
+    assert(p.toLowerCase.contains("graft_dot"), p)
+  }
+
+  test("d04: jaccard candidate join keys are 64-bit hashes, not strings") {
+    val p = plan("d04_jaccard_neardup")
+    assert(p.contains("xxhash64"), p)
+  }
+}

@@ -17,6 +17,18 @@ class OrderPipelineSpec extends SparkSpec {
 
   private val goodRow = ("kraken", "buy", "market", "10", "ADAGBP", true, true)
 
+  test("readConfig parses the reference example config shape (S1)") {
+    val dir = tmpDir("config")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "config.json"),
+      """{"orders":[{"exchange":"kraken","direction":"buy","ordertype":"market","volume":"5","pair":"ADAGBP","validate":true,"enabled":true}]}""")
+    val cfg = OrderPipeline.readConfig(spark, dir)
+    assert(cfg.schema.fieldNames.toSeq === Seq("exchange", "direction",
+      "ordertype", "volume", "pair", "validate", "enabled"))
+    val (valid, invalid) = Model.validateConfig(cfg)
+    assert(valid.count() === 1 && invalid.count() === 0)
+  }
+
   test("executeOrders skips disabled orders (P1) and emits pending keys") {
     val (fulfilled, pending) = OrderPipeline.executeOrders(spark,
       config(goodRow, ("kraken", "sell", "limit", "5", "BTCGBP", true, false)))
