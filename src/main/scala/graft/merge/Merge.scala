@@ -79,7 +79,9 @@ object Merge {
     b.write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(path)
   }
 
-  /** O1: key-reconciled upsert, rewriting only touched partitions. */
+  /** O1: key-reconciled upsert, rewriting only touched partitions.
+    * Record identity is (key, partition) — Hudi's partition-scoped
+    * index semantics: the same key in two partitions is two records. */
   def upsert(
       spark: SparkSession,
       batch: DataFrame,
@@ -87,7 +89,8 @@ object Merge {
       keyCols: Seq[String],
       precombine: String,
       partitionCol: String): Unit = {
-    val deduped = precombineDedup(batch, keyCols, precombine)
+    val scopedKeys = keyCols :+ partitionCol
+    val deduped = precombineDedup(batch, scopedKeys, precombine)
     if (!tableExists(spark, path)) {
       // Initial write: same dynamic-overwrite path (an existing-but-empty
       // dir — e.g. a just-created table location — must not error).
@@ -101,7 +104,7 @@ object Merge {
       .select(deduped.columns.map(col): _*) // column order alignment
     // Batch wins over stored for the same key (Hudi upsert semantics:
     // incoming overwrites regardless of precombine comparison vs stored).
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val w = Window.partitionBy(scopedKeys.map(col): _*)
       .orderBy(col("_is_new").desc)
     val merged = deduped.withColumn("_is_new", lit(1))
       .unionByName(existing.withColumn("_is_new", lit(0)))
@@ -124,9 +127,13 @@ object Merge {
     if (parts.isEmpty) return
     val existing = spark.read.parquet(path)
       .filter(col(partitionCol).isin(parts: _*))
+    // key scope includes the partition path (Hudi ComplexKeyGenerator
+    // semantics): a delete key only removes rows in ITS partition, never
+    // a same-keyed row in another touched partition
+    val delKeys = keyCols :+ partitionCol
     val remaining = existing.join(
-      broadcast(keys.select(keyCols.map(col): _*).distinct()),
-      keyCols, "left_anti")
+      broadcast(keys.select(delKeys.map(col): _*).distinct()),
+      delKeys, "left_anti")
     writeDynamic(remaining, path, partitionCol)
   }
 }

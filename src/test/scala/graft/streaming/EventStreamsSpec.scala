@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-time semantics: streamed windowed aggregation equals the batch
+  * computation (AvailableNow drain), sessionization groups by gap. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed windowed counts == batch windowed counts") {
+    val base = tmpDir("evstream")
+    // write the events table (µs timestamps) as the stream input
+    Tables.events(spark, sfDir).write.parquet(s"$base/in")
+    val q = EventStreams.runWindowedAvailableNow(spark, s"$base/in",
+      s"$base/ckpt", "win_counts")
+    q.awaitTermination()
+    // AvailableNow + watermark: only windows the final watermark passed
+    // are emitted in append mode; compare those against batch
+    val streamed = spark.table("win_counts")
+      .select("window_start", "event_type", "n_events", "total_value")
+    val batch = EventStreams.windowedCounts(Tables.events(spark, sfDir))
+    val joined = streamed.alias("s").join(batch.alias("b"),
+      Seq("window_start", "event_type"))
+    assert(streamed.count() > 0)
+    assert(joined.filter($"s.n_events" =!= $"b.n_events").count() === 0)
+  }
+
+  test("sessionize groups events within the gap into one session") {
+    val gapMs = 60000L // 1 minute
+    // offset from epoch 0: the initial watermark is 0 and rows at or
+    // before the watermark are dropped as late
+    def ts(s: Long) = new java.sql.Timestamp((86400 + s) * 1000)
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(30), 2.0),   // session A: 0..30s
+      (1L, ts(300), 4.0),                    // session B after 270s gap
+      (2L, ts(10), 8.0),                     // user 2, one session
+      (999L, ts(100000), 0.0)                // sentinel: advances watermark
+    ).toDF("user_id", "ts", "value")
+    // run the state logic through the streaming API over a file source;
+    // ONE file so event order within the batch is the written order
+    val base = tmpDir("sess")
+    events.coalesce(1).write.parquet(s"$base/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val df = spark.readStream.schema(schema).parquet(s"$base/in")
+    val out = EventStreams.sessionize(spark, df, gapMs, lateness = "1 second")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessions")
+      .option("checkpointLocation", tmpDir("sessckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sessions = spark.table("sessions")
+      .filter($"user_id" =!= 999L)
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Int, Double)].collect().toSet
+    // the sentinel pushes the watermark past every session's gap, so
+    // gap-split AND timeout-flushed sessions are all emitted
+    assert(sessions === Set(
+      (1L, 2, 3.0),  // session A: 0s+30s
+      (1L, 1, 4.0),  // session B: 300s
+      (2L, 1, 8.0)))
+  }
+}
