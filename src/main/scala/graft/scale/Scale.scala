@@ -1,0 +1,56 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the shuffle-shaping tools a 100 TB deployment needs
+  * beyond what AQE does automatically.
+  *
+  *  - [[saltedEquiJoin]]: explicit key salting for joins whose hot keys
+  *    exceed what AQE skew-split handles (AQE splits oversized
+  *    partitions of a sort-merge join, but a single monster key still
+  *    lands in one task; salting spreads ONE key over `factor` tasks).
+  *  - [[writeBucketed]] / co-located joins: two tables bucketed by the
+  *    same key and bucket count join with ZERO shuffle on either side —
+  *    the plan shows no Exchange. For a fact table joined repeatedly on
+  *    its key (e.g. `transactions` × enrichments), bucketing converts
+  *    every future join's shuffle into a one-time write cost.
+  */
+object Scale {
+
+  /** Equi-join with the left side's hot keys spread over `factor`
+    * sub-keys. The right side is replicated `factor`× (explode over the
+    * salt range), so use this when the right side is the smaller one —
+    * the classic skew recipe. Results are identical to the plain join. */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      factor: Int): DataFrame = {
+    // deterministic per-row salt: spreads each key's rows uniformly
+    // without an RNG (replays stay stable)
+    val leftCols = left.columns
+    val salted = left.withColumn("_salt",
+      pmod(xxhash64(leftCols.map(col): _*), lit(factor)).cast("int"))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+
+  /** Write a bucketed+sorted table into the session catalog. Joins and
+    * aggregations on `bucketCols` against any table bucketed the same
+    * way are shuffle-free. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** True when the executed plan of `df` contains no shuffle exchange
+    * (broadcast exchanges don't count — they move the small side, not
+    * the data). Diagnostic used by specs and capacity planning. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("BroadcastQueryStage"))
+}
