@@ -284,10 +284,10 @@ object Dedup {
       s"min(substr(md5(sh) || md5('x' || sh), ${1 + 8 * j}, 8)) AS h$j")
       .mkString(", ")
 
-  /** d05 (xxhash64) and d06's cross-join cost get rows-only checks; the
-    * rest are exact DuckDB parity. d06 could be oracle'd via
-    * list_cosine_similarity (bit-identical — see [[cosine]]) but the
-    * all-pairs SQL is quadratic; covered in SimilaritySpec instead. */
+  /** d05 (xxhash64-based) gets a rows-only check; the rest are exact
+    * DuckDB parity — including d06's cosine values, which are
+    * bit-identical because both engines normalize per-row then run the
+    * same sequential-order dot product. */
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
       s"""SELECT md5(array_to_string($toksSql, ' ')) AS fp,
@@ -322,5 +322,16 @@ object Dedup {
          |FROM i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "d06_embedding_topsim" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id,
+        |             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        |      FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       list_dot_product(a.vn, b.vn) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -43,9 +43,13 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(set: _*)))
 
   /** Quality features + composite score (length / punctuation / stopword
-    * ratios — the standard cheap heuristics for corpus filtering). */
-  def qualityFeatures(df: DataFrame, text: String): DataFrame = {
-    val toks = tokens(col(text))
+    * ratios — the standard cheap heuristics for corpus filtering). The
+    * token array is materialized once per row (`_toks`) — inlining
+    * `tokens(text)` into each feature would re-run the regex tokenizer
+    * per feature. */
+  def qualityFeatures(df0: DataFrame, text: String): DataFrame = {
+    val df = df0.withColumn("_toks", tokens(col(text)))
+    val toks = col("_toks")
     val nChars = length(col(text)).cast("double")
     val nToks = size(toks).cast("double")
     df.withColumn("n_tokens", size(toks).cast("long"))
@@ -64,13 +68,14 @@ object TextAnalysis {
         col("alpha_ratio") * 0.5 + col("stopword_ratio") * 0.3 +
           when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2)
             .otherwise(0.0))
+      .drop("_toks")
   }
 
-  /** n-gram-heuristic language ID: per-language stopword hit counts,
-    * fixed-priority argmax (de < en < es < fr lexicographic tie-break),
-    * 'und'(etermined) when nothing matches. */
-  def languageId(text: Column): Column = {
-    val toks = tokens(text)
+  /** n-gram-heuristic language ID over a MATERIALIZED token-array
+    * column: per-language stopword hit counts, fixed-priority argmax
+    * (de < en < es < fr lexicographic tie-break), 'und'(etermined) when
+    * nothing matches. */
+  def languageIdFromTokens(toks: Column): Column = {
     val (de, en, es, fr) = (stopCount(toks, stopDe), stopCount(toks, stopEn),
       stopCount(toks, stopEs), stopCount(toks, stopFr))
     when(greatest(de, en, es, fr) === 0, "und")
@@ -79,6 +84,12 @@ object TextAnalysis {
       .when(es >= fr, "es")
       .otherwise("fr")
   }
+
+  /** Convenience single-expression form; hot paths should project the
+    * token array once and use [[languageIdFromTokens]] (the inline form
+    * re-runs the tokenizer for every stopword set). */
+  def languageId(text: Column): Column =
+    languageIdFromTokens(tokens(text))
 
   /** Content fingerprint: md5 of the normalized token stream — invariant
     * to case/punctuation/whitespace, portable across engines. */
@@ -109,7 +120,9 @@ object TextAnalysis {
         .orderBy("doc_id")),
     "t03_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), languageId(col("text")).as("lang_pred"),
+        .withColumn("_toks", tokens(col("text")))
+        .select(col("doc_id"),
+          languageIdFromTokens(col("_toks")).as("lang_pred"),
           col("lang").as("lang_label"))
         .orderBy("doc_id")),
     "t04_fingerprint" -> ((s, dir) =>
