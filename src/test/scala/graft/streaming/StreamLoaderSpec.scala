@@ -46,6 +46,20 @@ class StreamLoaderSpec extends SparkSpec {
     assert(rows.select($"price".cast("double")).as[Double].head() === 0.9)
   }
 
+  test("failing batch routes rows to the dead-letter dir, stream survives (T5)") {
+    val args = mkArgs("streamdlq")
+    Files.createDirectories(Paths.get(args.inputDir))
+    // make the table path an unwritable location: a regular FILE, so the
+    // upsert's parquet write throws inside foreachBatch
+    Files.writeString(Paths.get(args.tablePath), "not a directory")
+    writeTx(args.inputDir, "a.json", "TX1", "0.5")
+    StreamLoader.runAvailableNow(spark, args) // must not throw
+    val dlq = spark.read.parquet(args.deadLetterDir)
+    assert(dlq.count() === 1)
+    assert(dlq.columns.contains("_error") && dlq.columns.contains("_batch_id"))
+    assert(dlq.select("transaction_id").as[String].head() === "TX1")
+  }
+
   test("no dead letters on the happy path (T5)") {
     val args = mkArgs("stream3")
     Files.createDirectories(Paths.get(args.inputDir))
