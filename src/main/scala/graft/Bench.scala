@@ -20,7 +20,9 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = sorted.map { case (name, fn) =>
+    // two timed passes, min per query: one GC pause or compilation stall
+    // shouldn't misreport a query as slow
+    def timed(): Map[String, Double] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Catalyst prune the actual compute for narrow queries)
@@ -28,6 +30,9 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    val r1 = timed()
+    val r2 = timed()
+    val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
