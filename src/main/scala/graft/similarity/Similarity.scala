@@ -53,7 +53,7 @@ object Similarity {
     * md5("j,i")-derived uniform in [-0.5, 0.5). Computed ONCE on the
     * driver and shipped as a literal array — zero hashing in the
     * per-row hot path, and any engine with md5 reproduces the planes. */
-  private def plane(j: Int, dims: Int): Array[Double] =
+  private[similarity] def plane(j: Int, dims: Int): Array[Double] =
     Array.tabulate(dims) { i =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$j,$i".getBytes("UTF-8"))
@@ -226,11 +226,48 @@ object Similarity {
         nProbe = 4).orderBy("query_id", "rank")),
   )
 
-  /** s01 is exact and DuckDB list_cosine_similarity is bit-identical to
-    * our sequential fold (verified empirically), so it gets a full
-    * oracle. s02/s03 are approximate engine-native paths → rows-only;
-    * their recall-vs-brute contracts live in SimilaritySpec. */
+  /** DuckDB SQL for the s02 bucket computation of one hash table: the
+    * hyperplanes are the SAME md5-derived constants the engine ships to
+    * executors, embedded as double literals (Double.toString round-trips
+    * exactly, and list_dot_product runs the same sequential fold), so
+    * bucket ids — and therefore candidates and ranks — are identical. */
+  private def s02BucketSql(side: String, bits: Int, tables: Int,
+      dims: Int): String =
+    (0 until tables).map { t =>
+      val bucket = (0 until bits).map { j =>
+        val lits = plane(t * bits + j, dims).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM $side"
+    }.mkString(" UNION ALL ")
+
+  /** s01 (exact) and s02 (deterministic LSH: portable planes + bit-equal
+    * scoring) carry full oracles; s03's k-means is engine-native →
+    * rows-only, recall contract in SimilaritySpec. */
   val oracle: Map[String, String] = Map(
+    "s02_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+         |cb AS (${s02BucketSql("c", 4, 8, 64)}),
+         |qb AS (${s02BucketSql("q", 4, 8, 64)}),
+         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+         |         FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+         |         WHERE cb.vec_id <> qb.vec_id),
+         |n AS (SELECT vec_id,
+         |             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+         |      FROM e),
+         |ranked AS (
+         |  SELECT query_id, corpus_id,
+         |         list_dot_product(a.vn, b.vn) AS cos_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY list_dot_product(a.vn, b.vn) DESC, corpus_id) AS rank
+         |  FROM cand JOIN n a ON a.vec_id = query_id
+         |            JOIN n b ON b.vec_id = corpus_id)
+         |SELECT query_id, rank, corpus_id, cos_sim
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "s01_knn_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
