@@ -183,6 +183,26 @@ object Dedup {
     withBits.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Portable 32-bit SimHash: token hashes are the first 8 hex chars of
+    * md5 (any engine reproduces them), per-bit ±1 vote sums in one
+    * groupBy, sign bits assembled. The 64-bit xxhash64 variant above is
+    * the faster engine-native path; this one is oracle-checkable. */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(col("_toks")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast("long"))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val withBits = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 32).map(i =>
+      when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withBits.select(col(idCol), fp.as("simhash"))
+  }
+
   /** Hamming distance between two simhash longs (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -266,7 +286,7 @@ object Dedup {
       jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.8)
         .orderBy("id_a", "id_b")),
     "d05_simhash" -> ((s, dir) =>
-      simhash64(Tables.documents(s, dir), "doc_id", "text")
+      simhash32(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     "d06_embedding_topsim" -> ((s, dir) =>
       embeddingTopPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 20)),
@@ -322,6 +342,19 @@ object Dedup {
          |FROM i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "d05_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |h AS (SELECT doc_id,
+         |        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+         |      FROM tok),
+         |bits AS (SELECT doc_id, g.i,
+         |           SUM(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |         FROM h CROSS JOIN generate_series(0, 31) AS g(i)
+         |         GROUP BY doc_id, g.i)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d06_embedding_topsim" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
