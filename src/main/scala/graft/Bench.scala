@@ -27,7 +27,9 @@ object Bench {
       // noop sink: full materialization of every output column (count()
       // would let Catalyst prune the actual compute for narrow queries)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val r1 = timed()

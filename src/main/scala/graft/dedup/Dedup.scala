@@ -141,9 +141,11 @@ object Dedup {
     val filtered =
       if (maxDf == Int.MaxValue) sh
       else {
+        // no broadcast hint: the kept-shingle set is usually most of the
+        // vocabulary — let AQE pick the join strategy
         val df_ = sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf)
-        sh.join(filtered_hint(df_.select("sh")), Seq("sh"))
+        sh.join(df_.select("sh"), Seq("sh"))
       }
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = filtered.select(col("id").as("id_a"), col("sh"))
@@ -158,8 +160,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
-
-  private def filtered_hint(df: DataFrame): DataFrame = broadcast(df)
 
   // ---- SimHash ----
 
