@@ -139,22 +139,22 @@ object Similarity {
     var it = 0
     while (it < iters) {
       centroids = materialize(
-        assign(e, centroids).groupBy("cid").agg(collectMean(col("v")).as("cv")))
+        assign(e, centroids).groupBy("cid")
+          .agg(collectMean(col("v"), col("vec_id")).as("cv")))
       it += 1
     }
     centroids
   }
 
-  /** Element-wise mean of arrays in a group: explode by position, sum
-    * per (group, pos), reassemble. Implemented as a single expression
-    * over collect_list for coarse-quantizer-sized groups. */
-  private def collectMean(v: Column): Column = {
-    // mean vector = per-position sum / count, via fold over the list of
-    // vectors (k-means groups at quantizer granularity: fine to reduce)
-    val lst = collect_list(v)
+  /** Element-wise mean of arrays in a group via a fold over the
+    * collected list, SORTED by `orderKey` first — collect_list order is
+    * partition-arrival order, and a float sum in nondeterministic order
+    * would make centroids (hence IVF results) vary run-to-run. */
+  private def collectMean(v: Column, orderKey: Column): Column = {
+    val lst = sort_array(collect_list(struct(orderKey.as("k"), v.as("v"))))
     val sums = aggregate(lst,
-      transform(element_at(lst, 1), _ => lit(0.0)),
-      (acc, vec) => zip_with(acc, vec, (a, b) => a + b))
+      transform(element_at(lst, 1).getField("v"), _ => lit(0.0)),
+      (acc, e) => zip_with(acc, e.getField("v"), (a, b) => a + b))
     transform(sums, s => s / size(lst))
   }
 
