@@ -101,7 +101,7 @@ object Merge {
     if (parts.isEmpty) return
     val existing = spark.read.parquet(path)
       .filter(col(partitionCol).isin(parts: _*))
-      .select(deduped.columns.map(col): _*) // column order alignment
+      .select(deduped.columns.toIndexedSeq.map(col): _*) // column order alignment
     // Batch wins over stored for the same key (Hudi upsert semantics:
     // incoming overwrites regardless of precombine comparison vs stored).
     val w = Window.partitionBy(scopedKeys.map(col): _*)

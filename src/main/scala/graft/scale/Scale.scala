@@ -28,7 +28,7 @@ object Scale {
     // without an RNG (replays stay stable)
     val leftCols = left.columns
     val salted = left.withColumn("_salt",
-      pmod(xxhash64(leftCols.map(col): _*), lit(factor)).cast("int"))
+      pmod(xxhash64(leftCols.toIndexedSeq.map(col): _*), lit(factor)).cast("int"))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "_salt").drop("_salt")
