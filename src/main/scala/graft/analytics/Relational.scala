@@ -211,7 +211,33 @@ object Relational {
       .filter(col("k") >= 50)
       .orderBy("event_id")
 
+  /** Q16 — cube: all grouping-set combinations (rollup's sibling). */
+  val cubeAgg: Q = (s, dir) =>
+    orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        d(sum(dec(col("o_totalprice")))).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
+  /** Q17 — exact percentiles (sort-based; DuckDB quantile_cont uses the
+    * same linear interpolation over the same doubles). */
+  val percentiles: Q = (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "q16_cube" -> cubeAgg,
+    "q17_percentiles" -> percentiles,
     "q01_filter_project" -> filterProject,
     "q02_cast_datefns" -> castDateFns,
     "q03_agg_pricing" -> aggPricing,
@@ -231,6 +257,23 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q16_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q17_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99_price,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
         |FROM lineitem
