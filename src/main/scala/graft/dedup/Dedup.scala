@@ -228,6 +228,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- benchmark decontamination ----
+
+  /** Flag corpus documents that share at least `minShared` k-gram
+    * shingles with any eval-set document — the standard
+    * benchmark-decontamination pass for training corpora. Shape: an
+    * inverted-index semi-join (corpus shingles × eval shingles), so cost
+    * is bounded by shingle overlap, not corpus × eval. Returns
+    * (id, n_shared, contaminated). */
+  def contaminationFlags(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, minShared: Int = 1): DataFrame = {
+    val corpusSh = shingleRows(corpus, idCol, textCol)
+      .select(col(idCol).as("id"), col("sh")).distinct()
+    val evalSh = shingleRows(evalSet, idCol, textCol)
+      .select(col("sh")).distinct()
+    val shared = corpusSh.join(evalSh, Seq("sh"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol).as("id"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
+  // ---- deterministic hash sampling ----
+
+  /** Stratified deterministic sample: the `n` docs per stratum with the
+    * smallest md5(id) — reproducible on any engine and any partitioning
+    * (unlike RNG sampling), and stable under corpus growth within a
+    * stratum's retained set. One window shuffle on the stratum key. */
+  def hashSampleByStratum(docs: DataFrame, idCol: String,
+      stratumCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   // ---- embedding-cosine near-dup ----
 
   /** Cosine similarity of two double arrays — sequential left-fold (the
@@ -290,6 +328,16 @@ object Dedup {
         .orderBy("doc_id")),
     "d06_embedding_topsim" -> ((s, dir) =>
       embeddingTopPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 20)),
+    "d07_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      contaminationFlags(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), "doc_id", "text", minShared = 3)
+        .orderBy("id")
+    }),
+    "d08_hash_sample" -> ((s, dir) =>
+      hashSampleByStratum(Tables.documents(s, dir), "doc_id", "lang", 5)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("lang", "doc_id")),
   )
 
   private val toksSql =
@@ -355,6 +403,26 @@ object Dedup {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d07_decontaminate" ->
+      s"""WITH sh AS (SELECT * FROM $shinglesSql),
+         |corpus_sh AS (SELECT DISTINCT doc_id AS id, sh FROM sh WHERE doc_id >= 10),
+         |eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+         |shared AS (SELECT id, COUNT(*) AS n_shared
+         |           FROM corpus_sh JOIN eval_sh USING (sh) GROUP BY id)
+         |SELECT d.doc_id AS id,
+         |  COALESCE(s.n_shared, 0) AS n_shared,
+         |  COALESCE(s.n_shared, 0) >= 3 AS contaminated
+         |FROM documents d LEFT JOIN shared s ON d.doc_id = s.id
+         |WHERE d.doc_id >= 10
+         |ORDER BY id""".stripMargin,
+    "d08_hash_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
     "d06_embedding_topsim" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

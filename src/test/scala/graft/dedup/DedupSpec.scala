@@ -87,6 +87,36 @@ class DedupSpec extends SparkSpec {
     assert(top.head.getDouble(2) > 0.98)
   }
 
+  test("contaminationFlags: overlapping doc flagged, clean doc not") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely unrelated corpus content about databases")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "watch the quick brown fox jumps over something")
+    ).toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(corpus, eval_, "doc_id", "text",
+      minShared = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(flags(10L)._2 === true)  // shares "the quick brown" 3-grams
+    assert(flags(10L)._1 >= 2)
+    assert(flags(11L) === ((0L, false)))
+  }
+
+  test("hashSampleByStratum: n per stratum, deterministic") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val s1 = Dedup.hashSampleByStratum(docs, "doc_id", "lang", 3)
+    val s2 = Dedup.hashSampleByStratum(docs, "doc_id", "lang", 3)
+    assert(s1.count() === 6)
+    assert(s1.groupBy("lang").count().collect()
+      .forall(_.getLong(1) === 3L))
+    assert(s1.select("doc_id").as[Long].collect().toSet ===
+      s2.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("shingles: shorter than k gives empty, order preserved") {
     val s = Seq((1L, "one two")).toDF("doc_id", "text")
       .select(Dedup.shingles($"text").as("sh")).as[Seq[String]].head()
