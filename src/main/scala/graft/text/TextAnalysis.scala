@@ -101,6 +101,50 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(concat_ws(" ", tokens(text)))
 
+  /** Fixed-size token chunks with overlap — the sequence-packing
+    * pre-pass (split long docs into model-window-sized pieces). Narrow:
+    * one posexplode per doc, chunk count ∝ doc length. Emits
+    * (id, chunk_id, chunk_text, n_chunk_tokens). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val nChunks = greatest(
+      ceil((size(col("_toks")) - overlap).cast("double") / stride)
+        .cast("int"), lit(1))
+    withToks
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_id", "_c")))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("_toks"), col("chunk_id") * stride + 1,
+          lit(chunkTokens))).as("chunk_text"),
+        least(size(col("_toks")) - col("chunk_id") * stride,
+          lit(chunkTokens)).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Corpus vocabulary with document frequency and TF-IDF-ready stats:
+    * one explode + one groupBy on the term. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    tok.groupBy("term").agg(
+      count(lit(1)).as("tf_corpus"),
+      countDistinct(col(idCol)).as("df"))
+  }
+
+  /** PII/noise scrubbing: emails, URLs, and long digit runs replaced by
+    * typed placeholder tokens. Pure regexp_replace chain — codegen'd,
+    * narrow, portable regex subset (no lookarounds). */
+  def scrub(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email,
+      "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9]{9,}", "<NUM>")
+  }
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame
@@ -128,6 +172,21 @@ object TextAnalysis {
     "t04_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "t05_chunk" -> ((s, dir) =>
+      chunk(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
+    "t06_vocabulary" -> ((s, dir) =>
+      vocabulary(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("tf_corpus").desc, col("term"))
+        .limit(100)),
+    "t07_scrub" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          scrub(concat(col("text"),
+            lit(" contact bob@example.com at https://example.com/x id 1234567890123")))
+            .as("scrubbed"))
         .orderBy("doc_id")),
   )
 
@@ -177,5 +236,32 @@ object TextAnalysis {
     "t04_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        greatest(CAST(ceil(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INT), 1) AS nc
+         |      FROM t),
+         |x AS (SELECT doc_id, toks,
+         |        unnest(generate_series(0, CAST(nc AS BIGINT) - 1)) AS chunk_id
+         |      FROM c)
+         |SELECT doc_id, chunk_id,
+         |  array_to_string(toks[CAST(chunk_id*24+1 AS INT) : CAST(chunk_id*24+32 AS INT)], ' ') AS chunk_text,
+         |  CAST(least(len(toks) - chunk_id*24, 32) AS BIGINT) AS n_chunk_tokens
+         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+    "t06_vocabulary" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |SELECT term, COUNT(*) AS tf_corpus, COUNT(DISTINCT doc_id) AS df
+         |FROM tok GROUP BY term
+         |ORDER BY tf_corpus DESC, term LIMIT 100""".stripMargin,
+    "t07_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact bob@example.com at https://example.com/x id 1234567890123',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -52,6 +52,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("chunk: covers all tokens with the expected overlap") {
+    val docs = Seq((1L, (1 to 80).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(docs, "doc_id", "text", 32, 8)
+      .orderBy("chunk_id").collect()
+    // 80 tokens, stride 24: windows [0,32) [24,56) [48,80) cover all
+    assert(chunks.length === 3)
+    val first = chunks(0).getAs[String]("chunk_text").split(" ")
+    val second = chunks(1).getAs[String]("chunk_text").split(" ")
+    assert(first.length === 32)
+    assert(first.takeRight(8).toSeq === second.take(8).toSeq) // overlap
+    assert(chunks(2).getAs[Long]("n_chunk_tokens") === 32) // 48..80
+    assert(chunks(2).getAs[String]("chunk_text").split(" ").last === "w80")
+    // short doc: one chunk even when shorter than the window
+    val short = TextAnalysis.chunk(
+      Seq((2L, "just a few words")).toDF("doc_id", "text"), "doc_id",
+      "text", 32, 8).collect()
+    assert(short.length === 1 && short.head.getAs[Long]("n_chunk_tokens") === 4)
+  }
+
+  test("vocabulary: corpus term and document frequencies") {
+    val docs = Seq((1L, "spark spark flink"), (2L, "spark beam"))
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(v("spark") === ((3L, 2L)))
+    assert(v("flink") === ((1L, 1L)))
+    assert(v("beam") === ((1L, 1L)))
+  }
+
+  test("scrub replaces emails, urls, long digit runs") {
+    val out = one("mail a.b@x.io or visit https://x.io/p?q=1 ref 123456789 ok 1234")
+      .select(TextAnalysis.scrub($"text")).as[String].head()
+    assert(out === "mail <EMAIL> or visit <URL> ref <NUM> ok 1234")
+  }
+
   test("qualityFeatures: ratios in [0,1], score favors clean prose") {
     val clean = "the cat and the dog sat in the house and it is a good day " * 3
     val junk = "@@@@ #### 1234 %%%% !!!! 9999 ****"
