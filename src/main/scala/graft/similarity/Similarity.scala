@@ -241,10 +241,74 @@ object Similarity {
       s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM $side"
     }.mkString(" UNION ALL ")
 
-  /** s01 (exact) and s02 (deterministic LSH: portable planes + bit-equal
-    * scoring) carry full oracles; s03's k-means is engine-native →
-    * rows-only, recall contract in SimilaritySpec. */
+  /** The normalized-vector SQL fragment (bit-identical to our
+    * normalize-then-dot path — verified empirically). */
+  private def normSql(v: String): String =
+    s"list_transform($v, x -> x / sqrt(list_dot_product($v, $v)))"
+
+  /** DuckDB SQL for the s03 IVF pipeline: THREE unrolled Lloyd
+    * iterations reproducing [[kmeansCentroids]] exactly — assignment by
+    * normalized dot (ties → lowest cid), per-dimension means summed in
+    * vec_id order (`list_sum(list(val ORDER BY vec_id))` is a sequential
+    * fold, matching our sorted collect_list fold) — then cell
+    * assignment, nProbe centroid probing, and in-cell exact ranking. */
+  private def s03OracleSql(k: Int, iters: Int, nProbe: Int,
+      topK: Int): String = {
+    def assignSql(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT corpus.vec_id, corpus.v, c.cid,
+         |      row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+         |        list_dot_product(${normSql("corpus.v")}, ${normSql("c.cv")}) DESC,
+         |        c.cid) AS rn
+         |    FROM corpus CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def meansSql(name: String, assigned: String): String =
+      s"""$name AS (
+         |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |    SELECT cid, i, list_sum(list(val ORDER BY vec_id)) / COUNT(*) AS m
+         |    FROM (SELECT cid, vec_id, unnest(v) AS val,
+         |            generate_subscripts(v, 1) AS i FROM $assigned)
+         |    GROUP BY cid, i)
+         |  GROUP BY cid)""".stripMargin
+    val iterations = (1 to iters).map { i =>
+      assignSql(s"a$i", if (i == 1) "c0" else s"c${i - 1}") + ",\n" +
+        meansSql(s"c$i", s"a$i")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |       FROM corpus ORDER BY vec_id LIMIT $k),
+       |$iterations,
+       |${assignSql("cells", s"c$iters")},
+       |probes AS (
+       |  SELECT query_id, qvn, cid FROM (
+       |    SELECT q.vec_id AS query_id, ${normSql("q.v")} AS qvn, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(${normSql("q.v")}, ${normSql("c.cv")}) DESC,
+       |        c.cid) AS rn
+       |    FROM q CROSS JOIN c$iters c) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT query_id, cells.vec_id AS corpus_id,
+       |    list_dot_product(qvn, ${normSql("cells.v")}) AS cos_sim
+       |  FROM probes JOIN cells USING (cid)
+       |  WHERE cells.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, corpus_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, cos_sim
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** All three ANN tiers carry full oracles: s01 is exact, s02's planes
+    * are portable constants, s03's k-means is reproduced by unrolled
+    * deterministic Lloyd SQL. */
   val oracle: Map[String, String] = Map(
+    "s03_ann_ivf" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10),
     "s02_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
