@@ -34,9 +34,16 @@ object Tables {
     * timestamp (exactly DuckDB's ns→us truncation, so oracle values agree
     * for every derived column; raw `ts` itself is never emitted by a
     * query, to keep ns-vs-us precision out of the comparison).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set once at construction by Verify/Bench/SparkSpec — NOT mutated
+    * here: a hidden conf flip inside a read helper would change the
+    * behavior of every later parquet read in the session).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"),
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events")
     table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

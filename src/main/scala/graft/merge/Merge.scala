@@ -71,6 +71,51 @@ object Merge {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** Durable two-phase commit of a merged result whose lineage READS
+    * `path`: materialize to a staging dir first, then dynamic-overwrite
+    * the table from the staged copy. Without staging, the overwrite job
+    * consumes the very files it replaces — a failure mid-commit could
+    * lose stored partitions (the durability Hudi's timeline gives COW
+    * tables). On success the staging dir is removed; on failure it is
+    * LEFT IN PLACE as the recovery copy and the error names it.
+    *
+    * Staging is written unpartitioned (partition col as a plain column)
+    * so the read-back schema is bit-identical — hive-layout read-back
+    * would re-infer the partition column's type.
+    *
+    * `emptiedPartitions`: touched partitions with no surviving rows.
+    * Dynamic overwrite only rewrites partitions PRESENT in the output,
+    * so a delete that empties a whole partition must drop its directory
+    * explicitly. */
+  private def commitMerged(
+      spark: SparkSession,
+      merged: DataFrame,
+      path: String,
+      partitionCol: String,
+      touched: Seq[Any]): Unit = {
+    val staging = path.stripSuffix("/") + s"_staging_${System.nanoTime()}"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    try {
+      val staged = spark.read.parquet(staging)
+      writeDynamic(staged, path, partitionCol)
+      val remainingParts = staged.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(remainingParts).foreach { v =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
+      }
+    } catch {
+      case e: Throwable =>
+        throw new RuntimeException(
+          s"merge commit failed; staged merge result kept at $staging", e)
+    }
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
   /** O2: plain append (insert / bulk_insert — bulk skips the dedup). */
   def insert(batch: DataFrame, path: String, partitionCol: String,
       keyCols: Seq[String] = Nil, precombine: String = null,
@@ -111,7 +156,7 @@ object Merge {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_is_new", "_rn")
-    writeDynamic(merged, path, partitionCol)
+    commitMerged(spark, merged, path, partitionCol, parts)
   }
 
   /** O3: delete by key — anti-join rewrite of only the touched
@@ -134,6 +179,6 @@ object Merge {
     val remaining = existing.join(
       broadcast(keys.select(delKeys.map(col): _*).distinct()),
       delKeys, "left_anti")
-    writeDynamic(remaining, path, partitionCol)
+    commitMerged(spark, remaining, path, partitionCol, parts)
   }
 }

@@ -52,11 +52,18 @@ object TextAnalysis {
     val toks = col("_toks")
     val nChars = length(col(text)).cast("double")
     val nToks = size(toks).cast("double")
+    // ratio guards: a zero-length doc must yield 0.0, not NaN/Inf (and
+    // the DuckDB oracle carries the same CASE guard, so parity holds on
+    // corpora that DO contain empty documents)
     df.withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("alpha_ratio",
-        length(regexp_replace(col(text), "[^A-Za-z]", "")).cast("double") / nChars)
+        when(nChars > 0,
+          length(regexp_replace(col(text), "[^A-Za-z]", "")).cast("double") / nChars)
+          .otherwise(lit(0.0)))
       .withColumn("digit_ratio",
-        length(regexp_replace(col(text), "[^0-9]", "")).cast("double") / nChars)
+        when(nChars > 0,
+          length(regexp_replace(col(text), "[^0-9]", "")).cast("double") / nChars)
+          .otherwise(lit(0.0)))
       .withColumn("stopword_ratio",
         when(nToks > 0, stopCount(toks, stopEn).cast("double") / nToks)
           .otherwise(lit(0.0)))
@@ -204,15 +211,15 @@ object TextAnalysis {
          |  regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]') AS pieces
          |  FROM documents)
          |SELECT doc_id, len(toks) AS n_tokens,
-         |  CAST(len(pieces) + list_sum(list_transform(pieces, p -> (length(p)-1)//4)) AS BIGINT) AS bpe_estimate,
+         |  CAST(len(pieces) + COALESCE(list_sum(list_transform(pieces, p -> (length(p)-1)//4)), 0) AS BIGINT) AS bpe_estimate,
          |  length(text) AS n_chars_calc
          |FROM t ORDER BY doc_id""".stripMargin,
     "t02_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |f AS (SELECT doc_id,
          |  len(toks) AS n_tokens,
-         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
-         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
          |  CASE WHEN len(toks) > 0 THEN CAST(${stopSql(stopEn)} AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
          |  CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS avg_token_len
          |  FROM t)

@@ -103,6 +103,32 @@ class MergeSpec extends SparkSpec {
       ("T3", "c3", "BTCUSD", 3.0)))
   }
 
+  test("delete that empties a whole partition drops its directory") {
+    // dynamic overwrite only rewrites partitions PRESENT in the output;
+    // an emptied partition must be dropped explicitly or its rows survive
+    val path = tmpDir("delall")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c2", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
+    Merge.delete(spark, tx(("T1", "c1", "ADAGBP", 0.0)),
+      path, keyCols, "pair")
+    assert(readTable(path) === Seq(("T2", "c2", "BTCUSD", 2.0)))
+    assert(!new java.io.File(s"$path/pair=ADAGBP").exists())
+  }
+
+  test("merge commit leaves no staging dirs behind") {
+    val path = tmpDir("stageclean")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 2.0)),
+      path, keyCols, "price", "pair")
+    Merge.delete(spark, tx(("T1", "c1", "ADAGBP", 0.0)),
+      path, keyCols, "pair")
+    val base = new java.io.File(path).getName
+    val siblings = new java.io.File(path).getParentFile.listFiles()
+      .map(_.getName).filter(n => n.startsWith(base) && n.contains("_staging_"))
+    assert(siblings.isEmpty)
+  }
+
   test("insert appends without key reconciliation (O2)") {
     val path = tmpDir("insert")
     Merge.insert(tx(("T1", "c1", "ADAGBP", 1.0)), path, "pair")
