@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Relational.queries ++ text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
-      multimodal.Multimodal.queries
+      multimodal.Multimodal.queries ++ merge.Merge.queries ++
+      streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     analytics.Relational.oracle ++ text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++ similarity.Similarity.oracle ++
-      multimodal.Multimodal.oracle
+      multimodal.Multimodal.oracle ++ merge.Merge.oracle ++
+      streaming.EventStreams.oracle
 }

@@ -181,4 +181,72 @@ object Merge {
       delKeys, "left_anti")
     commitMerged(spark, remaining, path, partitionCol, parts)
   }
+
+  // ---- query inventory ----
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic replay batch `b` over the orders table: rows whose
+    * o_orderkey ≡ b (mod 7), keyed (okey = o_orderkey % 500, status
+    * partition) with precombine o_orderkey. The % 500 fold makes ~4
+    * same-key rows per batch, so within-batch precombine dedup (O4) is
+    * genuinely exercised; precombine is unique (o_orderkey), so the
+    * winner is total — no tie-break dependence. */
+  private def replayBatch(spark: SparkSession, dir: String, b: Int): DataFrame =
+    graft.Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 7 === b)
+      .select(
+        (col("o_orderkey") % 500).as("okey"),
+        col("o_orderstatus").as("part"),
+        col("o_totalprice").as("price"),
+        col("o_orderkey").as("pre"))
+
+  /** q18: the full Hudi-semantics write path (O1 upsert ×2, O4
+    * precombine dedup, O5 partition-scoped keys, O3 delete) replayed
+    * against a scratch table, then read back — the driver's DuckDB
+    * oracle recomputes the same last-writer-wins + anti-join algebra
+    * relationally. This is the one SURVEY §2 capability that previously
+    * had only spec coverage. */
+  val queries: Map[String, Q] = Map(
+    "q18_upsert_replay" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q18_").toString + "/table"
+      val keyCols = Seq("okey")
+      upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      // delete a subset of batch-0 keys (partition-scoped)
+      delete(s, replayBatch(s, dir, 0).filter(col("pre") % 3 === 0)
+        .select("okey", "part"), path, keyCols, "part")
+      s.read.parquet(path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }))
+
+  /** DuckDB replay of the same algebra: per-batch dedup by max
+    * precombine, batch-wins-over-stored merge, distinct-key anti-join
+    * delete — each window/join mirrors one Merge stage. */
+  val oracle: Map[String, String] = Map(
+    "q18_upsert_replay" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
+        |t2 AS (SELECT * FROM b2
+        |       UNION ALL
+        |       SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+        |       LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |       WHERE b2.pre IS NULL),
+        |d AS (SELECT DISTINCT okey, part FROM raw
+        |      WHERE pre % 7 = 0 AND pre % 3 = 0)
+        |SELECT t2.okey, t2.part, t2.price, t2.pre
+        |FROM t2 LEFT JOIN d ON t2.okey = d.okey AND t2.part = d.part
+        |WHERE d.okey IS NULL
+        |ORDER BY t2.part, t2.okey""".stripMargin)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+import graft.Tables
 
 /** Event-time streaming surface: watermarked windowed aggregation and
   * custom sessionization state — the Structured Streaming operators a
@@ -37,7 +38,10 @@ object EventStreams {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      // decimal-exact sum (Tables numeric policy): the partial-agg fold
+      // order must not change the double result vs the oracle
+      .agg(count(lit(1)).as("n_events"),
+        Tables.d(sum(Tables.dec(col("value")))).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
@@ -65,7 +69,9 @@ object EventStreams {
         state.remove()
         Iterator(SessionOut(user, s.start, s.last, s.n, s.total))
       } else {
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        // full-precision (µs) sort: ties in the ms value would otherwise
+        // leave the fold order — and the double value sum — unspecified
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
         var out = List.empty[SessionOut]
         var cur = state.getOption
         sorted.foreach { e =>
@@ -108,4 +114,81 @@ object EventStreams {
       .queryName(sinkTable)
       .start()
   }
+
+  // ---- query inventory ----
+
+  /** Sentinel timestamp far past the testdata's event range: its batch
+    * pushes the final watermark beyond every real window/session, so
+    * append-mode state is fully flushed before the query terminates. */
+  private val sentinelTs = java.sql.Timestamp.valueOf("2035-01-01 00:00:00")
+
+  /** Run `build(stream)` over the events table via Trigger.AvailableNow
+    * and return the fully-flushed result (batch parity for the driver's
+    * oracle). Mechanics: the real events are ONE file (so no event is
+    * late vs a watermark raised by an earlier batch), the sentinel row
+    * is a SECOND file, and maxFilesPerTrigger=1 forces it into a later
+    * micro-batch — watermarks only advance between batches, and Spark's
+    * no-data batch then flushes all remaining state. */
+  private def drainAvailableNow(s: SparkSession, dir: String, name: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft_$name").toString
+    Tables.events(s, dir).coalesce(1).write.parquet(s"$base/in")
+    s.range(1).select(
+      lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+      lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val src = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = build(src).writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(name).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "e01_windowed_counts" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e01_sink")(windowedCounts(_))
+        .filter(col("event_type") =!= "_sentinel")
+        .orderBy("window_start", "event_type")),
+    "e02_sessions" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e02_sink")(sessionize(s, _))
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_ts"), col("end_ts"),
+          col("n_events").cast("long").as("n_events"), col("total_value"))
+        .orderBy("user_id", "start_ts")))
+
+  /** DuckDB parity: e01 is a plain hourly bucket aggregate (every
+    * window is flushed by the sentinel, so streamed == batch); e02 is
+    * the classic gaps-and-islands rewrite of sessionization — ms epoch
+    * times like the engine state, value sum as an ORDER BY ts sequential
+    * fold matching the engine's in-order accumulation. */
+  val oracle: Map[String, String] = Map(
+    "e01_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e02_sessions" ->
+      """WITH e AS (SELECT user_id, ts, epoch_ms(ts) AS t, value FROM events),
+        |m AS (SELECT user_id, ts, t, value,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  > 1800000 THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, ts, t, value,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM m)
+        |SELECT user_id, MIN(t) AS start_ts, MAX(t) AS end_ts,
+        |  COUNT(*) AS n_events,
+        |  list_sum(list(value ORDER BY ts)) AS total_value
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_ts""".stripMargin)
 }
