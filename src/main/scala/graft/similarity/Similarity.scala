@@ -11,10 +11,11 @@ import graft.dedup.Dedup.{cosine, dot, normalized}
   * Three tiers:
   *  - [[bruteTopK]]: exact cosine top-k. The query side is broadcast (a
   *    query batch is small by definition), so the corpus is scanned once
-  *    with NO shuffle of the corpus itself — each partition ranks its
-  *    rows against every query and only per-partition top-k survive the
-  *    final window. Exact, and the baseline the approximate tiers are
-  *    measured against.
+  *    with NO shuffle of the corpus itself: scoring is a narrow map, a
+  *    typed per-partition heap keeps only the k best rows per query
+  *    (≤ partitions × queries × k rows survive), and only that bounded
+  *    set shuffles into the final per-query ranking window. Exact, and
+  *    the baseline the approximate tiers are measured against.
   *  - [[lshBuckets]] / [[lshTopK]]: random-hyperplane LSH. Hyperplane
   *    components are md5-derived (deterministic, engine-portable, no
   *    stored model). At 100 TB the corpus is bucketed once (narrow map,
@@ -30,10 +31,25 @@ object Similarity {
   /** L2 norm of a double array (codegen'd sequential loop). */
   def l2(v: Column): Column = sqrt(dot(v, v))
 
+  /** The (cos_sim desc, corpus_id asc) total order used both by the
+    * local heaps and the final ranking window — the local pre-reduce is
+    * lossless exactly because both stages agree on this order. */
+  private val topKOrder: Ordering[(Long, Long, Double)] =
+    Ordering.by[(Long, Long, Double), (Double, Long)] {
+      case (_, corpusId, cosSim) => (-cosSim, corpusId)
+    }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
-    * vectors. Broadcast-join of the (small) query side; ranking window
-    * is partitioned by query — scales with corpus size / cluster width. */
+    * vectors. Broadcast-join of the (small) query side, so scoring is a
+    * narrow map over the corpus scan; a typed per-partition heap then
+    * keeps only each query's local k best, so AT MOST
+    * partitions × queries × k rows reach the global per-query ranking
+    * window. Without the pre-reduce, that window would shuffle every
+    * scored corpus row into #queries reducers — with 5 queries over a
+    * 100 TB corpus, 5 reducers each sorting the full corpus. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col("vec_id").as("corpus_id"),
       col("embedding").cast("array<double>").as("cv"))
     val q = queries.select(col("vec_id").as("query_id"),
@@ -41,9 +57,22 @@ object Similarity {
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("qv"), col("cv")).as("cos_sim"))
+    // local top-k: a bounded max-heap per query (head = worst kept row)
+    // — O(k) memory per query, narrow, partition-preserving
+    val localTopK = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+      it.foreach { row =>
+        val heap = heaps.getOrElseUpdate(row._1,
+          scala.collection.mutable.PriorityQueue.empty(topKOrder))
+        if (heap.size < k) heap.enqueue(row)
+        else if (topKOrder.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }.toDF("query_id", "corpus_id", "cos_sim")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
+    localTopK.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("corpus_id"), col("cos_sim"))

@@ -63,6 +63,18 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("graft_dot"), p)
   }
 
+  test("s01: scored rows are pre-reduced per partition before the rank window") {
+    val p = plan("s01_knn_brute")
+    // the typed local top-k heap must sit between scoring and the window
+    assert(p.contains("MapPartitions"), p)
+    // exactly one row shuffle (the bounded window input) — the corpus
+    // itself never shuffles (query side is a BroadcastExchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    // plans print root-first: the shuffle (window input) must be ABOVE
+    // the local pre-reduce, i.e. consume its bounded output
+    assert(p.indexOf("Exchange hashpartitioning") < p.indexOf("MapPartitions"), p)
+  }
+
   test("d04: jaccard candidate join keys are 64-bit hashes, not strings") {
     val p = plan("d04_jaccard_neardup")
     assert(p.contains("xxhash64"), p)
