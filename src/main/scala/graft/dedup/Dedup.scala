@@ -287,17 +287,48 @@ object Dedup {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dotProduct(a, b)
 
-  /** Top near-duplicate embedding pairs by cosine (all-pairs at query
-    * scale; LSH-bucketed variant in [[graft.similarity.Similarity]] is
-    * the 100 TB path). Vectors are normalized once up front; the O(n²)
-    * pair stage is a pure dot product. */
-  def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
+  /** EXACT top embedding pairs by cosine — O(n²) cross join, so this is
+    * the small-fixture baseline only (spec-tested, never in the driver
+    * inventory). The scale path is [[embeddingTopPairs]]. */
+  def embeddingAllPairs(emb: DataFrame, idCol: String, vecCol: String,
       topN: Int): DataFrame = {
     val e = emb.select(col(idCol).as("id"),
       normalized(col(vecCol).cast("array<double>")).as("v"))
     val a = e.select(col("id").as("id_a"), col("v").as("va"))
     val b = e.select(col("id").as("id_b"), col("v").as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        dot(col("va"), col("vb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+
+  /** Top near-duplicate embedding pairs via LSH blocking: candidates are
+    * pairs sharing a random-hyperplane bucket in ANY of `tables` hash
+    * tables ([[graft.similarity.Similarity.lshBucketsMulti]] — portable
+    * md5-derived planes), exact cosine computed for candidates only. No
+    * cartesian anywhere: the self-join is on (table, bucket), so cost is
+    * Σ bucket² per table instead of n² — and a genuinely near-duplicate
+    * pair (cos ≳ 0.95) collides in at least one of 8 tables with
+    * probability ≈ 0.99. The trade is recall on LOW-similarity pairs,
+    * which near-dup removal doesn't want anyway. */
+  def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
+      topN: Int, bits: Int = 8, tables: Int = 8): DataFrame = {
+    import graft.similarity.Similarity
+    val b = Similarity.lshBucketsMulti(
+      emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      bits, tables)
+      .select(col("table"), col("bucket"), col("vec_id"))
+    val cand = b.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+      .join(b.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val n = emb.select(col(idCol).as("id"),
+      normalized(col(vecCol).cast("array<double>")).as("v"))
+    cand
+      .join(n.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(n.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         dot(col("va"), col("vb")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
@@ -320,8 +351,14 @@ object Dedup {
         lshBands(minhashSignatures(Tables.documents(s, dir), "doc_id", "text"),
           "doc_id"), "doc_id")
         .orderBy("id_a", "id_b")),
+    // maxDf=50: shingles in more docs than that are evidence-free
+    // boilerplate whose inverted-index fan-out is quadratic per shingle
+    // — the df cap is what keeps this operator alive at corpus scale
+    // (planted near-dup clusters are ~25 docs, so their shingles
+    // survive the cap at every SF)
     "d04_jaccard_neardup" -> ((s, dir) =>
-      jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.8)
+      jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.8,
+        maxDf = 50)
         .orderBy("id_a", "id_b")),
     "d05_simhash" -> ((s, dir) =>
       simhash32(Tables.documents(s, dir), "doc_id", "text")
@@ -380,7 +417,10 @@ object Dedup {
          |WHERE a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
     "d04_jaccard_neardup" ->
-      s"""WITH d AS (SELECT DISTINCT doc_id, sh FROM $shinglesSql),
+      s"""WITH d0 AS (SELECT DISTINCT doc_id, sh FROM $shinglesSql),
+         |kept AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM d0 GROUP BY sh)
+         |         WHERE df <= 50),
+         |d AS (SELECT d0.doc_id, d0.sh FROM d0 JOIN kept USING (sh)),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1),
          |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
          |      FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -424,15 +464,18 @@ object Dedup {
         |WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin,
     "d06_embedding_topsim" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        |n AS (SELECT vec_id,
-        |             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
-        |      FROM e)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       list_dot_product(a.vn, b.vn) AS cos_sim
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |ORDER BY cos_sim DESC, id_a, id_b
-        |LIMIT 20""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (${graft.similarity.Similarity.bucketSql("e", 8, 8, 64)}),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |         FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+         |         WHERE a.vec_id < b2.vec_id),
+         |n AS (SELECT vec_id,
+         |             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+         |      FROM e)
+         |SELECT id_a, id_b, list_dot_product(x.vn, y.vn) AS cos_sim
+         |FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
+         |ORDER BY cos_sim DESC, id_a, id_b
+         |LIMIT 20""".stripMargin,
   )
 }

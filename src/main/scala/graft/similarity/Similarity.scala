@@ -255,12 +255,13 @@ object Similarity {
         nProbe = 4).orderBy("query_id", "rank")),
   )
 
-  /** DuckDB SQL for the s02 bucket computation of one hash table: the
-    * hyperplanes are the SAME md5-derived constants the engine ships to
-    * executors, embedded as double literals (Double.toString round-trips
-    * exactly, and list_dot_product runs the same sequential fold), so
-    * bucket ids — and therefore candidates and ranks — are identical. */
-  private def s02BucketSql(side: String, bits: Int, tables: Int,
+  /** DuckDB SQL for the multi-table bucket computation: the hyperplanes
+    * are the SAME md5-derived constants the engine ships to executors,
+    * embedded as double literals (Double.toString round-trips exactly,
+    * and list_dot_product runs the same sequential fold), so bucket ids
+    * — and therefore candidates and ranks — are identical. Shared by
+    * the s02 oracle and Dedup's d06 oracle. */
+  private[graft] def bucketSql(side: String, bits: Int, tables: Int,
       dims: Int): String =
     (0 until tables).map { t =>
       val bucket = (0 until bits).map { j =>
@@ -343,8 +344,8 @@ object Similarity {
          |           FROM embeddings),
          |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
          |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-         |cb AS (${s02BucketSql("c", 4, 8, 64)}),
-         |qb AS (${s02BucketSql("q", 4, 8, 64)}),
+         |cb AS (${bucketSql("c", 4, 8, 64)}),
+         |qb AS (${bucketSql("q", 4, 8, 64)}),
          |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
          |         FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
          |         WHERE cb.vec_id <> qb.vec_id),

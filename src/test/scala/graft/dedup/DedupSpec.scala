@@ -75,16 +75,43 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
-  test("embeddingTopPairs ranks the most similar vectors first") {
+  test("embeddingAllPairs ranks the most similar vectors first") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
       (2L, Array(0.99f, 0.14f, 0.0f)), // ~same direction as 1
       (3L, Array(0.0f, 1.0f, 0.0f)),
       (4L, Array(0.0f, 0.0f, 1.0f))
     ).toDF("vec_id", "embedding")
-    val top = Dedup.embeddingTopPairs(emb, "vec_id", "embedding", 2).collect()
+    val top = Dedup.embeddingAllPairs(emb, "vec_id", "embedding", 2).collect()
     assert((top.head.getLong(0), top.head.getLong(1)) === (1L, 2L))
     assert(top.head.getDouble(2) > 0.98)
+  }
+
+  test("embeddingTopPairs (LSH-blocked): no cartesian, exact sims, near-dup recall") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val blocked = Dedup.embeddingTopPairs(emb, "vec_id", "embedding", 10)
+    assert(!blocked.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    val rows = blocked.collect()
+    assert(rows.nonEmpty)
+    // candidate sims are EXACT cosines: every reported pair must carry
+    // the same value the all-pairs baseline computes for it
+    val exact = Dedup.embeddingAllPairs(emb, "vec_id", "embedding", Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+    // a TRUE near-duplicate (identical vector) must collide in some table
+    import spark.implicits._
+    val v = emb.select(col("embedding")).head().getSeq[Float](0).toArray
+    val dup = Seq((900001L, v), (900002L, v)).toDF("vec_id", "embedding")
+    // the three identical-vector pairs (orig,dup1), (orig,dup2),
+    // (dup1,dup2) all tie at cos 1.0 and outrank everything else
+    val dupTop = Dedup.embeddingTopPairs(
+      emb.select("vec_id", "embedding").unionByName(dup),
+      "vec_id", "embedding", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupTop.contains((900001L, 900002L)))
   }
 
   test("contaminationFlags: overlapping doc flagged, clean doc not") {
