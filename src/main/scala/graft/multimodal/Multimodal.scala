@@ -63,23 +63,28 @@ object Multimodal {
     * "pixels" are a rolling byte-mix of the payload, folded into
     * `featureDim` float features. Runs per-partition with explicit
     * batched iteration — the exact shape a JNI/py-codec integration
-    * needs (amortized per-batch init, bounded memory). */
+    * needs (amortized per-batch init, bounded memory).
+    *
+    * Accumulation is DOUBLE precision with a single float narrowing at
+    * the end: a float-accumulated fold would drift from any relational
+    * restatement, while double-fold-then-narrow is reproducible in the
+    * driver's DuckDB oracle (position-ordered SUM, then CAST(REAL)). */
   def stubDecode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition init happens HERE (real codecs: load the library
       // once per partition, not per record)
       it.map { m =>
-        val acc = new Array[Float](featureDim)
+        val acc = new Array[Double](featureDim)
         var i = 0
         while (i < m.payload.length) {
           // deterministic fake of pixel/sample decoding: byte mix
-          acc(i % featureDim) += (m.payload(i) & 0xFF) / 255.0f
+          acc(i % featureDim) += (m.payload(i) & 0xFF) / 255.0
           i += 1
         }
         val n = math.max(1, m.payload.length / featureDim)
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-          acc.map(_ / n))
+          acc.map(v => (v / n).toFloat))
       }
     }
   }
@@ -124,14 +129,15 @@ object Multimodal {
           max(col("width")).as("max_width"),
           min(col("height")).as("min_height"))
         .orderBy("kind")),
-    // stub decode through the typed mapPartitions path (engine-native:
-    // rows-only check; exact feature values are spec-tested)
+    // stub decode through the typed mapPartitions path; f0 is the first
+    // feature widened float→double (exact), so the DuckDB oracle can
+    // reproduce it bit-for-bit from the payload bytes
     "m03_media_decode" -> ((s, dir) => {
       import s.implicits._
       val media = syntheticMedia(s, dir).as[MediaRecord]
       stubDecode(media)
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+          element_at(col("features"), 1).cast("double").as("f0"))
         .orderBy("media_id")
     }),
   )
@@ -153,5 +159,23 @@ object Multimodal {
         |  MAX(CAST(n_chars % 64 + 1 AS INT)) AS max_width,
         |  MIN(CAST(n_chars % 48 + 1 AS INT)) AS min_height
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    // the stub decoder's byte fold, restated relationally: f0 sums the
+    // payload bytes at positions p with (p-1) % 16 = 0 (1-based), in
+    // position order (list_sum is the same sequential fold as the
+    // engine's while-loop), /255.0 each, divided by max(1, len/16),
+    // then narrowed to float exactly like the engine's .toFloat.
+    // Document text is pure ASCII (verified across SFs), so
+    // ascii(text[p]) IS the utf-8 payload byte.
+    "m03_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(CAST(
+        |    COALESCE(list_sum(list_transform(
+        |      list_filter(generate_series(1, length(text)),
+        |                  p -> (p - 1) % 16 = 0),
+        |      p -> ascii(text[p]) / 255.0)), 0.0)
+        |    / greatest(length(text) // 16, 1) AS REAL) AS DOUBLE) AS f0
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }
