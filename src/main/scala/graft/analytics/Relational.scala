@@ -235,9 +235,28 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Q17b — approximate percentiles: the 100× scale path next to exact
+    * q17. Spark's `approx_percentile` (Greenwald–Khanna sketch) holds a
+    * BOUNDED buffer per group and merges partials map-side, where exact
+    * `percentile` buffers every value of a group in one reducer — a hot
+    * `l_returnflag` group at 100 TB OOMs an executor. Accuracy 10000 ⇒
+    * rank error ≤ n/10000. No SQL oracle (sketch contents are
+    * implementation-defined); the driver records rows-only and
+    * `RelationalSpec` bounds the error against exact q17. */
+  val approxPercentiles: Q = (s, dir) =>
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
     "q16_cube" -> cubeAgg,
     "q17_percentiles" -> percentiles,
+    "q17b_approx_percentiles" -> approxPercentiles,
     "q01_filter_project" -> filterProject,
     "q02_cast_datefns" -> castDateFns,
     "q03_agg_pricing" -> aggPricing,

@@ -57,12 +57,21 @@ object OrderPipeline {
     * the engine analogue of `GetFakeOrderFufilled`
     * (`pkg/orders/fake.go:11-34`). Txids are derived (not random) so
     * replays are bit-identical; the result payload carries the same
-    * description shape as the reference fixture. */
+    * description shape as the reference fixture.
+    *
+    * `validate`-only orders (the reference passes `DCAOrder.Validate`
+    * through to the exchange API, `pkg/configuration/dca.go:36`,
+    * `pkg/orders/kraken.go:49-54`) are checked but NOT placed — the
+    * exchange returns no transaction id for them, so their
+    * `transaction_id` is null and [[executeOrders]] keeps them out of
+    * the pending sink and queue. */
   def fakeFulfill(orders: DataFrame): DataFrame =
     orders.select(
-      concat(lit("FAKE-"), col("pair"), lit("-"),
-        upper(hex(crc32(concat_ws("|", col("pair"), col("direction"),
-          col("ordertype"), col("volume")))))).as("transaction_id"),
+      when(col("validate"), lit(null).cast("string"))
+        .otherwise(concat(lit("FAKE-"), col("pair"), lit("-"),
+          upper(hex(crc32(concat_ws("|", col("pair"), col("direction"),
+            col("ordertype"), col("volume")))))))
+        .as("transaction_id"),
       lit(12345678L).as("timestamp"), // fake.go:29 fixed stamp
       to_json(struct(
         col("pair").as("asset_pair"),
@@ -70,7 +79,7 @@ object OrderPipeline {
           lit("@"), col("ordertype")).as("order"),
         col("ordertype").as("order_type"),
         col("direction").as("type"))).as("result"),
-      col("exchange"), col("pair"))
+      col("exchange"), col("pair"), col("validate"))
 
   /** Execute stage: returns (fulfilled orders ready for the pending
     * sink, pending control records for the queue). Fails fast on
@@ -87,7 +96,11 @@ object OrderPipeline {
     require(badRows.isEmpty,
       s"no orderer configured for exchange ${badRows.head.getAs[String]("exchange")}")
     val enabled = config.filter(col("enabled")) // P1, kraken.go:42-45
+    // validate-only orders are exercised against the exchange but never
+    // placed: no txid, no pending JSON, no queue message
     val fulfilled = fakeFulfill(enabled)
+      .filter(col("transaction_id").isNotNull)
+      .drop("validate")
     // S11: PendingOrders control record + message attributes
     // (pkg/orders/submit_pending.go:34-47); the s3_key mirrors the
     // reference's `prefix/exchange=<x>/<txid>.json` layout (P7/P8).

@@ -39,7 +39,11 @@ object StreamLoader {
       checkpointDir: String,
       deadLetterDir: String,
       additionalColumns: Map[String, String] = Map.empty,
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None,
+      /** On-success notification dir (the reference routes success to an
+        * SNS topic next to the DLQ one,
+        * `terraform/aws_lambda_execute_orders.tf:43-57`); None = off. */
+      successDir: Option[String] = None)
 
   /** Build (not start) the streaming query. */
   def query(spark: SparkSession, args: Args): StreamingQuery = {
@@ -58,6 +62,16 @@ object StreamLoader {
           Merge.upsert(spark, df, args.tablePath,
             LoadTransactions.keyCols, LoadTransactions.precombine,
             LoadTransactions.partitionCol)
+          // T5 success half: one notification record per committed
+          // micro-batch (the reference's on-success SNS publish) — tiny
+          // control rows, not a copy of the data
+          args.successDir.foreach { dir =>
+            df.agg(count(lit(1)).as("n_rows"),
+                concat_ws(",", sort_array(collect_set(col("pair"))))
+                  .as("pairs"))
+              .withColumn("_batch_id", lit(batchId))
+              .write.mode("append").parquet(dir)
+          }
         } catch {
           case e: Exception => // T5: dead-letter the batch, keep going
             df.withColumn("_error", lit(e.toString))

@@ -15,7 +15,9 @@ class OrderPipelineSpec extends SparkSpec {
     rows.toDF("exchange", "direction", "ordertype", "volume", "pair",
       "validate", "enabled")
 
-  private val goodRow = ("kraken", "buy", "market", "10", "ADAGBP", true, true)
+  // validate=false: a placeable order (validate-only orders are checked
+  // against the exchange but never placed — kraken.go:49-54)
+  private val goodRow = ("kraken", "buy", "market", "10", "ADAGBP", false, true)
 
   test("readConfig parses the reference example config shape (S1)") {
     val dir = tmpDir("config")
@@ -39,6 +41,21 @@ class OrderPipelineSpec extends SparkSpec {
     assert(key.startsWith("transactions/status=pending/exchange=kraken/"))
     assert(key.endsWith(".json"))
     assert(p.getAs[String]("transaction_id").nonEmpty)
+  }
+
+  test("validate-only orders get no txid and skip the pending sink") {
+    // mirrors pkg/orders/kraken_test.go:29-68 / kraken.go:49-54: the
+    // validate flag reaches the exchange call, and a validate-only
+    // order places nothing
+    val validateOnly = ("kraken", "buy", "market", "10", "ETHGBP", true, true)
+    val (fulfilled, pending) = OrderPipeline.executeOrders(spark,
+      config(goodRow, validateOnly))
+    assert(fulfilled.count() === 1)
+    assert(fulfilled.filter($"pair" === "ETHGBP").count() === 0)
+    assert(pending.count() === 1)
+    // the raw fulfillment view still shows the validated order, txid-less
+    val raw = OrderPipeline.fakeFulfill(config(validateOnly)).collect().head
+    assert(raw.isNullAt(raw.fieldIndex("transaction_id")))
   }
 
   test("executeOrders fails on unregistered exchange (P4)") {

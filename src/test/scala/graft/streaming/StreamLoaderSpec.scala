@@ -33,6 +33,22 @@ class StreamLoaderSpec extends SparkSpec {
     assert(t.select("exchange").as[String].collect().toSet === Set("kraken"))
   }
 
+  test("successful batches emit one success notification record (T5)") {
+    val args0 = mkArgs("streamok")
+    val args = args0.copy(successDir = Some(args0.inputDir + "/../ok"))
+    Files.createDirectories(Paths.get(args.inputDir))
+    writeTx(args.inputDir, "a.json", "TX1", "0.5")
+    writeTx(args.inputDir, "b.json", "TX2", "0.6")
+    StreamLoader.runAvailableNow(spark, args)
+    val ok = spark.read.parquet(args.successDir.get)
+    assert(ok.count() === 1) // one drain = one micro-batch = one record
+    val r = ok.collect().head
+    assert(r.getAs[Long]("n_rows") === 2L)
+    assert(r.getAs[String]("pairs") === "ADAGBP")
+    // and nothing dead-lettered
+    assert(!new java.io.File(args.deadLetterDir).exists())
+  }
+
   test("checkpoint means files are processed once; new files upsert (T3)") {
     val args = mkArgs("stream2")
     Files.createDirectories(Paths.get(args.inputDir))
