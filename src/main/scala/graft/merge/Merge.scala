@@ -182,6 +182,48 @@ object Merge {
     commitMerged(spark, remaining, path, partitionCol, parts)
   }
 
+  // ---- commit timeline (incremental pull) ----
+
+  /** Per-record commit-stamp column — the engine's `_hoodie_commit_time`
+    * stand-in. A record carries the id of the commit that last wrote
+    * it, which is what makes "what changed since commit X" answerable
+    * (the Hudi timeline capability Athena users get via
+    * `glue/interactive.sh:21-23`). */
+  val commitCol = "_commit_ts"
+
+  /** Next monotonic commit id: max stored stamp + 1. One driver-side
+    * aggregate over the stamp column — parquet footer min/max stats
+    * keep this a metadata-ish scan, and the result is a single long. */
+  private def nextCommit(spark: SparkSession, path: String): Long =
+    if (!tableExists(spark, path)) 1L
+    else spark.read.parquet(path)
+      .agg(coalesce(max(col(commitCol)), lit(0L))).head().getLong(0) + 1L
+
+  /** O1 with a commit timeline: the batch is stamped with a fresh
+    * monotonic commit id before the upsert, so surviving stored rows
+    * keep the stamp of the commit that last wrote THEM (exactly Hudi's
+    * per-record `_hoodie_commit_time` semantics under
+    * OverwriteWithLatestAvroPayload). Returns the commit id. */
+  def upsertVersioned(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCol: String): Long = {
+    val cts = nextCommit(spark, path)
+    upsert(spark, batch.withColumn(commitCol, lit(cts)), path,
+      keyCols, precombine, partitionCol)
+    cts
+  }
+
+  /** Incremental pull: rows last written by a commit AFTER `sinceTs`
+    * (Hudi incremental-query semantics — deleted rows simply stop
+    * appearing, as in Hudi's COW read-optimized view). Partition/stat
+    * pruning applies: the stamp predicate is pushed to the scan. */
+  def readSince(spark: SparkSession, path: String, sinceTs: Long): DataFrame =
+    spark.read.parquet(path).filter(col(commitCol) > sinceTs)
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame

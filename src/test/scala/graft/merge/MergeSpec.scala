@@ -136,6 +136,28 @@ class MergeSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 2)
   }
 
+  test("commit timeline: readSince returns only later-commit records") {
+    val path = tmpDir("timeline")
+    val c1 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c2", "ADAGBP", 2.0)), path, keyCols, "price", "pair")
+    val c2 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 9.0),
+      ("T3", "c3", "BTCUSD", 3.0)), path, keyCols, "price", "pair")
+    assert(c2 === c1 + 1)
+    // incremental pull after c1: T1 (rewritten by c2) and T3 (new),
+    // but NOT T2 (still owned by c1)
+    val since = Merge.readSince(spark, path, c1)
+      .select("transaction_id").as[String].collect().toSet
+    assert(since === Set("T1", "T3"))
+    // full pull from the epoch sees everything
+    assert(Merge.readSince(spark, path, 0L).count() === 3)
+    // a third upsert keeps the timeline monotonic
+    val c3 = Merge.upsertVersioned(spark, tx(("T2", "c2", "ADAGBP", 5.0)),
+      path, keyCols, "price", "pair")
+    assert(c3 === c2 + 1)
+    assert(Merge.readSince(spark, path, c2)
+      .select("transaction_id").as[String].collect().toSeq === Seq("T2"))
+  }
+
   test("compositeKey joins fields ComplexKeyGenerator-style (O5)") {
     val df = tx(("T1", "c1", "ADAGBP", 1.0))
       .select(Merge.compositeKey(keyCols).as("k"))
