@@ -75,6 +75,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("jaccardPairsPrefix returns exactly jaccardPairs (lossless prefix filter)") {
+    val d = graft.Tables.documents(spark, sfDir)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e12))).toSeq
+    for (maxDf <- Seq(Int.MaxValue, 50)) {
+      val direct = norm(Dedup.jaccardPairs(d, "doc_id", "text", 0.8, maxDf))
+      val prefix = norm(Dedup.jaccardPairsPrefix(d, "doc_id", "text", 0.8, maxDf))
+      assert(direct.nonEmpty)
+      assert(prefix === direct, s"maxDf=$maxDf")
+    }
+  }
+
   test("embeddingAllPairs ranks the most similar vectors first") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
