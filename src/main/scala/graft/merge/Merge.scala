@@ -262,6 +262,24 @@ object Merge {
       s.read.parquet(path)
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
+    }),
+    // q19: the commit timeline end-to-end — two versioned upserts, then
+    // an incremental pull since commit 1. The pull must return exactly
+    // the rows OWNED by commit 2 (batch-2 winners), and none of the
+    // batch-1 survivors whose keys batch 2 never touched — that
+    // exclusion is what proves per-record stamps merge correctly.
+    "q19_incremental_pull" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q19_").toString + "/table"
+      val keyCols = Seq("okey")
+      val c1 = upsertVersioned(s, replayBatch(s, dir, 0), path,
+        keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      readSince(s, path, c1)
+        .select(col("okey"), col("part"), col("price"), col("pre"),
+          col(commitCol).as("commit_ts"))
+        .orderBy("part", "okey")
     }))
 
   /** DuckDB replay of the same algebra: per-batch dedup by max
@@ -290,5 +308,18 @@ object Merge {
         |SELECT t2.okey, t2.part, t2.price, t2.pre
         |FROM t2 LEFT JOIN d ON t2.okey = d.okey AND t2.part = d.part
         |WHERE d.okey IS NULL
-        |ORDER BY t2.part, t2.okey""".stripMargin)
+        |ORDER BY t2.part, t2.okey""".stripMargin,
+    // what changed since commit 1 == exactly the deduped batch-2 rows
+    // (batch 2 overwrites or inserts every key it carries; everything
+    // else keeps commit 1's stamp and must NOT appear)
+    "q19_incremental_pull" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders)
+        |SELECT okey, part, price, pre, CAST(2 AS BIGINT) AS commit_ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY okey, part
+        |        ORDER BY pre DESC) AS rn
+        |      FROM raw WHERE pre % 7 = 1)
+        |WHERE rn = 1
+        |ORDER BY part, okey""".stripMargin)
 }
