@@ -87,24 +87,43 @@ object Merge {
     * Dynamic overwrite only rewrites partitions PRESENT in the output,
     * so a delete that empties a whole partition must drop its directory
     * explicitly. */
+  /** `dropEmptied`: only delete() can leave a touched partition with no
+    * survivors (a batch-wins upsert always keeps at least the batch's
+    * rows), so the upsert path skips the extra staged scan + collect. */
   private def commitMerged(
       spark: SparkSession,
       merged: DataFrame,
       path: String,
       partitionCol: String,
-      touched: Seq[Any]): Unit = {
+      touched: Seq[Any],
+      dropEmptied: Boolean): Unit = {
     val staging = path.stripSuffix("/") + s"_staging_${System.nanoTime()}"
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
     try {
-      val staged = spark.read.parquet(staging)
+      // explicit schema: a merge that leaves NO survivors writes an
+      // empty staging dir, where schema inference would throw — the
+      // schema is already known from the merge plan
+      val staged = spark.read.schema(merged.schema).parquet(staging)
       writeDynamic(staged, path, partitionCol)
-      val remainingParts = staged.select(partitionCol).distinct()
-        .collect().map(_.get(0)).toSet
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      touched.filterNot(remainingParts).foreach { v =>
-        fs.delete(
-          new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
+      if (dropEmptied) {
+        val remainingParts = staged.select(partitionCol).distinct()
+          .collect().map(_.get(0)).toSet
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        touched.filterNot(remainingParts).foreach { v =>
+          // hive path escaping (and the null-partition dir name) must
+          // match what the partitioned write produced, or the "deleted"
+          // rows silently survive; a false delete on an existing dir is
+          // a failed commit, not a warning
+          val dirName = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(v.toString)
+          val p = new org.apache.hadoop.fs.Path(
+            s"$path/$partitionCol=$dirName")
+          if (fs.exists(p) && !fs.delete(p, true))
+            throw new java.io.IOException(
+              s"failed to drop emptied partition dir $p")
+        }
       }
     } catch {
       case e: Throwable =>
@@ -144,7 +163,19 @@ object Merge {
     }
     val parts = touchedPartitions(deduped, partitionCol)
     if (parts.isEmpty) return
-    val existing = spark.read.parquet(path)
+    val stored = spark.read.parquet(path)
+    // schema-compatibility guard: silently selecting the batch's columns
+    // out of a wider stored schema would STRIP the extra columns (e.g.
+    // _commit_ts on a table built by upsertVersioned) from every
+    // rewritten partition — fail loudly instead
+    val missing = stored.columns.toSet -- deduped.columns.toSet
+    val extra = deduped.columns.toSet -- stored.columns.toSet
+    require(missing.isEmpty && extra.isEmpty,
+      s"upsert batch schema mismatch vs stored table at $path: " +
+        s"batch lacks ${missing.mkString(",")}; " +
+        s"batch adds ${extra.mkString(",")} " +
+        "(a versioned table must be written via upsertVersioned)")
+    val existing = stored
       .filter(col(partitionCol).isin(parts: _*))
       .select(deduped.columns.toIndexedSeq.map(col): _*) // column order alignment
     // Batch wins over stored for the same key (Hudi upsert semantics:
@@ -156,7 +187,8 @@ object Merge {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_is_new", "_rn")
-    commitMerged(spark, merged, path, partitionCol, parts)
+    commitMerged(spark, merged, path, partitionCol, parts,
+      dropEmptied = false)
   }
 
   /** O3: delete by key — anti-join rewrite of only the touched
@@ -179,7 +211,8 @@ object Merge {
     val remaining = existing.join(
       broadcast(keys.select(delKeys.map(col): _*).distinct()),
       delKeys, "left_anti")
-    commitMerged(spark, remaining, path, partitionCol, parts)
+    commitMerged(spark, remaining, path, partitionCol, parts,
+      dropEmptied = true)
   }
 
   // ---- commit timeline (incremental pull) ----

@@ -33,10 +33,16 @@ object Similarity {
 
   /** The (cos_sim desc, corpus_id asc) total order used both by the
     * local heaps and the final ranking window — the local pre-reduce is
-    * lossless exactly because both stages agree on this order. */
+    * lossless exactly because both stages agree on this order.
+    * NaN similarity (a zero-magnitude vector) sorts FIRST, matching
+    * Spark's descending sort (NaN = largest) — an Ordering.by(-cosSim)
+    * would break here because -NaN == NaN flips NaN to "worst". */
   private val topKOrder: Ordering[(Long, Long, Double)] =
-    Ordering.by[(Long, Long, Double), (Double, Long)] {
-      case (_, corpusId, cosSim) => (-cosSim, corpusId)
+    new Ordering[(Long, Long, Double)] {
+      def compare(x: (Long, Long, Double), y: (Long, Long, Double)): Int = {
+        val c = java.lang.Double.compare(y._3, x._3) // desc, NaN first
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2) // id asc
+      }
     }
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
@@ -46,7 +52,10 @@ object Similarity {
     * partitions × queries × k rows reach the global per-query ranking
     * window. Without the pre-reduce, that window would shuffle every
     * scored corpus row into #queries reducers — with 5 queries over a
-    * 100 TB corpus, 5 reducers each sorting the full corpus. */
+    * 100 TB corpus, 5 reducers each sorting the full corpus.
+    *
+    * `vec_id` must be integral (the typed local heap uses a
+    * (Long, Long, Double) encoder). */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -69,9 +69,12 @@ object EventStreams {
         state.remove()
         Iterator(SessionOut(user, s.start, s.last, s.n, s.total))
       } else {
-        // full-precision (µs) sort: ties in the ms value would otherwise
-        // leave the fold order — and the double value sum — unspecified
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos))
+        // full-precision (µs) sort with value as the tiebreak: even two
+        // events on the SAME microsecond must fold their values in a
+        // specified order or the double sum is partition-arrival-
+        // dependent (the oracle sorts the same way)
+        val sorted = rows.toSeq
+          .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.value))
         var out = List.empty[SessionOut]
         var cur = state.getOption
         sorted.foreach { e =>
@@ -142,11 +145,23 @@ object EventStreams {
       val base = java.nio.file.Files
         .createTempDirectory("graft_drain").toString
       Tables.events(s, dir).coalesce(1).write.parquet(s"$base/in")
+      val inPath = new org.apache.hadoop.fs.Path(s"$base/in")
+      val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val before = fs.listStatus(inPath).map(_.getPath.getName).toSet
+      val maxMtime = fs.listStatus(inPath).map(_.getModificationTime).max
       s.range(1).select(
         lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
         lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
         .coalesce(1).write.mode("append").parquet(s"$base/in")
+      // FileStreamSource orders batches by file mtime: pin the sentinel
+      // file STRICTLY after the events file rather than trusting clock
+      // granularity — a sentinel sorted into batch 0 would raise the
+      // watermark to 2035 before any real event is read and drop
+      // everything as late
+      fs.listStatus(inPath)
+        .filterNot(st => before.contains(st.getPath.getName))
+        .foreach(st => fs.setTimes(st.getPath, maxMtime + 60000L, -1))
       s"$base/in"
     })
     val run = java.nio.file.Files
@@ -200,7 +215,7 @@ object EventStreams {
         |      FROM m)
         |SELECT user_id, MIN(t) AS start_ts, MAX(t) AS end_ts,
         |  COUNT(*) AS n_events,
-        |  list_sum(list(value ORDER BY ts)) AS total_value
+        |  list_sum(list(value ORDER BY ts, value)) AS total_value
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, start_ts""".stripMargin)
 }

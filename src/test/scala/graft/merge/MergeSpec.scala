@@ -115,6 +115,18 @@ class MergeSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/pair=ADAGBP").exists())
   }
 
+  test("delete of every stored row commits cleanly (empty staged merge)") {
+    val path = tmpDir("delall2")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c2", "ADAGBP", 2.0)), path, keyCols, "price", "pair")
+    Merge.delete(spark, tx(("T1", "c1", "ADAGBP", 0.0),
+      ("T2", "c2", "ADAGBP", 0.0)), path, keyCols, "pair")
+    assert(!new java.io.File(s"$path/pair=ADAGBP").exists())
+    // the table location survives with no partitions; a schema-enforced
+    // read sees zero rows
+    assert(spark.read.schema(tx().schema).parquet(path).count() === 0)
+  }
+
   test("merge commit leaves no staging dirs behind") {
     val path = tmpDir("stageclean")
     Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
@@ -134,6 +146,33 @@ class MergeSpec extends SparkSpec {
     Merge.insert(tx(("T1", "c1", "ADAGBP", 1.0)), path, "pair")
     Merge.insert(tx(("T1", "c1", "ADAGBP", 2.0)), path, "pair")
     assert(spark.read.parquet(path).count() === 2)
+  }
+
+  test("plain upsert on a versioned table fails loudly instead of dropping _commit_ts") {
+    val path = tmpDir("mixmode")
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 2.0)),
+        path, keyCols, "price", "pair")
+    }
+    assert(e.getMessage.contains("_commit_ts"))
+    // and the versioned path still works
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 2.0)),
+      path, keyCols, "price", "pair")
+    assert(readTable(path) === Seq(("T1", "c1", "ADAGBP", 2.0)))
+  }
+
+  test("emptied-partition drop handles hive-escaped partition values") {
+    val path = tmpDir("escpart")
+    // ':' is hive-escaped to %3A in the partition dir name
+    Merge.upsert(spark, tx(("T1", "c1", "A:B", 1.0),
+      ("T2", "c2", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
+    assert(new java.io.File(s"$path/pair=A%3AB").exists())
+    Merge.delete(spark, tx(("T1", "c1", "A:B", 0.0)),
+      path, keyCols, "pair")
+    assert(!new java.io.File(s"$path/pair=A%3AB").exists())
+    assert(readTable(path) === Seq(("T2", "c2", "BTCUSD", 2.0)))
   }
 
   test("commit timeline: readSince returns only later-commit records") {

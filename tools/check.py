@@ -15,6 +15,10 @@ def main(sf_dir, out_dir, only=None):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
+        unknown = only - set(oracle)
+        if unknown:  # typo or rows-only query: a silent empty filter
+            print(f"ERROR: no oracle entry for: {sorted(unknown)}")
+            return 2
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
