@@ -99,4 +99,30 @@ object StreamLoader {
     val q = query(spark, args)
     q.awaitTermination()
   }
+
+  /** T5 recovery: re-apply dead-lettered batches through the SAME merge
+    * path, then clear the replayed files. Rows are upserted, so a batch
+    * that half-loaded before dead-lettering is safe to replay (the
+    * reference's DLQ consumer gets the same at-least-once contract from
+    * key-reconciled writes). Returns the number of rows replayed.
+    *
+    * The file list is captured BEFORE the upsert and only those files
+    * are deleted after it commits — rows dead-lettered concurrently are
+    * kept for the next replay. */
+  def replayDeadLetters(spark: SparkSession, args: Args): Long = {
+    val dlqPath = new org.apache.hadoop.fs.Path(args.deadLetterDir)
+    val fs = dlqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dlqPath)) return 0L
+    val files = fs.listStatus(dlqPath).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (files.isEmpty) return 0L
+    val dlq = spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
+    val rows = dlq.drop("_error", "_batch_id")
+    val n = rows.count()
+    Merge.upsert(spark, rows, args.tablePath,
+      LoadTransactions.keyCols, LoadTransactions.precombine,
+      LoadTransactions.partitionCol)
+    files.foreach(f => fs.delete(f, false))
+    n
+  }
 }

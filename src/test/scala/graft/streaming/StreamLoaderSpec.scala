@@ -76,6 +76,23 @@ class StreamLoaderSpec extends SparkSpec {
     assert(dlq.select("transaction_id").as[String].head() === "TX1")
   }
 
+  test("replayDeadLetters re-applies the DLQ through the merge and clears it") {
+    val args = mkArgs("streamreplay")
+    Files.createDirectories(Paths.get(args.inputDir))
+    // force the first drain to dead-letter: table path is a plain file
+    Files.writeString(Paths.get(args.tablePath), "not a directory")
+    writeTx(args.inputDir, "a.json", "TX1", "0.5")
+    StreamLoader.runAvailableNow(spark, args)
+    assert(spark.read.parquet(args.deadLetterDir).count() === 1)
+    // fix the cause, replay, verify load + cleared DLQ
+    Files.delete(Paths.get(args.tablePath))
+    assert(StreamLoader.replayDeadLetters(spark, args) === 1L)
+    val t = spark.read.parquet(args.tablePath)
+    assert(t.count() === 1)
+    assert(t.select("transaction_id").as[String].head() === "TX1")
+    assert(StreamLoader.replayDeadLetters(spark, args) === 0L)
+  }
+
   test("no dead letters on the happy path (T5)") {
     val args = mkArgs("stream3")
     Files.createDirectories(Paths.get(args.inputDir))
