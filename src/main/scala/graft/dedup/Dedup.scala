@@ -294,6 +294,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- duplicate-cluster resolution (connected components) ----
+
+  /** Connected components over duplicate-candidate pairs: every id that
+    * appears in a pair, labeled with the minimum id reachable through
+    * the pair graph (its cluster id) — the step that turns pairwise
+    * near-dup evidence into "keep one per cluster" decisions.
+    *
+    * Min-label propagation: each round joins labels across edges and
+    * takes the min; rounds needed = component diameter, and near-dup
+    * components are small and dense (a 25-doc boilerplate cluster is
+    * ~2 hops), so convergence is a handful of rounds at any corpus
+    * size. Each round is one join + one groupBy on the id key;
+    * `localCheckpoint` cuts the growing lineage (same reason as the
+    * IVF Lloyd loop, but labels are corpus-sized so they stay
+    * distributed instead of collecting to the driver). Convergence is
+    * checked with a bounded `limit(1)` probe, and non-convergence
+    * within `maxIters` throws rather than returning partial labels. */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < maxIters) {
+      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), labels("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).collect().nonEmpty
+      labels = next
+      if (!changed) return labels.select(col("id"), col("label").as("cluster_id"))
+      it += 1
+    }
+    throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIters rounds")
+  }
+
+  /** Apply cluster decisions to the corpus: drop every doc whose
+    * cluster id is not itself (the cluster keeper = min id), keep
+    * non-duplicated docs untouched. Broadcast-friendly: the drop list
+    * is only the duplicated ids. */
+  def dropNearDups(docs: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("id") =!= col("cluster_id")).select("id"),
+      docs(idCol) === col("id"), "left_anti")
+
   // ---- benchmark decontamination ----
 
   /** Flag corpus documents that share at least `minShared` k-gram
@@ -441,6 +495,14 @@ object Dedup {
       hashSampleByStratum(Tables.documents(s, dir), "doc_id", "lang", 5)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("lang", "doc_id")),
+    // pairwise evidence → cluster decisions: connected components over
+    // the d03 LSH candidate pairs (oracle: recursive-CTE closure)
+    "d09_dup_clusters" -> ((s, dir) =>
+      duplicateClusters(
+        lshCandidatePairs(
+          lshBands(minhashSignatures(Tables.documents(s, dir),
+            "doc_id", "text"), "doc_id"), "doc_id"))
+        .orderBy("id")),
   )
 
   private val toksSql =
@@ -454,6 +516,13 @@ object Dedup {
     (0 until numHashes).map(j =>
       s"min(substr(md5(sh) || md5('x' || sh), ${1 + 8 * j}, 8)) AS h$j")
       .mkString(", ")
+  /** Shared CTE chain producing the LSH band keys (d03/d09). */
+  private def bandsCte: String =
+    s"""m AS (SELECT doc_id, $minhashSql FROM $shinglesSql GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0||'|'||h1||'|'||h2||'|'||h3) AS bkey FROM m
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(h4||'|'||h5||'|'||h6||'|'||h7) AS bkey FROM m)""".stripMargin
 
   /** d05 (xxhash64-based) gets a rows-only check; the rest are exact
     * DuckDB parity — including d06's cosine values, which are
@@ -473,15 +542,26 @@ object Dedup {
          |  SELECT doc_id, 1 AS band, md5(h4||'|'||h5||'|'||h6||'|'||h7) AS bkey FROM m)
          |ORDER BY doc_id, band""".stripMargin,
     "d03_lsh_pairs" ->
-      s"""WITH m AS (SELECT doc_id, $minhashSql FROM $shinglesSql GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, md5(h0||'|'||h1||'|'||h2||'|'||h3) AS bkey FROM m
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(h4||'|'||h5||'|'||h6||'|'||h7) AS bkey FROM m)
+      s"""WITH $bandsCte
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
          |WHERE a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    // min-reachable-id per node == connected-component min, computed by
+    // the recursive closure over the same band-collision pairs
+    "d09_dup_clusters" ->
+      s"""WITH RECURSIVE $bandsCte,
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |      WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+         |SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
     "d04_jaccard_neardup" ->
       s"""WITH d0 AS (SELECT DISTINCT doc_id, sh FROM $shinglesSql),
          |kept AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM d0 GROUP BY sh)

@@ -128,6 +128,23 @@ class DedupSpec extends SparkSpec {
     assert(dupTop.contains((900001L, 900002L)))
   }
 
+  test("duplicateClusters: min-id labels across chains; dropNearDups keeps keepers") {
+    // two chains (diameter > 1 exercises multi-round propagation) and
+    // one isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val got = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L, 22L, 99L)
+      .toDF("doc_id")
+    val kept = Dedup.dropNearDups(docs, "doc_id", clusters)
+      .as[Long].collect().toSet
+    // keepers (min per cluster) + the untouched doc survive
+    assert(kept === Set(1L, 10L, 20L, 99L))
+  }
+
   test("contaminationFlags: overlapping doc flagged, clean doc not") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
