@@ -131,6 +131,42 @@ object TextAnalysis {
           lit(chunkTokens)).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Within-doc repetition stats over word k-grams — the standard
+    * repetition quality signals for corpus filtering (duplicate-gram
+    * fraction; share of the single most frequent gram). One explode +
+    * one (id, gram) groupBy + one id aggregation; docs shorter than k
+    * tokens report zeros. Scale: grouping keys are (doc, gram) — high
+    * cardinality, uniformly spread, classic map-side-combine shape. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(graft.dedup.Dedup.shinglesFromTokens(col("_toks"), k))
+          .as("gram"))
+    val perDoc = grams.groupBy(idCol, "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"))
+      .withColumn("dup_fraction",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") /
+            col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("top_fraction",
+        when(col("n_grams") > 0,
+          col("top_count").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Corpus vocabulary with document frequency and TF-IDF-ready stats:
     * one explode + one groupBy on the term. */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String)
@@ -194,6 +230,9 @@ object TextAnalysis {
           scrub(concat(col("text"),
             lit(" contact bob@example.com at https://example.com/x id 1234567890123")))
             .as("scrubbed"))
+        .orderBy("doc_id")),
+    "t08_repetition" -> ((s, dir) =>
+      repetitionStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
   )
 
@@ -260,6 +299,28 @@ object TextAnalysis {
          |SELECT term, COUNT(*) AS tf_corpus, COUNT(DISTINCT doc_id) AS df
          |FROM tok GROUP BY term
          |ORDER BY tf_corpus DESC, term LIMIT 100""".stripMargin,
+    "t08_repetition" ->
+      s"""WITH g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         | THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' '))
+         | ELSE [] END) AS gram
+         | FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |pd AS (SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
+         |              MAX(c) AS top_count
+         |       FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g
+         |             GROUP BY doc_id, gram)
+         |       GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct,
+         |  CAST(COALESCE(top_count, 0) AS BIGINT) AS top_count,
+         |  CASE WHEN COALESCE(n_grams, 0) > 0
+         |       THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         |       ELSE 0.0 END AS dup_fraction,
+         |  CASE WHEN COALESCE(n_grams, 0) > 0
+         |       THEN CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         |       ELSE 0.0 END AS top_fraction
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "t07_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(

@@ -89,6 +89,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === "mail <EMAIL> or visit <URL> ref <NUM> ok 1234")
   }
 
+  test("repetitionStats flags looping text; short docs report zeros") {
+    val loopy = ("spam spam spam " * 10).trim          // one dominant 3-gram
+    val varied = "one two three four five six seven eight nine ten"
+    val short = "too short"                             // < 3 tokens
+    val df = Seq((1L, loopy), (2L, varied), (3L, short))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // loopy: 28 grams, all "spam spam spam" → dup_fraction 27/28
+    assert(out(1L).getAs[Long]("n_grams") === 28L)
+    assert(out(1L).getAs[Long]("n_distinct") === 1L)
+    assert(out(1L).getAs[Double]("top_fraction") === 1.0)
+    // varied: every 3-gram unique
+    assert(out(2L).getAs[Double]("dup_fraction") === 0.0)
+    assert(out(2L).getAs[Long]("n_grams") === 8L)
+    // short: zeros, not missing
+    assert(out(3L).getAs[Long]("n_grams") === 0L)
+    assert(out(3L).getAs[Double]("dup_fraction") === 0.0)
+  }
+
   test("qualityFeatures: ratios in [0,1], score favors clean prose") {
     val clean = "the cat and the dog sat in the house and it is a good day " * 3
     val junk = "@@@@ #### 1234 %%%% !!!! 9999 ****"
