@@ -167,6 +167,30 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Sequence packing: assign whole docs to fixed token-budget bins by
+    * contiguous fill — docs are laid out in a deterministic md5 order
+    * within each stratum, and a doc's bin is the budget-window its
+    * START offset falls in (a doc may straddle a boundary; the packer
+    * downstream handles the split, this op decides placement). The
+    * window is partitioned by the stratum, so packing parallelizes
+    * across strata at any corpus size — pick a stratum with enough
+    * cardinality (language, source, or a hash bucket) to spread the
+    * running-sum windows. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, strataCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(idCol), col(strataCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(strataCol), col("n_tokens"),
+        expr(s"(_cum - n_tokens) div $budget").as("bin"))
+  }
+
   /** Corpus vocabulary with document frequency and TF-IDF-ready stats:
     * one explode + one groupBy on the term. */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String)
@@ -234,6 +258,10 @@ object TextAnalysis {
     "t08_repetition" -> ((s, dir) =>
       repetitionStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "t09_pack" -> ((s, dir) =>
+      packSequences(Tables.documents(s, dir), "doc_id", "text",
+        budget = 512, strataCol = "lang")
+        .orderBy("lang", "doc_id")),
   )
 
   /** DuckDB equivalents. Note DuckDB regexp_replace needs the 'g' flag
@@ -299,6 +327,17 @@ object TextAnalysis {
          |SELECT term, COUNT(*) AS tf_corpus, COUNT(DISTINCT doc_id) AS df
          |FROM tok GROUP BY term
          |ORDER BY tf_corpus DESC, term LIMIT 100""".stripMargin,
+    "t09_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY lang
+         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
     "t08_repetition" ->
       s"""WITH g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
          | THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' '))

@@ -109,6 +109,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Double]("dup_fraction") === 0.0)
   }
 
+  test("packSequences: contiguous fill per stratum, budget respected at starts") {
+    // 5-token docs, budget 12: starts at 0,5,10,15,20 → bins 0,0,0,1,1
+    val docs = (1L to 5L).map(i => (i, "a b c d e", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", 12, "lang")
+    val bins = out.orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .select("bin").as[Long].collect().toSeq
+    assert(bins === Seq(0L, 0L, 0L, 1L, 1L))
+    // strata pack independently: same docs in two langs → same bins
+    val two = docs.unionByName(
+      (1L to 5L).map(i => (i + 100L, "a b c d e", "de"))
+        .toDF("doc_id", "text", "lang"))
+    val byLang = TextAnalysis.packSequences(two, "doc_id", "text", 12, "lang")
+      .groupBy("lang").agg(max($"bin").as("mx"))
+      .select("mx").as[Long].collect().toSeq
+    assert(byLang === Seq(1L, 1L))
+  }
+
   test("qualityFeatures: ratios in [0,1], score favors clean prose") {
     val clean = "the cat and the dog sat in the house and it is a good day " * 3
     val junk = "@@@@ #### 1234 %%%% !!!! 9999 ****"
