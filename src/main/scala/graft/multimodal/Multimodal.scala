@@ -129,6 +129,18 @@ object Multimodal {
           max(col("width")).as("max_width"),
           min(col("height")).as("min_height"))
         .orderBy("kind")),
+    // frame sampling + resize over binary payloads: every 2nd 32-byte
+    // chunk, content-addressed — the narrow-map video-frame path with a
+    // relational oracle over the same bytes
+    "m04_frame_sample" -> ((s, dir) =>
+      syntheticMedia(s, dir)
+        .select(col("media_id"),
+          posexplode(frameSample(col("payload"), frameSize = 32, stride = 2))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"),
+          sha2(resizeStub(col("frame"), 16), 256).as("frame_head_sha256"))
+        .orderBy("media_id", "frame_idx")),
     // stub decode through the typed mapPartitions path; f0 is the first
     // feature widened float→double (exact), so the DuckDB oracle can
     // reproduce it bit-for-bit from the payload bytes
@@ -159,6 +171,18 @@ object Multimodal {
         |  MAX(CAST(n_chars % 64 + 1 AS INT)) AS max_width,
         |  MIN(CAST(n_chars % 48 + 1 AS INT)) AS min_height
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    // frames start every frameSize×stride = 64 bytes; ASCII text (see
+    // m03 note) makes char slicing == byte slicing
+    "m04_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, i AS frame_idx,
+        |    substring(text, CAST(i * 64 + 1 AS INT), 32) AS frame
+        |  FROM documents,
+        |       unnest(generate_series(0, greatest((length(text) - 1) // 64, 0))) AS t(i))
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(length(frame) AS BIGINT) AS frame_bytes,
+        |  sha256(substring(frame, 1, 16)) AS frame_head_sha256
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     // the stub decoder's byte fold, restated relationally: f0 sums the
     // payload bytes at positions p with (p-1) % 16 = 0 (1-based), in
     // position order (list_sum is the same sequential fold as the
