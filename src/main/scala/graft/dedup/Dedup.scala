@@ -386,6 +386,24 @@ object Dedup {
       .drop("_rn")
   }
 
+  /** Mixture sampling: keep each doc with a per-stratum probability
+    * (the corpus-reweighting pass that hits a target language/source
+    * mixture). The coin is md5-derived from the doc id — deterministic,
+    * engine-portable, partitioning-independent, and STABLE under corpus
+    * growth: a doc's keep/drop decision never changes as other docs
+    * arrive (unlike RNG sampling), so mixtures are reproducible and
+    * incremental. Pure narrow filter — no shuffle at any scale. */
+  def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    // uniform in [0,1): first 32 md5 bits of the id
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(u < frac)
+  }
+
   // ---- embedding-cosine near-dup ----
 
   /** Cosine similarity of two double arrays — sequential left-fold (the
@@ -503,6 +521,13 @@ object Dedup {
           lshBands(minhashSignatures(Tables.documents(s, dir),
             "doc_id", "text"), "doc_id"), "doc_id"))
         .orderBy("id")),
+    // target-mixture reweighting: keep en at 60%, de at 30%, the rest
+    // at 10% — deterministic md5 coin per doc
+    "d10_mixture_sample" -> ((s, dir) =>
+      mixtureSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.6, "de" -> 0.3), default = 0.1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
   )
 
   private val toksSql =
@@ -601,6 +626,15 @@ object Dedup {
          |FROM documents d LEFT JOIN shared s ON d.doc_id = s.id
          |WHERE d.doc_id >= 10
          |ORDER BY id""".stripMargin,
+    "d10_mixture_sample" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        / 4294967296.0
+        |      < CASE WHEN lang = 'en' THEN 0.6
+        |             WHEN lang = 'de' THEN 0.3
+        |             ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
     "d08_hash_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,

@@ -162,6 +162,24 @@ class DedupSpec extends SparkSpec {
     assert(flags(11L) === ((0L, false)))
   }
 
+  test("mixtureSample: per-stratum fractions, decisions stable under growth") {
+    val base = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val frac = Map("en" -> 0.6, "de" -> 0.2)
+    val kept = Dedup.mixtureSample(base, "doc_id", "lang", frac)
+      .select("doc_id").as[Long].collect().toSet
+    // roughly the target mixture (md5 coin, 100 docs per stratum)
+    val en = kept.count(_ % 2 == 0); val de = kept.count(_ % 2 == 1)
+    assert(en > 40 && en < 80, s"en=$en")
+    assert(de > 5 && de < 40, s"de=$de")
+    // growth stability: adding docs never flips an existing decision
+    val grown = base.unionByName(
+      (1000L to 1100L).map(i => (i, "en")).toDF("doc_id", "lang"))
+    val keptGrown = Dedup.mixtureSample(grown, "doc_id", "lang", frac)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptGrown.filter(_ < 1000L) === kept)
+  }
+
   test("hashSampleByStratum: n per stratum, deterministic") {
     val docs = (1L to 40L).map(i =>
       (i, if (i % 2 == 0) "even" else "odd", s"text $i"))
