@@ -45,6 +45,34 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding-window per-type counts: each event lands in
+    * windowLen/slide overlapping windows (stock Spark `window` with a
+    * slide). State cost multiplies by the overlap factor — the
+    * watermark still bounds it. */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Tables.d(sum(Tables.dec(col("value")))).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Native session windows (`session_window`) — the built-in
+    * alternative to the custom [[sessionize]] state machine; same gap
+    * semantics at full event-time (µs) precision. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Tables.d(sum(Tables.dec(col("value")))).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   final case class SessionIn(user_id: Long, ts: java.sql.Timestamp,
       value: Double)
   final case class SessionState(start: Long, last: Long, n: Int,
@@ -189,7 +217,15 @@ object EventStreams {
         .filter(col("user_id") >= 0)
         .select(col("user_id"), col("start_ts"), col("end_ts"),
           col("n_events").cast("long").as("n_events"), col("total_value"))
-        .orderBy("user_id", "start_ts")))
+        .orderBy("user_id", "start_ts")),
+    "e03_sliding_counts" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e03_sink")(slidingCounts(_))
+        .filter(col("event_type") =!= "_sentinel")
+        .orderBy("window_start", "event_type")),
+    "e04_session_window" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e04_sink")(sessionCounts(_))
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")))
 
   /** DuckDB parity: e01 is a plain hourly bucket aggregate (every
     * window is flushed by the sentinel, so streamed == batch); e02 is
@@ -203,6 +239,35 @@ object EventStreams {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each event lands in the 4 overlapping hour windows whose 15-min-
+    // aligned starts cover it (time_bucket's 2000-01-03 origin is
+    // 15-min-aligned with Spark's epoch-aligned window starts)
+    "e03_sliding_counts" ->
+      """WITH x AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - k * INTERVAL '15 minutes' AS window_start,
+        |         event_type, value
+        |  FROM events, unnest(generate_series(0, 3)) AS t(k))
+        |SELECT window_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // native session_window parity at full µs precision: merge while
+    // the next event is STRICTLY inside last+gap (the window end is
+    // exclusive), session_start = first event time
+    "e04_session_window" ->
+      """WITH m AS (SELECT user_id, ts, value,
+        |        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                  (PARTITION BY user_id ORDER BY ts)
+        |                  >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM events),
+        |g AS (SELECT user_id, ts, value,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM m)
+        |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin,
     "e02_sessions" ->
       """WITH e AS (SELECT user_id, ts, epoch_ms(ts) AS t, value FROM events),
         |m AS (SELECT user_id, ts, t, value,
