@@ -320,22 +320,31 @@ object Dedup {
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var it = 0
-    while (it < maxIters) {
-      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), labels("label"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).collect().nonEmpty
-      labels = next
-      if (!changed) return labels.select(col("id"), col("label").as("cluster_id"))
-      it += 1
+    try {
+      while (it < maxIters) {
+        val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), labels("label"))
+        val next = labels.unionByName(viaEdges)
+          .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        val changed = next.alias("n")
+          .join(labels.alias("o"), Seq("id"))
+          .filter(col("n.label") =!= col("o.label"))
+          .limit(1).collect().nonEmpty
+        // the superseded round's checkpoint blocks are dead weight —
+        // release them instead of pinning rounds × label-set storage
+        labels.unpersist()
+        labels = next
+        if (!changed)
+          return labels.select(col("id"), col("label").as("cluster_id"))
+        it += 1
+      }
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters rounds")
+    } finally {
+      edges.unpersist()
+      ()
     }
-    throw new IllegalStateException(
-      s"duplicateClusters did not converge in $maxIters rounds")
   }
 
   /** Apply cluster decisions to the corpus: drop every doc whose
@@ -343,10 +352,13 @@ object Dedup {
     * non-duplicated docs untouched. Broadcast-friendly: the drop list
     * is only the duplicated ids. */
   def dropNearDups(docs: DataFrame, idCol: String,
-      clusters: DataFrame): DataFrame =
-    docs.join(
-      clusters.filter(col("id") =!= col("cluster_id")).select("id"),
-      docs(idCol) === col("id"), "left_anti")
+      clusters: DataFrame): DataFrame = {
+    // fresh alias: an unqualified col("id") would be ambiguous whenever
+    // docs itself has an "id" column (the common case idCol = "id")
+    val dupIds = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("_dup_id"))
+    docs.join(dupIds, docs(idCol) === dupIds("_dup_id"), "left_anti")
+  }
 
   // ---- benchmark decontamination ----
 
@@ -560,11 +572,8 @@ object Dedup {
          |  string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "d02_minhash_sig" ->
-      s"""WITH m AS (SELECT doc_id, $minhashSql FROM $shinglesSql GROUP BY doc_id)
-         |SELECT doc_id, band, bkey FROM (
-         |  SELECT doc_id, 0 AS band, md5(h0||'|'||h1||'|'||h2||'|'||h3) AS bkey FROM m
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(h4||'|'||h5||'|'||h6||'|'||h7) AS bkey FROM m)
+      s"""WITH $bandsCte
+         |SELECT doc_id, band, bkey FROM bands
          |ORDER BY doc_id, band""".stripMargin,
     "d03_lsh_pairs" ->
       s"""WITH $bandsCte

@@ -57,6 +57,20 @@ object Merge {
       batch: DataFrame, partitionCol: String): Seq[Any] =
     batch.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
 
+  /** Null-safe membership for the touched-partition filter: a plain
+    * `isin` evaluates to NULL (= dropped) for null-partition rows, so a
+    * batch touching the null partition would silently exclude its
+    * stored rows from the rewrite — under delete() that turns into
+    * destroying the whole __HIVE_DEFAULT_PARTITION__ directory instead
+    * of removing one key. */
+  private def partitionIn(partitionCol: String, parts: Seq[Any]): Column = {
+    val nonNull = parts.filterNot(_ == null)
+    val base =
+      if (nonNull.isEmpty) lit(false)
+      else col(partitionCol).isin(nonNull: _*)
+    if (parts.exists(_ == null)) base || col(partitionCol).isNull else base
+  }
+
   private def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -83,13 +97,12 @@ object Merge {
     * so the read-back schema is bit-identical — hive-layout read-back
     * would re-infer the partition column's type.
     *
-    * `emptiedPartitions`: touched partitions with no surviving rows.
     * Dynamic overwrite only rewrites partitions PRESENT in the output,
     * so a delete that empties a whole partition must drop its directory
-    * explicitly. */
-  /** `dropEmptied`: only delete() can leave a touched partition with no
-    * survivors (a batch-wins upsert always keeps at least the batch's
-    * rows), so the upsert path skips the extra staged scan + collect. */
+    * explicitly — `dropEmptied` enables that pass. Only delete() can
+    * leave a touched partition with no survivors (a batch-wins upsert
+    * always keeps at least the batch's rows), so the upsert path skips
+    * the extra staged scan + collect. */
   private def commitMerged(
       spark: SparkSession,
       merged: DataFrame,
@@ -176,7 +189,7 @@ object Merge {
         s"batch adds ${extra.mkString(",")} " +
         "(a versioned table must be written via upsertVersioned)")
     val existing = stored
-      .filter(col(partitionCol).isin(parts: _*))
+      .filter(partitionIn(partitionCol, parts))
       .select(deduped.columns.toIndexedSeq.map(col): _*) // column order alignment
     // Batch wins over stored for the same key (Hudi upsert semantics:
     // incoming overwrites regardless of precombine comparison vs stored).
@@ -203,14 +216,18 @@ object Merge {
     val parts = touchedPartitions(keys, partitionCol)
     if (parts.isEmpty) return
     val existing = spark.read.parquet(path)
-      .filter(col(partitionCol).isin(parts: _*))
+      .filter(partitionIn(partitionCol, parts))
     // key scope includes the partition path (Hudi ComplexKeyGenerator
     // semantics): a delete key only removes rows in ITS partition, never
     // a same-keyed row in another touched partition
     val delKeys = keyCols :+ partitionCol
-    val remaining = existing.join(
-      broadcast(keys.select(delKeys.map(col): _*).distinct()),
-      delKeys, "left_anti")
+    val delDistinct = keys.select(delKeys.map(col): _*).distinct()
+    // null-safe equality: a delete key in the null partition (or a null
+    // key component) must still match its stored row — plain equi-join
+    // would never match NULL = NULL and silently keep the row
+    val cond = delKeys.map(c => existing(c) <=> delDistinct(c))
+      .reduce(_ && _)
+    val remaining = existing.join(broadcast(delDistinct), cond, "left_anti")
     commitMerged(spark, remaining, path, partitionCol, parts,
       dropEmptied = true)
   }

@@ -163,6 +163,33 @@ class MergeSpec extends SparkSpec {
     assert(readTable(path) === Seq(("T1", "c1", "ADAGBP", 2.0)))
   }
 
+  test("null partition values: upsert keeps stored rows, delete removes one key") {
+    val path = tmpDir("nullpart")
+    val withNull = Seq(
+      ("T1", "c1", null.asInstanceOf[String], 1.0),
+      ("T2", "c2", null.asInstanceOf[String], 2.0),
+      ("T3", "c3", "BTCUSD", 3.0)
+    ).toDF("transaction_id", "close_time", "pair", "price")
+    Merge.upsert(spark, withNull, path, keyCols, "price", "pair")
+    // a second upsert touching the null partition must NOT lose T2
+    // (isin would silently exclude null-partition stored rows)
+    Merge.upsert(spark, Seq(("T1", "c1", null.asInstanceOf[String], 9.0))
+      .toDF("transaction_id", "close_time", "pair", "price"),
+      path, keyCols, "price", "pair")
+    val afterUpsert = spark.read.parquet(path)
+      .select("transaction_id", "price")
+      .as[(String, Double)].collect().toSet
+    assert(afterUpsert === Set(("T1", 9.0), ("T2", 2.0), ("T3", 3.0)))
+    // deleting one null-partition key keeps the other
+    Merge.delete(spark, Seq(("T1", "c1", null.asInstanceOf[String], 0.0))
+      .toDF("transaction_id", "close_time", "pair", "price"),
+      path, keyCols, "pair")
+    val afterDelete = spark.read.parquet(path)
+      .select("transaction_id").as[String].collect().toSet
+    assert(afterDelete === Set("T2", "T3"))
+    assert(new java.io.File(s"$path/pair=__HIVE_DEFAULT_PARTITION__").exists())
+  }
+
   test("emptied-partition drop handles hive-escaped partition values") {
     val path = tmpDir("escpart")
     // ':' is hive-escaped to %3A in the partition dir name
