@@ -253,10 +253,27 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Q20 — as-of join (the operator Spark lacks natively): each
+    * purchase enriched with the user's latest prior-or-same-time view —
+    * one key shuffle via [[AsofJoin.asofJoin]], oracle = DuckDB's
+    * native ASOF LEFT JOIN. */
+  val asofEnrich: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    AsofJoin.asofJoin(purchases, views, Seq("user_id"), "ts")
+      .withColumnRenamed("ts", "purchase_ts")
+      .withColumnRenamed("value", "purchase_value")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q16_cube" -> cubeAgg,
     "q17_percentiles" -> percentiles,
     "q17b_approx_percentiles" -> approxPercentiles,
+    "q20_asof_join" -> asofEnrich,
     "q01_filter_project" -> filterProject,
     "q02_cast_datefns" -> castDateFns,
     "q03_agg_pricing" -> aggPricing,
@@ -276,6 +293,17 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q20_asof_join" ->
+      """WITH t AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |q AS (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'view')
+        |SELECT t.event_id, t.user_id, t.ts AS purchase_ts,
+        |       t.value AS purchase_value,
+        |       q.ts AS asof_ts, q.value AS asof_value
+        |FROM t ASOF LEFT JOIN q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts
+        |ORDER BY t.event_id""".stripMargin,
     "q16_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
