@@ -269,11 +269,33 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q21 — range (interval) join, composed as a RANGE window: for each
+    * purchase, how many views the same user made in the preceding hour
+    * (inclusive of the same instant). The naive interval join is
+    * |purchases| × |views in range| pairs; as a range window over the
+    * unioned stream it's ONE key shuffle + one in-partition sort —
+    * linear per key, the same shape at any history length. */
+  val rangeViews: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "view").cast("int").as("_isv"))
+      .withColumn("_t", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("_t")
+      .rangeBetween(-3600L * 1000 * 1000, 0) // 1 hour in µs
+    ev.withColumn("views_1h", sum(col("_isv")).over(w))
+      .filter(col("_isv") === 0)
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("views_1h"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q16_cube" -> cubeAgg,
     "q17_percentiles" -> percentiles,
     "q17b_approx_percentiles" -> approxPercentiles,
     "q20_asof_join" -> asofEnrich,
+    "q21_range_join" -> rangeViews,
     "q01_filter_project" -> filterProject,
     "q02_cast_datefns" -> castDateFns,
     "q03_agg_pricing" -> aggPricing,
@@ -293,6 +315,17 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q21_range_join" ->
+      """WITH u AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+        |             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isv
+        |           FROM events WHERE event_type IN ('view', 'purchase'))
+        |SELECT event_id, user_id, purchase_ts, views_1h FROM (
+        |  SELECT event_id, user_id, ts AS purchase_ts, isv,
+        |    CAST(SUM(isv) OVER (PARTITION BY user_id ORDER BY t
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS views_1h
+        |  FROM u)
+        |WHERE isv = 0 ORDER BY event_id""".stripMargin,
     "q20_asof_join" ->
       """WITH t AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'purchase'),
