@@ -191,6 +191,42 @@ object TextAnalysis {
         expr(s"(_cum - n_tokens) div $budget").as("bin"))
   }
 
+  /** Count–Min sketch of corpus token frequencies: a depth × width
+    * counter table where row d counts tokens by an md5-derived bucket —
+    * the mergeable fixed-size structure for heavy-hitter / frequency
+    * estimation when the exact vocabulary doesn't fit anywhere
+    * (estimate(token) = min over rows of its bucket counter;
+    * overestimates only). The sketch is DETERMINISTIC (md5 buckets, no
+    * RNG), so the full counter table is oracle-checkable bit-for-bit,
+    * and partial sketches merge by cell-wise addition — precisely one
+    * groupBy shuffle on (row, bucket), a fixed depth×width cells
+    * regardless of corpus size. */
+  def countMinSketch(docs: DataFrame, idCol: String, textCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val tok = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .select(col("tok"),
+        explode(array((0 until depth).map(lit): _*)).as("d"))
+    tok
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("d"), lit(":"), col("tok"))), 1, 8),
+          16, 10).cast("long") % width)
+      .groupBy("d", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimate for one token (driver-side helper over a
+    * collected sketch): min over depth rows of the token's bucket. */
+  def cmsEstimate(sketch: Map[(Int, Long), Long], token: String,
+      depth: Int = 4, width: Int = 1024): Long =
+    (0 until depth).map { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:$token".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex, 16) % width
+      sketch.getOrElse((d, bucket), 0L)
+    }.min
+
   /** Corpus vocabulary with document frequency and TF-IDF-ready stats:
     * one explode + one groupBy on the term. */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String)
@@ -262,6 +298,9 @@ object TextAnalysis {
       packSequences(Tables.documents(s, dir), "doc_id", "text",
         budget = 512, strataCol = "lang")
         .orderBy("lang", "doc_id")),
+    "t10_countmin" -> ((s, dir) =>
+      countMinSketch(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("d", "bucket")),
   )
 
   /** DuckDB equivalents. Note DuckDB regexp_replace needs the 'g' flag
@@ -327,6 +366,13 @@ object TextAnalysis {
          |SELECT term, COUNT(*) AS tf_corpus, COUNT(DISTINCT doc_id) AS df
          |FROM tok GROUP BY term
          |ORDER BY tf_corpus DESC, term LIMIT 100""".stripMargin,
+    "t10_countmin" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |x AS (SELECT tok, d FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d))
+         |SELECT CAST(d AS INT) AS d,
+         |  CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 8)) AS BIGINT) % 1024 AS bucket,
+         |  COUNT(*) AS cnt
+         |FROM x GROUP BY 1, 2 ORDER BY d, bucket""".stripMargin,
     "t09_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |           FROM documents),

@@ -109,6 +109,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Double]("dup_fraction") === 0.0)
   }
 
+  test("countMinSketch: estimates never undercount, exact for dominant token") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta gamma"),
+      (2L, "alpha beta delta delta"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sketch = TextAnalysis.countMinSketch(docs, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = Map("alpha" -> 4L, "beta" -> 2L, "delta" -> 2L,
+      "gamma" -> 1L, "zeta" -> 1L)
+    exact.foreach { case (tok, n) =>
+      val est = TextAnalysis.cmsEstimate(sketch, tok)
+      assert(est >= n, s"$tok: est $est < exact $n")
+      // 13 tokens into 4x1024 cells: collisions are overwhelmingly
+      // unlikely, so estimates are exact on this fixture
+      assert(est === n, s"$tok: est $est != exact $n")
+    }
+    // absent token estimates 0 (all its buckets empty at this density)
+    assert(TextAnalysis.cmsEstimate(sketch, "nonexistenttoken") === 0L)
+  }
+
   test("packSequences: contiguous fill per stratum, budget respected at starts") {
     // 5-token docs, budget 12: starts at 0,5,10,15,20 → bins 0,0,0,1,1
     val docs = (1L to 5L).map(i => (i, "a b c d e", "en"))
