@@ -85,10 +85,12 @@ object LoadTransactions {
         Merge.upsert(spark, df, args.tablePath, keyCols, precombine,
           partitionCol)
       // Hudi insert/bulk_insert append without key reconciliation
-      // (combine-before-insert defaults off); bulk additionally skips
-      // small-file sizing, which has no parquet-append analogue here.
-      case "insert" | "bulk_insert" =>
+      // (combine-before-insert defaults off); bulk additionally applies
+      // target-file-size layout (Hudi's small-file sizing analogue).
+      case "insert" =>
         Merge.insert(df, args.tablePath, partitionCol)
+      case "bulk_insert" =>
+        Merge.bulkInsert(df, args.tablePath, partitionCol, keyCols)
       case "delete" =>
         Merge.delete(spark, df, args.tablePath, keyCols, partitionCol)
     }

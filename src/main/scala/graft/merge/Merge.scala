@@ -1,8 +1,11 @@
 package graft.merge
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Key-based table maintenance over a hive-partitioned parquet table —
   * the engine-native replacement for the reference's Hudi COPY_ON_WRITE
@@ -18,17 +21,36 @@ import org.apache.spark.sql.functions._
   *    precombine and always lets the batch overwrite the table.
   *  - delete (O3): stored rows whose key appears in the batch are removed.
   *  - composite key (O5): `ComplexKeyGenerator` two-field record key.
+  *  - schema evolution: a batch may CARRY NEW COLUMNS (Hudi's additive
+  *    evolution; the reference's own `additional_columns` mechanism,
+  *    `load_transactions.py:96-107`, makes "a later batch injects a new
+  *    literal column" a normal workflow) — stored rows read back
+  *    null-filled. A batch that DROPS stored columns still fails loudly.
   *
-  * Scale design (100 TB): a COW upsert must never rewrite the whole
-  * table. We collect the batch's distinct partition values (low
-  * cardinality — trading pairs) to the driver, read ONLY those partitions
-  * back (partition-pruned scan), reconcile by key, and write with
-  * `partitionOverwriteMode=dynamic` so untouched partitions are never
-  * re-written. The reconcile is one shuffle on the key columns; the
-  * incoming batch is typically tiny vs the table, so AQE will broadcast
-  * it where profitable.
+  * Scale design (100 TB): a COW upsert must rewrite as little as
+  * possible. Write amplification is bounded at FILE-GROUP granularity,
+  * exactly like Hudi COW:
+  *  1. collect the batch's distinct partition values (low cardinality —
+  *     trading pairs) → the table read is a partition-pruned scan;
+  *  2. a column-pruned key scan over only those partitions joins against
+  *     the (broadcast) batch keys to find the parquet FILES that contain
+  *     matched keys;
+  *  3. only those files are read back and reconciled; every other file —
+  *     including files in the SAME partition whose key range the batch
+  *     missed — is left physically untouched (a hot partition no longer
+  *     costs a partition-sized rewrite per row);
+  *  4. the merged replacement rows are staged durably, the superseded
+  *     files dropped, and the replacement appended.
+  * The reconcile itself is broadcast-anti-join shaped (the batch is tiny
+  * vs the table), so the only table-sized cost is the key scan of the
+  * touched partitions — column-pruned to the key columns, which parquet
+  * serves from dictionary/stats pages.
   */
 object Merge {
+
+  /** What a merge wrote: deduped batch row count + touched partition
+    * values (the commit-metadata payload for [[upsertVersioned]]). */
+  final case class MergeStats(nRows: Long, partitions: Seq[Any])
 
   /** O4: within-batch dedup keeping the max-precombine row per key.
     * `tieBreak` makes the choice total when precombine itself ties (Hudi
@@ -71,10 +93,19 @@ object Merge {
     if (parts.exists(_ == null)) base || col(partitionCol).isNull else base
   }
 
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** "Exists" means HAS DATA: metadata entries (`_graft_commits/`,
+    * `_graft_schema.json`, `_SUCCESS`) don't count — an inflight
+    * timeline marker may be created before the first batch lands. */
   private def tableExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    val p = new Path(path)
+    val fs = fsFor(spark, path)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   private def writeDynamic(df: DataFrame, path: String,
@@ -85,45 +116,128 @@ object Merge {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
-  /** Durable two-phase commit of a merged result whose lineage READS
-    * `path`: materialize to a staging dir first, then dynamic-overwrite
-    * the table from the staged copy. Without staging, the overwrite job
-    * consumes the very files it replaces — a failure mid-commit could
-    * lose stored partitions (the durability Hudi's timeline gives COW
-    * tables). On success the staging dir is removed; on failure it is
-    * LEFT IN PLACE as the recovery copy and the error names it.
+  // ---- table schema metadata ----
+  // Spark's file listing skips paths starting with '_' or '.', so both
+  // metadata locations below are invisible to plain `read.parquet(path)`.
+
+  private def schemaMetaPath(path: String) = new Path(path, "_graft_schema.json")
+
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try src.mkString finally src.close()
+    } finally in.close()
+  }
+
+  private def writeSmallFile(fs: FileSystem, p: Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Authoritative table schema, recorded at every write. Makes the
+    * read side O(1) after additive evolution — without it a mixed-schema
+    * table needs a footer-merge over every file (`mergeSchema`), which
+    * at 100 TB is a full listing + footer job per read. */
+  private def readSchemaMeta(spark: SparkSession, path: String)
+      : Option[StructType] = {
+    val fs = fsFor(spark, path)
+    val p = schemaMetaPath(path)
+    if (!fs.exists(p)) None
+    else Some(DataType.fromJson(readSmallFile(fs, p)).asInstanceOf[StructType])
+  }
+
+  /** Additive union of the recorded schema and this write's schema (a
+    * field's FIRST recorded type wins — evolution adds columns, never
+    * retypes them). */
+  private def updateSchemaMeta(spark: SparkSession, path: String,
+      schema: StructType): Unit = {
+    val merged = readSchemaMeta(spark, path) match {
+      case None => schema
+      case Some(old) =>
+        StructType(old.fields ++
+          schema.fields.filterNot(f => old.fieldNames.contains(f.name)))
+    }
+    writeSmallFile(fsFor(spark, path), schemaMetaPath(path), merged.json)
+  }
+
+  /** Read a merge-managed table. Prefers the recorded schema (exact
+    * types + null-fill for files written before an additive evolution);
+    * falls back to a parquet footer-merge for tables written by older
+    * code. Plain `spark.read.parquet(path)` stays correct for tables
+    * that never evolved — this is the general entry point. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    readSchemaMeta(spark, path) match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+    }
+
+  /** Project `df` onto `target` columns: cast where present, null-fill
+    * where absent (the read-side half of additive evolution). */
+  /** `input_file_name()` yields the URL-ENCODED path (a literal '%' in
+    * a hive-escaped dir name arrives as "%25") and neither Path(String)
+    * nor DataFrameReader decodes it — decode exactly once via the URI
+    * constructor so both the FS delete and the file-list read resolve
+    * the raw on-disk name. */
+  private def decodeFileName(urlEncoded: String): String =
+    new Path(new java.net.URI(urlEncoded)).toString
+
+  private def alignTo(df: DataFrame, target: Seq[(String, DataType)])
+      : DataFrame =
+    df.select(target.map { case (n, t) =>
+      if (df.columns.contains(n)) col(n).cast(t).as(n)
+      else lit(null).cast(t).as(n)
+    }: _*)
+
+  /** Durable commit of a file-group merge: stage the replacement rows,
+    * drop the superseded files, append the staged rows back. The staging
+    * materialization is what makes this safe — the replacement exists
+    * durably BEFORE any stored file is removed, so a failure mid-commit
+    * leaves missing-but-recoverable data with the error naming the
+    * recovery copy (never silently duplicated keys, which deleting
+    * after appending would risk). On success the staging dir is removed.
     *
     * Staging is written unpartitioned (partition col as a plain column)
     * so the read-back schema is bit-identical — hive-layout read-back
     * would re-infer the partition column's type.
     *
-    * Dynamic overwrite only rewrites partitions PRESENT in the output,
-    * so a delete that empties a whole partition must drop its directory
-    * explicitly — `dropEmptied` enables that pass. Only delete() can
-    * leave a touched partition with no survivors (a batch-wins upsert
-    * always keeps at least the batch's rows), so the upsert path skips
-    * the extra staged scan + collect. */
-  private def commitMerged(
+    * Only delete() can leave a touched partition with no files (a
+    * batch-wins upsert always appends the batch's rows back), so the
+    * emptied-directory sweep runs only when `dropEmptied` is set. */
+  private def commitFiles(
       spark: SparkSession,
       merged: DataFrame,
       path: String,
       partitionCol: String,
+      supersededFiles: Seq[String],
       touched: Seq[Any],
       dropEmptied: Boolean): Unit = {
+    if (supersededFiles.isEmpty && !dropEmptied) {
+      // pure insert: nothing is being replaced, so a plain append is
+      // already durable — skip the staging double-write (the common
+      // shape for streaming micro-batches carrying only new keys)
+      merged.write.partitionBy(partitionCol).mode(SaveMode.Append)
+        .parquet(path)
+      updateSchemaMeta(spark, path, merged.schema)
+      return
+    }
     val staging = path.stripSuffix("/") + s"_staging_${System.nanoTime()}"
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = fsFor(spark, path)
     try {
       // explicit schema: a merge that leaves NO survivors writes an
       // empty staging dir, where schema inference would throw — the
       // schema is already known from the merge plan
       val staged = spark.read.schema(merged.schema).parquet(staging)
-      writeDynamic(staged, path, partitionCol)
+      supersededFiles.foreach { f =>
+        val p = new Path(f)
+        if (fs.exists(p) && !fs.delete(p, false))
+          throw new java.io.IOException(s"failed to delete superseded file $p")
+      }
+      staged.write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(path)
       if (dropEmptied) {
-        val remainingParts = staged.select(partitionCol).distinct()
-          .collect().map(_.get(0)).toSet
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        touched.filterNot(remainingParts).foreach { v =>
+        touched.foreach { v =>
           // hive path escaping (and the null-partition dir name) must
           // match what the partitioned write produced, or the "deleted"
           // rows silently survive; a false delete on an existing dir is
@@ -131,81 +245,141 @@ object Merge {
           val dirName = if (v == null) "__HIVE_DEFAULT_PARTITION__"
             else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .escapePathName(v.toString)
-          val p = new org.apache.hadoop.fs.Path(
-            s"$path/$partitionCol=$dirName")
-          if (fs.exists(p) && !fs.delete(p, true))
+          val p = new Path(s"$path/$partitionCol=$dirName")
+          val emptied = fs.exists(p) && fs.listStatus(p).forall { st =>
+            val n = st.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          if (emptied && !fs.delete(p, true))
             throw new java.io.IOException(
               s"failed to drop emptied partition dir $p")
         }
       }
+      updateSchemaMeta(spark, path, merged.schema)
     } catch {
       case e: Throwable =>
         throw new RuntimeException(
           s"merge commit failed; staged merge result kept at $staging", e)
     }
-    val fs = new org.apache.hadoop.fs.Path(staging)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // a failed cleanup must be VISIBLE: each leaked staging dir is a
+    // table-sized sibling that accumulates silently otherwise
+    if (!fs.delete(new Path(staging), true))
+      System.err.println(
+        s"[graft.merge] WARN: failed to remove staging dir $staging " +
+          "after a successful commit; delete it manually")
   }
 
-  /** O2: plain append (insert / bulk_insert — bulk skips the dedup). */
+  /** O2: plain append (insert — combine-before-insert defaults off in
+    * the reference, so no key reconciliation). */
   def insert(batch: DataFrame, path: String, partitionCol: String,
       keyCols: Seq[String] = Nil, precombine: String = null,
       dedup: Boolean = false): Unit = {
     val b = if (dedup) precombineDedup(batch, keyCols, precombine) else batch
     b.write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(path)
+    updateSchemaMeta(batch.sparkSession, path, batch.schema)
   }
 
-  /** O1: key-reconciled upsert, rewriting only touched partitions.
-    * Record identity is (key, partition) — Hudi's partition-scoped
-    * index semantics: the same key in two partitions is two records. */
+  /** O2 bulk path: insert with TARGET-FILE-SIZE layout — the honest
+    * parquet analogue of Hudi bulk_insert's small-file sizing. The batch
+    * is range-repartitioned on (partition, key) so output tasks hold
+    * contiguous key ranges: file count ≈ plan-size / targetFileBytes
+    * regardless of row count, each hive partition's rows land in few
+    * sorted files (clustered keys = effective parquet min/max pruning
+    * for the later upserts' key scans), and no task writes one file per
+    * partition value the way round-robin repartition would. */
+  def bulkInsert(batch: DataFrame, path: String, partitionCol: String,
+      keyCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val planBytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = (planBytes / targetFileBytes).toLong.toInt + 1
+    val layout = (col(partitionCol) +: keyCols.map(col)).toIndexedSeq
+    batch.repartitionByRange(nFiles, layout: _*)
+      .write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(path)
+    updateSchemaMeta(batch.sparkSession, path, batch.schema)
+  }
+
+  /** O1: key-reconciled upsert at file-group granularity (see the
+    * object scaladoc for the write-amplification argument). Record
+    * identity is (key, partition) — Hudi's partition-scoped index
+    * semantics: the same key in two partitions is two records.
+    * Returns the deduped-batch stats for commit bookkeeping. */
   def upsert(
       spark: SparkSession,
       batch: DataFrame,
       path: String,
       keyCols: Seq[String],
       precombine: String,
-      partitionCol: String): Unit = {
+      partitionCol: String): MergeStats = {
     val scopedKeys = keyCols :+ partitionCol
+    // persisted: the deduped batch feeds the partition collect, the key
+    // join build side, the merged union AND the stats count — one
+    // materialization instead of four replays of the batch lineage
     val deduped = precombineDedup(batch, scopedKeys, precombine)
-    if (!tableExists(spark, path)) {
-      // Initial write: same dynamic-overwrite path (an existing-but-empty
-      // dir — e.g. a just-created table location — must not error).
-      writeDynamic(deduped, path, partitionCol)
-      return
-    }
-    val parts = touchedPartitions(deduped, partitionCol)
-    if (parts.isEmpty) return
-    val stored = spark.read.parquet(path)
-    // schema-compatibility guard: silently selecting the batch's columns
-    // out of a wider stored schema would STRIP the extra columns (e.g.
-    // _commit_ts on a table built by upsertVersioned) from every
-    // rewritten partition — fail loudly instead
-    val missing = stored.columns.toSet -- deduped.columns.toSet
-    val extra = deduped.columns.toSet -- stored.columns.toSet
-    require(missing.isEmpty && extra.isEmpty,
-      s"upsert batch schema mismatch vs stored table at $path: " +
-        s"batch lacks ${missing.mkString(",")}; " +
-        s"batch adds ${extra.mkString(",")} " +
-        "(a versioned table must be written via upsertVersioned)")
-    val existing = stored
-      .filter(partitionIn(partitionCol, parts))
-      .select(deduped.columns.toIndexedSeq.map(col): _*) // column order alignment
-    // Batch wins over stored for the same key (Hudi upsert semantics:
-    // incoming overwrites regardless of precombine comparison vs stored).
-    val w = Window.partitionBy(scopedKeys.map(col): _*)
-      .orderBy(col("_is_new").desc)
-    val merged = deduped.withColumn("_is_new", lit(1))
-      .unionByName(existing.withColumn("_is_new", lit(0)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_is_new", "_rn")
-    commitMerged(spark, merged, path, partitionCol, parts,
-      dropEmptied = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!tableExists(spark, path)) {
+        // Initial write: dynamic overwrite (an existing-but-empty dir —
+        // e.g. a just-created table location — must not error).
+        writeDynamic(deduped, path, partitionCol)
+        updateSchemaMeta(spark, path, deduped.schema)
+        return MergeStats(deduped.count(),
+          touchedPartitions(deduped, partitionCol))
+      }
+      val parts = touchedPartitions(deduped, partitionCol)
+      if (parts.isEmpty) return MergeStats(0L, Nil)
+      val stored = readTable(spark, path)
+      // a batch may ADD columns (additive evolution) but never DROP
+      // them: silently selecting the batch's columns out of a wider
+      // stored schema would STRIP the extra columns (e.g. _commit_ts on
+      // a table built by upsertVersioned) from every rewritten file
+      val missing = stored.columns.toSet -- deduped.columns.toSet
+      require(missing.isEmpty,
+        s"upsert batch schema mismatch vs stored table at $path: " +
+          s"batch lacks ${missing.mkString(",")} " +
+          "(a versioned table must be written via upsertVersioned)")
+      val extra = deduped.columns.filterNot(stored.columns.contains)
+      val target: Seq[(String, DataType)] =
+        stored.schema.fields.map(f => f.name -> f.dataType).toIndexedSeq ++
+          deduped.schema.fields.filter(f => extra.contains(f.name))
+            .map(f => f.name -> f.dataType)
+      // file-group pruning: column-pruned key scan of the touched
+      // partitions, semi-joined (broadcast) against the batch keys →
+      // the files that actually contain matched keys. Null-safe <=>:
+      // a null key component / null partition must still match.
+      val batchKeys = deduped.select(scopedKeys.map(col): _*).distinct()
+      val keyScan = stored.filter(partitionIn(partitionCol, parts))
+        .select(scopedKeys.map(col) :+ input_file_name().as("_file"): _*)
+      val matchCond = scopedKeys.map(c => keyScan(c) <=> batchKeys(c))
+        .reduce(_ && _)
+      val matchedFiles = keyScan.join(broadcast(batchKeys), matchCond, "left_semi")
+        .select("_file").distinct().collect()
+        .map(r => decodeFileName(r.getString(0))).toIndexedSeq
+      val newRows = alignTo(deduped, target)
+      val merged =
+        if (matchedFiles.isEmpty) newRows // pure insert: nothing to rewrite
+        else {
+          // read ONLY the matched files; explicit schema (no footer
+          // reads), basePath recovers the partition column from paths
+          val matchedRows = spark.read.schema(stored.schema)
+            .option("basePath", path).parquet(matchedFiles: _*)
+          // batch wins over stored for the same key (Hudi upsert
+          // semantics: incoming overwrites regardless of precombine
+          // comparison vs stored)
+          val survCond = scopedKeys.map(c => matchedRows(c) <=> batchKeys(c))
+            .reduce(_ && _)
+          val survivors = matchedRows.join(broadcast(batchKeys), survCond,
+            "left_anti")
+          newRows.unionByName(alignTo(survivors, target))
+        }
+      commitFiles(spark, merged, path, partitionCol, matchedFiles, parts,
+        dropEmptied = false)
+      MergeStats(deduped.count(), parts)
+    } finally deduped.unpersist()
   }
 
-  /** O3: delete by key — anti-join rewrite of only the touched
-    * partitions. */
+  /** O3: delete by key — file-group rewrite of only the parquet files
+    * that contain a matched key; emptied partition dirs are dropped. */
   def delete(
       spark: SparkSession,
       keys: DataFrame,
@@ -213,23 +387,33 @@ object Merge {
       keyCols: Seq[String],
       partitionCol: String): Unit = {
     if (!tableExists(spark, path)) return
-    val parts = touchedPartitions(keys, partitionCol)
-    if (parts.isEmpty) return
-    val existing = spark.read.parquet(path)
-      .filter(partitionIn(partitionCol, parts))
     // key scope includes the partition path (Hudi ComplexKeyGenerator
     // semantics): a delete key only removes rows in ITS partition, never
     // a same-keyed row in another touched partition
     val delKeys = keyCols :+ partitionCol
     val delDistinct = keys.select(delKeys.map(col): _*).distinct()
-    // null-safe equality: a delete key in the null partition (or a null
-    // key component) must still match its stored row — plain equi-join
-    // would never match NULL = NULL and silently keep the row
-    val cond = delKeys.map(c => existing(c) <=> delDistinct(c))
-      .reduce(_ && _)
-    val remaining = existing.join(broadcast(delDistinct), cond, "left_anti")
-    commitMerged(spark, remaining, path, partitionCol, parts,
-      dropEmptied = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = touchedPartitions(delDistinct, partitionCol)
+      if (parts.isEmpty) return
+      val stored = readTable(spark, path)
+      val keyScan = stored.filter(partitionIn(partitionCol, parts))
+        .select(delKeys.map(col) :+ input_file_name().as("_file"): _*)
+      val matchCond = delKeys.map(c => keyScan(c) <=> delDistinct(c))
+        .reduce(_ && _)
+      val matchedFiles = keyScan.join(broadcast(delDistinct), matchCond, "left_semi")
+        .select("_file").distinct().collect()
+        .map(r => decodeFileName(r.getString(0))).toIndexedSeq
+      if (matchedFiles.isEmpty) return
+      val matchedRows = spark.read.schema(stored.schema)
+        .option("basePath", path).parquet(matchedFiles: _*)
+      val survCond = delKeys.map(c => matchedRows(c) <=> delDistinct(c))
+        .reduce(_ && _)
+      val remaining = matchedRows.join(broadcast(delDistinct), survCond,
+        "left_anti")
+      commitFiles(spark, remaining, path, partitionCol, matchedFiles, parts,
+        dropEmptied = true)
+    } finally delDistinct.unpersist()
   }
 
   // ---- commit timeline (incremental pull) ----
@@ -241,19 +425,84 @@ object Merge {
     * `glue/interactive.sh:21-23`). */
   val commitCol = "_commit_ts"
 
-  /** Next monotonic commit id: max stored stamp + 1. One driver-side
-    * aggregate over the stamp column — parquet footer min/max stats
-    * keep this a metadata-ish scan, and the result is a single long. */
-  private def nextCommit(spark: SparkSession, path: String): Long =
-    if (!tableExists(spark, path)) 1L
-    else spark.read.parquet(path)
-      .agg(coalesce(max(col(commitCol)), lit(0L))).head().getLong(0) + 1L
+  private def commitsDir(path: String) = new Path(path, "_graft_commits")
+
+  /** Every id the timeline has ever ISSUED — completed commits
+    * (`<id>.json`) plus inflight markers (`<id>.inflight`) left by
+    * crashed runs. Both count: an id whose data may have landed must
+    * never be reissued. */
+  private def listIssuedIds(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsFor(spark, path)
+    val p = commitsDir(path)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName).toSeq.collect {
+      case n if n.endsWith(".json") => n.stripSuffix(".json").toLong
+      case n if n.endsWith(".inflight") => n.stripSuffix(".inflight").toLong
+    }
+  }
+
+  /** Next monotonic commit id. The timeline metadata (one tiny file per
+    * issued commit under `_graft_commits/`) is the source of truth: it
+    * never regresses, even when a delete() removes every surviving row
+    * of the latest commit — a data-only max would then REUSE that
+    * commit id and an incremental consumer tracking `readSince(last)`
+    * would silently miss the reused commit's rows (Hudi's timeline
+    * never regresses either). Because an id is marked `.inflight`
+    * BEFORE its data lands (Hudi's requested→inflight→commit shape), a
+    * crash mid-commit can't cause reuse — and a metadata-managed table
+    * never needs a data scan here, which at 100 TB would otherwise be a
+    * full stamp-column read per commit. The scan remains only as the
+    * one-time floor for tables stamped before the timeline existed. */
+  private def nextCommit(spark: SparkSession, path: String): Long = {
+    val issued = listIssuedIds(spark, path)
+    if (issued.nonEmpty) return issued.max + 1L
+    val dataMax =
+      if (!tableExists(spark, path)) 0L
+      else {
+        val t = readTable(spark, path)
+        if (!t.columns.contains(commitCol)) 0L
+        else t.agg(coalesce(max(col(commitCol)), lit(0L))).head().getLong(0)
+      }
+    dataMax + 1L
+  }
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def inflightMarker(path: String, cts: Long) =
+    new Path(commitsDir(path), f"$cts%020d.inflight")
+
+  private def markInflight(spark: SparkSession, path: String, cts: Long)
+      : Unit = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(commitsDir(path))
+    writeSmallFile(fs, inflightMarker(path, cts), "")
+  }
+
+  private def recordCommit(spark: SparkSession, path: String, cts: Long,
+      stats: MergeStats): Unit = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(commitsDir(path))
+    val parts = stats.partitions
+      .map(v => if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString)
+      .sorted.mkString(",")
+    val body = s"""{"commit_ts":$cts,"n_rows":${stats.nRows},""" +
+      s""""partitions":${jsonQuote(parts)}}"""
+    writeSmallFile(fs, new Path(commitsDir(path), f"$cts%020d.json"), body)
+    fs.delete(inflightMarker(path, cts), false)
+  }
 
   /** O1 with a commit timeline: the batch is stamped with a fresh
     * monotonic commit id before the upsert, so surviving stored rows
     * keep the stamp of the commit that last wrote THEM (exactly Hudi's
     * per-record `_hoodie_commit_time` semantics under
-    * OverwriteWithLatestAvroPayload). Returns the commit id. */
+    * OverwriteWithLatestAvroPayload). The commit is recorded in the
+    * timeline metadata only after the data commit succeeds — the
+    * timeline lists durable commits. Returns the commit id.
+    *
+    * A first versioned upsert onto a table built by plain upsert is an
+    * additive evolution: pre-existing rows carry a NULL stamp ("before
+    * the timeline") and never match an incremental pull. */
   def upsertVersioned(
       spark: SparkSession,
       batch: DataFrame,
@@ -262,9 +511,27 @@ object Merge {
       precombine: String,
       partitionCol: String): Long = {
     val cts = nextCommit(spark, path)
-    upsert(spark, batch.withColumn(commitCol, lit(cts)), path,
+    markInflight(spark, path, cts)
+    val stats = upsert(spark, batch.withColumn(commitCol, lit(cts)), path,
       keyCols, precombine, partitionCol)
+    recordCommit(spark, path, cts, stats)
     cts
+  }
+
+  /** The commit timeline as a DataFrame: one row per recorded commit —
+    * (commit_ts, n_rows written, comma-joined sorted partition list).
+    * Commit enumeration is what the reference's users get from Hudi's
+    * timeline via Athena (`glue/interactive.sh:21-23`), beyond plain
+    * "since X" pulls. Deletes are not timeline events in this engine
+    * (they version no rows); their effect is visible as rows vanishing
+    * from every subsequent read. */
+  def commits(spark: SparkSession, path: String): DataFrame = {
+    val schema = "commit_ts LONG, n_rows LONG, partitions STRING"
+    val fs = fsFor(spark, path)
+    if (!fs.exists(commitsDir(path)))
+      spark.read.schema(schema).json(spark.emptyDataset(
+        org.apache.spark.sql.Encoders.STRING))
+    else spark.read.schema(schema).json(commitsDir(path).toString)
   }
 
   /** Incremental pull: rows last written by a commit AFTER `sinceTs`
@@ -272,7 +539,14 @@ object Merge {
     * appearing, as in Hudi's COW read-optimized view). Partition/stat
     * pruning applies: the stamp predicate is pushed to the scan. */
   def readSince(spark: SparkSession, path: String, sinceTs: Long): DataFrame =
-    spark.read.parquet(path).filter(col(commitCol) > sinceTs)
+    readTable(spark, path).filter(col(commitCol) > sinceTs)
+
+  /** Incremental pull between two commits: rows last written by a
+    * commit in (afterTs, untilTs]. */
+  def readBetween(spark: SparkSession, path: String, afterTs: Long,
+      untilTs: Long): DataFrame =
+    readTable(spark, path)
+      .filter(col(commitCol) > afterTs && col(commitCol) <= untilTs)
 
   // ---- query inventory ----
 
@@ -309,8 +583,22 @@ object Merge {
       // delete a subset of batch-0 keys (partition-scoped)
       delete(s, replayBatch(s, dir, 0).filter(col("pre") % 3 === 0)
         .select("okey", "part"), path, keyCols, "part")
-      s.read.parquet(path)
+      readTable(s, path)
         .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
+    // q18b: additive schema evolution end-to-end — batch 2 carries a
+    // column batch 1 never had; stored batch-1 survivors read back
+    // null-filled (the oracle recomputes the same NULL-filled union)
+    "q18b_schema_evolution" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q18b_").toString + "/table"
+      val keyCols = Seq("okey")
+      upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsert(s, replayBatch(s, dir, 1).withColumn("src", lit("b1")),
+        path, keyCols, "pre", "part")
+      readTable(s, path)
+        .select("okey", "part", "price", "pre", "src")
         .orderBy("part", "okey")
     }),
     // q19: the commit timeline end-to-end — two versioned upserts, then
@@ -330,6 +618,27 @@ object Merge {
         .select(col("okey"), col("part"), col("price"), col("pre"),
           col(commitCol).as("commit_ts"))
         .orderBy("part", "okey")
+    }),
+    // q22: timeline introspection + monotonicity under the nastiest
+    // sequence — a delete that removes EVERY row stamped with the
+    // latest commit. A data-derived next-commit would reuse id 2 and an
+    // incremental consumer would silently miss the reused commit; the
+    // metadata timeline must keep issuing 3. Output = the commits()
+    // enumeration itself, relationally recomputed by the oracle.
+    "q22_timeline" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q22_").toString + "/table"
+      val keyCols = Seq("okey")
+      val c1 = upsertVersioned(s, replayBatch(s, dir, 0), path,
+        keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      // drop every surviving commit-2 row, then commit again
+      delete(s, readSince(s, path, c1).select("okey", "part"),
+        path, keyCols, "part")
+      upsertVersioned(s, replayBatch(s, dir, 2), path,
+        keyCols, "pre", "part")
+      commits(s, path).orderBy("commit_ts")
     }))
 
   /** DuckDB replay of the same algebra: per-batch dedup by max
@@ -359,6 +668,28 @@ object Merge {
         |FROM t2 LEFT JOIN d ON t2.okey = d.okey AND t2.part = d.part
         |WHERE d.okey IS NULL
         |ORDER BY t2.part, t2.okey""".stripMargin,
+    // evolution: batch-2 rows carry src='b1'; batch-1 survivors are
+    // NULL-filled — exactly the read-back of a mixed-schema table
+    "q18b_schema_evolution" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1)
+        |SELECT okey, part, price, pre, src FROM (
+        |  SELECT okey, part, price, pre, 'b1' AS src FROM b2
+        |  UNION ALL
+        |  SELECT b1.okey, b1.part, b1.price, b1.pre,
+        |         CAST(NULL AS VARCHAR) AS src
+        |  FROM b1 LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |  WHERE b2.pre IS NULL)
+        |ORDER BY part, okey""".stripMargin,
     // what changed since commit 1 == exactly the deduped batch-2 rows
     // (batch 2 overwrites or inserts every key it carries; everything
     // else keeps commit 1's stamp and must NOT appear)
@@ -371,5 +702,23 @@ object Merge {
         |        ORDER BY pre DESC) AS rn
         |      FROM raw WHERE pre % 7 = 1)
         |WHERE rn = 1
-        |ORDER BY part, okey""".stripMargin)
+        |ORDER BY part, okey""".stripMargin,
+    // the timeline enumeration: per replay batch b ∈ {0,1,2} → commit
+    // b+1 with the DEDUPED row count and sorted distinct partitions;
+    // the mid-sequence delete records no commit and must not shift ids
+    "q22_timeline" ->
+      """WITH raw AS (SELECT o_orderkey % 7 AS b, o_orderkey % 500 AS okey,
+        |               o_orderstatus AS part, o_orderkey AS pre
+        |             FROM orders
+        |             WHERE o_orderkey % 7 IN (0, 1, 2)),
+        |d AS (SELECT b, COUNT(*) AS n_rows FROM (
+        |        SELECT b, okey, part, row_number() OVER (
+        |          PARTITION BY b, okey, part ORDER BY pre DESC) AS rn
+        |        FROM raw) WHERE rn = 1 GROUP BY b),
+        |p AS (SELECT b, string_agg(DISTINCT part, ',' ORDER BY part)
+        |        AS partitions
+        |      FROM raw GROUP BY b)
+        |SELECT CAST(d.b + 1 AS BIGINT) AS commit_ts, d.n_rows, p.partitions
+        |FROM d JOIN p ON d.b = p.b
+        |ORDER BY commit_ts""".stripMargin)
 }

@@ -229,4 +229,150 @@ class MergeSpec extends SparkSpec {
       .select(Merge.compositeKey(keyCols).as("k"))
     assert(df.as[String].head() === "T1:c1")
   }
+
+  private def parquetFiles(dir: String): Map[String, Long] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Map.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  private def fileOfKey(path: String, txid: String): String = {
+    val f = spark.read.parquet(path)
+      .select(input_file_name().as("f"), $"transaction_id")
+      .filter($"transaction_id" === txid)
+      .select("f").as[String].head()
+    f.substring(f.lastIndexOf('/') + 1)
+  }
+
+  test("upsert rewrites only the parquet files containing matched keys") {
+    val path = tmpDir("filegroup")
+    // two upserts with disjoint keys → two separate files in ONE partition
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    Merge.upsert(spark, tx(("T2", "c2", "ADAGBP", 2.0)),
+      path, keyCols, "price", "pair")
+    val dir = s"$path/pair=ADAGBP"
+    val before = parquetFiles(dir)
+    assert(before.size === 2)
+    val t1File = fileOfKey(path, "T1")
+    val t2File = fileOfKey(path, "T2")
+    assert(t1File !== t2File)
+    Thread.sleep(20) // ensure a rewrite would move mtime
+    // upsert touching only T2: T1's file must survive byte-untouched
+    // (same name, same mtime) while T2's file is replaced
+    Merge.upsert(spark, tx(("T2", "c2", "ADAGBP", 9.0)),
+      path, keyCols, "price", "pair")
+    val after = parquetFiles(dir)
+    assert(after.contains(t1File) && after(t1File) === before(t1File))
+    assert(!after.contains(t2File))
+    assert(readTable(path) === Seq(
+      ("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c2", "ADAGBP", 9.0)))
+  }
+
+  test("delete rewrites only the files containing deleted keys") {
+    val path = tmpDir("filegroupdel")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    Merge.upsert(spark, tx(("T2", "c2", "ADAGBP", 2.0)),
+      path, keyCols, "price", "pair")
+    val dir = s"$path/pair=ADAGBP"
+    val before = parquetFiles(dir)
+    val t1File = fileOfKey(path, "T1")
+    Thread.sleep(20)
+    Merge.delete(spark, tx(("T2", "c2", "ADAGBP", 0.0)),
+      path, keyCols, "pair")
+    val after = parquetFiles(dir)
+    assert(after.contains(t1File) && after(t1File) === before(t1File))
+    assert(readTable(path) === Seq(("T1", "c1", "ADAGBP", 1.0)))
+  }
+
+  test("additive schema evolution: new batch column null-fills stored rows") {
+    val path = tmpDir("evolve")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c2", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
+    // batch 2 carries a new column and touches only T1
+    Merge.upsert(spark,
+      tx(("T1", "c1", "ADAGBP", 9.0)).withColumn("src", lit("manual")),
+      path, keyCols, "price", "pair")
+    val rows = Merge.readTable(spark, path)
+      .select("transaction_id", "price", "src")
+      .as[(String, Double, Option[String])].collect().toSet
+    assert(rows === Set(
+      ("T1", 9.0, Some("manual")),
+      ("T2", 2.0, None))) // stored row read back null-filled
+    // dropping columns still fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(spark,
+        tx(("T1", "c1", "ADAGBP", 3.0)).drop("price"),
+        path, keyCols, "transaction_id", "pair")
+    }
+    assert(e.getMessage.contains("price"))
+  }
+
+  test("timeline stays monotonic when a delete removes the latest commit's rows") {
+    val path = tmpDir("monotimeline")
+    val c1 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    val c2 = Merge.upsertVersioned(spark, tx(("T2", "c2", "ADAGBP", 2.0)),
+      path, keyCols, "price", "pair")
+    // remove EVERY row stamped with c2 — a data-derived max would now
+    // reuse c2 and an incremental consumer would miss the reused commit
+    Merge.delete(spark, tx(("T2", "c2", "ADAGBP", 0.0)),
+      path, keyCols, "pair")
+    val c3 = Merge.upsertVersioned(spark, tx(("T3", "c3", "ADAGBP", 3.0)),
+      path, keyCols, "price", "pair")
+    assert(c3 === c2 + 1)
+    assert(Merge.readSince(spark, path, c2)
+      .select("transaction_id").as[String].collect().toSeq === Seq("T3"))
+    assert(c1 === 1L)
+  }
+
+  test("commits() enumerates the timeline; readBetween pulls a commit range") {
+    val path = tmpDir("commitlist")
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c2", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 9.0)),
+      path, keyCols, "price", "pair")
+    Merge.upsertVersioned(spark, tx(("T3", "c3", "BTCUSD", 3.0)),
+      path, keyCols, "price", "pair")
+    val listed = Merge.commits(spark, path).orderBy("commit_ts")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(listed === Seq(
+      (1L, 2L, "ADAGBP,BTCUSD"),
+      (2L, 1L, "ADAGBP"),
+      (3L, 1L, "BTCUSD")))
+    // (1, 2]: rows last written by commit 2 only
+    assert(Merge.readBetween(spark, path, 1L, 2L)
+      .select("transaction_id").as[String].collect().toSeq === Seq("T1"))
+    // (0, 3]: everything currently alive
+    assert(Merge.readBetween(spark, path, 0L, 3L).count() === 3)
+  }
+
+  test("bulkInsert respects target file size at both extremes") {
+    val path1 = tmpDir("bulkone")
+    val rows = (1 to 4000).map(i =>
+      (s"T$i", s"c$i", if (i % 2 == 0) "ADAGBP" else "BTCUSD", i.toDouble))
+    val df = rows.toDF("transaction_id", "close_time", "pair", "price")
+    // huge target → one range task → exactly one file per hive partition
+    Merge.bulkInsert(df, path1, "pair", keyCols,
+      targetFileBytes = Long.MaxValue)
+    assert(parquetFiles(s"$path1/pair=ADAGBP").size === 1)
+    assert(parquetFiles(s"$path1/pair=BTCUSD").size === 1)
+    // tiny target → many range tasks → strictly more, bounded files;
+    // range layout on (pair, key) keeps per-partition file counts near
+    // tasks/2 rather than tasks (round-robin would hit every task)
+    val path2 = tmpDir("bulkmany")
+    Merge.bulkInsert(df, path2, "pair", keyCols, targetFileBytes = 16 * 1024)
+    val n = parquetFiles(s"$path2/pair=ADAGBP").size +
+      parquetFiles(s"$path2/pair=BTCUSD").size
+    assert(n > 2)
+    val planFiles = (df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      (16 * 1024)).toLong.toInt + 1
+    // each range task writes at most one file per partition value it
+    // holds; contiguous ranges mean ~one value per task (+1 boundary)
+    assert(n <= planFiles + 2)
+    assert(spark.read.parquet(path2).count() === 4000)
+  }
 }
