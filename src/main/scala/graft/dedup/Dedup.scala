@@ -62,18 +62,34 @@ object Dedup {
   // ---- exact dedup (hash-groupBy) ----
 
   /** Duplicate groups by normalized-content fingerprint: one row per
-    * distinct content, with the member list and the canonical keeper
-    * (min id) — the "keep first, drop rest" contract. */
-  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * distinct content, with a BOUNDED member list (the `maxMembers`
+    * smallest ids + an overflow count) and the canonical keeper
+    * (min id) — the "keep first, drop rest" contract.
+    *
+    * The bound matters at 100 TB: a mega-duplicated boilerplate doc
+    * (millions of copies) must not build a giant id string in one
+    * aggregation buffer. Members are ranked per fingerprint BEFORE the
+    * aggregate (`row_number` in the same fp shuffle — Exchange reuse
+    * means no extra shuffle) and `collect_list` skips the
+    * null-masked overflow rows, so the buffer holds ≤ maxMembers ids
+    * however large the group is; `n_overflow` reports the rest. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String,
+      maxMembers: Int = 100): DataFrame = {
+    require(maxMembers >= 1, "maxMembers must be >= 1")
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
     docs
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .withColumn("_rn", row_number().over(w))
       .groupBy("fp")
       .agg(
         count(lit(1)).as("n_docs"),
         min(col(idCol)).as("keeper"),
         // numeric sort THEN stringify (lexicographic would put "10" < "2")
-        concat_ws(",", transform(sort_array(collect_list(col(idCol))),
-          i => i.cast("string"))).as("doc_ids"))
+        concat_ws(",", transform(sort_array(
+          collect_list(when(col("_rn") <= maxMembers, col(idCol)))),
+          i => i.cast("string"))).as("doc_ids"),
+        greatest(count(lit(1)) - maxMembers, lit(0L)).as("n_overflow"))
+  }
 
   /** The deduplicated corpus: one representative (min id) per content. */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -567,10 +583,15 @@ object Dedup {
     * same sequential-order dot product. */
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" ->
-      s"""SELECT md5(array_to_string($toksSql, ' ')) AS fp,
-         |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper,
-         |  string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
-         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+      s"""WITH f AS (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
+         |           FROM documents),
+         |r AS (SELECT doc_id, fp, row_number() OVER (
+         |        PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+         |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper,
+         |  string_agg(CASE WHEN rn <= 100 THEN doc_id END, ','
+         |    ORDER BY doc_id) AS doc_ids,
+         |  greatest(COUNT(*) - 100, 0) AS n_overflow
+         |FROM r GROUP BY fp ORDER BY fp""".stripMargin,
     "d02_minhash_sig" ->
       s"""WITH $bandsCte
          |SELECT doc_id, band, bkey FROM bands

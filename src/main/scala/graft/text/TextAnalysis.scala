@@ -171,22 +171,49 @@ object TextAnalysis {
     * contiguous fill — docs are laid out in a deterministic md5 order
     * within each stratum, and a doc's bin is the budget-window its
     * START offset falls in (a doc may straddle a boundary; the packer
-    * downstream handles the split, this op decides placement). The
-    * window is partitioned by the stratum, so packing parallelizes
-    * across strata at any corpus size — pick a stratum with enough
-    * cardinality (language, source, or a hash bucket) to spread the
-    * running-sum windows. */
+    * downstream handles the split, this op decides placement).
+    *
+    * Scale: a single running-sum window per stratum would make one
+    * reducer sort an entire language's share of the corpus (~half of
+    * it, for "en"). Instead each stratum is split into `buckets`
+    * md5-derived sub-strata: the running sum is windowed per
+    * (stratum, bucket) — so the sort parallelism scales with the
+    * bucket knob, not the stratum cardinality — and stitched back into
+    * one global order with per-bucket token offsets (an exclusive
+    * prefix sum over a strata×buckets-row aggregate, broadcast back).
+    * The result is IDENTICAL to one window ordered by
+    * (bucket, md5(id), id): bucket-major document order, exact global
+    * cumulative offsets. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      budget: Int, strataCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    docs
-      .select(col(idCol), col(strataCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      budget: Int, strataCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val docHash = md5(col(idCol).cast("string"))
+    val base = docs.select(col(idCol), col(strataCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      (conv(substring(docHash, 1, 8), 16, 10).cast("long") % buckets)
+        .as("_bucket"))
+    val wLocal = Window.partitionBy(col(strataCol), col("_bucket"))
+      .orderBy(docHash, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("_cum_local", sum(col("n_tokens")).over(wLocal))
+    // strata × buckets rows: exclusive prefix sum of bucket totals
+    // within each stratum = the global offset of each bucket's first doc
+    val offsets = base.groupBy(col(strataCol), col("_bucket"))
+      .agg(sum(col("n_tokens")).as("_bucket_total"))
+      .withColumn("_offset",
+        coalesce(sum(col("_bucket_total")).over(
+          Window.partitionBy(col(strataCol)).orderBy(col("_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(strataCol).as("_o_strata"), col("_bucket").as("_o_bucket"),
+        col("_offset"))
+    // null-safe join keys: a null stratum is a valid window partition
+    // and must pick up its offset row too
+    val joined = local.join(broadcast(offsets),
+      local(strataCol) <=> offsets("_o_strata") &&
+        local("_bucket") === offsets("_o_bucket"))
+    joined
+      .withColumn("_cum", col("_offset") + col("_cum_local"))
       .select(col(idCol), col(strataCol), col("n_tokens"),
         expr(s"(_cum - n_tokens) div $budget").as("bin"))
   }
@@ -296,7 +323,7 @@ object TextAnalysis {
         .orderBy("doc_id")),
     "t09_pack" -> ((s, dir) =>
       packSequences(Tables.documents(s, dir), "doc_id", "text",
-        budget = 512, strataCol = "lang")
+        budget = 512, strataCol = "lang", buckets = 8)
         .orderBy("lang", "doc_id")),
     "t10_countmin" -> ((s, dir) =>
       countMinSketch(Tables.documents(s, dir), "doc_id", "text")
@@ -373,12 +400,16 @@ object TextAnalysis {
          |  CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 8)) AS BIGINT) % 1024 AS bucket,
          |  COUNT(*) AS cnt
          |FROM x GROUP BY 1, 2 ORDER BY d, bucket""".stripMargin,
+    // single-window restatement of the bucketed engine order: bucket-
+    // major, then md5(id) — the stitched per-bucket offsets equal one
+    // running sum ordered by (bucket, md5, id)
     "t09_pack" ->
-      s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bkt
          |           FROM documents),
          |c AS (SELECT doc_id, lang, n_tokens,
          |        SUM(n_tokens) OVER (PARTITION BY lang
-         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |          ORDER BY bkt, md5(CAST(doc_id AS VARCHAR)), doc_id
          |          ROWS UNBOUNDED PRECEDING) AS cum
          |      FROM t)
          |SELECT doc_id, lang, n_tokens,

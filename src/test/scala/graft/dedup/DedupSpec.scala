@@ -22,6 +22,20 @@ class DedupSpec extends SparkSpec {
     assert(dup.length === 1)
     assert(dup.head.getAs[Long]("keeper") === 1L)
     assert(dup.head.getAs[String]("doc_ids") === "1,2,10") // numeric order
+    assert(dup.head.getAs[Long]("n_overflow") === 0L)
+  }
+
+  test("exactGroups bounds the member list; overflow is counted") {
+    // a mega-duplicated group must not build an unbounded id string:
+    // only the maxMembers SMALLEST ids are listed, the rest counted
+    val big = (1L to 50L).map(i => (i, "same text every time"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(big, "doc_id", "text", maxMembers = 5)
+      .collect().head
+    assert(g.getAs[Long]("n_docs") === 50L)
+    assert(g.getAs[Long]("keeper") === 1L)
+    assert(g.getAs[String]("doc_ids") === "1,2,3,4,5")
+    assert(g.getAs[Long]("n_overflow") === 45L)
   }
 
   test("dropExactDups keeps one representative per content") {

@@ -130,10 +130,12 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("packSequences: contiguous fill per stratum, budget respected at starts") {
+    // buckets=1 → the plain single-window order (md5, id) per stratum:
     // 5-token docs, budget 12: starts at 0,5,10,15,20 → bins 0,0,0,1,1
     val docs = (1L to 5L).map(i => (i, "a b c d e", "en"))
       .toDF("doc_id", "text", "lang")
-    val out = TextAnalysis.packSequences(docs, "doc_id", "text", 12, "lang")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", 12, "lang",
+      buckets = 1)
     val bins = out.orderBy(md5($"doc_id".cast("string")), $"doc_id")
       .select("bin").as[Long].collect().toSeq
     assert(bins === Seq(0L, 0L, 0L, 1L, 1L))
@@ -141,10 +143,57 @@ class TextAnalysisSpec extends SparkSpec {
     val two = docs.unionByName(
       (1L to 5L).map(i => (i + 100L, "a b c d e", "de"))
         .toDF("doc_id", "text", "lang"))
-    val byLang = TextAnalysis.packSequences(two, "doc_id", "text", 12, "lang")
+    val byLang = TextAnalysis.packSequences(two, "doc_id", "text", 12, "lang",
+      buckets = 1)
       .groupBy("lang").agg(max($"bin").as("mx"))
       .select("mx").as[Long].collect().toSeq
     assert(byLang === Seq(1L, 1L))
+  }
+
+  test("packSequences: bucketed stitching equals one global window") {
+    // 40 docs, 2 strata, varying lengths; the bucketed computation must
+    // match a reference single running-sum window ordered
+    // (bucket, md5(id), id) — proving the per-bucket offsets stitch into
+    // exact global cumulative sums
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" "),
+        if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.packSequences(docs, "doc_id", "text", 10, "lang",
+      buckets = 8)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    val bkt = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") % 8
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(bkt, md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val want = docs
+      .select($"doc_id", $"lang",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", expr("(cum - n_tokens) div 10").as("bin"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("packSequences: running-sum window key cardinality scales with the bucket knob") {
+    // the 100×-scale guard: the heavy window must partition on
+    // (stratum, bucket) — one language must never collapse to one sort
+    val docs = (1L to 64L).map(i => (i, "a b c", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", 12, "lang",
+      buckets = 8)
+    // the doc-level running-sum window partitions by BOTH strata and
+    // bucket (normalize away the #id suffixes before matching)
+    val p = out.queryExecution.executedPlan.toString
+      .toLowerCase.replaceAll("#\\d+l?", "")
+    assert("""windowspecdefinition\(lang, _bucket""".r.findFirstIn(p).isDefined,
+      p)
+    // and the realized group count is strata × populated buckets, not strata
+    val groups = docs.select($"lang",
+      (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 8).as("b")).distinct().count()
+    assert(groups > 1L, s"fixture must populate >1 bucket, got $groups")
   }
 
   test("qualityFeatures: ratios in [0,1], score favors clean prose") {
