@@ -261,8 +261,13 @@ object Relational {
     val ev = events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value")
+    // one view per (user, instant), max value: the engine's same-ts tie
+    // break (greatest payload struct) and DuckDB ASOF's unspecified tie
+    // choice only agree when there IS no tie — dedup makes cross-engine
+    // parity independent of whether the data carries same-µs duplicates
     val views = ev.filter(col("event_type") === "view")
       .select("user_id", "ts", "value")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
     AsofJoin.asofJoin(purchases, views, Seq("user_id"), "ts")
       .withColumnRenamed("ts", "purchase_ts")
       .withColumnRenamed("value", "purchase_value")
@@ -329,8 +334,8 @@ object Relational {
     "q20_asof_join" ->
       """WITH t AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'purchase'),
-        |q AS (SELECT user_id, ts, value FROM events
-        |      WHERE event_type = 'view')
+        |q AS (SELECT user_id, ts, MAX(value) AS value FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id, ts)
         |SELECT t.event_id, t.user_id, t.ts AS purchase_ts,
         |       t.value AS purchase_value,
         |       q.ts AS asof_ts, q.value AS asof_value

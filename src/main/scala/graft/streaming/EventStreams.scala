@@ -160,6 +160,21 @@ object EventStreams {
   private val drainInputs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Cached drain-input dirs live for the JVM (reused across bench
+    * passes) — sweep them on exit so repeated runs don't accumulate
+    * temp trees. Per-run checkpoint dirs are removed eagerly instead
+    * (see [[drainAvailableNow]]). */
+  private lazy val sweepDrainInputsOnExit: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      drainInputs.values.foreach { in =>
+        val root = new java.io.File(in).getParentFile
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        try rm(root) catch { case _: Throwable => () }
+      }))
+
   /** Run `build(stream)` over the events table via Trigger.AvailableNow
     * and return the fully-flushed result (batch parity for the driver's
     * oracle). Mechanics: the real events are ONE file (so no event is
@@ -192,6 +207,7 @@ object EventStreams {
         .foreach(st => fs.setTimes(st.getPath, maxMtime + 60000L, -1))
       s"$base/in"
     })
+    sweepDrainInputsOnExit
     val run = java.nio.file.Files
       .createTempDirectory(s"graft_$name").toString
     val src = s.readStream.schema(eventSchema)
@@ -202,6 +218,13 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .format("memory").queryName(name).start()
     q.awaitTermination()
+    // the checkpoint/state tree is only needed while the drain runs —
+    // the memory sink holds the result; a bench process drains each
+    // query three times (warmup + two timed passes) and would otherwise
+    // leave 12 checkpoint trees behind per run
+    val runPath = new org.apache.hadoop.fs.Path(run)
+    runPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(runPath, true)
     s.table(name)
   }
 

@@ -57,38 +57,45 @@ object StreamLoader {
       .option("checkpointLocation", args.checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // persisted for the batch's lifetime: the transform feeds the
+        // merge (several actions), the dead-letter write AND the success
+        // notification — without the cache each action would re-run the
+        // whole transform over the source files per micro-batch
         val df = LoadTransactions.transform(batch, args.additionalColumns)
-        val committed =
-          try {
-            Merge.upsert(spark, df, args.tablePath,
-              LoadTransactions.keyCols, LoadTransactions.precombine,
-              LoadTransactions.partitionCol)
-            true
-          } catch {
-            case e: Exception => // T5: dead-letter the batch, keep going
-              df.withColumn("_error", lit(e.toString))
-                .withColumn("_batch_id", lit(batchId))
-                .write.mode("append").parquet(args.deadLetterDir)
-              false
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val committed =
+            try {
+              Merge.upsert(spark, df, args.tablePath,
+                LoadTransactions.keyCols, LoadTransactions.precombine,
+                LoadTransactions.partitionCol)
+              true
+            } catch {
+              case e: Exception => // T5: dead-letter the batch, keep going
+                df.withColumn("_error", lit(e.toString))
+                  .withColumn("_batch_id", lit(batchId))
+                  .write.mode("append").parquet(args.deadLetterDir)
+                false
+            }
+          // T5 success half: one notification record per committed
+          // micro-batch (the reference's on-success SNS publish) — tiny
+          // control rows, not a copy of the data. OUTSIDE the merge
+          // try/catch: a failed notification must not dead-letter a batch
+          // the table already committed (replaying the DLQ would
+          // re-apply committed rows)
+          if (committed) args.successDir.foreach { dir =>
+            try df.agg(count(lit(1)).as("n_rows"),
+                concat_ws(",", sort_array(collect_set(col("pair"))))
+                  .as("pairs"))
+              .withColumn("_batch_id", lit(batchId))
+              .write.mode("append").parquet(dir)
+            catch {
+              case e: Exception =>
+                System.err.println(
+                  s"[stream-loader] success notification for batch $batchId failed: $e")
+            }
           }
-        // T5 success half: one notification record per committed
-        // micro-batch (the reference's on-success SNS publish) — tiny
-        // control rows, not a copy of the data. OUTSIDE the merge
-        // try/catch: a failed notification must not dead-letter a batch
-        // the table already committed (replaying the DLQ would
-        // re-apply committed rows)
-        if (committed) args.successDir.foreach { dir =>
-          try df.agg(count(lit(1)).as("n_rows"),
-              concat_ws(",", sort_array(collect_set(col("pair"))))
-                .as("pairs"))
-            .withColumn("_batch_id", lit(batchId))
-            .write.mode("append").parquet(dir)
-          catch {
-            case e: Exception =>
-              System.err.println(
-                s"[stream-loader] success notification for batch $batchId failed: $e")
-          }
-        }
+        } finally df.unpersist()
         ()
       }
       .start()

@@ -93,6 +93,41 @@ class StreamLoaderSpec extends SparkSpec {
     assert(StreamLoader.replayDeadLetters(spark, args) === 0L)
   }
 
+  test("transform runs once per micro-batch: merge + notify read the cache") {
+    // Guard against re-running the per-batch transform per consumer: the
+    // merge (several actions), and the success notification must all go
+    // through the persisted batch. Detector: during the drain, NO query
+    // execution may scan the JSON source directly — every plan that
+    // touches it must do so through InMemoryTableScan (the cache).
+    val args0 = mkArgs("streamonce")
+    val args = args0.copy(successDir = Some(args0.inputDir + "/../ok"))
+    Files.createDirectories(Paths.get(args.inputDir))
+    writeTx(args.inputDir, "a.json", "TX1", "0.5")
+    writeTx(args.inputDir, "b.json", "TX2", "0.6")
+    val bare = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = {
+        val p = qe.executedPlan.toString
+        if (p.contains("FileScan json") && p.contains("streamonce") &&
+          !p.contains("InMemoryTableScan")) bare.incrementAndGet()
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      StreamLoader.runAvailableNow(spark, args)
+      Thread.sleep(2000) // listener events are delivered asynchronously
+    } finally spark.listenerManager.unregister(listener)
+    assert(bare.get() === 0,
+      s"${bare.get()} executions re-scanned the JSON source outside the cache")
+    assert(spark.read.parquet(args.tablePath).count() === 2)
+    assert(spark.read.parquet(args.successDir.get).count() === 1)
+  }
+
   test("no dead letters on the happy path (T5)") {
     val args = mkArgs("stream3")
     Files.createDirectories(Paths.get(args.inputDir))
