@@ -416,6 +416,54 @@ object Merge {
     } finally delDistinct.unpersist()
   }
 
+  /** Small-file compaction — the Hudi clustering analogue, and the
+    * necessary complement of file-group upserts: streaming micro-batches
+    * append roughly one file per batch, and a 100 TB table fed that way
+    * degrades into millions of tiny files (listing cost, scan task
+    * overhead, dead parquet stats). Partitions carrying more parquet
+    * files than their bytes justify (`> ceil(bytes/targetFileBytes)`)
+    * are rewritten into target-sized files, range-laid-out on
+    * (partition, key) so keys cluster — which is what keeps the upsert
+    * key scan's parquet min/max pruning effective afterwards. Rows pass
+    * through untouched (including `_commit_ts` stamps — incremental
+    * pulls are compaction-invariant), partitions already compact are not
+    * read at all, and the rewrite goes through the same staged durable
+    * commit as upsert/delete. Returns the number of files compacted
+    * away (0 = nothing to do). */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      keyCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    if (!tableExists(spark, path)) return 0L
+    val fs = fsFor(spark, path)
+    val partDirs = fs.listStatus(new Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol="))
+    val candidates = partDirs.flatMap { d =>
+      val files = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      val bytes = files.map(_.getLen).sum
+      val ideal = (bytes / targetFileBytes).toInt + 1
+      if (files.length > ideal) Some((files.map(_.getPath).toSeq, bytes))
+      else None
+    }
+    if (candidates.isEmpty) return 0L
+    val files = candidates.flatMap(_._1).map(_.toString).toIndexedSeq
+    val totalBytes = candidates.map(_._2).sum
+    val stored = readTable(spark, path)
+    val rows = spark.read.schema(stored.schema)
+      .option("basePath", path).parquet(files: _*)
+    val nFiles = (totalBytes / targetFileBytes).toInt + 1
+    val layout = (col(partitionCol) +: keyCols.map(col)).toIndexedSeq
+    commitFiles(spark, rows.repartitionByRange(nFiles, layout: _*), path,
+      partitionCol, files, touched = Nil, dropEmptied = false)
+    files.length.toLong
+  }
+
   // ---- commit timeline (incremental pull) ----
 
   /** Per-record commit-stamp column — the engine's `_hoodie_commit_time`
@@ -601,6 +649,22 @@ object Merge {
         .select("okey", "part", "price", "pre", "src")
         .orderBy("part", "okey")
     }),
+    // q23: compaction is content-invariant — the q18 replay (whose
+    // appends leave several files per partition) compacted to one file
+    // per partition must still hash-match the same relational oracle
+    "q23_compact" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q23_").toString + "/table"
+      val keyCols = Seq("okey")
+      upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      delete(s, replayBatch(s, dir, 0).filter(col("pre") % 3 === 0)
+        .select("okey", "part"), path, keyCols, "part")
+      compact(s, path, "part", keyCols)
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     // q19: the commit timeline end-to-end — two versioned upserts, then
     // an incremental pull since commit 1. The pull must return exactly
     // the rows OWNED by commit 2 (batch-2 winners), and none of the
@@ -644,30 +708,35 @@ object Merge {
   /** DuckDB replay of the same algebra: per-batch dedup by max
     * precombine, batch-wins-over-stored merge, distinct-key anti-join
     * delete — each window/join mirrors one Merge stage. */
+  /** The q18 replay algebra, shared verbatim by q23: compaction must be
+    * content-invariant, so both keys check against the SAME relation. */
+  private val replaySql =
+    """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+      |               o_totalprice AS price, o_orderkey AS pre
+      |             FROM orders),
+      |b1 AS (SELECT okey, part, price, pre FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY okey, part
+      |           ORDER BY pre DESC) AS rn
+      |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+      |b2 AS (SELECT okey, part, price, pre FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY okey, part
+      |           ORDER BY pre DESC) AS rn
+      |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
+      |t2 AS (SELECT * FROM b2
+      |       UNION ALL
+      |       SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+      |       LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+      |       WHERE b2.pre IS NULL),
+      |d AS (SELECT DISTINCT okey, part FROM raw
+      |      WHERE pre % 7 = 0 AND pre % 3 = 0)
+      |SELECT t2.okey, t2.part, t2.price, t2.pre
+      |FROM t2 LEFT JOIN d ON t2.okey = d.okey AND t2.part = d.part
+      |WHERE d.okey IS NULL
+      |ORDER BY t2.part, t2.okey""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q18_upsert_replay" ->
-      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
-        |               o_totalprice AS price, o_orderkey AS pre
-        |             FROM orders),
-        |b1 AS (SELECT okey, part, price, pre FROM (
-        |         SELECT *, row_number() OVER (PARTITION BY okey, part
-        |           ORDER BY pre DESC) AS rn
-        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
-        |b2 AS (SELECT okey, part, price, pre FROM (
-        |         SELECT *, row_number() OVER (PARTITION BY okey, part
-        |           ORDER BY pre DESC) AS rn
-        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
-        |t2 AS (SELECT * FROM b2
-        |       UNION ALL
-        |       SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
-        |       LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
-        |       WHERE b2.pre IS NULL),
-        |d AS (SELECT DISTINCT okey, part FROM raw
-        |      WHERE pre % 7 = 0 AND pre % 3 = 0)
-        |SELECT t2.okey, t2.part, t2.price, t2.pre
-        |FROM t2 LEFT JOIN d ON t2.okey = d.okey AND t2.part = d.part
-        |WHERE d.okey IS NULL
-        |ORDER BY t2.part, t2.okey""".stripMargin,
+    "q18_upsert_replay" -> replaySql,
+    "q23_compact" -> replaySql,
     // evolution: batch-2 rows carry src='b1'; batch-1 survivors are
     // NULL-filled — exactly the read-back of a mixed-schema table
     "q18b_schema_evolution" ->

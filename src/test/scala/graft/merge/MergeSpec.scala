@@ -350,6 +350,39 @@ class MergeSpec extends SparkSpec {
     assert(Merge.readBetween(spark, path, 0L, 3L).count() === 3)
   }
 
+  test("compact merges small files, preserves rows + commit stamps, skips compact partitions") {
+    val path = tmpDir("compact")
+    // six single-row versioned upserts with distinct keys → one file per
+    // append in pair=ADAGBP (the streaming micro-batch degradation)
+    val commits = (1 to 6).map { i =>
+      Merge.upsertVersioned(spark, tx((s"T$i", s"c$i", "ADAGBP", i.toDouble)),
+        path, keyCols, "price", "pair")
+    }
+    // plus an already-compact partition that must not be touched
+    Merge.upsertVersioned(spark, tx(("TX", "cx", "BTCUSD", 9.0)),
+      path, keyCols, "price", "pair")
+    val adaBefore = parquetFiles(s"$path/pair=ADAGBP")
+    val btcBefore = parquetFiles(s"$path/pair=BTCUSD")
+    assert(adaBefore.size === 6)
+    val content = Merge.readTable(spark, path)
+      .select("transaction_id", "price", Merge.commitCol)
+      .as[(String, Double, Long)].collect().toSet
+    Thread.sleep(20)
+    val n = Merge.compact(spark, path, "pair", keyCols)
+    assert(n === 6L) // only the fragmented partition's files
+    assert(parquetFiles(s"$path/pair=ADAGBP").size === 1)
+    assert(parquetFiles(s"$path/pair=BTCUSD") === btcBefore) // untouched
+    // rows AND per-record commit stamps survive verbatim — incremental
+    // pulls are compaction-invariant
+    assert(Merge.readTable(spark, path)
+      .select("transaction_id", "price", Merge.commitCol)
+      .as[(String, Double, Long)].collect().toSet === content)
+    assert(Merge.readSince(spark, path, commits(4))
+      .select("transaction_id").as[String].collect().toSet === Set("T6", "TX"))
+    // idempotent: a second pass finds nothing to do
+    assert(Merge.compact(spark, path, "pair", keyCols) === 0L)
+  }
+
   test("bulkInsert respects target file size at both extremes") {
     val path1 = tmpDir("bulkone")
     val rows = (1 to 4000).map(i =>
