@@ -136,6 +136,20 @@ object Merge {
     finally out.close()
   }
 
+  /** Crash-safe in-place metadata update: write a temp sibling, then
+    * swap. `fs.create(p, true)` truncates FIRST — a JVM kill mid-write
+    * would leave permanently corrupt JSON that fails every later read;
+    * with the swap, the worst crash window leaves the file momentarily
+    * absent, which readers treat as "no metadata" and degrade
+    * gracefully (footer-merge fallback). */
+  private def replaceSmallFile(fs: FileSystem, p: Path, body: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
+    writeSmallFile(fs, tmp, body)
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"failed to move $tmp into place at $p")
+  }
+
   /** Authoritative table schema, recorded at every write. Makes the
     * read side O(1) after additive evolution — without it a mixed-schema
     * table needs a footer-merge over every file (`mergeSchema`), which
@@ -145,7 +159,16 @@ object Merge {
     val fs = fsFor(spark, path)
     val p = schemaMetaPath(path)
     if (!fs.exists(p)) None
-    else Some(DataType.fromJson(readSmallFile(fs, p)).asInstanceOf[StructType])
+    else try {
+      Some(DataType.fromJson(readSmallFile(fs, p)).asInstanceOf[StructType])
+    } catch {
+      case e: Exception =>
+        // a corrupt metadata file must not brick the table: fall back to
+        // the footer-merge read path (correct, just slower) and say so
+        System.err.println(s"[graft.merge] WARN: unreadable schema " +
+          s"metadata at $p (${e.getMessage}); falling back to footer merge")
+        None
+    }
   }
 
   /** Additive union of the recorded schema and this write's schema (a
@@ -159,7 +182,7 @@ object Merge {
         StructType(old.fields ++
           schema.fields.filterNot(f => old.fieldNames.contains(f.name)))
     }
-    writeSmallFile(fsFor(spark, path), schemaMetaPath(path), merged.json)
+    replaceSmallFile(fsFor(spark, path), schemaMetaPath(path), merged.json)
   }
 
   /** Read a merge-managed table. Prefers the recorded schema (exact
@@ -236,12 +259,29 @@ object Merge {
           throw new java.io.IOException(s"failed to delete superseded file $p")
       }
       staged.write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(path)
+    } catch {
+      // ONLY pre-append failures may name staging as the recovery copy:
+      // once the append lands, "re-apply the staging dir" would
+      // duplicate every replacement row
+      case e: Throwable =>
+        throw new RuntimeException(
+          s"merge commit failed; staged merge result kept at $staging", e)
+    }
+    // data is committed — staging is no longer a recovery copy. A failed
+    // cleanup must be VISIBLE: each leaked staging dir is a table-sized
+    // sibling that accumulates silently otherwise
+    if (!fs.delete(new Path(staging), true))
+      System.err.println(
+        s"[graft.merge] WARN: failed to remove staging dir $staging " +
+          "after a successful commit; delete it manually")
+    try {
       if (dropEmptied) {
         touched.foreach { v =>
           // hive path escaping (and the null-partition dir name) must
-          // match what the partitioned write produced, or the "deleted"
-          // rows silently survive; a false delete on an existing dir is
-          // a failed commit, not a warning
+          // match what the partitioned write produced; since the data
+          // files were already removed one by one, a surviving dir here
+          // is empty — cosmetic, but its absence is part of delete()'s
+          // contract
           val dirName = if (v == null) "__HIVE_DEFAULT_PARTITION__"
             else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .escapePathName(v.toString)
@@ -259,14 +299,10 @@ object Merge {
     } catch {
       case e: Throwable =>
         throw new RuntimeException(
-          s"merge commit failed; staged merge result kept at $staging", e)
+          "merge data COMMITTED, but post-commit maintenance " +
+            s"(emptied-dir sweep / schema metadata) failed at $path — " +
+            "do NOT re-apply any staging copy", e)
     }
-    // a failed cleanup must be VISIBLE: each leaked staging dir is a
-    // table-sized sibling that accumulates silently otherwise
-    if (!fs.delete(new Path(staging), true))
-      System.err.println(
-        s"[graft.merge] WARN: failed to remove staging dir $staging " +
-          "after a successful commit; delete it manually")
   }
 
   /** O2: plain append (insert — combine-before-insert defaults off in
@@ -289,10 +325,17 @@ object Merge {
     * partition value the way round-robin repartition would. */
   def bulkInsert(batch: DataFrame, path: String, partitionCol: String,
       keyCols: Seq[String] = Nil,
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxFiles: Int = 1 << 20): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    // sizeInBytes is a BigInt that Catalyst pins to Long.MaxValue (and
+    // beyond, after join multiplications) when stats are unknown — do
+    // the arithmetic in BigInt and clamp, or the Int conversion wraps
+    // into a garbage (even non-positive) partition count
     val planBytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = (planBytes / targetFileBytes).toLong.toInt + 1
+    val nFiles = ((planBytes / targetFileBytes) + 1)
+      .min(BigInt(maxFiles)).max(BigInt(1)).toInt
     val layout = (col(partitionCol) +: keyCols.map(col)).toIndexedSeq
     batch.repartitionByRange(nFiles, layout: _*)
       .write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(path)
@@ -302,15 +345,30 @@ object Merge {
   /** O1: key-reconciled upsert at file-group granularity (see the
     * object scaladoc for the write-amplification argument). Record
     * identity is (key, partition) — Hudi's partition-scoped index
-    * semantics: the same key in two partitions is two records.
-    * Returns the deduped-batch stats for commit bookkeeping. */
+    * semantics: the same key in two partitions is two records. */
   def upsert(
       spark: SparkSession,
       batch: DataFrame,
       path: String,
       keyCols: Seq[String],
       precombine: String,
-      partitionCol: String): MergeStats = {
+      partitionCol: String): Unit = {
+    upsertImpl(spark, batch, path, keyCols, precombine, partitionCol,
+      needStats = false)
+    ()
+  }
+
+  /** Stats (deduped row count) are only materialized on the versioned
+    * path — the count is one extra job per commit, and the plain-upsert
+    * callers (streaming micro-batches, batch loads) all discard it. */
+  private def upsertImpl(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCol: String,
+      needStats: Boolean): MergeStats = {
     val scopedKeys = keyCols :+ partitionCol
     // persisted: the deduped batch feeds the partition collect, the key
     // join build side, the merged union AND the stats count — one
@@ -323,7 +381,7 @@ object Merge {
         // e.g. a just-created table location — must not error).
         writeDynamic(deduped, path, partitionCol)
         updateSchemaMeta(spark, path, deduped.schema)
-        return MergeStats(deduped.count(),
+        return MergeStats(if (needStats) deduped.count() else 0L,
           touchedPartitions(deduped, partitionCol))
       }
       val parts = touchedPartitions(deduped, partitionCol)
@@ -374,7 +432,7 @@ object Merge {
         }
       commitFiles(spark, merged, path, partitionCol, matchedFiles, parts,
         dropEmptied = false)
-      MergeStats(deduped.count(), parts)
+      MergeStats(if (needStats) deduped.count() else 0L, parts)
     } finally deduped.unpersist()
   }
 
@@ -560,8 +618,8 @@ object Merge {
       partitionCol: String): Long = {
     val cts = nextCommit(spark, path)
     markInflight(spark, path, cts)
-    val stats = upsert(spark, batch.withColumn(commitCol, lit(cts)), path,
-      keyCols, precombine, partitionCol)
+    val stats = upsertImpl(spark, batch.withColumn(commitCol, lit(cts)), path,
+      keyCols, precombine, partitionCol, needStats = true)
     recordCommit(spark, path, cts, stats)
     cts
   }

@@ -189,18 +189,26 @@ object TextAnalysis {
     require(buckets >= 1, "buckets must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val docHash = md5(col(idCol).cast("string"))
+    // a null id hashes to a null bucket — pin it to bucket 0 rather
+    // than letting the stitch join silently drop the row on a null key
+    // (the single-window form keeps null-id rows)
+    val bucket = coalesce(
+      conv(substring(docHash, 1, 8), 16, 10).cast("long") % buckets, lit(0L))
     val base = docs.select(col(idCol), col(strataCol),
       size(tokens(col(textCol))).cast("long").as("n_tokens"),
-      (conv(substring(docHash, 1, 8), 16, 10).cast("long") % buckets)
-        .as("_bucket"))
+      bucket.as("_bucket"))
     val wLocal = Window.partitionBy(col(strataCol), col("_bucket"))
       .orderBy(docHash, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = base.withColumn("_cum_local", sum(col("n_tokens")).over(wLocal))
     // strata × buckets rows: exclusive prefix sum of bucket totals
-    // within each stratum = the global offset of each bucket's first doc
-    val offsets = base.groupBy(col(strataCol), col("_bucket"))
-      .agg(sum(col("n_tokens")).as("_bucket_total"))
+    // within each stratum = the global offset of each bucket's first
+    // doc. Totals come from LOCAL (max of the running sum), not from a
+    // second aggregate over base: that keeps the subtree under the
+    // shuffle identical to the window's, so Spark reuses one exchange
+    // and the corpus is scanned + tokenized ONCE for the whole op.
+    val offsets = local.groupBy(col(strataCol), col("_bucket"))
+      .agg(max(col("_cum_local")).as("_bucket_total"))
       .withColumn("_offset",
         coalesce(sum(col("_bucket_total")).over(
           Window.partitionBy(col(strataCol)).orderBy(col("_bucket"))

@@ -407,5 +407,14 @@ class MergeSpec extends SparkSpec {
     // holds; contiguous ranges mean ~one value per task (+1 boundary)
     assert(n <= planFiles + 2)
     assert(spark.read.parquet(path2).count() === 4000)
+    // maxFiles clamps the task count even when the byte estimate is
+    // huge relative to the target (the stats-unknown overflow guard)
+    val path3 = tmpDir("bulkclamp")
+    Merge.bulkInsert(df, path3, "pair", keyCols,
+      targetFileBytes = 1, maxFiles = 4)
+    val clamped = parquetFiles(s"$path3/pair=ADAGBP").size +
+      parquetFiles(s"$path3/pair=BTCUSD").size
+    assert(clamped <= 6) // ≤ maxFiles + partition boundary files
+    assert(spark.read.parquet(path3).count() === 4000)
   }
 }

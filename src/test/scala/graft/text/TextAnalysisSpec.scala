@@ -176,6 +176,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("packSequences: null-id docs are kept (pinned to bucket 0)") {
+    val docs = Seq((Some(1L), "a b c", "en"), (None, "d e", "en"),
+      (Some(2L), "f", "en")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", 12, "lang",
+      buckets = 8)
+    assert(out.count() === 3) // the null-id row must not join away
+    assert(out.agg(sum($"n_tokens")).as[Long].head() === 6L)
+  }
+
+  test("packSequences: offset aggregate reuses the window exchange (one scan)") {
+    val docs = (1L to 32L).map(i => (i, "a b c", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", 12, "lang",
+      buckets = 8)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    // the bucket-total aggregate must consume the SAME shuffle as the
+    // running-sum window — a second source scan would double the
+    // dominant cost at corpus scale
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("packSequences: running-sum window key cardinality scales with the bucket knob") {
     // the 100×-scale guard: the heavy window must partition on
     // (stratum, bucket) — one language must never collapse to one sort
