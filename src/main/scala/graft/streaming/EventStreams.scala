@@ -73,6 +73,23 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stateful streaming dedup — the ingestion-side exactly-once guard a
+    * training-data pipeline needs when the same event can arrive twice
+    * (at-least-once sources, replayed batches). Cross-micro-batch: a
+    * duplicate arriving in a LATER batch is still dropped, because the
+    * first occurrence is remembered in state. The state is BOUNDED: the
+    * dedup key includes the event-time column, so Spark evicts an entry
+    * as soon as the watermark passes its timestamp — memory is
+    * (arrival rate × lateness), independent of stream length. Rows
+    * older than the watermark are dropped outright (standard lateness
+    * semantics), which is also dedup-correct: anything that old was
+    * either already emitted or out of contract. */
+  def dedupStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicates(keys :+ "ts")
+
   final case class SessionIn(user_id: Long, ts: java.sql.Timestamp,
       value: Double)
   final case class SessionState(start: Long, last: Long, n: Int,
@@ -182,29 +199,45 @@ object EventStreams {
     * is a SECOND file, and maxFilesPerTrigger=1 forces it into a later
     * micro-batch — watermarks only advance between batches, and Spark's
     * no-data batch then flushes all remaining state. */
-  private def drainAvailableNow(s: SparkSession, dir: String, name: String)(
+  /** `copies` > 1 feeds the SAME events through the stream that many
+    * times as separate micro-batches — the at-least-once replay shape
+    * the dedup drain (e05) must collapse back to exactly-once. */
+  private def drainAvailableNow(s: SparkSession, dir: String, name: String,
+      copies: Int = 1)(
       build: DataFrame => DataFrame): DataFrame = {
-    val in = drainInputs.getOrElseUpdate(dir, {
+    val in = drainInputs.getOrElseUpdate(s"$dir#$copies", {
       val base = java.nio.file.Files
         .createTempDirectory("graft_drain").toString
       Tables.events(s, dir).coalesce(1).write.parquet(s"$base/in")
       val inPath = new org.apache.hadoop.fs.Path(s"$base/in")
       val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val before = fs.listStatus(inPath).map(_.getPath.getName).toSet
       val maxMtime = fs.listStatus(inPath).map(_.getModificationTime).max
-      s.range(1).select(
-        lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
-        lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
-      // FileStreamSource orders batches by file mtime: pin the sentinel
-      // file STRICTLY after the events file rather than trusting clock
+      // FileStreamSource orders batches by file mtime: pin each later
+      // file STRICTLY after the previous rather than trusting clock
       // granularity — a sentinel sorted into batch 0 would raise the
       // watermark to 2035 before any real event is read and drop
       // everything as late
-      fs.listStatus(inPath)
-        .filterNot(st => before.contains(st.getPath.getName))
-        .foreach(st => fs.setTimes(st.getPath, maxMtime + 60000L, -1))
+      var known = fs.listStatus(inPath).map(_.getPath.getName).toSet
+      def appendPinned(step: Int)(write: => Unit): Unit = {
+        write
+        fs.listStatus(inPath)
+          .filterNot(st => known.contains(st.getPath.getName))
+          .foreach(st => fs.setTimes(st.getPath, maxMtime + step * 60000L, -1))
+        known = fs.listStatus(inPath).map(_.getPath.getName).toSet
+      }
+      (2 to copies).foreach { i =>
+        appendPinned(i - 1) {
+          Tables.events(s, dir).coalesce(1).write.mode("append")
+            .parquet(s"$base/in")
+        }
+      }
+      appendPinned(copies) {
+        s.range(1).select(
+          lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
       s"$base/in"
     })
     sweepDrainInputsOnExit
@@ -248,7 +281,15 @@ object EventStreams {
     "e04_session_window" -> ((s, dir) =>
       drainAvailableNow(s, dir, "e04_sink")(sessionCounts(_))
         .filter(col("user_id") >= 0)
-        .orderBy("user_id", "session_start")))
+        .orderBy("user_id", "session_start")),
+    // e05: the whole corpus is replayed TWICE (two micro-batches of the
+    // same events); the watermark-bounded dedup must emit each event
+    // exactly once — the oracle is simply the events table itself
+    "e05_stream_dedup" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e05_sink", copies = 2)(dedupStream(_))
+        .filter(col("event_type") =!= "_sentinel")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")))
 
   /** DuckDB parity: e01 is a plain hourly bucket aggregate (every
     * window is flushed by the sentinel, so streamed == batch); e02 is
@@ -305,5 +346,9 @@ object EventStreams {
         |  COUNT(*) AS n_events,
         |  list_sum(list(value ORDER BY ts, value)) AS total_value
         |FROM g GROUP BY user_id, grp
-        |ORDER BY user_id, start_ts""".stripMargin)
+        |ORDER BY user_id, start_ts""".stripMargin,
+    // a doubled stream deduped back to exactly-once == the table itself
+    "e05_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin)
 }

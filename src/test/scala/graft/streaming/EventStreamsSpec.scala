@@ -67,4 +67,15 @@ class EventStreamsSpec extends SparkSpec {
       (1L, 1, 4.0),  // session B: 300s
       (2L, 1, 8.0)))
   }
+
+  test("e05: a twice-replayed stream dedups back to exactly-once") {
+    // the e05 drain feeds every event through TWO micro-batches; the
+    // watermark-bounded dropDuplicates must emit each exactly once
+    val out = EventStreams.queries("e05_stream_dedup")(spark, sfDir)
+      .collect()
+    val expected = Tables.events(spark, sfDir).count()
+    assert(out.length.toLong === expected)
+    assert(out.map(_.getAs[Long]("event_id")).distinct.length.toLong
+      === expected)
+  }
 }
