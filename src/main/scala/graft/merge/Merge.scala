@@ -522,6 +522,27 @@ object Merge {
     files.length.toLong
   }
 
+  /** Remove leaked staging siblings — the table-sized recovery copies a
+    * failed (or failed-to-clean) commit leaves next to the table.
+    * Deliberately MANUAL: a staging dir is a recovery copy until the
+    * operator decides the commit outcome, so only run this when no
+    * merge is running and no recovery is pending. Returns the number of
+    * dirs removed. Stale `.inflight` timeline markers are NOT touched:
+    * they are what keeps a crashed-but-landed commit's id from being
+    * reissued, and their only cost is a skipped id. */
+  def vacuum(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    val table = new Path(path.stripSuffix("/"))
+    val parent = table.getParent
+    val stagingPrefix = s"${table.getName}_staging_"
+    val staged =
+      if (parent == null || !fs.exists(parent)) Seq.empty
+      else fs.listStatus(parent).toSeq
+        .filter(_.getPath.getName.startsWith(stagingPrefix))
+    staged.foreach(st => fs.delete(st.getPath, true))
+    staged.length.toLong
+  }
+
   // ---- commit timeline (incremental pull) ----
 
   /** Per-record commit-stamp column — the engine's `_hoodie_commit_time`

@@ -43,7 +43,13 @@ object StreamLoader {
       /** On-success notification dir (the reference routes success to an
         * SNS topic next to the DLQ one,
         * `terraform/aws_lambda_execute_orders.tf:43-57`); None = off. */
-      successDir: Option[String] = None)
+      successDir: Option[String] = None,
+      /** Compact the table after every N committed micro-batches — the
+        * one-file-per-batch append pattern fragments a streaming table,
+        * and at scale the loader must pay its own maintenance. None =
+        * off. */
+      compactEvery: Option[Int] = None,
+      targetFileBytes: Long = 128L * 1024 * 1024)
 
   /** Build (not start) the streaming query. */
   def query(spark: SparkSession, args: Args): StreamingQuery = {
@@ -83,6 +89,19 @@ object StreamLoader {
           // try/catch: a failed notification must not dead-letter a batch
           // the table already committed (replaying the DLQ would
           // re-apply committed rows)
+          // periodic maintenance AFTER the commit: a failed compaction
+          // must neither dead-letter the batch (its data is committed)
+          // nor stop the stream — the next pass retries naturally
+          if (committed) args.compactEvery.foreach { n =>
+            if ((batchId + 1) % n == 0)
+              try Merge.compact(spark, args.tablePath,
+                LoadTransactions.partitionCol, LoadTransactions.keyCols,
+                args.targetFileBytes)
+              catch {
+                case e: Exception => System.err.println(
+                  s"[stream-loader] compaction after batch $batchId failed: $e")
+              }
+          }
           if (committed) args.successDir.foreach { dir =>
             try df.agg(count(lit(1)).as("n_rows"),
                 concat_ws(",", sort_array(collect_set(col("pair"))))

@@ -79,4 +79,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("d04_jaccard_neardup")
     assert(p.contains("xxhash64"), p)
   }
+
+  test("q19: incremental pull pushes the commit-stamp predicate to the scan") {
+    // readSince must be a stat-pruned scan: at 100 TB the filter
+    // reaching the parquet reader is what lets row groups whose
+    // _commit_ts max precedes the pull point be skipped entirely
+    val p = plan("q19_incremental_pull")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThan(_commit_ts"), p)
+  }
 }

@@ -350,6 +350,26 @@ class MergeSpec extends SparkSpec {
     assert(Merge.readBetween(spark, path, 0L, 3L).count() === 3)
   }
 
+  test("vacuum removes leaked staging siblings, keeps the table and inflight markers") {
+    val path = tmpDir("vacuum") + "/table"
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    // simulate a failed commit's leftovers: a staging sibling and a
+    // crashed commit's inflight marker
+    val staging = new java.io.File(s"${path}_staging_123/x")
+    staging.mkdirs()
+    val inflight = new java.io.File(s"$path/_graft_commits/00000000000000000002.inflight")
+    java.nio.file.Files.writeString(inflight.toPath, "")
+    assert(Merge.vacuum(spark, path) === 1L)
+    assert(!new java.io.File(s"${path}_staging_123").exists())
+    assert(inflight.exists()) // the reissue guard survives
+    // the skipped id is visible: next commit is 3, not 2
+    val c = Merge.upsertVersioned(spark, tx(("T2", "c2", "ADAGBP", 2.0)),
+      path, keyCols, "price", "pair")
+    assert(c === 3L)
+    assert(readTable(path).size === 2)
+  }
+
   test("compact merges small files, preserves rows + commit stamps, skips compact partitions") {
     val path = tmpDir("compact")
     // six single-row versioned upserts with distinct keys → one file per

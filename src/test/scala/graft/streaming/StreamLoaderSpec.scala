@@ -128,6 +128,22 @@ class StreamLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(args.successDir.get).count() === 1)
   }
 
+  test("compactEvery keeps the streaming table defragmented") {
+    val args = mkArgs("streamcompact").copy(
+      compactEvery = Some(1), maxFilesPerTrigger = Some(1))
+    Files.createDirectories(Paths.get(args.inputDir))
+    // three files → three micro-batches → three appended files without
+    // maintenance; per-batch compaction must leave ONE file behind
+    writeTx(args.inputDir, "a.json", "TX1", "0.5")
+    writeTx(args.inputDir, "b.json", "TX2", "0.6")
+    writeTx(args.inputDir, "c.json", "TX3", "0.7")
+    StreamLoader.runAvailableNow(spark, args)
+    val files = new java.io.File(s"${args.tablePath}/pair=ADAGBP")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.length === 1, files.mkString(","))
+    assert(spark.read.parquet(args.tablePath).count() === 3)
+  }
+
   test("no dead letters on the happy path (T5)") {
     val args = mkArgs("stream3")
     Files.createDirectories(Paths.get(args.inputDir))
