@@ -84,6 +84,52 @@ class MergeLawsSpec extends SparkSpec {
     }
   }
 
+  test("compact is content-invariant after arbitrary upsert sequences (×5)") {
+    (0 until 5).foreach { i =>
+      val p = tmpDir(s"law4_$i")
+      // three generated batches → several file groups per partition
+      (0 until 3).foreach { b =>
+        Merge.upsert(spark, sample(300 + 10 * i + b)
+          .toDF("transaction_id", "close_time", "pair", "price"),
+          p, keyCols, "price", "pair")
+      }
+      val before = readAll(p)
+      Merge.compact(spark, p, "pair", keyCols, targetFileBytes = Long.MaxValue)
+      assert(readAll(p) === before, s"seed=$i")
+      // and a post-compaction upsert still reconciles correctly
+      val rows = sample(400 + i)
+      Merge.upsert(spark, rows.toDF("transaction_id", "close_time",
+        "pair", "price"), p, keyCols, "price", "pair")
+      val expect = (before.groupBy(r => (r._1, r._2, r._3))
+        .map { case (k, g) => k -> g.head } ++ dedupScoped(rows)).values.toSet
+      assert(readAll(p) === expect, s"seed=$i")
+    }
+  }
+
+  test("additive evolution: evolved upsert equals null-filled model (×5)") {
+    (0 until 5).foreach { i =>
+      val rows1 = sample(500 + i)
+      val rows2 = sample(600 + i)
+      val p = tmpDir(s"law5_$i")
+      Merge.upsert(spark, rows1.toDF("transaction_id", "close_time",
+        "pair", "price"), p, keyCols, "price", "pair")
+      Merge.upsert(spark, rows2.toDF("transaction_id", "close_time",
+        "pair", "price").withColumn("src",
+          org.apache.spark.sql.functions.lit("b2")),
+        p, keyCols, "price", "pair")
+      val got = Merge.readTable(spark, p)
+        .select("transaction_id", "close_time", "pair", "price", "src")
+        .as[(String, String, String, Double, Option[String])]
+        .collect().toSet
+      val d2 = dedupScoped(rows2)
+      val expect =
+        d2.values.map(r => (r._1, r._2, r._3, r._4, Some("b2"))).toSet ++
+          dedupScoped(rows1).filterNot { case (k, _) => d2.contains(k) }
+            .values.map(r => (r._1, r._2, r._3, r._4, None)).toSet
+      assert(got === expect, s"seed=$i")
+    }
+  }
+
   test("delete: removed (key, partition) gone, all others intact (×5)") {
     (0 until 5).foreach { i =>
       val rows = sample(100 + i)

@@ -350,6 +350,39 @@ class MergeSpec extends SparkSpec {
     assert(Merge.readBetween(spark, path, 0L, 3L).count() === 3)
   }
 
+  test("upsert's matched-file search is a column-pruned broadcast semi-join") {
+    // the only table-sized cost of a file-group upsert is the key scan:
+    // it must read ONLY the key columns (parquet pruning) and join the
+    // batch keys as a broadcast, never a shuffle
+    val path = tmpDir("planscan")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c2", "ADAGBP", 2.0)), path, keyCols, "price", "pair")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 9.0)),
+        path, keyCols, "price", "pair")
+      Thread.sleep(2000) // listener delivery is asynchronous
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val semi = plans.asScala.filter(p =>
+      p.contains("LeftSemi") && p.contains("input_file_name"))
+    assert(semi.nonEmpty, plans.asScala.mkString("\n---\n"))
+    semi.foreach { p =>
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+      val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(!readSchema.contains("price"), readSchema) // data cols pruned
+    }
+  }
+
   test("vacuum removes leaked staging siblings, keeps the table and inflight markers") {
     val path = tmpDir("vacuum") + "/table"
     Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
