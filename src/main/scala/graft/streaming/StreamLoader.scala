@@ -26,10 +26,11 @@ import graft.merge.Merge
   *   (test parity with the reference's one-shot Lambda invocations);
   *   `max_concurrent_runs = 1` (T6) is native: micro-batches serialize.
   *
-  * Scale: each micro-batch shuffles only on the upsert key and rewrites
-  * only touched `pair=` partitions (see [[graft.merge.Merge]]); the
-  * source lists incrementally (`maxFilesPerTrigger` governs batch size
-  * at high arrival rates).
+  * Scale: each micro-batch reconciles against only the parquet files
+  * whose keys it touches (file-group COW, see [[graft.merge.Merge]]),
+  * and `compactEvery` lets the loader pay its own small-file
+  * maintenance; the source lists incrementally (`maxFilesPerTrigger`
+  * governs batch size at high arrival rates).
   */
 object StreamLoader {
 

@@ -76,7 +76,7 @@ class MergeSpec extends SparkSpec {
     assert(readTable(path) === first)
   }
 
-  test("upsert leaves untouched partitions alone (dynamic overwrite)") {
+  test("upsert leaves untouched partitions alone (file-group isolation)") {
     val path = tmpDir("dynpart")
     Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
       ("T2", "c1", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
@@ -104,8 +104,8 @@ class MergeSpec extends SparkSpec {
   }
 
   test("delete that empties a whole partition drops its directory") {
-    // dynamic overwrite only rewrites partitions PRESENT in the output;
-    // an emptied partition must be dropped explicitly or its rows survive
+    // the survivors append only writes partitions WITH survivors; an
+    // emptied partition's dir must still be dropped (delete()'s contract)
     val path = tmpDir("delall")
     Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
       ("T2", "c2", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
