@@ -176,7 +176,16 @@ object Merge {
     * retypes them). */
   private def updateSchemaMeta(spark: SparkSession, path: String,
       schema: StructType): Unit = {
-    val merged = readSchemaMeta(spark, path) match {
+    // when the recorded schema is missing OR unreadable, the base must
+    // come from the actual files (footer merge), NOT the batch alone —
+    // otherwise one plain insert after a metadata corruption would
+    // re-record a NARROWER schema and hide (or, via compact, physically
+    // drop) every evolved column the batch doesn't carry
+    val base = readSchemaMeta(spark, path).orElse {
+      if (!tableExists(spark, path)) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(path).schema)
+    }
+    val merged = base match {
       case None => schema
       case Some(old) =>
         StructType(old.fields ++
@@ -248,24 +257,35 @@ object Merge {
     val staging = path.stripSuffix("/") + s"_staging_${System.nanoTime()}"
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
     val fs = fsFor(spark, path)
+    // explicit schema: a merge that leaves NO survivors writes an
+    // empty staging dir, where schema inference would throw — the
+    // schema is already known from the merge plan
+    val staged = spark.read.schema(merged.schema).parquet(staging)
     try {
-      // explicit schema: a merge that leaves NO survivors writes an
-      // empty staging dir, where schema inference would throw — the
-      // schema is already known from the merge plan
-      val staged = spark.read.schema(merged.schema).parquet(staging)
       supersededFiles.foreach { f =>
         val p = new Path(f)
         if (fs.exists(p) && !fs.delete(p, false))
           throw new java.io.IOException(s"failed to delete superseded file $p")
       }
-      staged.write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(path)
     } catch {
-      // ONLY pre-append failures may name staging as the recovery copy:
-      // once the append lands, "re-apply the staging dir" would
-      // duplicate every replacement row
+      // pre-append failures may name staging as the clean recovery
+      // copy: nothing new has landed yet
       case e: Throwable =>
         throw new RuntimeException(
           s"merge commit failed; staged merge result kept at $staging", e)
+    }
+    try staged.write.partitionBy(partitionCol).mode(SaveMode.Append)
+      .parquet(path)
+    catch {
+      // an append that dies mid-job-commit may have landed SOME files
+      // (object-store multi-file commit is not atomic) — blindly
+      // re-applying staging would duplicate every row that did land, so
+      // this failure gets the inspect-first wording
+      case e: Throwable =>
+        throw new RuntimeException(
+          "merge append may be PARTIALLY COMMITTED at " + path +
+            s"; staging kept at $staging for inspection — reconcile " +
+            "against the table before re-applying anything", e)
     }
     // data is committed — staging is no longer a recovery copy. A failed
     // cleanup must be VISIBLE: each leaked staging dir is a table-sized
@@ -382,7 +402,7 @@ object Merge {
         writeDynamic(deduped, path, partitionCol)
         updateSchemaMeta(spark, path, deduped.schema)
         return MergeStats(if (needStats) deduped.count() else 0L,
-          touchedPartitions(deduped, partitionCol))
+          if (needStats) touchedPartitions(deduped, partitionCol) else Nil)
       }
       val parts = touchedPartitions(deduped, partitionCol)
       if (parts.isEmpty) return MergeStats(0L, Nil)
@@ -493,8 +513,10 @@ object Merge {
       path: String,
       partitionCol: String,
       keyCols: Seq[String] = Nil,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxFiles: Int = 1 << 20): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(maxFiles >= 1, "maxFiles must be >= 1")
     if (!tableExists(spark, path)) return 0L
     val fs = fsFor(spark, path)
     val partDirs = fs.listStatus(new Path(path))
@@ -505,7 +527,9 @@ object Merge {
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
           !f.getPath.getName.startsWith("."))
       val bytes = files.map(_.getLen).sum
-      val ideal = (bytes / targetFileBytes).toInt + 1
+      // Long division throughout — an Int conversion here wraps for
+      // TB-scale partitions with small targets (the bulkInsert bug)
+      val ideal = bytes / targetFileBytes + 1
       if (files.length > ideal) Some((files.map(_.getPath).toSeq, bytes))
       else None
     }
@@ -515,7 +539,8 @@ object Merge {
     val stored = readTable(spark, path)
     val rows = spark.read.schema(stored.schema)
       .option("basePath", path).parquet(files: _*)
-    val nFiles = (totalBytes / targetFileBytes).toInt + 1
+    val nFiles = math.min(totalBytes / targetFileBytes + 1, maxFiles.toLong)
+      .toInt
     val layout = (col(partitionCol) +: keyCols.map(col)).toIndexedSeq
     commitFiles(spark, rows.repartitionByRange(nFiles, layout: _*), path,
       partitionCol, files, touched = Nil, dropEmptied = false)
@@ -539,8 +564,14 @@ object Merge {
       if (parent == null || !fs.exists(parent)) Seq.empty
       else fs.listStatus(parent).toSeq
         .filter(_.getPath.getName.startsWith(stagingPrefix))
-    staged.foreach(st => fs.delete(st.getPath, true))
-    staged.length.toLong
+    // count only what actually went away — reporting an undeletable
+    // copy as "removed" defeats the visibility this op exists for
+    staged.count { st =>
+      val ok = fs.delete(st.getPath, true)
+      if (!ok) System.err.println(
+        s"[graft.merge] WARN: vacuum could not remove ${st.getPath}")
+      ok
+    }.toLong
   }
 
   // ---- commit timeline (incremental pull) ----

@@ -54,6 +54,11 @@ object StreamLoader {
 
   /** Build (not start) the streaming query. */
   def query(spark: SparkSession, args: Args): StreamingQuery = {
+    // validate BEFORE the stream starts: a zero interval would throw
+    // inside foreachBatch ((batchId+1) % 0) after the table commit but
+    // before the checkpoint commit — a permanently wedged stream
+    args.compactEvery.foreach(n =>
+      require(n >= 1, s"compactEvery must be >= 1, got $n"))
     val reader = spark.readStream
       .schema(Model.orderCompleteRawSchema)
     val src = args.maxFilesPerTrigger

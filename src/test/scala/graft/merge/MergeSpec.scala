@@ -383,6 +383,24 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("corrupt schema metadata degrades to footer merge without narrowing") {
+    val path = tmpDir("schemacorrupt") + "/table"
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    // corrupt the recorded schema, then write a batch WITHOUT _commit_ts
+    // through the schema-recording insert path
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_schema.json"), "{corrupt")
+    Merge.insert(tx(("T2", "c2", "ADAGBP", 2.0)), path, "pair")
+    // the re-recorded schema must come from the FILES (which carry
+    // _commit_ts), not from the narrow batch — otherwise the evolved
+    // column silently vanishes from every read and a compact() would
+    // physically drop it
+    val t = Merge.readTable(spark, path)
+    assert(t.columns.contains(Merge.commitCol), t.columns.mkString(","))
+    assert(t.filter(col(Merge.commitCol) === 1L).count() === 1)
+  }
+
   test("vacuum removes leaked staging siblings, keeps the table and inflight markers") {
     val path = tmpDir("vacuum") + "/table"
     Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),

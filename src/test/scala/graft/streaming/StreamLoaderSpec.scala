@@ -144,6 +144,14 @@ class StreamLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(args.tablePath).count() === 3)
   }
 
+  test("compactEvery = 0 is rejected before the stream starts") {
+    val args = mkArgs("streambadn").copy(compactEvery = Some(0))
+    val e = intercept[IllegalArgumentException] {
+      StreamLoader.query(spark, args)
+    }
+    assert(e.getMessage.contains("compactEvery"))
+  }
+
   test("no dead letters on the happy path (T5)") {
     val args = mkArgs("stream3")
     Files.createDirectories(Paths.get(args.inputDir))
