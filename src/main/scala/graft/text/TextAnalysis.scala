@@ -272,6 +272,33 @@ object TextAnalysis {
       countDistinct(col(idCol)).as("df"))
   }
 
+  /** Per-document top-N salient terms by a TF-IDF-style weight,
+    * `tf × N / df` — the rational form rather than `tf × ln(N/df)`:
+    * same ranking (ln is monotonic), but pure IEEE arithmetic, so the
+    * weights are bit-portable across engines (libm's ln is not).
+    * Shape: one (doc, term) aggregate, one term aggregate, an equi-join
+    * on the term (AQE handles stop-word skew), and a per-doc top-N
+    * window — each shuffle keyed on high-cardinality columns. Ties
+    * break by term, making the top-N total. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int = 5): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val nDocs = docs.count()
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term")).agg(
+      countDistinct(col(idCol)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", col("tf").cast("double") * nDocs / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(col(idCol), col("rn").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+
   /** PII/noise scrubbing: emails, URLs, and long digit runs replaced by
     * typed placeholder tokens. Pure regexp_replace chain — codegen'd,
     * narrow, portable regex subset (no lookarounds). */
@@ -336,6 +363,9 @@ object TextAnalysis {
     "t10_countmin" -> ((s, dir) =>
       countMinSketch(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("d", "bucket")),
+    "t11_tfidf" -> ((s, dir) =>
+      tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "rank")),
   )
 
   /** DuckDB equivalents. Note DuckDB regexp_replace needs the 'g' flag
@@ -401,6 +431,22 @@ object TextAnalysis {
          |SELECT term, COUNT(*) AS tf_corpus, COUNT(DISTINCT doc_id) AS df
          |FROM tok GROUP BY term
          |ORDER BY tf_corpus DESC, term LIMIT 100""".stripMargin,
+    // rational tf-idf (tf × N / df): same left-assoc double arithmetic
+    // tree as the engine — ln would be libm-dependent and break parity
+    "t11_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+         |        CAST(tf.tf AS DOUBLE) * n.n / dfx.df AS tfidf,
+         |        row_number() OVER (PARTITION BY tf.doc_id
+         |          ORDER BY CAST(tf.tf AS DOUBLE) * n.n / dfx.df DESC,
+         |          tf.term) AS rank
+         |      FROM tf JOIN dfx ON tf.term = dfx.term, n)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf
+         |FROM r WHERE rank <= 5
+         |ORDER BY doc_id, rank""".stripMargin,
     "t10_countmin" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
          |x AS (SELECT tok, d FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d))

@@ -218,6 +218,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(groups > 1L, s"fixture must populate >1 bucket, got $groups")
   }
 
+  test("tfidfTopTerms surfaces a doc's distinctive term over shared ones") {
+    val docs = Seq(
+      (1L, "spark spark spark common words here"),
+      (2L, "duck duck common words here"),
+      (3L, "common words here again")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topN = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top(1L) === "spark") // df=1, tf=3 beats the df=3 fillers
+    assert(top(2L) === "duck")
+    // weights are the rational form: tf * N / df
+    val w = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topN = 1)
+      .filter($"doc_id" === 1L).select("tfidf").as[Double].head()
+    assert(w === 3.0 * 3 / 1)
+  }
+
   test("qualityFeatures: ratios in [0,1], score favors clean prose") {
     val clean = "the cat and the dog sat in the house and it is a good day " * 3
     val junk = "@@@@ #### 1234 %%%% !!!! 9999 ****"
