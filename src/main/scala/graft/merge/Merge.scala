@@ -180,10 +180,29 @@ object Merge {
     // come from the actual files (footer merge), NOT the batch alone —
     // otherwise one plain insert after a metadata corruption would
     // re-record a NARROWER schema and hide (or, via compact, physically
-    // drop) every evolved column the batch doesn't carry
+    // drop) every evolved column the batch doesn't carry. The files are
+    // read DIRECTLY (no hive-layout basePath), so the partition column
+    // never goes through dir-name type inference — recording an
+    // inferred int for a numeric-LOOKING string partition would
+    // permanently retype it (first-recorded-type-wins); instead the
+    // partition column joins from the incoming schema, which carries
+    // its true type.
     val base = readSchemaMeta(spark, path).orElse {
-      if (!tableExists(spark, path)) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(path).schema)
+      val fs = fsFor(spark, path)
+      val root = new Path(path)
+      if (!fs.exists(root)) None
+      else {
+        val dataFiles = fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith("."))
+          .flatMap(d => fs.listStatus(d.getPath).toSeq)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith("."))
+          .map(_.getPath.toString)
+        if (dataFiles.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(dataFiles: _*).schema)
+      }
     }
     val merged = base match {
       case None => schema
@@ -259,8 +278,16 @@ object Merge {
     val fs = fsFor(spark, path)
     // explicit schema: a merge that leaves NO survivors writes an
     // empty staging dir, where schema inference would throw — the
-    // schema is already known from the merge plan
-    val staged = spark.read.schema(merged.schema).parquet(staging)
+    // schema is already known from the merge plan. Relation resolution
+    // lists the staging dir EAGERLY, so this read sits inside its own
+    // wrap: even a listing failure must name the staged recovery copy
+    val staged =
+      try spark.read.schema(merged.schema).parquet(staging)
+      catch {
+        case e: Throwable =>
+          throw new RuntimeException(
+            s"merge commit failed; staged merge result kept at $staging", e)
+      }
     try {
       supersededFiles.foreach { f =>
         val p = new Path(f)

@@ -286,8 +286,11 @@ object TextAnalysis {
     val nDocs = docs.count()
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("term")).agg(
-      countDistinct(col(idCol)).as("df"))
+    // df = tf's row count per term (tf is distinct per (doc, term)) —
+    // derived from tf rather than re-aggregating tok so the scan +
+    // tokenize + (doc,term) exchange are REUSED, not run twice (the
+    // same exchange-reuse trick packSequences pins in its plan spec)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))
