@@ -155,14 +155,27 @@ object Similarity {
   }
 
   /** Deterministic k-means (Lloyd) coarse quantizer: centroids start at
-    * the first k vec_ids, `iters` relational refinement steps. Returns
-    * (centroid_id, centroid array). Joins+groupBy only — runs at any
-    * scale, no driver-side state beyond the k centroids. */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    * the first k vec_ids of the TRAINING SAMPLE, `iters` relational
+    * refinement steps. Returns (centroid_id, centroid array).
+    * Joins+groupBy only — no driver-side state beyond the k centroids.
+    *
+    * Training runs on a deterministic md5-ordered sample of at most
+    * `maxTrainVectors` (production IVF practice: quantizers train on a
+    * sample, the FULL corpus is only assigned). The cap is also what
+    * bounds [[collectMean]]'s per-cluster aggregation buffer — without
+    * it a popular cluster at corpus scale would collect its entire cell
+    * into one buffer (the same unbounded-agg class `exactGroups`
+    * bounds with maxMembers). */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+      maxTrainVectors: Int = 100000): DataFrame = {
+    require(maxTrainVectors >= k, "maxTrainVectors must be >= k")
     val spark = corpus.sparkSession
     import spark.implicits._
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    val train = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(maxTrainVectors)
     // centroids are k tiny vectors: materialize to the driver after each
     // Lloyd step (breaks the growing lineage — otherwise iteration N
     // re-executes iterations 1..N-1; measured 3× on the IVF path) and
@@ -172,12 +185,12 @@ object Similarity {
         .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
         .toDF("cid", "cv")
     var centroids = materialize(
-      e.orderBy("vec_id").limit(k)
+      train.orderBy("vec_id").limit(k)
         .select(monotonically_increasing_id().as("cid"), col("v").as("cv")))
     var it = 0
     while (it < iters) {
       centroids = materialize(
-        assign(e, centroids).groupBy("cid")
+        assign(train, centroids).groupBy("cid")
           .agg(collectMean(col("v"), col("vec_id")).as("cv")))
       it += 1
     }
@@ -213,8 +226,9 @@ object Similarity {
   /** IVF ANN: corpus pre-assigned to centroids; each query probes its
     * `nProbe` nearest centroids and exact-ranks within those cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int, nProbe: Int, iters: Int = 3): DataFrame = {
-    val cents = kmeansCentroids(corpus, nCentroids, iters)
+      nCentroids: Int, nProbe: Int, iters: Int = 3,
+      maxTrainVectors: Int = 100000): DataFrame = {
+    val cents = kmeansCentroids(corpus, nCentroids, iters, maxTrainVectors)
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     // cells keep the normalized vector: the probe-stage scoring is a dot
@@ -260,8 +274,11 @@ object Similarity {
       lshTopK(corpusOf(s, dir), queriesOf(s, dir), 10, bits = 4, tables = 8)
         .orderBy("query_id", "rank")),
     "s03_ann_ivf" -> ((s, dir) =>
+      // maxTrainVectors below the sf0.01+ corpus size so the driver
+      // check exercises the sampled-training path, not just the
+      // degenerate train==corpus case
       ivfTopK(corpusOf(s, dir), queriesOf(s, dir), 10, nCentroids = 10,
-        nProbe = 4).orderBy("query_id", "rank")),
+        nProbe = 4, maxTrainVectors = 256).orderBy("query_id", "rank")),
   )
 
   /** DuckDB SQL for the multi-table bucket computation: the hyperplanes
@@ -292,15 +309,15 @@ object Similarity {
     * fold, matching our sorted collect_list fold) — then cell
     * assignment, nProbe centroid probing, and in-cell exact ranking. */
   private def s03OracleSql(k: Int, iters: Int, nProbe: Int,
-      topK: Int): String = {
-    def assignSql(name: String, cents: String): String =
+      topK: Int, trainN: Int): String = {
+    def assignSql(name: String, cents: String, source: String): String =
       s"""$name AS (
          |  SELECT vec_id, v, cid FROM (
-         |    SELECT corpus.vec_id, corpus.v, c.cid,
-         |      row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
-         |        list_dot_product(${normSql("corpus.v")}, ${normSql("c.cv")}) DESC,
+         |    SELECT $source.vec_id, $source.v, c.cid,
+         |      row_number() OVER (PARTITION BY $source.vec_id ORDER BY
+         |        list_dot_product(${normSql(s"$source.v")}, ${normSql("c.cv")}) DESC,
          |        c.cid) AS rn
-         |    FROM corpus CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+         |    FROM $source CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
     def meansSql(name: String, assigned: String): String =
       s"""$name AS (
          |  SELECT cid, list(m ORDER BY i) AS cv FROM (
@@ -310,17 +327,19 @@ object Similarity {
          |    GROUP BY cid, i)
          |  GROUP BY cid)""".stripMargin
     val iterations = (1 to iters).map { i =>
-      assignSql(s"a$i", if (i == 1) "c0" else s"c${i - 1}") + ",\n" +
+      assignSql(s"a$i", if (i == 1) "c0" else s"c${i - 1}", "train") + ",\n" +
         meansSql(s"c$i", s"a$i")
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+       |train AS (SELECT vec_id, v FROM corpus
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $trainN),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-       |       FROM corpus ORDER BY vec_id LIMIT $k),
+       |       FROM train ORDER BY vec_id LIMIT $k),
        |$iterations,
-       |${assignSql("cells", s"c$iters")},
+       |${assignSql("cells", s"c$iters", "corpus")},
        |probes AS (
        |  SELECT query_id, qvn, cid FROM (
        |    SELECT q.vec_id AS query_id, ${normSql("q.v")} AS qvn, c.cid,
@@ -347,7 +366,7 @@ object Similarity {
     * are portable constants, s03's k-means is reproduced by unrolled
     * deterministic Lloyd SQL. */
   val oracle: Map[String, String] = Map(
-    "s03_ann_ivf" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10),
+    "s03_ann_ivf" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
     "s02_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
