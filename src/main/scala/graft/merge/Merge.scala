@@ -452,6 +452,9 @@ object Merge {
       // partitions, semi-joined (broadcast) against the batch keys →
       // the files that actually contain matched keys. Null-safe <=>:
       // a null key component / null partition must still match.
+      // The matched-file list is driver-resident — bounded by the
+      // batch's key count (≤ one path per matched key in the worst
+      // case), the same driver-side COW write planning Hudi does.
       val batchKeys = deduped.select(scopedKeys.map(col): _*).distinct()
       val keyScan = stored.filter(partitionIn(partitionCol, parts))
         .select(scopedKeys.map(col) :+ input_file_name().as("_file"): _*)
@@ -737,6 +740,27 @@ object Merge {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private val scratchDirs = scala.collection.mutable.ArrayBuffer[String]()
+
+  /** Scratch table location for a replay query — registered for removal
+    * at JVM exit (a bench process runs each replay three times; without
+    * the sweep every run leaves a table-sized temp dir behind). Not
+    * removed eagerly: the returned DataFrame's lineage reads the dir. */
+  private def scratchTable(prefix: String): String = {
+    if (synchronized { scratchDirs.isEmpty }) // first use installs the hook
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        synchronized(scratchDirs.toList).foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          try rm(new java.io.File(d)) catch { case _: Throwable => () }
+        }))
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    synchronized { scratchDirs += d }
+    d + "/table"
+  }
+
   /** Deterministic replay batch `b` over the orders table: rows whose
     * o_orderkey ≡ b (mod 7), keyed (okey = o_orderkey % 500, status
     * partition) with precombine o_orderkey. The % 500 fold makes ~4
@@ -760,8 +784,7 @@ object Merge {
     * had only spec coverage. */
   val queries: Map[String, Q] = Map(
     "q18_upsert_replay" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q18_").toString + "/table"
+      val path = scratchTable("graft_q18_")
       val keyCols = Seq("okey")
       upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
       upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
@@ -776,8 +799,7 @@ object Merge {
     // column batch 1 never had; stored batch-1 survivors read back
     // null-filled (the oracle recomputes the same NULL-filled union)
     "q18b_schema_evolution" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q18b_").toString + "/table"
+      val path = scratchTable("graft_q18b_")
       val keyCols = Seq("okey")
       upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
       upsert(s, replayBatch(s, dir, 1).withColumn("src", lit("b1")),
@@ -790,8 +812,7 @@ object Merge {
     // appends leave several files per partition) compacted to one file
     // per partition must still hash-match the same relational oracle
     "q23_compact" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q23_").toString + "/table"
+      val path = scratchTable("graft_q23_")
       val keyCols = Seq("okey")
       upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
       upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
@@ -808,8 +829,7 @@ object Merge {
     // batch-1 survivors whose keys batch 2 never touched — that
     // exclusion is what proves per-record stamps merge correctly.
     "q19_incremental_pull" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q19_").toString + "/table"
+      val path = scratchTable("graft_q19_")
       val keyCols = Seq("okey")
       val c1 = upsertVersioned(s, replayBatch(s, dir, 0), path,
         keyCols, "pre", "part")
@@ -827,8 +847,7 @@ object Merge {
     // metadata timeline must keep issuing 3. Output = the commits()
     // enumeration itself, relationally recomputed by the oracle.
     "q22_timeline" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q22_").toString + "/table"
+      val path = scratchTable("graft_q22_")
       val keyCols = Seq("okey")
       val c1 = upsertVersioned(s, replayBatch(s, dir, 0), path,
         keyCols, "pre", "part")
