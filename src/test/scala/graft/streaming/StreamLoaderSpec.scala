@@ -144,6 +144,23 @@ class StreamLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(args.tablePath).count() === 3)
   }
 
+  test("micro-batches serialize: one ordered notification per batch (T6)") {
+    // max_concurrent_runs = 1 is native to Structured Streaming: batches
+    // run strictly one at a time — observable as exactly one success
+    // record per input file (maxFilesPerTrigger=1) with contiguous ids
+    val args0 = mkArgs("streamserial")
+    val args = args0.copy(successDir = Some(args0.inputDir + "/../ok"),
+      maxFilesPerTrigger = Some(1))
+    Files.createDirectories(Paths.get(args.inputDir))
+    writeTx(args.inputDir, "a.json", "TX1", "0.5")
+    writeTx(args.inputDir, "b.json", "TX2", "0.6")
+    writeTx(args.inputDir, "c.json", "TX3", "0.7")
+    StreamLoader.runAvailableNow(spark, args)
+    val ids = spark.read.parquet(args.successDir.get)
+      .select("_batch_id").as[Long].collect().toSeq.sorted
+    assert(ids === Seq(0L, 1L, 2L))
+  }
+
   test("compactEvery = 0 is rejected before the stream starts") {
     val args = mkArgs("streambadn").copy(compactEvery = Some(0))
     val e = intercept[IllegalArgumentException] {
