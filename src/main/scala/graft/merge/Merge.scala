@@ -747,17 +747,21 @@ object Merge {
     * the sweep every run leaves a table-sized temp dir behind). Not
     * removed eagerly: the returned DataFrame's lineage reads the dir. */
   private def scratchTable(prefix: String): String = {
-    if (synchronized { scratchDirs.isEmpty }) // first use installs the hook
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        synchronized(scratchDirs.toList).foreach { d =>
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          try rm(new java.io.File(d)) catch { case _: Throwable => () }
-        }))
     val d = java.nio.file.Files.createTempDirectory(prefix).toString
-    synchronized { scratchDirs += d }
+    // check-and-install under the SAME lock as the append: two threads
+    // racing first use must not both install the hook
+    synchronized {
+      if (scratchDirs.isEmpty)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          synchronized(scratchDirs.toList).foreach { dir =>
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(); ()
+            }
+            try rm(new java.io.File(dir)) catch { case _: Throwable => () }
+          }))
+      scratchDirs += d
+    }
     d + "/table"
   }
 

@@ -173,9 +173,13 @@ object Similarity {
     import spark.implicits._
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    // persisted for the Lloyd loop: each materialize() below collects,
+    // and without the cache every iteration would re-scan the corpus
+    // and recompute the md5 top-K (iters+1 full scans instead of one)
     val train = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(maxTrainVectors)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // centroids are k tiny vectors: materialize to the driver after each
     // Lloyd step (breaks the growing lineage — otherwise iteration N
     // re-executes iterations 1..N-1; measured 3× on the IVF path) and
@@ -184,17 +188,19 @@ object Similarity {
       df.select(col("cid"), col("cv"))
         .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
         .toDF("cid", "cv")
-    var centroids = materialize(
-      train.orderBy("vec_id").limit(k)
-        .select(monotonically_increasing_id().as("cid"), col("v").as("cv")))
-    var it = 0
-    while (it < iters) {
-      centroids = materialize(
-        assign(train, centroids).groupBy("cid")
-          .agg(collectMean(col("v"), col("vec_id")).as("cv")))
-      it += 1
-    }
-    centroids
+    try {
+      var centroids = materialize(
+        train.orderBy("vec_id").limit(k)
+          .select(monotonically_increasing_id().as("cid"), col("v").as("cv")))
+      var it = 0
+      while (it < iters) {
+        centroids = materialize(
+          assign(train, centroids).groupBy("cid")
+            .agg(collectMean(col("v"), col("vec_id")).as("cv")))
+        it += 1
+      }
+      centroids
+    } finally train.unpersist()
   }
 
   /** Element-wise mean of arrays in a group via a fold over the

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.input_file_name
 
 /** Incremental-mode semantics: drain-and-stop runs, checkpointed
   * exactly-once file consumption (T2/T3), upsert across micro-batch
@@ -14,12 +15,14 @@ class StreamLoaderSpec extends SparkSpec {
     Files.writeString(Paths.get(dir, name),
       s"""{"transaction_id":"$txid","exchange_status":"closed","pair":"ADAGBP","order_type":"market","type":"buy","price":"$price","fee":"0.01","volume":"10","open_time":1.69e9,"close_time":$closeTime}""")
 
-  private def mkArgs(tag: String): StreamLoader.Args = {
+  private def mkArgs(tag: String, withSuccess: Boolean = false)
+      : StreamLoader.Args = {
     val base = tmpDir(tag)
     StreamLoader.Args(
       inputDir = s"$base/in", tablePath = s"$base/table",
       checkpointDir = s"$base/ckpt", deadLetterDir = s"$base/dlq",
-      additionalColumns = Map("exchange" -> "kraken"))
+      additionalColumns = Map("exchange" -> "kraken"),
+      successDir = if (withSuccess) Some(s"$base/ok") else None)
   }
 
   test("drains available files then stops; loads the table (T2)") {
@@ -34,8 +37,7 @@ class StreamLoaderSpec extends SparkSpec {
   }
 
   test("successful batches emit one success notification record (T5)") {
-    val args0 = mkArgs("streamok")
-    val args = args0.copy(successDir = Some(args0.inputDir + "/../ok"))
+    val args = mkArgs("streamok", withSuccess = true)
     Files.createDirectories(Paths.get(args.inputDir))
     writeTx(args.inputDir, "a.json", "TX1", "0.5")
     writeTx(args.inputDir, "b.json", "TX2", "0.6")
@@ -99,8 +101,7 @@ class StreamLoaderSpec extends SparkSpec {
     // through the persisted batch. Detector: during the drain, NO query
     // execution may scan the JSON source directly — every plan that
     // touches it must do so through InMemoryTableScan (the cache).
-    val args0 = mkArgs("streamonce")
-    val args = args0.copy(successDir = Some(args0.inputDir + "/../ok"))
+    val args = mkArgs("streamonce", withSuccess = true)
     Files.createDirectories(Paths.get(args.inputDir))
     writeTx(args.inputDir, "a.json", "TX1", "0.5")
     writeTx(args.inputDir, "b.json", "TX2", "0.6")
@@ -148,17 +149,25 @@ class StreamLoaderSpec extends SparkSpec {
     // max_concurrent_runs = 1 is native to Structured Streaming: batches
     // run strictly one at a time — observable as exactly one success
     // record per input file (maxFilesPerTrigger=1) with contiguous ids
-    val args0 = mkArgs("streamserial")
-    val args = args0.copy(successDir = Some(args0.inputDir + "/../ok"),
-      maxFilesPerTrigger = Some(1))
+    val args = mkArgs("streamserial", withSuccess = true)
+      .copy(maxFilesPerTrigger = Some(1))
     Files.createDirectories(Paths.get(args.inputDir))
     writeTx(args.inputDir, "a.json", "TX1", "0.5")
     writeTx(args.inputDir, "b.json", "TX2", "0.6")
     writeTx(args.inputDir, "c.json", "TX3", "0.7")
     StreamLoader.runAvailableNow(spark, args)
-    val ids = spark.read.parquet(args.successDir.get)
-      .select("_batch_id").as[Long].collect().toSeq.sorted
-    assert(ids === Seq(0L, 1L, 2L))
+    val rows = spark.read.parquet(args.successDir.get)
+      .select(input_file_name().as("f"), $"_batch_id")
+      .as[(String, Long)].collect().toSeq
+    assert(rows.map(_._2).sorted === Seq(0L, 1L, 2L))
+    // ordering, not just membership: each batch's notification files
+    // must have been WRITTEN after the previous batch's (serial
+    // micro-batches leave monotonic mtimes per batch id)
+    val mtimes = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, fs) =>
+      fs.map(t => new java.io.File(new java.net.URI(t._1).getPath)
+        .lastModified()).min
+    }
+    assert(mtimes === mtimes.sorted, mtimes.mkString(","))
   }
 
   test("compactEvery = 0 is rejected before the stream starts") {
