@@ -97,13 +97,29 @@ object LoadTransactions {
   }
 
   /** O6: register the table in the session catalog (hive-sync
-    * equivalent, `load_transactions.py:73-79`). */
+    * equivalent, `load_transactions.py:73-79`). When the table carries
+    * recorded schema metadata, the columns are declared EXPLICITLY —
+    * inference reads one footer, so a catalog table over an evolved
+    * (mixed-schema) location would silently miss the columns only
+    * newer files carry (Hudi's hive-sync pushes the evolved schema to
+    * the metastore for the same reason). */
   def syncCatalog(spark: SparkSession, tablePath: String,
       database: String, table: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
     spark.sql(s"DROP TABLE IF EXISTS $database.$table")
-    spark.sql(
-      s"CREATE TABLE $database.$table USING parquet LOCATION '$tablePath'")
+    Merge.recordedSchema(spark, tablePath) match {
+      case Some(s) if s.fieldNames.contains(partitionCol) =>
+        val dataCols = s.fields.filterNot(_.name == partitionCol)
+          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        val partType = s(partitionCol).dataType.sql
+        spark.sql(
+          s"CREATE TABLE $database.$table ($dataCols, " +
+            s"`$partitionCol` $partType) USING parquet " +
+            s"PARTITIONED BY (`$partitionCol`) LOCATION '$tablePath'")
+      case _ => // legacy location without metadata: inferred as before
+        spark.sql(
+          s"CREATE TABLE $database.$table USING parquet LOCATION '$tablePath'")
+    }
     spark.catalog.recoverPartitions(s"$database.$table")
   }
 }

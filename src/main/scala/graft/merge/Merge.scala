@@ -213,6 +213,13 @@ object Merge {
     replaceSmallFile(fsFor(spark, path), schemaMetaPath(path), merged.json)
   }
 
+  /** The recorded authoritative schema, if this table has one — the
+    * catalog-sync path needs it to register evolved columns explicitly
+    * (a footer-inferred catalog table would miss columns that only
+    * newer files carry). */
+  def recordedSchema(spark: SparkSession, path: String): Option[StructType] =
+    readSchemaMeta(spark, path)
+
   /** Read a merge-managed table. Prefers the recorded schema (exact
     * types + null-fill for files written before an additive evolution);
     * falls back to a parquet footer-merge for tables written by older

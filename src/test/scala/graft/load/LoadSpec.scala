@@ -115,4 +115,25 @@ class LoadSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dca_manager.transactions")
       .as[Long].head() === 1)
   }
+
+  test("syncCatalog declares evolved columns the current footers may lack") {
+    val dir = tmpDir("loadcatevo")
+    val table = dir + "/transactions"
+    writeJson(dir, "tx.json", rawLine)
+    // batch 1 without the extra column, batch 2 (different key) with it:
+    // an inference-based catalog table could pick the narrow footer
+    LoadTransactions.run(spark, LoadTransactions.Args(dir.toString, table,
+      "upsert"))
+    val dir2 = tmpDir("loadcatevo2")
+    writeJson(dir2, "tx2.json", rawLine
+      .replace("\"TX1\"", "\"TX2\""))
+    LoadTransactions.run(spark, LoadTransactions.Args(dir2.toString, table,
+      "upsert", Map("source" -> "manual")))
+    LoadTransactions.syncCatalog(spark, table, "dca_manager", "tx_evolved")
+    val rows = spark.sql(
+      "SELECT transaction_id, source FROM dca_manager.tx_evolved")
+      .as[(String, Option[String])].collect().toMap
+    assert(rows("TX2") === Some("manual"))
+    assert(rows("TX1") === None) // old rows null-fill via catalog too
+  }
 }
