@@ -105,21 +105,27 @@ object LoadTransactions {
     * the metastore for the same reason). */
   def syncCatalog(spark: SparkSession, tablePath: String,
       database: String, table: String): Unit = {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
-    spark.sql(s"DROP TABLE IF EXISTS $database.$table")
+    // identifiers backquoted and the location quote-escaped: Glue-style
+    // names may be hyphenated ('dca-manager'), and raw interpolation
+    // into DDL would fail the parse (or worse) at sync time
+    val db = s"`${database.replace("`", "``")}`"
+    val qualified = s"$db.`${table.replace("`", "``")}`"
+    val loc = tablePath.replace("'", "''")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $qualified")
     Merge.recordedSchema(spark, tablePath) match {
       case Some(s) if s.fieldNames.contains(partitionCol) =>
         val dataCols = s.fields.filterNot(_.name == partitionCol)
           .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
         val partType = s(partitionCol).dataType.sql
         spark.sql(
-          s"CREATE TABLE $database.$table ($dataCols, " +
+          s"CREATE TABLE $qualified ($dataCols, " +
             s"`$partitionCol` $partType) USING parquet " +
-            s"PARTITIONED BY (`$partitionCol`) LOCATION '$tablePath'")
+            s"PARTITIONED BY (`$partitionCol`) LOCATION '$loc'")
       case _ => // legacy location without metadata: inferred as before
         spark.sql(
-          s"CREATE TABLE $database.$table USING parquet LOCATION '$tablePath'")
+          s"CREATE TABLE $qualified USING parquet LOCATION '$loc'")
     }
-    spark.catalog.recoverPartitions(s"$database.$table")
+    spark.catalog.recoverPartitions(qualified)
   }
 }
