@@ -39,18 +39,41 @@ import org.apache.spark.storage.StorageLevel
   *     including files in the SAME partition whose key range the batch
   *     missed — is left physically untouched (a hot partition no longer
   *     costs a partition-sized rewrite per row);
-  *  4. the merged replacement rows are staged durably, the superseded
-  *     files dropped, and the replacement appended.
+  *  4. the merged replacement rows are staged durably (written ONCE,
+  *     hive-partitioned, in a staging sibling), the superseded files
+  *     retired, and the staged files RENAMED into the table — renames
+  *     are metadata operations, so the data is never written twice.
   * The reconcile itself is broadcast-anti-join shaped (the batch is tiny
   * vs the table), so the only table-sized cost is the key scan of the
   * touched partitions — column-pruned to the key columns, which parquet
   * serves from dictionary/stats pages.
+  *
+  * ==Single-writer contract==
+  * A merge-managed table admits ONE writer at a time (the reference
+  * enforces the same serialization via `max_concurrent_runs = 1`,
+  * `terraform/glue.tf:94-96`). Two concurrent file-group merges can
+  * plan against the same stored file and each retire it; the engine
+  * detects the violation (a superseded file that vanished mid-commit
+  * fails the commit loudly, before any replacement lands) but does not
+  * arbitrate it — serialize writers externally. [[upsertVersioned]]
+  * additionally claims its commit id via an exclusive-create inflight
+  * marker, so even racing versioned writers can never stamp two batches
+  * with the same commit id.
   */
 object Merge {
 
   /** What a merge wrote: deduped batch row count + touched partition
-    * values (the commit-metadata payload for [[upsertVersioned]]). */
-  final case class MergeStats(nRows: Long, partitions: Seq[Any])
+    * values rendered as hive-relative strings (`a=1/b=x` for multi-level
+    * partitioning, the bare value for the single-column common case) —
+    * the commit-metadata payload for [[upsertVersioned]]. */
+  final case class MergeStats(nRows: Long, partitions: Seq[String])
+
+  /** The physical outcome of one durable commit: table-relative file
+    * lists recorded in the commit metadata (rollback reverses exactly
+    * these), plus the staging dir the caller sweeps after the commit
+    * record lands. */
+  private[merge] final case class CommitResult(
+      added: Seq[String], removed: Seq[String], staging: String)
 
   /** O4: within-batch dedup keeping the max-precombine row per key.
     * `tieBreak` makes the choice total when precombine itself ties (Hudi
@@ -72,26 +95,61 @@ object Merge {
     concat_ws(":", keyCols.map(col): _*)
 
   /** Predicate selecting only the table partitions the batch touches.
-    * The distinct-value collect is a driver round-trip over a
-    * low-cardinality partition column — cheap at any table size, and it
-    * turns the table read into a partition-pruned scan. */
+    * The distinct-value collect is a driver round-trip over
+    * low-cardinality partition columns — cheap at any table size, and it
+    * turns the table read into a partition-pruned scan. Each element is
+    * one partition tuple in `partitionCols` order. */
   private def touchedPartitions(
-      batch: DataFrame, partitionCol: String): Seq[Any] =
-    batch.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+      batch: DataFrame, partitionCols: Seq[String]): Seq[Seq[Any]] =
+    batch.select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => partitionCols.indices.map(r.get)).toSeq
 
   /** Null-safe membership for the touched-partition filter: a plain
     * `isin` evaluates to NULL (= dropped) for null-partition rows, so a
     * batch touching the null partition would silently exclude its
     * stored rows from the rewrite — under delete() that turns into
     * destroying the whole __HIVE_DEFAULT_PARTITION__ directory instead
-    * of removing one key. */
-  private def partitionIn(partitionCol: String, parts: Seq[Any]): Column = {
-    val nonNull = parts.filterNot(_ == null)
-    val base =
-      if (nonNull.isEmpty) lit(false)
-      else col(partitionCol).isin(nonNull: _*)
-    if (parts.exists(_ == null)) base || col(partitionCol).isNull else base
+    * of removing one key. Single-column keeps the `isin` shape (one
+    * InSet that partition pruning folds); multi-column becomes an OR of
+    * per-tuple null-safe conjunctions — partition tuples are few, so
+    * the predicate stays small. */
+  private def partitionIn(partitionCols: Seq[String], parts: Seq[Seq[Any]])
+      : Column =
+    if (partitionCols.size == 1) {
+      val vals = parts.map(_.head)
+      val nonNull = vals.filterNot(_ == null)
+      val base =
+        if (nonNull.isEmpty) lit(false)
+        else col(partitionCols.head).isin(nonNull: _*)
+      if (vals.exists(_ == null)) base || col(partitionCols.head).isNull
+      else base
+    } else
+      parts.map { tuple =>
+        partitionCols.zip(tuple)
+          .map { case (c, v) => col(c) <=> lit(v) }
+          .reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** One hive path segment, escaped exactly as Spark's partitioned
+    * writes escape it (null → `__HIVE_DEFAULT_PARTITION__`). */
+  private def partitionDirName(colName: String, v: Any): String = {
+    val dir = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v.toString)
+    s"$colName=$dir"
   }
+
+  /** The table-relative directory of one partition tuple
+    * (`pair=ADAGBP` or `day=2024-01-01/pair=ADAGBP`). */
+  private def partitionRelDir(cols: Seq[String], vals: Seq[Any]): String =
+    cols.zip(vals).map { case (c, v) => partitionDirName(c, v) }.mkString("/")
+
+  /** Human-readable partition tuple for commit metadata: raw values
+    * joined by '/' (single-column renders as the bare value, matching
+    * the pre-multi-level metadata format). */
+  private def renderPartition(vals: Seq[Any]): String =
+    vals.map(v => if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString)
+      .mkString("/")
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,14 +165,6 @@ object Merge {
       !n.startsWith("_") && !n.startsWith(".")
     }
   }
-
-  private def writeDynamic(df: DataFrame, path: String,
-      partitionCol: String): Unit =
-    df.write
-      .partitionBy(partitionCol)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .parquet(path)
 
   // ---- table schema metadata ----
   // Spark's file listing skips paths starting with '_' or '.', so both
@@ -248,105 +298,179 @@ object Merge {
       else lit(null).cast(t).as(n)
     }: _*)
 
-  /** Durable commit of a file-group merge: stage the replacement rows,
-    * drop the superseded files, append the staged rows back. The staging
-    * materialization is what makes this safe — the replacement exists
-    * durably BEFORE any stored file is removed, so a failure mid-commit
-    * leaves missing-but-recoverable data with the error naming the
-    * recovery copy (never silently duplicated keys, which deleting
-    * after appending would risk). On success the staging dir is removed.
-    *
-    * Staging is written unpartitioned (partition col as a plain column)
-    * so the read-back schema is bit-identical — hive-layout read-back
-    * would re-infer the partition column's type.
-    *
-    * Only delete() can leave a touched partition with no files (a
-    * batch-wins upsert always appends the batch's rows back), so the
-    * emptied-directory sweep runs only when `dropEmptied` is set. */
-  private def commitFiles(
-      spark: SparkSession,
-      merged: DataFrame,
-      path: String,
-      partitionCol: String,
-      supersededFiles: Seq[String],
-      touched: Seq[Any],
-      dropEmptied: Boolean): Unit = {
-    if (supersededFiles.isEmpty && !dropEmptied) {
-      // pure insert: nothing is being replaced, so a plain append is
-      // already durable — skip the staging double-write (the common
-      // shape for streaming micro-batches carrying only new keys)
-      merged.write.partitionBy(partitionCol).mode(SaveMode.Append)
-        .parquet(path)
-      updateSchemaMeta(spark, path, merged.schema)
-      return
+  /** Data files under `root`, recursively, skipping metadata entries
+    * ('_'/'.'-prefixed at any level — `_SUCCESS`, `.crc` siblings,
+    * `_graft_commits/`...). */
+  private def listDataFiles(fs: FileSystem, root: Path): Seq[Path] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) listDataFiles(fs, st.getPath)
+      else Seq(st.getPath)
     }
-    val staging = path.stripSuffix("/") + s"_staging_${System.nanoTime()}"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val fs = fsFor(spark, path)
-    // explicit schema: a merge that leaves NO survivors writes an
-    // empty staging dir, where schema inference would throw — the
-    // schema is already known from the merge plan. Relation resolution
-    // lists the staging dir EAGERLY, so this read sits inside its own
-    // wrap: even a listing failure must name the staged recovery copy
-    val staged =
-      try spark.read.schema(merged.schema).parquet(staging)
-      catch {
-        case e: Throwable =>
-          throw new RuntimeException(
-            s"merge commit failed; staged merge result kept at $staging", e)
-      }
-    try {
-      supersededFiles.foreach { f =>
-        val p = new Path(f)
-        if (fs.exists(p) && !fs.delete(p, false))
-          throw new java.io.IOException(s"failed to delete superseded file $p")
-      }
-    } catch {
-      // pre-append failures may name staging as the clean recovery
-      // copy: nothing new has landed yet
-      case e: Throwable =>
-        throw new RuntimeException(
-          s"merge commit failed; staged merge result kept at $staging", e)
-    }
-    try staged.write.partitionBy(partitionCol).mode(SaveMode.Append)
-      .parquet(path)
-    catch {
-      // an append that dies mid-job-commit may have landed SOME files
-      // (object-store multi-file commit is not atomic) — blindly
-      // re-applying staging would duplicate every row that did land, so
-      // this failure gets the inspect-first wording
-      case e: Throwable =>
-        throw new RuntimeException(
-          "merge append may be PARTIALLY COMMITTED at " + path +
-            s"; staging kept at $staging for inspection — reconcile " +
-            "against the table before re-applying anything", e)
-    }
-    // data is committed — staging is no longer a recovery copy. A failed
-    // cleanup must be VISIBLE: each leaked staging dir is a table-sized
-    // sibling that accumulates silently otherwise
-    if (!fs.delete(new Path(staging), true))
+
+  private def relativize(root: Path, p: Path): String =
+    root.toUri.relativize(p.toUri).getPath
+
+  /** Where a commit's retired (superseded) files wait between being
+    * unlinked from the table and the commit record landing — the
+    * crash-recovery copy [[rollback]] restores. '_'-prefixed, so
+    * invisible to every read. */
+  private def rollbackDir(path: String, cts: Long): Path =
+    new Path(path, f"_graft_rollback/$cts%020d")
+
+  /** Drop a commit's working state after it is durably recorded (or
+    * fully rolled back): the staging sibling and, for versioned commits,
+    * the retired-file copy. A failed sweep must be VISIBLE — each leaked
+    * dir holds real data and accumulates silently otherwise. */
+  private def sweepCommitScratch(fs: FileSystem, staging: String,
+      rollback: Option[Path]): Unit = {
+    val stagingPath = new Path(staging)
+    if (fs.exists(stagingPath) && !fs.delete(stagingPath, true))
       System.err.println(
         s"[graft.merge] WARN: failed to remove staging dir $staging " +
           "after a successful commit; delete it manually")
+    rollback.foreach { rb =>
+      if (fs.exists(rb) && !fs.delete(rb, true))
+        System.err.println(
+          s"[graft.merge] WARN: failed to remove retired-file dir $rb " +
+            "after a successful commit; delete it manually")
+    }
+  }
+
+  /** Durable commit of a file-group merge, in three mechanical steps:
+    *
+    *  1. STAGE: write the replacement rows ONCE, hive-partitioned, into
+    *     a staging sibling. The replacement exists durably before any
+    *     stored file is touched, and the staged file names are the final
+    *     table file names — so the full commit plan (files to add, files
+    *     to remove) is known before any mutation, and is recorded in the
+    *     inflight marker when `cts` is set ([[rollback]] reads it back).
+    *  2. RETIRE: unlink each superseded file — MOVED under
+    *     `_graft_rollback/<cts>/` for versioned commits (restorable),
+    *     deleted for plain ones. A superseded file that is already gone
+    *     means a concurrent writer violated the single-writer contract:
+    *     fail loudly here, before any replacement lands.
+    *  3. PUBLISH: rename each staged file into the table. Renames are
+    *     metadata operations — the merged data is written exactly once
+    *     (the previous shape re-read staging and appended it, writing
+    *     every merged row twice).
+    *
+    * A crash between 2 and 3 leaves the commit mechanically reversible:
+    * versioned commits via [[rollback]] (the marker holds the plan, the
+    * rollback dir holds the retired bytes); plain commits by moving the
+    * remaining staged files into place (the error message says which).
+    *
+    * Only delete() can leave a touched partition with no files (a
+    * batch-wins upsert always appends the batch's rows back), so the
+    * emptied-directory sweep runs only when `dropEmptied` is set.
+    *
+    * For versioned commits (`cts` set) the staging + rollback dirs are
+    * left in place — the caller sweeps them AFTER the commit record
+    * lands, so every crash window stays reversible. */
+  private[merge] def commitFiles(
+      spark: SparkSession,
+      merged: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      supersededFiles: Seq[String],
+      touched: Seq[Seq[Any]],
+      dropEmptied: Boolean,
+      cts: Option[Long] = None): CommitResult = {
+    val fs = fsFor(spark, path)
+    val staging = path.stripSuffix("/") + s"_staging_${System.nanoTime()}"
+    merged.write.partitionBy(partitionCols: _*).mode(SaveMode.Overwrite)
+      .parquet(staging)
+    val stagingRoot = fs.makeQualified(new Path(staging))
+    val tableRoot = fs.makeQualified(new Path(path))
+    // a merge that leaves NO survivors stages zero data files — the
+    // publish step is then a no-op and only the retire step acts
+    val moves = listDataFiles(fs, stagingRoot).map { src =>
+      (src, new Path(tableRoot, relativize(stagingRoot, src)))
+    }
+    val added = moves.map { case (_, dest) => relativize(tableRoot, dest) }
+    val removed = supersededFiles
+      .map(f => relativize(tableRoot, fs.makeQualified(new Path(f))))
+    val rb = cts.map(c => rollbackDir(path, c))
+    // versioned: the full plan goes into the inflight marker BEFORE any
+    // mutation, so rollback() after any crash below is mechanical
+    cts.foreach { c =>
+      val body = s"""{"commit_ts":$c,"staging":${jsonQuote(staging)},""" +
+        s""""files_added":${jsonArray(added)},""" +
+        s""""files_removed":${jsonArray(removed)}}"""
+      writeSmallFile(fs, inflightMarker(path, c), body)
+    }
+    try {
+      supersededFiles.foreach { f =>
+        val p = new Path(f)
+        if (!fs.exists(p))
+          throw new java.io.IOException(
+            s"superseded file $p vanished mid-commit — concurrent writer " +
+              s"on $path? merge tables are single-writer (Merge scaladoc)")
+        rb match {
+          case Some(dir) =>
+            val dest = new Path(dir, relativize(tableRoot, fs.makeQualified(p)))
+            fs.mkdirs(dest.getParent)
+            if (!fs.rename(p, dest))
+              throw new java.io.IOException(
+                s"failed to retire superseded file $p")
+          case None =>
+            if (!fs.delete(p, false))
+              throw new java.io.IOException(
+                s"failed to delete superseded file $p")
+        }
+      }
+    } catch {
+      // pre-publish failures: nothing new has landed; staging is the
+      // clean recovery copy (and rollback() reverses any retires)
+      case e: Throwable =>
+        throw new RuntimeException(
+          s"merge commit failed; staged merge result kept at $staging" +
+            cts.map(c => s"; rollback(path, $c) restores the table")
+              .getOrElse(""), e)
+    }
+    try moves.foreach { case (src, dest) =>
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(s"failed to publish $src to $dest")
+    } catch {
+      // a publish that dies mid-way has landed SOME replacement files —
+      // the un-published remainder is still in staging, so the commit
+      // can be completed (move the rest in) or reversed (rollback)
+      case e: Throwable =>
+        throw new RuntimeException(
+          "merge publish PARTIALLY COMMITTED at " + path +
+            s"; unpublished replacement files remain at $staging — " +
+            cts.map(c => s"rollback(path, $c) reverses this commit, or ")
+              .getOrElse("") +
+            "moving the remaining staged files into place completes it", e)
+    }
     try {
       if (dropEmptied) {
-        touched.foreach { v =>
+        touched.foreach { tuple =>
           // hive path escaping (and the null-partition dir name) must
           // match what the partitioned write produced; since the data
           // files were already removed one by one, a surviving dir here
           // is empty — cosmetic, but its absence is part of delete()'s
-          // contract
-          val dirName = if (v == null) "__HIVE_DEFAULT_PARTITION__"
-            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .escapePathName(v.toString)
-          val p = new Path(s"$path/$partitionCol=$dirName")
-          val emptied = fs.exists(p) && fs.listStatus(p).forall { st =>
+          // contract. Multi-level: drop the leaf, then any emptied
+          // ancestors up to (not including) the table root.
+          var p = new Path(
+            s"$path/${partitionRelDir(partitionCols, tuple)}")
+          var levels = partitionCols.size
+          var emptied = fs.exists(p) && fs.listStatus(p).forall { st =>
             val n = st.getPath.getName
             n.startsWith("_") || n.startsWith(".")
           }
-          if (emptied && !fs.delete(p, true))
-            throw new java.io.IOException(
-              s"failed to drop emptied partition dir $p")
+          while (levels > 0 && emptied) {
+            if (!fs.delete(p, true))
+              throw new java.io.IOException(
+                s"failed to drop emptied partition dir $p")
+            p = p.getParent
+            levels -= 1
+            emptied = levels > 0 && fs.exists(p) &&
+              fs.listStatus(p).isEmpty
+          }
         }
       }
       updateSchemaMeta(spark, path, merged.schema)
@@ -357,15 +481,23 @@ object Merge {
             s"(emptied-dir sweep / schema metadata) failed at $path — " +
             "do NOT re-apply any staging copy", e)
     }
+    if (cts.isEmpty) sweepCommitScratch(fs, staging, None)
+    CommitResult(added, removed, staging)
   }
 
   /** O2: plain append (insert — combine-before-insert defaults off in
     * the reference, so no key reconciliation). */
   def insert(batch: DataFrame, path: String, partitionCol: String,
       keyCols: Seq[String] = Nil, precombine: String = null,
-      dedup: Boolean = false): Unit = {
+      dedup: Boolean = false): Unit =
+    insert(batch, path, Seq(partitionCol), keyCols, precombine, dedup)
+
+  /** [[insert]] with a multi-level (hive-nested) partition layout. */
+  def insert(batch: DataFrame, path: String, partitionCols: Seq[String],
+      keyCols: Seq[String], precombine: String,
+      dedup: Boolean): Unit = {
     val b = if (dedup) precombineDedup(batch, keyCols, precombine) else batch
-    b.write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(path)
+    b.write.partitionBy(partitionCols: _*).mode(SaveMode.Append).parquet(path)
     updateSchemaMeta(batch.sparkSession, path, batch.schema)
   }
 
@@ -380,7 +512,13 @@ object Merge {
   def bulkInsert(batch: DataFrame, path: String, partitionCol: String,
       keyCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      maxFiles: Int = 1 << 20): Unit = {
+      maxFiles: Int = 1 << 20): Unit =
+    bulkInsert(batch, path, Seq(partitionCol), keyCols, targetFileBytes,
+      maxFiles)
+
+  /** [[bulkInsert]] with a multi-level (hive-nested) partition layout. */
+  def bulkInsert(batch: DataFrame, path: String, partitionCols: Seq[String],
+      keyCols: Seq[String], targetFileBytes: Long, maxFiles: Int): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(maxFiles >= 1, "maxFiles must be >= 1")
     // sizeInBytes is a BigInt that Catalyst pins to Long.MaxValue (and
@@ -390,9 +528,9 @@ object Merge {
     val planBytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = ((planBytes / targetFileBytes) + 1)
       .min(BigInt(maxFiles)).max(BigInt(1)).toInt
-    val layout = (col(partitionCol) +: keyCols.map(col)).toIndexedSeq
+    val layout = (partitionCols.map(col) ++ keyCols.map(col)).toIndexedSeq
     batch.repartitionByRange(nFiles, layout: _*)
-      .write.partitionBy(partitionCol).mode(SaveMode.Append).parquet(path)
+      .write.partitionBy(partitionCols: _*).mode(SaveMode.Append).parquet(path)
     updateSchemaMeta(batch.sparkSession, path, batch.schema)
   }
 
@@ -406,9 +544,21 @@ object Merge {
       path: String,
       keyCols: Seq[String],
       precombine: String,
-      partitionCol: String): Unit = {
-    upsertImpl(spark, batch, path, keyCols, precombine, partitionCol,
-      needStats = false)
+      partitionCol: String): Unit =
+    upsert(spark, batch, path, keyCols, precombine, Seq(partitionCol))
+
+  /** [[upsert]] over a multi-level (hive-nested) partition layout —
+    * record identity becomes (key, full partition tuple), the Hudi
+    * composite-key-generator partition-path analogue. */
+  def upsert(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String]): Unit = {
+    upsertImpl(spark, batch, path, keyCols, precombine, partitionCols,
+      needStats = false, cts = None)
     ()
   }
 
@@ -421,9 +571,10 @@ object Merge {
       path: String,
       keyCols: Seq[String],
       precombine: String,
-      partitionCol: String,
-      needStats: Boolean): MergeStats = {
-    val scopedKeys = keyCols :+ partitionCol
+      partitionCols: Seq[String],
+      needStats: Boolean,
+      cts: Option[Long]): (MergeStats, Option[CommitResult]) = {
+    val scopedKeys = keyCols ++ partitionCols
     // persisted: the deduped batch feeds the partition collect, the key
     // join build side, the merged union AND the stats count — one
     // materialization instead of four replays of the batch lineage
@@ -431,15 +582,18 @@ object Merge {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (!tableExists(spark, path)) {
-        // Initial write: dynamic overwrite (an existing-but-empty dir —
-        // e.g. a just-created table location — must not error).
-        writeDynamic(deduped, path, partitionCol)
-        updateSchemaMeta(spark, path, deduped.schema)
-        return MergeStats(if (needStats) deduped.count() else 0L,
-          if (needStats) touchedPartitions(deduped, partitionCol) else Nil)
+        // initial write: the same staged commit as every other write —
+        // the staging + rename publish knows its added-file plan before
+        // any file lands, so even a FIRST versioned commit rolls back
+        val res = commitFiles(spark, deduped, path, partitionCols,
+          supersededFiles = Nil, touched = Nil, dropEmptied = false, cts)
+        return (MergeStats(if (needStats) deduped.count() else 0L,
+          if (needStats)
+            touchedPartitions(deduped, partitionCols).map(renderPartition)
+          else Nil), Some(res))
       }
-      val parts = touchedPartitions(deduped, partitionCol)
-      if (parts.isEmpty) return MergeStats(0L, Nil)
+      val parts = touchedPartitions(deduped, partitionCols)
+      if (parts.isEmpty) return (MergeStats(0L, Nil), None)
       val stored = readTable(spark, path)
       // a batch may ADD columns (additive evolution) but never DROP
       // them: silently selecting the batch's columns out of a wider
@@ -463,7 +617,7 @@ object Merge {
       // batch's key count (≤ one path per matched key in the worst
       // case), the same driver-side COW write planning Hudi does.
       val batchKeys = deduped.select(scopedKeys.map(col): _*).distinct()
-      val keyScan = stored.filter(partitionIn(partitionCol, parts))
+      val keyScan = stored.filter(partitionIn(partitionCols, parts))
         .select(scopedKeys.map(col) :+ input_file_name().as("_file"): _*)
       val matchCond = scopedKeys.map(c => keyScan(c) <=> batchKeys(c))
         .reduce(_ && _)
@@ -487,9 +641,10 @@ object Merge {
             "left_anti")
           newRows.unionByName(alignTo(survivors, target))
         }
-      commitFiles(spark, merged, path, partitionCol, matchedFiles, parts,
-        dropEmptied = false)
-      MergeStats(if (needStats) deduped.count() else 0L, parts)
+      val res = commitFiles(spark, merged, path, partitionCols, matchedFiles,
+        parts, dropEmptied = false, cts)
+      (MergeStats(if (needStats) deduped.count() else 0L,
+        parts.map(renderPartition)), Some(res))
     } finally deduped.unpersist()
   }
 
@@ -500,19 +655,28 @@ object Merge {
       keys: DataFrame,
       path: String,
       keyCols: Seq[String],
-      partitionCol: String): Unit = {
+      partitionCol: String): Unit =
+    delete(spark, keys, path, keyCols, Seq(partitionCol))
+
+  /** [[delete]] over a multi-level (hive-nested) partition layout. */
+  def delete(
+      spark: SparkSession,
+      keys: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String]): Unit = {
     if (!tableExists(spark, path)) return
     // key scope includes the partition path (Hudi ComplexKeyGenerator
     // semantics): a delete key only removes rows in ITS partition, never
     // a same-keyed row in another touched partition
-    val delKeys = keyCols :+ partitionCol
+    val delKeys = keyCols ++ partitionCols
     val delDistinct = keys.select(delKeys.map(col): _*).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val parts = touchedPartitions(delDistinct, partitionCol)
+      val parts = touchedPartitions(delDistinct, partitionCols)
       if (parts.isEmpty) return
       val stored = readTable(spark, path)
-      val keyScan = stored.filter(partitionIn(partitionCol, parts))
+      val keyScan = stored.filter(partitionIn(partitionCols, parts))
         .select(delKeys.map(col) :+ input_file_name().as("_file"): _*)
       val matchCond = delKeys.map(c => keyScan(c) <=> delDistinct(c))
         .reduce(_ && _)
@@ -526,8 +690,9 @@ object Merge {
         .reduce(_ && _)
       val remaining = matchedRows.join(broadcast(delDistinct), survCond,
         "left_anti")
-      commitFiles(spark, remaining, path, partitionCol, matchedFiles, parts,
+      commitFiles(spark, remaining, path, partitionCols, matchedFiles, parts,
         dropEmptied = true)
+      ()
     } finally delDistinct.unpersist()
   }
 
@@ -551,16 +716,30 @@ object Merge {
       partitionCol: String,
       keyCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      maxFiles: Int = 1 << 20): Long = {
+      maxFiles: Int = 1 << 20): Long =
+    compact(spark, path, Seq(partitionCol), keyCols, targetFileBytes, maxFiles)
+
+  /** [[compact]] over a multi-level (hive-nested) partition layout. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      keyCols: Seq[String],
+      targetFileBytes: Long,
+      maxFiles: Int): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(maxFiles >= 1, "maxFiles must be >= 1")
     if (!tableExists(spark, path)) return 0L
     val fs = fsFor(spark, path)
-    val partDirs = fs.listStatus(new Path(path))
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$partitionCol="))
-    val candidates = partDirs.flatMap { d =>
-      val files = fs.listStatus(d.getPath)
+    // leaf partition dirs: one `col=value` level per partition column
+    def leafDirs(root: Path, cols: Seq[String]): Seq[Path] = cols match {
+      case Nil => Seq(root)
+      case c +: rest => fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$c="))
+        .flatMap(d => leafDirs(d.getPath, rest))
+    }
+    val candidates = leafDirs(new Path(path), partitionCols).flatMap { d =>
+      val files = fs.listStatus(d)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
           !f.getPath.getName.startsWith("."))
       val bytes = files.map(_.getLen).sum
@@ -578,9 +757,9 @@ object Merge {
       .option("basePath", path).parquet(files: _*)
     val nFiles = math.min(totalBytes / targetFileBytes + 1, maxFiles.toLong)
       .toInt
-    val layout = (col(partitionCol) +: keyCols.map(col)).toIndexedSeq
+    val layout = (partitionCols.map(col) ++ keyCols.map(col)).toIndexedSeq
     commitFiles(spark, rows.repartitionByRange(nFiles, layout: _*), path,
-      partitionCol, files, touched = Nil, dropEmptied = false)
+      partitionCols, files, touched = Nil, dropEmptied = false)
     files.length.toLong
   }
 
@@ -622,17 +801,24 @@ object Merge {
 
   private def commitsDir(path: String) = new Path(path, "_graft_commits")
 
-  /** Every id the timeline has ever ISSUED — completed commits
-    * (`<id>.json`) plus inflight markers (`<id>.inflight`) left by
-    * crashed runs. Both count: an id whose data may have landed must
-    * never be reissued. */
+  /** Timeline entry names: `<zero-padded id>.json` (recorded commit),
+    * `.inflight` (issued, data possibly landing), `.rolledback`
+    * (reversed — tombstoned so the id is never reissued). Strictly
+    * numeric stems: any other file in `_graft_commits/` (editor backup,
+    * `.crc` sibling on checksum filesystems) is FOREIGN and ignored —
+    * one junk entry must not brick every later versioned write. */
+  private val commitEntryRe = """^(\d+)\.(json|inflight|rolledback)$""".r
+
+  /** Every id the timeline has ever ISSUED — recorded commits, inflight
+    * markers left by crashed runs, and rolled-back tombstones. All
+    * count: an id whose data may have been visible, even transiently,
+    * must never be reissued. */
   private def listIssuedIds(spark: SparkSession, path: String): Seq[Long] = {
     val fs = fsFor(spark, path)
     val p = commitsDir(path)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).map(_.getPath.getName).toSeq.collect {
-      case n if n.endsWith(".json") => n.stripSuffix(".json").toLong
-      case n if n.endsWith(".inflight") => n.stripSuffix(".inflight").toLong
+      case commitEntryRe(id, _) => id.toLong
     }
   }
 
@@ -664,27 +850,102 @@ object Merge {
   private def jsonQuote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  private def jsonArray(xs: Seq[String]): String =
+    xs.map(jsonQuote).mkString("[", ",", "]")
+
   private def inflightMarker(path: String, cts: Long) =
     new Path(commitsDir(path), f"$cts%020d.inflight")
 
-  private def markInflight(spark: SparkSession, path: String, cts: Long)
-      : Unit = {
+  /** Claim the next commit id by creating its inflight marker with
+    * `overwrite = false` — an EXCLUSIVE create, atomic on HDFS-like
+    * stores. Of two racing versioned writers exactly one owns each id;
+    * the loser observes the collision and claims the next id, so two
+    * batches can never land stamped with the same commit. (This
+    * serializes id allocation only — concurrent DATA commits remain
+    * excluded by the single-writer contract, see the object scaladoc.) */
+  private def claimCommitId(spark: SparkSession, path: String): Long = {
     val fs = fsFor(spark, path)
     fs.mkdirs(commitsDir(path))
-    writeSmallFile(fs, inflightMarker(path, cts), "")
+    var cts = nextCommit(spark, path)
+    var claimed = false
+    while (!claimed) {
+      val marker = inflightMarker(path, cts)
+      try {
+        fs.create(marker, false).close()
+        claimed = true
+      } catch {
+        // a collision and a genuine IO failure both surface as plain
+        // IOException on some filesystems — only an actually-present
+        // marker proves another writer took this id
+        case e: java.io.IOException =>
+          if (fs.exists(marker)) cts += 1 else throw e
+      }
+    }
+    cts
   }
 
   private def recordCommit(spark: SparkSession, path: String, cts: Long,
-      stats: MergeStats): Unit = {
+      stats: MergeStats, files: Option[CommitResult]): Unit = {
     val fs = fsFor(spark, path)
     fs.mkdirs(commitsDir(path))
-    val parts = stats.partitions
-      .map(v => if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString)
-      .sorted.mkString(",")
+    val parts = stats.partitions.sorted.mkString(",")
     val body = s"""{"commit_ts":$cts,"n_rows":${stats.nRows},""" +
-      s""""partitions":${jsonQuote(parts)}}"""
+      s""""partitions":${jsonQuote(parts)},""" +
+      s""""files_added":${jsonArray(files.map(_.added).getOrElse(Nil))},""" +
+      s""""files_removed":${jsonArray(files.map(_.removed).getOrElse(Nil))}}"""
     writeSmallFile(fs, new Path(commitsDir(path), f"$cts%020d.json"), body)
     fs.delete(inflightMarker(path, cts), false)
+  }
+
+  /** Mechanically reverse a crashed (inflight) versioned commit from
+    * the plan its marker recorded: un-publish the files it added,
+    * restore the files it retired (from the `_graft_rollback/<cts>/`
+    * copy the commit made before touching them), sweep its staging dir,
+    * and tombstone the marker (`<cts>.rolledback`) so the id is never
+    * reissued. A RECORDED commit refuses to roll back — it is durable
+    * history an incremental consumer may already have read. */
+  def rollback(spark: SparkSession, path: String, cts: Long): Unit = {
+    val fs = fsFor(spark, path)
+    val marker = inflightMarker(path, cts)
+    val recorded = new Path(commitsDir(path), f"$cts%020d.json")
+    if (fs.exists(recorded))
+      throw new IllegalStateException(
+        s"commit $cts at $path is RECORDED — a completed commit cannot be " +
+          "rolled back (incremental consumers may already depend on it)")
+    if (!fs.exists(marker))
+      throw new IllegalArgumentException(
+        s"no inflight commit $cts at $path — nothing to roll back")
+    val tableRoot = fs.makeQualified(new Path(path))
+    val body = readSmallFile(fs, marker)
+    // a claim-only marker (crash before the commit plan was written)
+    // means no file was touched: only the tombstone matters
+    if (body.nonEmpty) {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val plan = org.json4s.jackson.JsonMethods.parse(body)
+      val added = (plan \ "files_added").extract[Seq[String]]
+      val removed = (plan \ "files_removed").extract[Seq[String]]
+      val staging = (plan \ "staging").extract[String]
+      added.foreach { rel =>
+        val p = new Path(tableRoot, rel)
+        if (fs.exists(p) && !fs.delete(p, false))
+          throw new java.io.IOException(s"rollback: failed to un-publish $p")
+      }
+      val rb = rollbackDir(path, cts)
+      removed.foreach { rel =>
+        val src = new Path(rb, rel) // absent = this file was never retired
+        if (fs.exists(src)) {
+          val dest = new Path(tableRoot, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(src, dest))
+            throw new java.io.IOException(s"rollback: failed to restore $dest")
+        }
+      }
+      sweepCommitScratch(fs, staging, Some(rb))
+    }
+    // tombstone BEFORE dropping the marker: the id stays issued through
+    // every crash window, so it can never be reused
+    writeSmallFile(fs, new Path(commitsDir(path), f"$cts%020d.rolledback"), "")
+    fs.delete(marker, false)
   }
 
   /** O1 with a commit timeline: the batch is stamped with a fresh
@@ -704,12 +965,27 @@ object Merge {
       path: String,
       keyCols: Seq[String],
       precombine: String,
-      partitionCol: String): Long = {
-    val cts = nextCommit(spark, path)
-    markInflight(spark, path, cts)
-    val stats = upsertImpl(spark, batch.withColumn(commitCol, lit(cts)), path,
-      keyCols, precombine, partitionCol, needStats = true)
-    recordCommit(spark, path, cts, stats)
+      partitionCol: String): Long =
+    upsertVersioned(spark, batch, path, keyCols, precombine,
+      Seq(partitionCol))
+
+  /** [[upsertVersioned]] over a multi-level partition layout. */
+  def upsertVersioned(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String]): Long = {
+    val cts = claimCommitId(spark, path)
+    val (stats, commit) = upsertImpl(spark,
+      batch.withColumn(commitCol, lit(cts)), path, keyCols, precombine,
+      partitionCols, needStats = true, cts = Some(cts))
+    recordCommit(spark, path, cts, stats, commit)
+    // the commit record is durable — only now does the scratch (staging
+    // sibling + retired-file copy) stop being a recovery asset
+    commit.foreach(c => sweepCommitScratch(fsFor(spark, path), c.staging,
+      Some(rollbackDir(path, cts))))
     cts
   }
 
