@@ -41,8 +41,12 @@ import org.apache.spark.storage.StorageLevel
   *     costs a partition-sized rewrite per row);
   *  4. the merged replacement rows are staged durably (written ONCE,
   *     hive-partitioned, in a staging sibling), the superseded files
-  *     retired, and the staged files RENAMED into the table — renames
-  *     are metadata operations, so the data is never written twice.
+  *     retired, and the staged files RENAMED into the table — on
+  *     HDFS-like filesystems renames are metadata operations, so the
+  *     data is never written twice. On object stores (S3A) rename is
+  *     copy+delete: the publish step then re-copies the staged bytes
+  *     and the partial-commit crash window widens accordingly (see
+  *     [[commitFiles]]).
   * The reconcile itself is broadcast-anti-join shaped (the batch is tiny
   * vs the table), so the only table-sized cost is the key scan of the
   * touched partitions — column-pruned to the key columns, which parquet
@@ -345,22 +349,29 @@ object Merge {
     *     a staging sibling. The replacement exists durably before any
     *     stored file is touched, and the staged file names are the final
     *     table file names — so the full commit plan (files to add, files
-    *     to remove) is known before any mutation, and is recorded in the
-    *     inflight marker when `cts` is set ([[rollback]] reads it back).
+    *     to remove) is known before any mutation, and is recorded in a
+    *     plan sibling of the inflight marker when `cts` is set
+    *     ([[rollback]] reads it back).
     *  2. RETIRE: unlink each superseded file — MOVED under
     *     `_graft_rollback/<cts>/` for versioned commits (restorable),
     *     deleted for plain ones. A superseded file that is already gone
     *     means a concurrent writer violated the single-writer contract:
     *     fail loudly here, before any replacement lands.
-    *  3. PUBLISH: rename each staged file into the table. Renames are
-    *     metadata operations — the merged data is written exactly once
-    *     (the previous shape re-read staging and appended it, writing
-    *     every merged row twice).
+    *  3. PUBLISH: rename each staged file into the table. On HDFS-like
+    *     filesystems renames are metadata operations — the merged data
+    *     is written exactly once (the previous shape re-read staging
+    *     and appended it, writing every merged row twice). On object
+    *     stores (S3A) rename degrades to copy+delete: the staged bytes
+    *     ARE rewritten and each publish is non-atomic, so the
+    *     write-once claim and the narrow crash window below hold only
+    *     on rename-atomic storage — operators on S3 should front the
+    *     table with a rename-atomic committer or layer.
     *
     * A crash between 2 and 3 leaves the commit mechanically reversible:
-    * versioned commits via [[rollback]] (the marker holds the plan, the
-    * rollback dir holds the retired bytes); plain commits by moving the
-    * remaining staged files into place (the error message says which).
+    * versioned commits via [[rollback]] (the plan sibling holds the
+    * file lists, the rollback dir holds the retired bytes); plain
+    * commits by moving the remaining staged files into place (the
+    * error message says which).
     *
     * Only delete() can leave a touched partition with no files (a
     * batch-wins upsert always appends the batch's rows back), so the
@@ -393,13 +404,16 @@ object Merge {
     val removed = supersededFiles
       .map(f => relativize(tableRoot, fs.makeQualified(new Path(f))))
     val rb = cts.map(c => rollbackDir(path, c))
-    // versioned: the full plan goes into the inflight marker BEFORE any
-    // mutation, so rollback() after any crash below is mechanical
+    // versioned: the full plan lands in the marker's plan SIBLING
+    // (complete-or-absent via temp+rename) BEFORE any mutation, so
+    // rollback() after any crash below is mechanical. The inflight
+    // marker itself is never rewritten — the claim stays the original
+    // exclusive-create through every crash window.
     cts.foreach { c =>
       val body = s"""{"commit_ts":$c,"staging":${jsonQuote(staging)},""" +
         s""""files_added":${jsonArray(added)},""" +
         s""""files_removed":${jsonArray(removed)}}"""
-      writeSmallFile(fs, inflightMarker(path, c), body)
+      replaceSmallFile(fs, planFile(path, c), body)
     }
     try {
       supersededFiles.foreach { f =>
@@ -856,29 +870,75 @@ object Merge {
   private def inflightMarker(path: String, cts: Long) =
     new Path(commitsDir(path), f"$cts%020d.inflight")
 
+  /** Sibling of the inflight marker holding the full commit plan (what
+    * [[rollback]] replays). Kept SEPARATE from the marker so the claim
+    * file is never rewritten after its exclusive create: the plan lands
+    * complete-or-absent via [[replaceSmallFile]]'s temp+rename, and a
+    * crash mid-write can never corrupt (or momentarily drop) the claim
+    * itself. `.plan` is not matched by [[commitEntryRe]], so these are
+    * foreign to timeline listings and swept with their commit. */
+  private def planFile(path: String, cts: Long) =
+    new Path(commitsDir(path), f"$cts%020d.plan")
+
   /** Claim the next commit id by creating its inflight marker with
     * `overwrite = false` — an EXCLUSIVE create, atomic on HDFS-like
     * stores. Of two racing versioned writers exactly one owns each id;
     * the loser observes the collision and claims the next id, so two
     * batches can never land stamped with the same commit. (This
     * serializes id allocation only — concurrent DATA commits remain
-    * excluded by the single-writer contract, see the object scaladoc.) */
-  private def claimCommitId(spark: SparkSession, path: String): Long = {
+    * excluded by the single-writer contract, see the object scaladoc.)
+    *
+    * Object-store caveat: S3A's `create(path, overwrite = false)` is a
+    * check-then-write, not an atomic exclusive create, so on S3 the
+    * claim degrades to best-effort — serialize versioned writers
+    * externally there (the reference pipeline does exactly that via its
+    * single-concurrency job setting). */
+  private[merge] def claimCommitId(spark: SparkSession, path: String): Long = {
+    fsFor(spark, path).mkdirs(commitsDir(path))
+    claimFrom(spark, path, nextCommit(spark, path))
+  }
+
+  /** The claim loop from a given candidate id (split out so specs can
+    * drive the collision path deterministically). A failed exclusive
+    * create counts as a collision whenever the id is provably ISSUED —
+    * its marker, recorded entry, OR rolled-back tombstone exists — not
+    * merely when the marker survives: the winning writer may complete
+    * its commit and delete its marker between our failed create and
+    * the check, and aborting then would misreport a healthy race as an
+    * IO failure. */
+  private[merge] def claimFrom(
+      spark: SparkSession, path: String, start: Long): Long = {
     val fs = fsFor(spark, path)
-    fs.mkdirs(commitsDir(path))
-    var cts = nextCommit(spark, path)
+    var cts = start
     var claimed = false
     while (!claimed) {
-      val marker = inflightMarker(path, cts)
-      try {
-        fs.create(marker, false).close()
-        claimed = true
-      } catch {
-        // a collision and a genuine IO failure both surface as plain
-        // IOException on some filesystems — only an actually-present
-        // marker proves another writer took this id
-        case e: java.io.IOException =>
-          if (fs.exists(marker)) cts += 1 else throw e
+      val stem = f"$cts%020d"
+      val recordedP = new Path(commitsDir(path), s"$stem.json")
+      val tombP = new Path(commitsDir(path), s"$stem.rolledback")
+      // an id that completed (recorded) or died (tombstoned) has no
+      // marker left — a bare exclusive create would RESURRECT it
+      if (fs.exists(recordedP) || fs.exists(tombP)) cts += 1
+      else {
+        val marker = inflightMarker(path, cts)
+        try {
+          fs.create(marker, false).close()
+          // a racing writer may have recorded/tombstoned this id between
+          // the check and our create (rollback drops its marker AFTER
+          // tombstoning): release the stale claim rather than keep a
+          // dead id alive
+          if (fs.exists(recordedP) || fs.exists(tombP)) {
+            fs.delete(marker, false)
+            cts += 1
+          } else claimed = true
+        } catch {
+          // a collision and a genuine IO failure both surface as plain
+          // IOException on some filesystems — any surviving trace of the
+          // id having been issued proves another writer took it
+          case e: java.io.IOException =>
+            val issued = fs.exists(marker) || fs.exists(recordedP) ||
+              fs.exists(tombP)
+            if (issued) cts += 1 else throw e
+        }
       }
     }
     cts
@@ -894,16 +954,20 @@ object Merge {
       s""""files_added":${jsonArray(files.map(_.added).getOrElse(Nil))},""" +
       s""""files_removed":${jsonArray(files.map(_.removed).getOrElse(Nil))}}"""
     writeSmallFile(fs, new Path(commitsDir(path), f"$cts%020d.json"), body)
+    fs.delete(planFile(path, cts), false)
     fs.delete(inflightMarker(path, cts), false)
   }
 
   /** Mechanically reverse a crashed (inflight) versioned commit from
-    * the plan its marker recorded: un-publish the files it added,
-    * restore the files it retired (from the `_graft_rollback/<cts>/`
-    * copy the commit made before touching them), sweep its staging dir,
-    * and tombstone the marker (`<cts>.rolledback`) so the id is never
-    * reissued. A RECORDED commit refuses to roll back — it is durable
-    * history an incremental consumer may already have read. */
+    * the plan recorded in the marker's `.plan` sibling: un-publish the
+    * files it added, restore the files it retired (from the
+    * `_graft_rollback/<cts>/` copy the commit made before touching
+    * them), sweep its staging dir, and tombstone the marker
+    * (`<cts>.rolledback`) so the id is never reissued. A RECORDED
+    * commit refuses to roll back — it is durable history an incremental
+    * consumer may already have read. Idempotent across its own crash
+    * windows: every step checks before acting, so a rollback that dies
+    * midway can simply be re-run. */
   def rollback(spark: SparkSession, path: String, cts: Long): Unit = {
     val fs = fsFor(spark, path)
     val marker = inflightMarker(path, cts)
@@ -916,15 +980,33 @@ object Merge {
       throw new IllegalArgumentException(
         s"no inflight commit $cts at $path — nothing to roll back")
     val tableRoot = fs.makeQualified(new Path(path))
-    val body = readSmallFile(fs, marker)
-    // a claim-only marker (crash before the commit plan was written)
-    // means no file was touched: only the tombstone matters
-    if (body.nonEmpty) {
-      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      val plan = org.json4s.jackson.JsonMethods.parse(body)
-      val added = (plan \ "files_added").extract[Seq[String]]
-      val removed = (plan \ "files_removed").extract[Seq[String]]
-      val staging = (plan \ "staging").extract[String]
+    val plan = planFile(path, cts)
+    // no plan sibling = crash before the commit plan landed: nothing
+    // was touched (the plan is written before any mutation), so only
+    // the claim needs tombstoning
+    if (fs.exists(plan)) {
+      val body = readSmallFile(fs, plan)
+      val (added, removed, staging) =
+        try {
+          implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+          val j = org.json4s.jackson.JsonMethods.parse(body)
+          ((j \ "files_added").extract[Seq[String]],
+            (j \ "files_removed").extract[Seq[String]],
+            (j \ "staging").extract[String])
+        } catch {
+          case e: Exception =>
+            // the plan is written complete-or-absent (temp+rename), so
+            // an unparseable body means external damage — name the
+            // manual remedy instead of a bare parse stack
+            throw new IllegalStateException(
+              s"rollback: commit plan $plan is unreadable — cannot " +
+                s"mechanically reverse commit $cts at $path. Manual " +
+                s"remedy: move every file under ${rollbackDir(path, cts)} " +
+                "back to its table-relative path, remove any published " +
+                "replacement files not in the timeline's recorded " +
+                s"commits, then delete $plan and re-run rollback to " +
+                "tombstone the id", e)
+        }
       added.foreach { rel =>
         val p = new Path(tableRoot, rel)
         if (fs.exists(p) && !fs.delete(p, false))
@@ -942,9 +1024,10 @@ object Merge {
       }
       sweepCommitScratch(fs, staging, Some(rb))
     }
-    // tombstone BEFORE dropping the marker: the id stays issued through
-    // every crash window, so it can never be reused
+    // tombstone BEFORE dropping the plan and marker: the id stays
+    // issued through every crash window, so it can never be reused
     writeSmallFile(fs, new Path(commitsDir(path), f"$cts%020d.rolledback"), "")
+    fs.delete(plan, false)
     fs.delete(marker, false)
   }
 
@@ -1002,7 +1085,12 @@ object Merge {
     if (!fs.exists(commitsDir(path)))
       spark.read.schema(schema).json(spark.emptyDataset(
         org.apache.spark.sql.Encoders.STRING))
-    else spark.read.schema(schema).json(commitsDir(path).toString)
+    else
+      // RECORDED entries only: inflight markers, `.plan` siblings (which
+      // carry a commit_ts and would surface as phantom rows), rolled-back
+      // tombstones, and foreign junk are all non-commits
+      spark.read.schema(schema).option("pathGlobFilter", "*.json")
+        .json(commitsDir(path).toString)
   }
 
   /** Incremental pull: rows last written by a commit AFTER `sinceTs`

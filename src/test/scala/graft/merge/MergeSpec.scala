@@ -488,4 +488,189 @@ class MergeSpec extends SparkSpec {
     assert(clamped <= 6) // ≤ maxFiles + partition boundary files
     assert(spark.read.parquet(path3).count() === 4000)
   }
+
+  /** Every data file under `path` (skipping '_'/'.'-prefixed metadata at
+    * any level) as table-relative path → file bytes — the byte-identical
+    * table-state snapshot the rollback tests compare. */
+  private def tableState(path: String): Map[String, Seq[Byte]] = {
+    val root = new java.io.File(path)
+    def walk(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.filterNot { f =>
+        f.getName.startsWith("_") || f.getName.startsWith(".")
+      }.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    walk(root).map { f =>
+      root.toPath.relativize(f.toPath).toString ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq
+    }.toMap
+  }
+
+  private def commitsFile(path: String, name: String): java.io.File =
+    new java.io.File(s"$path/_graft_commits/$name")
+
+  test("rollback restores byte-identical state after a mid-publish crash") {
+    val path = tmpDir("rollcrash") + "/table"
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c2", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
+    Merge.upsertVersioned(spark, tx(("T3", "c3", "ADAGBP", 3.0)),
+      path, keyCols, "price", "pair")
+    val snapshot = tableState(path)
+    // simulate commit 3 crashing between RETIRE and the end of PUBLISH,
+    // replaying commitFiles' own mechanical steps: claim the id, record
+    // the plan, retire a superseded file into the rollback dir, land
+    // one of two replacement files, leave the other in staging
+    assert(Merge.claimCommitId(spark, path) === 3L)
+    val retired = snapshot.keys.find(_.startsWith("pair=ADAGBP/")).get
+    val rbDir = s"$path/_graft_rollback/00000000000000000003"
+    new java.io.File(s"$rbDir/pair=ADAGBP").mkdirs()
+    assert(new java.io.File(s"$path/$retired")
+      .renameTo(new java.io.File(s"$rbDir/$retired")))
+    val published = "pair=ADAGBP/part-00000-crash.c000.snappy.parquet"
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$path/$published").toPath, "partial replacement")
+    val staging = s"${path}_staging_777"
+    new java.io.File(s"$staging/pair=ADAGBP").mkdirs()
+    val unpublished = "pair=ADAGBP/part-00001-crash.c000.snappy.parquet"
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$staging/$unpublished").toPath, "never landed")
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000003.plan").toPath,
+      s"""{"commit_ts":3,"staging":"$staging",""" +
+        s""""files_added":["$published","$unpublished"],""" +
+        s""""files_removed":["$retired"]}""")
+    Merge.rollback(spark, path, 3L)
+    // the table is byte-identical to its pre-crash state
+    assert(tableState(path) === snapshot)
+    assert(readTable(path) === Seq(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c2", "BTCUSD", 2.0), ("T3", "c3", "ADAGBP", 3.0)).sorted)
+    // scratch swept, claim tombstoned, plan and marker gone
+    assert(!new java.io.File(staging).exists())
+    assert(!new java.io.File(rbDir).exists())
+    assert(commitsFile(path, "00000000000000000003.rolledback").exists())
+    assert(!commitsFile(path, "00000000000000000003.inflight").exists())
+    assert(!commitsFile(path, "00000000000000000003.plan").exists())
+    // the timeline never saw commit 3, and its id is never reissued
+    assert(Merge.commits(spark, path).select("commit_ts")
+      .as[Long].collect().toSeq.sorted === Seq(1L, 2L))
+    assert(Merge.upsertVersioned(spark, tx(("T4", "c4", "ADAGBP", 4.0)),
+      path, keyCols, "price", "pair") === 4L)
+  }
+
+  test("rollback refuses a recorded commit, tombstones a claim-only crash") {
+    val path = tmpDir("rollguard")
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    val e = intercept[IllegalStateException](Merge.rollback(spark, path, 1L))
+    assert(e.getMessage.contains("RECORDED"))
+    intercept[IllegalArgumentException](Merge.rollback(spark, path, 9L))
+    // a claim that crashed before its plan landed touched nothing:
+    // rollback only tombstones the id
+    assert(Merge.claimCommitId(spark, path) === 2L)
+    val before = tableState(path)
+    Merge.rollback(spark, path, 2L)
+    assert(tableState(path) === before)
+    assert(commitsFile(path, "00000000000000000002.rolledback").exists())
+    assert(Merge.upsertVersioned(spark, tx(("T2", "c2", "ADAGBP", 2.0)),
+      path, keyCols, "price", "pair") === 3L)
+  }
+
+  test("rollback names the manual remedy when the plan is unreadable") {
+    val path = tmpDir("rollcorrupt")
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    assert(Merge.claimCommitId(spark, path) === 2L)
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000002.plan").toPath,
+      """{"commit_ts":2,"staging":""") // truncated mid-write
+    val e = intercept[IllegalStateException](Merge.rollback(spark, path, 2L))
+    assert(e.getMessage.contains("_graft_rollback"))
+    assert(e.getMessage.contains("re-run rollback"))
+    // nothing was mutated and the claim survives for the retry
+    assert(commitsFile(path, "00000000000000000002.inflight").exists())
+    assert(!commitsFile(path, "00000000000000000002.rolledback").exists())
+  }
+
+  test("claimFrom advances past issued ids instead of aborting") {
+    val path = tmpDir("claimrace")
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    // another writer claimed 2 (marker) and a third's 3 was rolled back
+    // (tombstone only — the exact shape of a completed claim cleanup)
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000002.inflight").toPath, "")
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000003.rolledback").toPath, "")
+    // the claim loop walks the collision chain: 2 collides, 3 is
+    // tombstoned (nextCommit skips it, but claimFrom starting AT it
+    // must too — the create itself succeeds only for unissued stems)
+    assert(Merge.claimFrom(spark, path, 2L) === 4L)
+    assert(commitsFile(path, "00000000000000000004.inflight").exists())
+  }
+
+  test("multi-level partitions: versioned upsert, delete, compact round-trip") {
+    val path = tmpDir("multilevel")
+    def mtx(rows: (String, String, String, String, Double)*): DataFrame =
+      rows.toDF("transaction_id", "close_time", "day", "pair", "price")
+    val parts = Seq("day", "pair")
+    val c1 = Merge.upsertVersioned(spark, mtx(
+      ("T1", "c1", "2024-01-01", "ADAGBP", 1.0),
+      ("T2", "c2", "2024-01-01", "BTCUSD", 2.0),
+      ("T3", "c3", "2024-01-02", "ADAGBP", 3.0)), path, keyCols, "price", parts)
+    // replace T1 in ITS (day, pair) leaf; same key in another day is a
+    // different record and must survive untouched
+    val c2 = Merge.upsertVersioned(spark, mtx(
+      ("T1", "c1", "2024-01-01", "ADAGBP", 9.0),
+      ("T1", "c1", "2024-01-02", "ADAGBP", 8.0)), path, keyCols, "price", parts)
+    assert(c2 === c1 + 1)
+    val all = spark.read.parquet(path)
+      .select("transaction_id", "day", "pair", "price")
+      .as[(String, String, String, Double)].collect().toSet
+    assert(all === Set(
+      ("T1", "2024-01-01", "ADAGBP", 9.0), ("T1", "2024-01-02", "ADAGBP", 8.0),
+      ("T2", "2024-01-01", "BTCUSD", 2.0), ("T3", "2024-01-02", "ADAGBP", 3.0)))
+    assert(new java.io.File(s"$path/day=2024-01-01/pair=ADAGBP").isDirectory)
+    // delete one key from one leaf; the emptied leaf AND its emptied
+    // day-level parent are both dropped
+    Merge.delete(spark, mtx(("T2", "c2", "2024-01-01", "BTCUSD", 0.0)),
+      path, keyCols, parts)
+    assert(!new java.io.File(s"$path/day=2024-01-01/pair=BTCUSD").exists())
+    assert(new java.io.File(s"$path/day=2024-01-01").exists())
+    // fragment one leaf with single-row upserts, then compact only it
+    (4 to 8).foreach { i =>
+      Merge.upsertVersioned(spark, mtx(
+        (s"T$i", s"c$i", "2024-01-02", "ADAGBP", i.toDouble)),
+        path, keyCols, "price", parts)
+    }
+    val otherLeaf = parquetFiles(s"$path/day=2024-01-01/pair=ADAGBP")
+    val content = Merge.readTable(spark, path)
+      .select("transaction_id", "day", "pair", "price", Merge.commitCol)
+      .as[(String, String, String, Double, Long)].collect().toSet
+    val n = Merge.compact(spark, path, parts, keyCols,
+      targetFileBytes = 128L * 1024 * 1024, maxFiles = 1 << 20)
+    assert(n >= 6L)
+    assert(parquetFiles(s"$path/day=2024-01-02/pair=ADAGBP").size === 1)
+    assert(parquetFiles(s"$path/day=2024-01-01/pair=ADAGBP") === otherLeaf)
+    assert(Merge.readTable(spark, path)
+      .select("transaction_id", "day", "pair", "price", Merge.commitCol)
+      .as[(String, String, String, Double, Long)].collect().toSet === content)
+  }
+
+  test("commits() ignores markers, plans, tombstones and foreign junk") {
+    val path = tmpDir("cleantimeline")
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    // a crashed versioned commit's full residue (its plan carries a
+    // commit_ts and would otherwise surface as a phantom row), plus a
+    // rolled-back tombstone and an editor backup
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000002.inflight").toPath, "")
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000002.plan").toPath,
+      """{"commit_ts":2,"staging":"/x","files_added":[],"files_removed":[]}""")
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000003.rolledback").toPath, "")
+    java.nio.file.Files.writeString(
+      commitsFile(path, "notes.txt").toPath, """{"commit_ts":99}""")
+    assert(Merge.commits(spark, path).select("commit_ts")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
 }
