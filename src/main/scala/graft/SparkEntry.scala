@@ -22,7 +22,7 @@ object SparkEntry {
     analytics.Relational.queries ++ text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++ merge.Merge.queries ++
-      streaming.EventStreams.queries
+      streaming.EventStreams.queries ++ scale.Scale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
     analytics.Relational.oracle ++ text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++ similarity.Similarity.oracle ++
       multimodal.Multimodal.oracle ++ merge.Merge.oracle ++
-      streaming.EventStreams.oracle
+      streaming.EventStreams.oracle ++ scale.Scale.oracle
 }

@@ -53,4 +53,40 @@ object Scale {
     !df.queryExecution.executedPlan.toString.linesIterator.exists(l =>
       l.contains("Exchange") && !l.contains("BroadcastExchange") &&
         !l.contains("BroadcastQueryStage"))
+
+  // ---- query inventory ----
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** x01: salted-join parity. [[saltedEquiJoin]] promises results
+    * identical to the plain equi-join it replaces, so the oracle IS the
+    * plain join — the one scale utility whose contract is directly
+    * SQL-expressible gets a hash-checked driver key (the zero-shuffle
+    * bucketing claims stay plan-asserted in ScaleSpec, where they
+    * belong). The synthetic key funnels a quarter of all customers onto
+    * one hot key — exactly the single-monster-key shape AQE skew-split
+    * cannot spread but salting does. */
+  val queries: Map[String, Q] = Map(
+    "x01_salted_join" -> { (s, dir) =>
+      val left = graft.Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(col("c_custkey") % 4 === 0, lit(0))
+          .otherwise(col("c_nationkey")).cast("long").as("k"))
+      val right = graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+      saltedEquiJoin(left, right, Seq("k"), factor = 8)
+        .select(col("c_custkey"), col("k"), col("n_name"))
+        .orderBy("c_custkey", "k", "n_name")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "x01_salted_join" ->
+      """SELECT c_custkey, k, n_name
+        |FROM (SELECT c_custkey,
+        |             CAST(CASE WHEN c_custkey % 4 = 0 THEN 0
+        |                       ELSE c_nationkey END AS BIGINT) AS k
+        |      FROM customer) c
+        |JOIN (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name
+        |      FROM nation) n USING (k)
+        |ORDER BY c_custkey, k, n_name""".stripMargin)
 }

@@ -279,11 +279,19 @@ object TextAnalysis {
     * Shape: one (doc, term) aggregate, one term aggregate, an equi-join
     * on the term (AQE handles stop-word skew), and a per-doc top-N
     * window — each shuffle keyed on high-cardinality columns. Ties
-    * break by term, making the top-N total. */
+    * break by term, making the top-N total.
+    *
+    * N (the corpus size) is derived INSIDE the plan — a one-row count
+    * aggregate broadcast-cross-joined onto the weights — not by an
+    * eager `docs.count()`: building the query runs no job, and the
+    * count's scan is column-pruned to zero columns and runs inside the
+    * same action as the rest of the pipeline (at 100 TB a separate
+    * count action per invocation is a full extra pass over the
+    * listing). */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       topN: Int = 5): DataFrame = {
     require(topN >= 1, "topN must be >= 1")
-    val nDocs = docs.count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_n_docs"))
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     // df = tf's row count per term (tf is distinct per (doc, term)) —
@@ -295,7 +303,9 @@ object TextAnalysis {
       .partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term")
-      .withColumn("tfidf", col("tf").cast("double") * nDocs / col("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double") * col("_n_docs") / col("df"))
+      .drop("_n_docs")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topN)
       .select(col(idCol), col("rn").cast("long").as("rank"), col("term"),

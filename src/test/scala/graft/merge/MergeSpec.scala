@@ -654,6 +654,26 @@ class MergeSpec extends SparkSpec {
       .as[(String, String, String, Double, Long)].collect().toSet === content)
   }
 
+  test("a vanished superseded file fails the commit loudly (single-writer)") {
+    val path = tmpDir("singlewriter")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    // a concurrent merge retired this file first — exactly the state a
+    // second writer violating the single-writer contract produces
+    val ghost = s"$path/pair=ADAGBP/part-retired-by-other-writer.parquet"
+    val e = intercept[RuntimeException] {
+      Merge.commitFiles(spark, tx(("T1", "c1", "ADAGBP", 2.0)), path,
+        Seq("pair"), supersededFiles = Seq(ghost), touched = Nil,
+        dropEmptied = false)
+    }
+    // fails BEFORE any replacement lands, keeps the staged copy, and
+    // names the contract being violated
+    assert(e.getMessage.contains("staged merge result kept"))
+    assert(e.getCause.getMessage.contains("concurrent writer"))
+    assert(e.getCause.getMessage.contains("single-writer"))
+    assert(readTable(path) === Seq(("T1", "c1", "ADAGBP", 1.0)))
+  }
+
   test("commits() ignores markers, plans, tombstones and foreign junk") {
     val path = tmpDir("cleantimeline")
     Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),

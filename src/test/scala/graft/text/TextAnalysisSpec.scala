@@ -233,6 +233,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w === 3.0 * 3 / 1)
   }
 
+  test("tfidfTopTerms derives N in-plan: construction runs no job") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text")
+      out.queryExecution.executedPlan // even physical planning is job-free
+      // listener events are delivered async — give a stray eager action
+      // (the old docs.count()) time to surface before asserting absence
+      Thread.sleep(500)
+      assert(jobs === 0, "building the tfidf query must not run a job")
+      // the in-plan N is the real corpus size (2 docs): beta has df=2
+      val beta = out.filter($"term" === "beta" && $"doc_id" === 1L)
+        .select("tfidf").as[Double].head()
+      assert(beta === 1.0 * 2 / 2)
+      // sanity: the listener does see the action's jobs
+      var waited = 0
+      while (jobs == 0 && waited < 5000) { Thread.sleep(100); waited += 100 }
+      assert(jobs > 0, "listener never observed the collect's jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("qualityFeatures: ratios in [0,1], score favors clean prose") {
     val clean = "the cat and the dog sat in the house and it is a good day " * 3
     val junk = "@@@@ #### 1234 %%%% !!!! 9999 ****"
