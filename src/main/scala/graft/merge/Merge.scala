@@ -913,11 +913,12 @@ object Merge {
     var claimed = false
     while (!claimed) {
       val stem = f"$cts%020d"
-      val recordedP = new Path(commitsDir(path), s"$stem.json")
-      val tombP = new Path(commitsDir(path), s"$stem.rolledback")
-      // an id that completed (recorded) or died (tombstoned) has no
-      // marker left — a bare exclusive create would RESURRECT it
-      if (fs.exists(recordedP) || fs.exists(tombP)) cts += 1
+      // "retired" = this id completed (recorded) or died (tombstoned);
+      // either way it has no marker left and must never be claimed —
+      // a bare exclusive create would RESURRECT it
+      def retired = fs.exists(new Path(commitsDir(path), s"$stem.json")) ||
+        fs.exists(new Path(commitsDir(path), s"$stem.rolledback"))
+      if (retired) cts += 1
       else {
         val marker = inflightMarker(path, cts)
         try {
@@ -926,7 +927,7 @@ object Merge {
           // the check and our create (rollback drops its marker AFTER
           // tombstoning): release the stale claim rather than keep a
           // dead id alive
-          if (fs.exists(recordedP) || fs.exists(tombP)) {
+          if (retired) {
             fs.delete(marker, false)
             cts += 1
           } else claimed = true
@@ -935,9 +936,7 @@ object Merge {
           // IOException on some filesystems — any surviving trace of the
           // id having been issued proves another writer took it
           case e: java.io.IOException =>
-            val issued = fs.exists(marker) || fs.exists(recordedP) ||
-              fs.exists(tombP)
-            if (issued) cts += 1 else throw e
+            if (fs.exists(marker) || retired) cts += 1 else throw e
         }
       }
     }
@@ -981,11 +980,18 @@ object Merge {
         s"no inflight commit $cts at $path — nothing to roll back")
     val tableRoot = fs.makeQualified(new Path(path))
     val plan = planFile(path, cts)
-    // no plan sibling = crash before the commit plan landed: nothing
-    // was touched (the plan is written before any mutation), so only
-    // the claim needs tombstoning
-    if (fs.exists(plan)) {
-      val body = readSmallFile(fs, plan)
+    // the plan lives in the `.plan` sibling; earlier engine revisions
+    // wrote it into the marker BODY itself — honor both, or a crashed
+    // commit from an old-format table would be tombstoned as
+    // "claim-only" while its half-published mutations stand (and the
+    // marker delete below would destroy the only plan copy). No plan in
+    // either place = crash before the plan landed: nothing was touched
+    // (the plan is written before any mutation), so only the claim
+    // needs tombstoning.
+    val planSource: Option[(String, Path)] =
+      if (fs.exists(plan)) Some((readSmallFile(fs, plan), plan))
+      else Some(readSmallFile(fs, marker)).filter(_.nonEmpty).map((_, marker))
+    planSource.foreach { case (body, src) =>
       val (added, removed, staging) =
         try {
           implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
@@ -999,12 +1005,12 @@ object Merge {
             // an unparseable body means external damage — name the
             // manual remedy instead of a bare parse stack
             throw new IllegalStateException(
-              s"rollback: commit plan $plan is unreadable — cannot " +
+              s"rollback: commit plan $src is unreadable — cannot " +
                 s"mechanically reverse commit $cts at $path. Manual " +
                 s"remedy: move every file under ${rollbackDir(path, cts)} " +
                 "back to its table-relative path, remove any published " +
                 "replacement files not in the timeline's recorded " +
-                s"commits, then delete $plan and re-run rollback to " +
+                s"commits, then delete $src and re-run rollback to " +
                 "tombstone the id", e)
         }
       added.foreach { rel =>
@@ -1020,6 +1026,22 @@ object Merge {
           fs.mkdirs(dest.getParent)
           if (!fs.rename(src, dest))
             throw new java.io.IOException(s"rollback: failed to restore $dest")
+        }
+      }
+      // un-publishing may leave behind the partition directories publish
+      // created (restores above repopulate shared ones). Sweep the empty
+      // leftovers, or a rolled-back FIRST commit leaves tableExists()
+      // true over a zero-file table — and every later write fails schema
+      // inference until someone hand-deletes the husk.
+      added.foreach { rel =>
+        var dir = new Path(tableRoot, rel).getParent
+        var levels = rel.count(_ == '/') // partition dirs below the root
+        while (levels > 0 && fs.exists(dir) && fs.listStatus(dir).isEmpty) {
+          if (!fs.delete(dir, false))
+            throw new java.io.IOException(
+              s"rollback: failed to drop emptied partition dir $dir")
+          dir = dir.getParent
+          levels -= 1
         }
       }
       sweepCommitScratch(fs, staging, Some(rb))
@@ -1082,15 +1104,23 @@ object Merge {
   def commits(spark: SparkSession, path: String): DataFrame = {
     val schema = "commit_ts LONG, n_rows LONG, partitions STRING"
     val fs = fsFor(spark, path)
-    if (!fs.exists(commitsDir(path)))
+    // RECORDED entries only, selected by the same strict numeric-stem
+    // rule the id issuer uses (commitEntryRe): inflight markers, `.plan`
+    // siblings (which carry a commit_ts and would surface as phantom
+    // rows), rolled-back tombstones, AND foreign junk — even junk that
+    // happens to end in .json — are all non-commits. The listing is
+    // metadata-sized (one tiny file per commit), not a data scan.
+    val recorded =
+      if (!fs.exists(commitsDir(path))) Nil
+      else fs.listStatus(commitsDir(path)).toSeq.map(_.getPath)
+        .filter(_.getName match {
+          case commitEntryRe(_, "json") => true
+          case _ => false
+        })
+    if (recorded.isEmpty)
       spark.read.schema(schema).json(spark.emptyDataset(
         org.apache.spark.sql.Encoders.STRING))
-    else
-      // RECORDED entries only: inflight markers, `.plan` siblings (which
-      // carry a commit_ts and would surface as phantom rows), rolled-back
-      // tombstones, and foreign junk are all non-commits
-      spark.read.schema(schema).option("pathGlobFilter", "*.json")
-        .json(commitsDir(path).toString)
+    else spark.read.schema(schema).json(recorded.map(_.toString): _*)
   }
 
   /** Incremental pull: rows last written by a commit AFTER `sinceTs`

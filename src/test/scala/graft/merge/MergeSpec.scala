@@ -654,6 +654,61 @@ class MergeSpec extends SparkSpec {
       .as[(String, String, String, Double, Long)].collect().toSet === content)
   }
 
+  test("rolling back a crashed FIRST commit leaves no table husk behind") {
+    val path = tmpDir("rollfirst") + "/table"
+    // the very first versioned commit crashes mid-publish: one file (and
+    // its partition dir) landed, the plan is recorded, nothing to retire
+    assert(Merge.claimCommitId(spark, path) === 1L)
+    val published = "pair=ADAGBP/part-00000-crash.c000.snappy.parquet"
+    new java.io.File(s"$path/pair=ADAGBP").mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$path/$published").toPath, "partial first commit")
+    val staging = s"${path}_staging_42"
+    new java.io.File(staging).mkdirs()
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000001.plan").toPath,
+      s"""{"commit_ts":1,"staging":"$staging",""" +
+        s""""files_added":["$published"],"files_removed":[]}""")
+    Merge.rollback(spark, path, 1L)
+    // the emptied partition dir is swept with the file it held — a
+    // husk would make the next write see an "existing" zero-file table
+    // and die on schema inference
+    assert(!new java.io.File(s"$path/pair=ADAGBP").exists())
+    assert(Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair") === 2L)
+    assert(readTable(path) === Seq(("T1", "c1", "ADAGBP", 1.0)))
+  }
+
+  test("rollback honors the legacy plan-in-marker-body format") {
+    val path = tmpDir("rolllegacy")
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    val snapshot = tableState(path)
+    // an old-engine crashed commit: the plan JSON is the MARKER body
+    // (no .plan sibling existed then) and one replacement file landed
+    val retired = snapshot.keys.find(_.startsWith("pair=ADAGBP/")).get
+    val rbDir = s"$path/_graft_rollback/00000000000000000002"
+    new java.io.File(s"$rbDir/pair=ADAGBP").mkdirs()
+    assert(new java.io.File(s"$path/$retired")
+      .renameTo(new java.io.File(s"$rbDir/$retired")))
+    val published = "pair=ADAGBP/part-00000-legacy.c000.snappy.parquet"
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$path/$published").toPath, "legacy replacement")
+    val staging = s"${path}_staging_9"
+    new java.io.File(staging).mkdirs()
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000002.inflight").toPath,
+      s"""{"commit_ts":2,"staging":"$staging",""" +
+        s""""files_added":["$published"],"files_removed":["$retired"]}""")
+    Merge.rollback(spark, path, 2L)
+    // treated as a full plan, not a claim-only tombstone: the mutation
+    // is reversed, not abandoned
+    assert(tableState(path) === snapshot)
+    assert(!new java.io.File(rbDir).exists())
+    assert(commitsFile(path, "00000000000000000002.rolledback").exists())
+    assert(!commitsFile(path, "00000000000000000002.inflight").exists())
+  }
+
   test("a vanished superseded file fails the commit loudly (single-writer)") {
     val path = tmpDir("singlewriter")
     Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
@@ -690,6 +745,10 @@ class MergeSpec extends SparkSpec {
       commitsFile(path, "00000000000000000003.rolledback").toPath, "")
     java.nio.file.Files.writeString(
       commitsFile(path, "notes.txt").toPath, """{"commit_ts":99}""")
+    // even a .json extension doesn't make junk a commit: only strictly
+    // numeric stems are timeline entries
+    java.nio.file.Files.writeString(
+      commitsFile(path, "backup.json").toPath, """{"commit_ts":98}""")
     assert(Merge.commits(spark, path).select("commit_ts")
       .as[Long].collect().toSeq === Seq(1L))
   }

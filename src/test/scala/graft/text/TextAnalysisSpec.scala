@@ -242,22 +242,27 @@ class TextAnalysisSpec extends SparkSpec {
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs += 1
     }
+    // listener events are delivered async; LiveListenerBus.waitUntilEmpty
+    // drains them deterministically (it is private[spark] — public in
+    // bytecode — hence reflection), so a reintroduced eager action can't
+    // slip past the zero-jobs assertion on a loaded box
+    def drainListenerBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    }
     spark.sparkContext.addSparkListener(listener)
     try {
       val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text")
       out.queryExecution.executedPlan // even physical planning is job-free
-      // listener events are delivered async — give a stray eager action
-      // (the old docs.count()) time to surface before asserting absence
-      Thread.sleep(500)
+      drainListenerBus()
       assert(jobs === 0, "building the tfidf query must not run a job")
       // the in-plan N is the real corpus size (2 docs): beta has df=2
       val beta = out.filter($"term" === "beta" && $"doc_id" === 1L)
         .select("tfidf").as[Double].head()
       assert(beta === 1.0 * 2 / 2)
-      // sanity: the listener does see the action's jobs
-      var waited = 0
-      while (jobs == 0 && waited < 5000) { Thread.sleep(100); waited += 100 }
-      assert(jobs > 0, "listener never observed the collect's jobs")
+      drainListenerBus()
+      assert(jobs > 0, "listener never observed the action's jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
