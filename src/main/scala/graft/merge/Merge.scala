@@ -317,6 +317,32 @@ object Merge {
   private def relativize(root: Path, p: Path): String =
     root.toUri.relativize(p.toUri).getPath
 
+  /** Drop a partition directory that holds no data, then any emptied
+    * ancestors — up to `levels` levels, never the table root. The ONE
+    * husk-prevention rule, shared by delete()'s emptied-partition sweep
+    * and rollback's un-publish cleanup: a leaf whose only residents are
+    * '_'/'.'-prefixed metadata (checksum siblings, temp files) counts
+    * as emptied and is removed recursively; ancestors must be literally
+    * empty. A surviving husk is worse than cosmetic — a table whose
+    * only entry is an empty partition dir reads as "existing" and fails
+    * schema inference on the next write. */
+  private def dropEmptiedDirs(fs: FileSystem, leaf: Path, levels: Int): Unit = {
+    var p = leaf
+    var lv = levels
+    var emptied = lv > 0 && fs.exists(p) && fs.listStatus(p).forall { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    while (emptied) {
+      if (!fs.delete(p, true))
+        throw new java.io.IOException(
+          s"failed to drop emptied partition dir $p")
+      p = p.getParent
+      lv -= 1
+      emptied = lv > 0 && fs.exists(p) && fs.listStatus(p).isEmpty
+    }
+  }
+
   /** Where a commit's retired (superseded) files wait between being
     * unlinked from the table and the commit record landing — the
     * crash-recovery copy [[rollback]] restores. '_'-prefixed, so
@@ -467,24 +493,10 @@ object Merge {
           // match what the partitioned write produced; since the data
           // files were already removed one by one, a surviving dir here
           // is empty — cosmetic, but its absence is part of delete()'s
-          // contract. Multi-level: drop the leaf, then any emptied
-          // ancestors up to (not including) the table root.
-          var p = new Path(
-            s"$path/${partitionRelDir(partitionCols, tuple)}")
-          var levels = partitionCols.size
-          var emptied = fs.exists(p) && fs.listStatus(p).forall { st =>
-            val n = st.getPath.getName
-            n.startsWith("_") || n.startsWith(".")
-          }
-          while (levels > 0 && emptied) {
-            if (!fs.delete(p, true))
-              throw new java.io.IOException(
-                s"failed to drop emptied partition dir $p")
-            p = p.getParent
-            levels -= 1
-            emptied = levels > 0 && fs.exists(p) &&
-              fs.listStatus(p).isEmpty
-          }
+          // contract.
+          dropEmptiedDirs(fs,
+            new Path(s"$path/${partitionRelDir(partitionCols, tuple)}"),
+            partitionCols.size)
         }
       }
       updateSchemaMeta(spark, path, merged.schema)
@@ -1003,14 +1015,23 @@ object Merge {
           case e: Exception =>
             // the plan is written complete-or-absent (temp+rename), so
             // an unparseable body means external damage — name the
-            // manual remedy instead of a bare parse stack
+            // manual remedy instead of a bare parse stack. The remedy
+            // must NEVER delete the marker itself: the marker is the
+            // id's last issued-trace, and without it the re-run can't
+            // tombstone, so the id would be reissued (the never-reuse
+            // invariant). Plan sibling → delete it; legacy marker-body
+            // plan → truncate the marker back to the bare claim.
+            val clearStep =
+              if (src == plan) s"delete $src"
+              else s"truncate $src to empty (the bare claim — do NOT " +
+                "delete it)"
             throw new IllegalStateException(
               s"rollback: commit plan $src is unreadable — cannot " +
                 s"mechanically reverse commit $cts at $path. Manual " +
                 s"remedy: move every file under ${rollbackDir(path, cts)} " +
                 "back to its table-relative path, remove any published " +
                 "replacement files not in the timeline's recorded " +
-                s"commits, then delete $src and re-run rollback to " +
+                s"commits, then $clearStep and re-run rollback to " +
                 "tombstone the id", e)
         }
       added.foreach { rel =>
@@ -1029,20 +1050,11 @@ object Merge {
         }
       }
       // un-publishing may leave behind the partition directories publish
-      // created (restores above repopulate shared ones). Sweep the empty
-      // leftovers, or a rolled-back FIRST commit leaves tableExists()
-      // true over a zero-file table — and every later write fails schema
-      // inference until someone hand-deletes the husk.
+      // created (restores above repopulate shared ones) — sweep them via
+      // the shared husk-prevention rule
       added.foreach { rel =>
-        var dir = new Path(tableRoot, rel).getParent
-        var levels = rel.count(_ == '/') // partition dirs below the root
-        while (levels > 0 && fs.exists(dir) && fs.listStatus(dir).isEmpty) {
-          if (!fs.delete(dir, false))
-            throw new java.io.IOException(
-              s"rollback: failed to drop emptied partition dir $dir")
-          dir = dir.getParent
-          levels -= 1
-        }
+        dropEmptiedDirs(fs, new Path(tableRoot, rel).getParent,
+          rel.count(_ == '/')) // partition dirs below the root
       }
       sweepCommitScratch(fs, staging, Some(rb))
     }

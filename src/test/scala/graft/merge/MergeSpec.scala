@@ -584,9 +584,35 @@ class MergeSpec extends SparkSpec {
     val e = intercept[IllegalStateException](Merge.rollback(spark, path, 2L))
     assert(e.getMessage.contains("_graft_rollback"))
     assert(e.getMessage.contains("re-run rollback"))
+    // sibling-plan remedy: deleting the .plan is safe (the marker
+    // survives as the issued-trace for the tombstoning re-run)
+    assert(e.getMessage.contains("delete"))
     // nothing was mutated and the claim survives for the retry
     assert(commitsFile(path, "00000000000000000002.inflight").exists())
     assert(!commitsFile(path, "00000000000000000002.rolledback").exists())
+    // following the remedy actually tombstones the id
+    assert(commitsFile(path, "00000000000000000002.plan").delete())
+    Merge.rollback(spark, path, 2L)
+    assert(commitsFile(path, "00000000000000000002.rolledback").exists())
+    // legacy-format corruption: the plan IS the marker body, so the
+    // remedy must warn against deleting the marker (the id's last
+    // issued-trace) and direct truncation instead
+    assert(Merge.claimCommitId(spark, path) === 3L)
+    // the claim went through Hadoop's checksummed local FS; raw writes
+    // below bypass it, so drop the stale .crc sibling or reads fail on
+    // the checksum, not the corruption under test
+    commitsFile(path, ".00000000000000000003.inflight.crc").delete()
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000003.inflight").toPath,
+      """{"commit_ts":3,"stag""") // damaged legacy body
+    val e2 = intercept[IllegalStateException](Merge.rollback(spark, path, 3L))
+    assert(e2.getMessage.contains("do NOT"))
+    assert(e2.getMessage.contains("truncate"))
+    // the remedy works: truncate the marker, re-run, tombstoned
+    java.nio.file.Files.writeString(
+      commitsFile(path, "00000000000000000003.inflight").toPath, "")
+    Merge.rollback(spark, path, 3L)
+    assert(commitsFile(path, "00000000000000000003.rolledback").exists())
   }
 
   test("claimFrom advances past issued ids instead of aborting") {
