@@ -789,6 +789,83 @@ object Merge {
     files.length.toLong
   }
 
+  /** Z-order clustering — the multi-column analogue of [[compact]]'s
+    * linear key layout, and the clustering table service Hudi shipped
+    * in exactly the release the reference pins (`hudi-spark3-bundle
+    * _2.12:0.10.0`, `glue/interactive.sh:12` — 0.10.0 introduced
+    * z-order/hilbert clustering). Every data file is rewritten so rows
+    * are range-laid and sorted on the Morton interleave of `zCols`
+    * ([[graft.scale.Scale.interleaveBits]]): each output file then
+    * covers a hyper-rectangle of the zCols space, so parquet min/max
+    * stats prune scans filtering on ANY subset of those columns — a
+    * linear (a, b) sort layout serves only prefix predicates, and at
+    * 100 TB the difference is reading 1/K of the files vs all of them
+    * for a b-only predicate.
+    *
+    * Each zCol is normalized to a `bits`-wide non-negative cell index
+    * from its observed min/max, both derived IN-PLAN (a broadcast
+    * one-row aggregate, like the tf-idf corpus count) — the whole
+    * service is one staged-commit job, no separate stats action. Rows,
+    * including `_commit_ts` stamps, pass through untouched (incremental
+    * pulls are clustering-invariant, same contract as compact).
+    * Numeric zCols only — hash non-numeric columns to a number first
+    * (e.g. `xxhash64`); silent coercion of strings would z-order on
+    * dictionary ids the caller never sees. Nulls collapse to cell 0.
+    * Goes through the same durable staged commit as every other write
+    * (versioned-commit callers can wrap it like compact). Returns the
+    * number of files rewritten. */
+  def clusterZOrder(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      zCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxFiles: Int = 1 << 20): Long = {
+    require(zCols.size >= 2,
+      "z-order needs >= 2 columns (one column is a plain sort — use " +
+        "compact's key layout for that)")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    if (!tableExists(spark, path)) return 0L
+    val fs = fsFor(spark, path)
+    val files = listDataFiles(fs, fs.makeQualified(new Path(path)))
+      .map(_.toString).toIndexedSeq
+    if (files.isEmpty) return 0L
+    val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val stored = readTable(spark, path)
+    val rows = spark.read.schema(stored.schema)
+      .option("basePath", path).parquet(files: _*)
+    val bits = math.min(16, 63 / zCols.size)
+    val cells = (1L << bits) - 1
+    val statAggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"_zmin_$c"),
+      max(col(c).cast("double")).as(s"_zmax_$c")))
+    val stats = rows.agg(statAggs.head, statAggs.tail: _*)
+    val cellCols = zCols.map { c =>
+      val lo = col(s"_zmin_$c")
+      val hi = col(s"_zmax_$c")
+      // constant / all-null dimensions contribute nothing to the curve
+      coalesce(
+        when(hi > lo,
+          floor((col(c).cast("double") - lo) / (hi - lo) * cells)
+            .cast("long")),
+        lit(0L))
+    }
+    val nFiles = math.min(totalBytes / targetFileBytes + 1, maxFiles.toLong)
+      .toInt
+    val layout =
+      (partitionCols.map(col) :+ col("_zval").asc).toIndexedSeq
+    val clustered = rows
+      .crossJoin(broadcast(stats))
+      .withColumn("_zval", graft.scale.Scale.interleaveBits(cellCols, bits))
+      .repartitionByRange(nFiles, layout: _*)
+      .sortWithinPartitions(layout: _*)
+      .select(rows.columns.toIndexedSeq.map(col): _*)
+    commitFiles(spark, clustered, path, partitionCols, files,
+      touched = Nil, dropEmptied = false)
+    files.length.toLong
+  }
+
   /** Remove leaked staging siblings — the table-sized recovery copies a
     * failed (or failed-to-clean) commit leaves next to the table.
     * Deliberately MANUAL: a staging dir is a recovery copy until the
@@ -1240,6 +1317,24 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // q24: z-order clustering is a pure LAYOUT service — the oracle is
+    // the untouched relation (content invariance, the same contract
+    // q23 checks for compact). The pruning benefit itself is asserted
+    // in MergeSpec, where file-level effects are observable.
+    "q24_zorder" -> ((s, dir) => {
+      val path = scratchTable("graft_q24_")
+      val rows = graft.Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        col("l_quantity").as("qty"), col("l_returnflag").as("part"))
+      bulkInsert(rows, path, "part", keyCols = Seq("pk", "sk"),
+        targetFileBytes = 1L << 20)
+      clusterZOrder(s, path, Seq("part"), Seq("pk", "sk"),
+        targetFileBytes = 1L << 20)
+      readTable(s, path)
+        .select("okey", "lnum", "pk", "sk", "qty", "part")
+        .orderBy("okey", "lnum", "pk", "sk", "qty", "part")
+    }),
     // q19: the commit timeline end-to-end — two versioned upserts, then
     // an incremental pull since commit 1. The pull must return exactly
     // the rows OWNED by commit 2 (batch-2 winners), and none of the
@@ -1310,6 +1405,12 @@ object Merge {
   val oracle: Map[String, String] = Map(
     "q18_upsert_replay" -> replaySql,
     "q23_compact" -> replaySql,
+    "q24_zorder" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS lnum,
+        |       l_partkey AS pk, l_suppkey AS sk,
+        |       l_quantity AS qty, l_returnflag AS part
+        |FROM lineitem
+        |ORDER BY okey, lnum, pk, sk, qty, part""".stripMargin,
     // evolution: batch-2 rows carry src='b1'; batch-1 survivors are
     // NULL-filled — exactly the read-back of a mixed-schema table
     "q18b_schema_evolution" ->

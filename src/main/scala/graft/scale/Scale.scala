@@ -54,6 +54,28 @@ object Scale {
       l.contains("Exchange") && !l.contains("BroadcastExchange") &&
         !l.contains("BroadcastQueryStage"))
 
+  /** Morton (Z-order) interleave of `cols` — each column must already
+    * be a non-negative integral value fitting in `bitsPer` bits. Bit b
+    * of column i lands at position `b * cols.size + i` of the result,
+    * so the interleaved key preserves locality in EVERY dimension at
+    * once: range-partitioning and sorting by it lays rows out in
+    * hyper-rectangles, which is what lets parquet min/max stats prune
+    * scans filtering on ANY subset of the dimensions (a linear (a, b)
+    * sort prunes only on the prefix a). Pure bitwise Column arithmetic
+    * — codegen'd, no UDF; `bitsPer * cols.size` must fit a signed
+    * long. */
+  def interleaveBits(cols: Seq[Column], bitsPer: Int): Column = {
+    require(cols.nonEmpty, "interleaveBits needs at least one column")
+    require(bitsPer >= 1 && bitsPer * cols.size <= 63,
+      s"bitsPer ($bitsPer) x ${cols.size} cols must fit in a signed long")
+    val k = cols.size
+    cols.zipWithIndex.map { case (c, i) =>
+      (0 until bitsPer).map { b =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * k + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame

@@ -755,6 +755,63 @@ class MergeSpec extends SparkSpec {
     assert(readTable(path) === Seq(("T1", "c1", "ADAGBP", 1.0)))
   }
 
+  test("clusterZOrder preserves rows + stamps and beats linear layout pruning") {
+    val path = tmpDir("zorder")
+    // a 64x64 uniform grid in (a, b), one hive partition
+    val grid = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (s"T${a}_$b", "c", "G", a.toLong, b.toLong, 1.0))
+      .toDF("transaction_id", "close_time", "pair", "a", "b", "price")
+    // linear layout baseline: 16 files range-laid on (a, b) — sorted by
+    // a first, so EVERY file spans the full b range
+    Merge.bulkInsert(grid, path, Seq("pair"), Seq("a", "b"),
+      targetFileBytes = 1, maxFiles = 16)
+    def filesMatching(pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name()).distinct().count()
+    val totalLinear = filesMatching(lit(true))
+    val linearHit = filesMatching(col("b") < 8)
+    assert(linearHit === totalLinear) // the b-slice touches every file
+    val content = spark.read.parquet(path)
+      .select("transaction_id", "a", "b", "price")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val n = Merge.clusterZOrder(spark, path, Seq("pair"), Seq("a", "b"),
+      targetFileBytes = 1, maxFiles = 16)
+    assert(n === totalLinear)
+    // content invariance (the q24 oracle's contract, asserted here too)
+    assert(spark.read.parquet(path)
+      .select("transaction_id", "a", "b", "price")
+      .as[(String, Long, Long, Double)].collect().toSet === content)
+    // the curve packs files into hyper-rectangles: the same b-slice now
+    // touches only the files whose b-range intersects it — strictly
+    // fewer than linear's all-of-them, by at least 2x on this grid
+    val zHit = filesMatching(col("b") < 8)
+    assert(zHit * 2 <= linearHit,
+      s"z-order pruning regressed: $zHit of ${filesMatching(lit(true))} " +
+        s"files hit vs linear $linearHit")
+    // degenerate dimensions don't break the curve
+    assert(Merge.clusterZOrder(spark, path, Seq("pair"),
+      Seq("a", "price"), targetFileBytes = 1, maxFiles = 4) > 0L)
+  }
+
+  test("clusterZOrder keeps commit stamps (incremental pulls invariant)") {
+    val path = tmpDir("zstamps")
+    val c1 = Merge.upsertVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 1.0), ("T2", "c2", "ADAGBP", 2.0)),
+      path, keyCols, "price", "pair")
+    Merge.upsertVersioned(spark, tx(("T3", "c3", "BTCUSD", 3.0)),
+      path, keyCols, "price", "pair")
+    val before = Merge.readTable(spark, path)
+      .select("transaction_id", "price", Merge.commitCol)
+      .as[(String, Double, Long)].collect().toSet
+    Merge.clusterZOrder(spark, path, Seq("pair"),
+      Seq("price", Merge.commitCol))
+    assert(Merge.readTable(spark, path)
+      .select("transaction_id", "price", Merge.commitCol)
+      .as[(String, Double, Long)].collect().toSet === before)
+    assert(Merge.readSince(spark, path, c1)
+      .select("transaction_id").as[String].collect().toSeq === Seq("T3"))
+  }
+
   test("commits() ignores markers, plans, tombstones and foreign junk") {
     val path = tmpDir("cleantimeline")
     Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),

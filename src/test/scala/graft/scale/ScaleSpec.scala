@@ -63,4 +63,34 @@ class ScaleSpec extends SparkSpec {
           Seq("l_orderkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("interleaveBits: known Morton values, round-trip ordering") {
+    import spark.implicits._
+    // x=3 (bits 1,1,0 -> positions 0,2), y=5 (bits 1,0,1 -> 1,5):
+    // z = 1 + 4 + 2 + 32 = 39
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Scale.interleaveBits(Seq(col("x"), col("y")), 3).as("z"))
+      .as[Long].head()
+    assert(z === 39L)
+    // identity on one column, and the degenerate all-zero case
+    val one = Seq(Tuple1(13L)).toDF("x")
+      .select(Scale.interleaveBits(Seq(col("x")), 4)).as[Long].head()
+    assert(one === 13L)
+    val zero = Seq((0L, 0L)).toDF("x", "y")
+      .select(Scale.interleaveBits(Seq(col("x"), col("y")), 16))
+      .as[Long].head()
+    assert(zero === 0L)
+    // locality: the quadrant (top bit of each dim) dominates the key,
+    // so all points of one quadrant sort before any of the next
+    val pts = for (x <- 0L to 3L; y <- 0L to 3L) yield (x, y)
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Scale.interleaveBits(Seq(col("x"), col("y")), 2).as("z"))
+      .as[(Long, Long, Long)].collect()
+    val q0max = zs.filter(p => p._1 < 2 && p._2 < 2).map(_._3).max
+    val q3min = zs.filter(p => p._1 >= 2 && p._2 >= 2).map(_._3).min
+    assert(q0max < q3min)
+    intercept[IllegalArgumentException](
+      Scale.interleaveBits(Seq(col("x"), col("y")), 32))
+  }
 }
