@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{BloomMaybe, DotProduct}
 
 /** SparkSessionExtensions entry point: enables the engine's native
   * functions for any session via
   * `spark.sql.extensions=graft.GraftExtensions` (spark-submit /
   * cluster deployments; in-process users get the same registration
-  * lazily through [[graft.functions.VectorFunctions.register]]).
+  * lazily through [[graft.functions.VectorFunctions.register]] /
+  * [[graft.functions.BloomFunctions.register]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -18,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName,
         functions.VectorFunctions.dotName),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(functions.BloomFunctions.maybeName),
+      new ExpressionInfo(classOf[BloomMaybe].getName,
+        functions.BloomFunctions.maybeName),
+      (children: Seq[Expression]) => BloomMaybe(children(0), children(1))))
   }
 }

@@ -1,0 +1,312 @@
+package graft.merge
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.{BloomBits, BloomFunctions}
+
+/** The record-key columns a merge table is keyed by — recorded once in
+  * `_graft_keys.json` (Hudi's `hoodie.properties` record-key config
+  * analogue) so table services that don't take key arguments
+  * (compaction, clustering) can still maintain the key index. */
+case class KeySpec(keyCols: Seq[String], partitionCols: Seq[String]) {
+  def scoped: Seq[String] = keyCols ++ partitionCols
+}
+
+/** File-level key index for merge tables — the engine's analogue of
+  * Hudi's default BLOOM index (the reference runs Hudi 0.10, whose
+  * upsert tags incoming records against candidate files via per-file
+  * key bloom filters + ranges before reading any data).
+  *
+  * Why it exists: [[Merge.upsert]]/[[Merge.delete]] locate the file
+  * groups containing matched keys with a column-pruned key scan of the
+  * touched partitions. That scan is correct at any scale but costs
+  * O(partition bytes) per commit — on a 100 TB table whose partitions
+  * hold thousands of file groups, an upsert touching 10 files should
+  * not read the key column of all 5,000. The index stores, per data
+  * file, a bloom filter over `xxhash64` of the scoped key columns;
+  * candidate files = bloom hits ∪ unindexed files, and only those are
+  * key-scanned. Bloom false positives cost an extra file scan;
+  * false negatives cannot occur (build and probe share
+  * [[graft.functions.BloomBits]]).
+  *
+  * Design rules that keep the index ADVISORY — it can prune, never
+  * corrupt:
+  *
+  *  - A data file with no index entry is always a candidate (tables
+  *    predating the index, plain `insert` appends, entry-write
+  *    failures: all degrade to the full key scan).
+  *  - An index entry whose file is gone (crash between a commit's
+  *    file deletes and its index entry, entries orphaned by
+  *    [[Merge.rollback]] races) is dropped at probe time by
+  *    intersecting with the actual listing — a phantom entry can
+  *    never direct a read at a missing file.
+  *  - Entries are written complete-or-absent (temp + rename, same as
+  *    every other metadata write) AFTER the data commit publishes; an
+  *    entry never claims files that were not durably committed first.
+  *  - Hashes are computed over the STORED column types (probe casts
+  *    the batch to them), and `xxhash64` hashes binary values — no
+  *    string rendering, so session time zones and decimal formatting
+  *    cannot skew build/probe parity.
+  *
+  * Storage: `_graft_index/<entry>.json`, JSON-lines; one entry file
+  * per commit (named by `commit_ts` for versioned commits so
+  * [[Merge.rollback]] can drop it; uniquely otherwise). `add` lines
+  * carry (file, partition dir, row count, base64 bloom); `rm` lines
+  * tombstone a superseded file. Live index = adds minus rms — file
+  * names are never reused, so ordering is irrelevant. The log grows by
+  * one metadata file per commit; [[compactIndex]] folds it (called
+  * from [[Merge.compact]]'s maintenance, or directly).
+  *
+  * Concurrency: index mutation is covered by the table's single-writer
+  * contract (see [[Merge]] scaladoc) — there is no extra locking here.
+  */
+object KeyIndex {
+
+  private def keysPath(path: String) = new Path(path, "_graft_keys.json")
+  private def indexDir(path: String) = new Path(path, "_graft_index")
+
+  private val entrySchema =
+    "op STRING, f STRING, d STRING, n LONG, b STRING"
+
+  /** Probe only when the touched partitions hold more data files than
+    * this — below it the full key scan is cheaper than the index read
+    * + bloom join (a handful of parquet footers vs 2–3 Spark jobs).
+    * Operational knob; specs set it to 0 to force probing. */
+  @volatile var minFilesToProbe: Int = 8
+
+  def readSpec(spark: SparkSession, path: String): Option[KeySpec] = {
+    val fs = Merge.fsFor(spark, path)
+    val p = keysPath(path)
+    if (!fs.exists(p)) None
+    else try {
+      val body = Merge.readSmallFile(fs, p)
+      val df = spark.read.schema("key_cols STRING, partition_cols STRING")
+        .json(spark.createDataset(Seq(body))(
+          org.apache.spark.sql.Encoders.STRING))
+      val r = df.head()
+      Some(KeySpec(r.getString(0).split(',').toSeq.filter(_.nonEmpty),
+        r.getString(1).split(',').toSeq.filter(_.nonEmpty)))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft.merge] WARN: unreadable key spec at " +
+          s"$p (${e.getMessage}); key index disabled for this operation")
+        None
+    }
+  }
+
+  /** Record `spec` on the table's first keyed write; on a later keyed
+    * write with a DIFFERENT spec, drop the whole index (unindexed
+    * tables stay correct — they just scan) and say so. Returns whether
+    * the index is active for this spec. Column names containing commas
+    * cannot be recorded (the spec file is comma-joined) — such tables
+    * simply run unindexed. */
+  def ensureSpec(spark: SparkSession, path: String, spec: KeySpec): Boolean = {
+    if (spec.scoped.exists(_.contains(","))) return false
+    readSpec(spark, path) match {
+      case Some(existing) if existing == spec => true
+      case Some(existing) =>
+        System.err.println(s"[graft.merge] WARN: key spec changed on " +
+          s"$path (recorded ${existing.scoped.mkString("+")}, write uses " +
+          s"${spec.scoped.mkString("+")}); dropping the key index — " +
+          "merges stay correct via full key scans")
+        drop(spark, path)
+        false
+      case None =>
+        val fs = Merge.fsFor(spark, path)
+        val body = s"""{"key_cols":${Merge.jsonQuote(
+          spec.keyCols.mkString(","))},"partition_cols":${Merge.jsonQuote(
+          spec.partitionCols.mkString(","))}}"""
+        Merge.replaceSmallFile(fs, keysPath(path), body)
+        true
+    }
+  }
+
+  /** Remove the key spec and every index entry (the table reverts to
+    * full key scans — always correct). */
+  def drop(spark: SparkSession, path: String): Unit = {
+    val fs = Merge.fsFor(spark, path)
+    fs.delete(indexDir(path), true)
+    fs.delete(keysPath(path), false)
+    ()
+  }
+
+  private def entryName(cts: Option[Long]): String = cts match {
+    case Some(c) => f"$c%020d.json"
+    case None => s"u${System.nanoTime()}.json"
+  }
+
+  /** Drop the index entry of a rolled-back versioned commit (its adds
+    * were un-published, its rms restored — both must un-happen in the
+    * index too). Missing entry = the commit crashed before writing one:
+    * nothing to do. */
+  private[merge] def dropEntry(spark: SparkSession, path: String,
+      cts: Long): Unit = {
+    Merge.fsFor(spark, path)
+      .delete(new Path(indexDir(path), f"$cts%020d.json"), false)
+    ()
+  }
+
+  /** Write the index entry for a durably committed file change: bloom
+    * stats per added file (two column-pruned scans of ONLY the newly
+    * written files — pass 1 sizes the filters from the largest file's
+    * row count, pass 2 builds them), plus `rm` tombstones for the
+    * superseded files. No-op when the table has no key spec. `schema`
+    * is the committed write's schema (what the added files contain). */
+  private[merge] def recordCommit(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      cts: Option[Long],
+      added: Seq[String],
+      removed: Seq[String]): Unit = {
+    val spec = readSpec(spark, path).getOrElse(return)
+    if (!spec.scoped.forall(schema.fieldNames.contains)) {
+      System.err.println(s"[graft.merge] WARN: commit schema on $path " +
+        s"lacks key-spec columns ${spec.scoped.mkString("+")}; added " +
+        "files left unindexed (they will be key-scanned)")
+      if (removed.isEmpty) return
+    }
+    val fs = Merge.fsFor(spark, path)
+    val tableRoot = fs.makeQualified(new Path(path))
+    val addLines: Seq[String] =
+      if (added.isEmpty || !spec.scoped.forall(schema.fieldNames.contains))
+        Nil
+      else {
+        val addedAbs = added.map(f => new Path(tableRoot, f).toString)
+        val df = spark.read.schema(schema).option("basePath", path)
+          .parquet(addedAbs: _*)
+          .select(input_file_name().as("_f") +:
+            spec.scoped.map(col): _*)
+        val counts = df.groupBy("_f").count().collect()
+          .map(r => Merge.relativize(tableRoot, fs.makeQualified(
+            new Path(Merge.decodeFileName(r.getString(0))))) -> r.getLong(1))
+          .toMap
+        if (counts.isEmpty) Nil
+        else {
+          val (m, k) = BloomBits.sizeFor(counts.values.max)
+          val hash = xxhash64(spec.scoped.map(col): _*)
+          val blooms = df
+            .groupBy("_f")
+            .agg(BloomFunctions.bloomAgg(hash, m, k).as("_b"))
+            .collect()
+          blooms.toSeq.map { r =>
+            val rel = Merge.relativize(tableRoot, fs.makeQualified(
+              new Path(Merge.decodeFileName(r.getString(0)))))
+            val dir = rel.lastIndexOf('/') match {
+              case -1 => ""
+              case i => rel.substring(0, i)
+            }
+            val b64 = java.util.Base64.getEncoder
+              .encodeToString(r.getAs[Array[Byte]]("_b"))
+            s"""{"op":"add","f":${Merge.jsonQuote(rel)},""" +
+              s""""d":${Merge.jsonQuote(dir)},"n":${counts(rel)},""" +
+              s""""b":${Merge.jsonQuote(b64)}}"""
+          }
+        }
+      }
+    val rmLines = removed.map(f =>
+      s"""{"op":"rm","f":${Merge.jsonQuote(f)}}""")
+    val lines = addLines ++ rmLines
+    if (lines.isEmpty) return
+    fs.mkdirs(indexDir(path))
+    Merge.replaceSmallFile(fs,
+      new Path(indexDir(path), entryName(cts)), lines.mkString("\n"))
+  }
+
+  /** The live index as a DataFrame (adds minus rm tombstones),
+    * deduplicated by file name — duplicate add lines for one file (an
+    * interrupted [[compactIndex]]) carry identical stats, so any one
+    * wins. Returns None when the index has no entries. */
+  private[merge] def liveEntries(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val fs = Merge.fsFor(spark, path)
+    val dir = indexDir(path)
+    if (!fs.exists(dir)) return None
+    val entryFiles = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(_.getPath.toString)
+    if (entryFiles.isEmpty) return None
+    val df = spark.read.schema(entrySchema).json(entryFiles: _*)
+    val adds = df.filter(col("op") === "add").dropDuplicates("f")
+    val rms = df.filter(col("op") === "rm").select("f").distinct()
+    Some(adds.join(rms, Seq("f"), "left_anti"))
+  }
+
+  /** Candidate data files (table-relative) that may contain at least
+    * one probe key, or None when the index cannot help and the caller
+    * must key-scan all of `allFiles` (no spec / spec mismatch / no
+    * entries / table below [[minFilesToProbe]]).
+    *
+    * `probe` must hold the scoped key columns AT THE STORED TYPES (the
+    * caller casts) — hash parity with the build side depends on it.
+    * `allFiles` is the actual listing of the touched partitions: files
+    * it contains but the index does not are always candidates
+    * (unindexed ⇒ scan); files the index claims but the listing lacks
+    * are dropped (phantom ⇒ never read). */
+  private[merge] def candidateFiles(
+      spark: SparkSession,
+      path: String,
+      spec: KeySpec,
+      touchedDirs: Seq[String],
+      allFiles: Seq[String],
+      probe: DataFrame): Option[Seq[String]] = {
+    if (allFiles.size <= minFilesToProbe) return None
+    val live = liveEntries(spark, path).getOrElse(return None)
+      .filter(col("d").isin(touchedDirs: _*))
+      .persist()
+    try {
+      val indexed = live.select("f").collect().map(_.getString(0)).toSet
+      val unindexed = allFiles.filterNot(indexed)
+      val hits = live
+        .select(col("f"), unbase64(col("b")).as("_bloom"))
+        .join(broadcast(probe.select(
+          xxhash64(spec.scoped.map(col): _*).as("_h")).distinct()),
+          BloomFunctions.bloomMaybe(col("_bloom"), col("_h")), "left_semi")
+        .select("f").collect().map(_.getString(0))
+      val listed = allFiles.toSet
+      Some((hits.filter(listed) ++ unindexed).toIndexedSeq)
+    } catch {
+      // the index is ADVISORY: a damaged entry file (torn write,
+      // checksum mismatch, foreign junk) must degrade to the full key
+      // scan, never fail the merge that consulted it
+      case e: Exception =>
+        System.err.println(s"[graft.merge] WARN: key-index probe failed " +
+          s"at $path (${e.getMessage}); falling back to the full key " +
+          "scan — run KeyIndex.compactIndex (or drop) to repair")
+        None
+    } finally { live.unpersist(); () }
+  }
+
+  /** Fold the entry log into one snapshot entry: live adds survive, rm
+    * tombstones and superseded entry files vanish. The new snapshot is
+    * written before the old entries are deleted — a crash mid-fold
+    * leaves duplicate or phantom adds, both handled at probe time
+    * (dedup by file name; listing intersect). Returns the number of
+    * entry files folded away. */
+  def compactIndex(spark: SparkSession, path: String): Int = {
+    val fs = Merge.fsFor(spark, path)
+    val dir = indexDir(path)
+    if (!fs.exists(dir)) return 0
+    val old = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(_.getPath)
+    if (old.size <= 1) return 0
+    val live = liveEntries(spark, path) match {
+      case None => return 0
+      case Some(df) => df.collect()
+    }
+    val lines = live.toSeq.map { r =>
+      val b = r.getAs[String]("b")
+      s"""{"op":"add","f":${Merge.jsonQuote(r.getAs[String]("f"))},""" +
+        s""""d":${Merge.jsonQuote(r.getAs[String]("d"))},""" +
+        s""""n":${r.getAs[Long]("n")},"b":${Merge.jsonQuote(b)}}"""
+    }
+    Merge.replaceSmallFile(fs, new Path(dir, entryName(None)),
+      if (lines.isEmpty) """{"op":"rm","f":""}""" else lines.mkString("\n"))
+    old.foreach(p => fs.delete(p, false))
+    old.size
+  }
+}

@@ -155,7 +155,7 @@ object Merge {
     vals.map(v => if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString)
       .mkString("/")
 
-  private def fsFor(spark: SparkSession, path: String): FileSystem =
+  private[merge] def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** "Exists" means HAS DATA: metadata entries (`_graft_commits/`,
@@ -176,7 +176,7 @@ object Merge {
 
   private def schemaMetaPath(path: String) = new Path(path, "_graft_schema.json")
 
-  private def readSmallFile(fs: FileSystem, p: Path): String = {
+  private[merge] def readSmallFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val src = scala.io.Source.fromInputStream(in, "UTF-8")
@@ -196,7 +196,8 @@ object Merge {
     * with the swap, the worst crash window leaves the file momentarily
     * absent, which readers treat as "no metadata" and degrade
     * gracefully (footer-merge fallback). */
-  private def replaceSmallFile(fs: FileSystem, p: Path, body: String): Unit = {
+  private[merge] def replaceSmallFile(fs: FileSystem, p: Path,
+      body: String): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
     writeSmallFile(fs, tmp, body)
     fs.delete(p, false)
@@ -292,7 +293,7 @@ object Merge {
     * nor DataFrameReader decodes it — decode exactly once via the URI
     * constructor so both the FS delete and the file-list read resolve
     * the raw on-disk name. */
-  private def decodeFileName(urlEncoded: String): String =
+  private[merge] def decodeFileName(urlEncoded: String): String =
     new Path(new java.net.URI(urlEncoded)).toString
 
   private def alignTo(df: DataFrame, target: Seq[(String, DataType)])
@@ -314,7 +315,7 @@ object Merge {
       else Seq(st.getPath)
     }
 
-  private def relativize(root: Path, p: Path): String =
+  private[merge] def relativize(root: Path, p: Path): String =
     root.toUri.relativize(p.toUri).getPath
 
   /** Drop a partition directory that holds no data, then any emptied
@@ -507,6 +508,17 @@ object Merge {
             s"(emptied-dir sweep / schema metadata) failed at $path — " +
             "do NOT re-apply any staging copy", e)
     }
+    // key-index maintenance (advisory metadata): failure here must not
+    // fail a DURABLY COMMITTED data change — new files simply stay
+    // unindexed (always key-scanned) and stale entries are dropped at
+    // probe time by the listing intersect, so a warn suffices.
+    try KeyIndex.recordCommit(spark, path, merged.schema, cts, added, removed)
+    catch {
+      case e: Throwable =>
+        System.err.println("[graft.merge] WARN: key-index update failed " +
+          s"after a durable commit at $path (${e.getMessage}); new files " +
+          "are unindexed until the next KeyIndex.compactIndex/compact")
+    }
     if (cts.isEmpty) sweepCommitScratch(fs, staging, None)
     CommitResult(added, removed, staging)
   }
@@ -555,9 +567,34 @@ object Merge {
     val nFiles = ((planBytes / targetFileBytes) + 1)
       .min(BigInt(maxFiles)).max(BigInt(1)).toInt
     val layout = (partitionCols.map(col) ++ keyCols.map(col)).toIndexedSeq
+    val spark = batch.sparkSession
+    // key-index the bulk load (bulk_insert is the canonical way to
+    // prime a table that upserts will then hit): a listing diff tells
+    // us which files this append created. The pre-listing is a no-op on
+    // the usual fresh table; on an existing table it is one metadata
+    // listing — the same magnitude as the write's own file operations.
+    val indexed = keyCols.nonEmpty &&
+      KeyIndex.ensureSpec(spark, path, KeySpec(keyCols, partitionCols))
+    val fs = fsFor(spark, path)
+    val tableRoot = fs.makeQualified(new Path(path))
+    val before: Set[String] =
+      if (indexed && tableExists(spark, path))
+        listDataFiles(fs, tableRoot).map(p => relativize(tableRoot, p)).toSet
+      else Set.empty
     batch.repartitionByRange(nFiles, layout: _*)
       .write.partitionBy(partitionCols: _*).mode(SaveMode.Append).parquet(path)
-    updateSchemaMeta(batch.sparkSession, path, batch.schema)
+    updateSchemaMeta(spark, path, batch.schema)
+    if (indexed) {
+      try {
+        val added = listDataFiles(fs, tableRoot)
+          .map(p => relativize(tableRoot, p)).filterNot(before)
+        KeyIndex.recordCommit(spark, path, batch.schema, None, added, Nil)
+      } catch {
+        case e: Exception => System.err.println(
+          s"[graft.merge] WARN: key-index update failed after bulkInsert " +
+            s"at $path (${e.getMessage}); the new files stay unindexed")
+      }
+    }
   }
 
   /** O1: key-reconciled upsert at file-group granularity (see the
@@ -607,6 +644,11 @@ object Merge {
     val deduped = precombineDedup(batch, scopedKeys, precombine)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // record the table's key spec (first keyed write wins) so every
+      // commit — including table services that take no keys — can
+      // maintain the file-level key index
+      val spec = KeySpec(keyCols, partitionCols)
+      val indexActive = KeyIndex.ensureSpec(spark, path, spec)
       if (!tableExists(spark, path)) {
         // initial write: the same staged commit as every other write —
         // the staging + rename publish knows its added-file plan before
@@ -642,14 +684,46 @@ object Merge {
       // The matched-file list is driver-resident — bounded by the
       // batch's key count (≤ one path per matched key in the worst
       // case), the same driver-side COW write planning Hudi does.
+      // Before the scan, the file-level key index (when active) prunes
+      // the candidate set: only files whose bloom may contain a batch
+      // key — plus unindexed files — are read at all, so per-commit
+      // scan cost tracks the matched file count, not partition size.
       val batchKeys = deduped.select(scopedKeys.map(col): _*).distinct()
-      val keyScan = stored.filter(partitionIn(partitionCols, parts))
-        .select(scopedKeys.map(col) :+ input_file_name().as("_file"): _*)
-      val matchCond = scopedKeys.map(c => keyScan(c) <=> batchKeys(c))
-        .reduce(_ && _)
-      val matchedFiles = keyScan.join(broadcast(batchKeys), matchCond, "left_semi")
-        .select("_file").distinct().collect()
-        .map(r => decodeFileName(r.getString(0))).toIndexedSeq
+      val fs = fsFor(spark, path)
+      val tableRoot = fs.makeQualified(new Path(path))
+      val candidates: Option[Seq[String]] =
+        if (!indexActive) None
+        else {
+          val storedType = target.toMap
+          // probe at the STORED column types — the index build hashes
+          // values as read back from the committed files
+          val typedKeys = deduped.select(scopedKeys.map(c =>
+            col(c).cast(storedType(c)).as(c)): _*).distinct()
+          val touchedDirs = parts.map(t => partitionRelDir(partitionCols, t))
+          val allFiles = touchedDirs.flatMap(d =>
+            listDataFiles(fs, new Path(tableRoot, d))
+              .map(p => relativize(tableRoot, p)))
+          KeyIndex.candidateFiles(spark, path, spec, touchedDirs, allFiles,
+            typedKeys)
+        }
+      val keySource = candidates match {
+        case Some(cand) if cand.isEmpty => None // no file can match
+        case Some(cand) => Some(spark.read.schema(stored.schema)
+          .option("basePath", path)
+          .parquet(cand.map(f => new Path(tableRoot, f).toString): _*))
+        case None => Some(stored.filter(partitionIn(partitionCols, parts)))
+      }
+      val matchedFiles = keySource match {
+        case None => IndexedSeq.empty[String]
+        case Some(src) =>
+          val keyScan = src
+            .select(scopedKeys.map(col) :+ input_file_name().as("_file"): _*)
+          val matchCond = scopedKeys.map(c => keyScan(c) <=> batchKeys(c))
+            .reduce(_ && _)
+          keyScan.join(broadcast(batchKeys), matchCond, "left_semi")
+            .select("_file").distinct().collect()
+            .map(r => decodeFileName(r.getString(0))).toIndexedSeq
+      }
       val newRows = alignTo(deduped, target)
       val merged =
         if (matchedFiles.isEmpty) newRows // pure insert: nothing to rewrite
@@ -702,13 +776,44 @@ object Merge {
       val parts = touchedPartitions(delDistinct, partitionCols)
       if (parts.isEmpty) return
       val stored = readTable(spark, path)
-      val keyScan = stored.filter(partitionIn(partitionCols, parts))
-        .select(delKeys.map(col) :+ input_file_name().as("_file"): _*)
-      val matchCond = delKeys.map(c => keyScan(c) <=> delDistinct(c))
-        .reduce(_ && _)
-      val matchedFiles = keyScan.join(broadcast(delDistinct), matchCond, "left_semi")
-        .select("_file").distinct().collect()
-        .map(r => decodeFileName(r.getString(0))).toIndexedSeq
+      // same index-pruned candidate discovery as upsert (delete keys
+      // are partition-scoped, i.e. exactly the indexed scoped key)
+      val spec = KeySpec(keyCols, partitionCols)
+      val indexActive = KeyIndex.ensureSpec(spark, path, spec)
+      val fs = fsFor(spark, path)
+      val tableRoot = fs.makeQualified(new Path(path))
+      val candidates: Option[Seq[String]] =
+        if (!indexActive) None
+        else {
+          val storedType = stored.schema.fields
+            .map(f => f.name -> f.dataType).toMap
+          val typedKeys = delDistinct.select(delKeys.map(c =>
+            col(c).cast(storedType(c)).as(c)): _*).distinct()
+          val touchedDirs = parts.map(t => partitionRelDir(partitionCols, t))
+          val allFiles = touchedDirs.flatMap(d =>
+            listDataFiles(fs, new Path(tableRoot, d))
+              .map(p => relativize(tableRoot, p)))
+          KeyIndex.candidateFiles(spark, path, spec, touchedDirs, allFiles,
+            typedKeys)
+        }
+      val keySource = candidates match {
+        case Some(cand) if cand.isEmpty => None // no file holds a del key
+        case Some(cand) => Some(spark.read.schema(stored.schema)
+          .option("basePath", path)
+          .parquet(cand.map(f => new Path(tableRoot, f).toString): _*))
+        case None => Some(stored.filter(partitionIn(partitionCols, parts)))
+      }
+      val matchedFiles = keySource match {
+        case None => IndexedSeq.empty[String]
+        case Some(src) =>
+          val keyScan = src
+            .select(delKeys.map(col) :+ input_file_name().as("_file"): _*)
+          val matchCond = delKeys.map(c => keyScan(c) <=> delDistinct(c))
+            .reduce(_ && _)
+          keyScan.join(broadcast(delDistinct), matchCond, "left_semi")
+            .select("_file").distinct().collect()
+            .map(r => decodeFileName(r.getString(0))).toIndexedSeq
+      }
       if (matchedFiles.isEmpty) return
       val matchedRows = spark.read.schema(stored.schema)
         .option("basePath", path).parquet(matchedFiles: _*)
@@ -786,6 +891,16 @@ object Merge {
     val layout = (partitionCols.map(col) ++ keyCols.map(col)).toIndexedSeq
     commitFiles(spark, rows.repartitionByRange(nFiles, layout: _*), path,
       partitionCols, files, touched = Nil, dropEmptied = false)
+    // compaction is ALSO the index's maintenance moment: fold the
+    // per-commit entry log into one snapshot (and, because compaction
+    // rewrites go through commitFiles, files from plain inserts that
+    // predated the index are now indexed too)
+    try KeyIndex.compactIndex(spark, path)
+    catch {
+      case e: Exception => System.err.println(
+        s"[graft.merge] WARN: key-index fold failed at $path " +
+          s"(${e.getMessage}); the entry log keeps working, just longer")
+    }
     files.length.toLong
   }
 
@@ -863,6 +978,12 @@ object Merge {
       .select(rows.columns.toIndexedSeq.map(col): _*)
     commitFiles(spark, clustered, path, partitionCols, files,
       touched = Nil, dropEmptied = false)
+    try KeyIndex.compactIndex(spark, path)
+    catch {
+      case e: Exception => System.err.println(
+        s"[graft.merge] WARN: key-index fold failed at $path " +
+          s"(${e.getMessage}); the entry log keeps working, just longer")
+    }
     files.length.toLong
   }
 
@@ -950,7 +1071,7 @@ object Merge {
     dataMax + 1L
   }
 
-  private def jsonQuote(s: String): String =
+  private[merge] def jsonQuote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   private def jsonArray(xs: Seq[String]): String =
@@ -1068,6 +1189,12 @@ object Merge {
       throw new IllegalArgumentException(
         s"no inflight commit $cts at $path — nothing to roll back")
     val tableRoot = fs.makeQualified(new Path(path))
+    // drop the crashed commit's key-index entry FIRST: its add lines
+    // point at files about to be un-published (phantom entries) and its
+    // rm tombstones suppress files about to be restored. Missing entry
+    // (crash before the index write) = no-op; orphaned stats for the
+    // restored files just mean they are key-scanned until re-indexed.
+    KeyIndex.dropEntry(spark, path, cts)
     val plan = planFile(path, cts)
     // the plan lives in the `.plan` sibling; earlier engine revisions
     // wrote it into the marker BODY itself — honor both, or a crashed
@@ -1335,6 +1462,29 @@ object Merge {
         .select("okey", "lnum", "pk", "sk", "qty", "part")
         .orderBy("okey", "lnum", "pk", "sk", "qty", "part")
     }),
+    // x02: the file-level key index end-to-end — the q18 replay plus a
+    // compaction (which folds the index log and re-indexes every file)
+    // and a post-compaction upsert whose matched-file discovery runs
+    // through bloom candidate pruning (minFilesToProbe=0 forces the
+    // probe even at toy file counts). The oracle recomputes the same
+    // algebra relationally — index pruning must be result-invisible.
+    "x02_indexed_upsert" -> ((s, dir) => {
+      val path = scratchTable("graft_x02_")
+      val keyCols = Seq("okey")
+      val prev = KeyIndex.minFilesToProbe
+      KeyIndex.minFilesToProbe = 0
+      try {
+        upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+        upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+        delete(s, replayBatch(s, dir, 0).filter(col("pre") % 3 === 0)
+          .select("okey", "part"), path, keyCols, "part")
+        compact(s, path, "part", keyCols)
+        upsert(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
+      } finally KeyIndex.minFilesToProbe = prev
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     // q19: the commit timeline end-to-end — two versioned upserts, then
     // an incremental pull since commit 1. The pull must return exactly
     // the rows OWNED by commit 2 (batch-2 winners), and none of the
@@ -1405,6 +1555,42 @@ object Merge {
   val oracle: Map[String, String] = Map(
     "q18_upsert_replay" -> replaySql,
     "q23_compact" -> replaySql,
+    // the q18 algebra extended by one more batch-wins merge (batch 2,
+    // pre%7=2) applied after the delete — the state x02 replays on an
+    // index-pruned table
+    "x02_indexed_upsert" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
+        |b3 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 2) WHERE rn = 1),
+        |t2 AS (SELECT * FROM b2
+        |       UNION ALL
+        |       SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+        |       LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |       WHERE b2.pre IS NULL),
+        |d AS (SELECT DISTINCT okey, part FROM raw
+        |      WHERE pre % 7 = 0 AND pre % 3 = 0),
+        |t2d AS (SELECT t2.* FROM t2
+        |        LEFT JOIN d ON t2.okey = d.okey AND t2.part = d.part
+        |        WHERE d.okey IS NULL),
+        |t3 AS (SELECT * FROM b3
+        |       UNION ALL
+        |       SELECT t2d.okey, t2d.part, t2d.price, t2d.pre FROM t2d
+        |       LEFT JOIN b3 ON t2d.okey = b3.okey AND t2d.part = b3.part
+        |       WHERE b3.pre IS NULL)
+        |SELECT okey, part, price, pre FROM t3
+        |ORDER BY part, okey""".stripMargin,
     "q24_zorder" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lnum,
         |       l_partkey AS pk, l_suppkey AS sk,
