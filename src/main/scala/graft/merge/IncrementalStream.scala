@@ -1,0 +1,102 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Streaming incremental pull over a merge table's commit timeline —
+  * the engine's analogue of Hudi's incremental streaming read (Hudi
+  * 0.10's DeltaStreamer-style `hoodie.datasource.query.type=
+  * incremental` consumed as a stream), which is how a downstream
+  * pipeline follows a 100 TB table without ever rescanning it.
+  *
+  * Spark-first composition, no custom `Source`: the COMMIT RECORDS are
+  * the stream. [[commitStream]] is a plain file stream over the
+  * `_graft_commits` dir's `.json` entries (each recorded commit is one
+  * tiny JSON file,
+  * written complete-or-absent by the timeline), so checkpointing,
+  * at-least-once delivery, `Trigger.AvailableNow` draining and resume
+  * come from Structured Streaming's file source — the same pattern the
+  * order pipeline uses for queue control records (`StreamLoader`).
+  * [[foreachIncrement]] turns each micro-batch of commit records into
+  * the rows those commits own (`_commit_ts IN (batch ids)`, a
+  * stat-pruned scan like `readBetween`) and hands them to the caller.
+  *
+  * Semantics (exactly Hudi's incremental caveats, stated honestly):
+  *
+  *  - A row appears stamped with the commit that LAST wrote it. If a
+  *    later commit overwrites a row before the consumer drains the
+  *    earlier one, the row arrives once, under the later commit — the
+  *    increments compose to the current table state, not a full CDC
+  *    history (deletes don't stream; COW keeps no before-images).
+  *  - Batch boundaries don't change the union of what is delivered:
+  *    commit ids partition the table's rows, and each micro-batch
+  *    pulls exactly the rows owned by its ids at read time.
+  *  - At-least-once across crashes (the file-source checkpoint can
+  *    replay an uncommitted batch); consumers writing to merge tables
+  *    get effective exactly-once from keyed upserts, like StreamLoader.
+  *
+  * Single-writer applies to the TABLE, not consumers: any number of
+  * incremental streams (each with its own checkpoint) can tail one
+  * table concurrently.
+  */
+object IncrementalStream {
+
+  private val commitSchema = "commit_ts LONG, n_rows LONG, partitions STRING"
+
+  /** The commit timeline as an unbounded stream: one row per recorded
+    * commit, as commits land. Foreign junk in `_graft_commits/` (the
+    * timeline tolerates it) streams as all-null rows and is filtered;
+    * `.plan`/`.inflight`/`.rolledback` residue never matches the glob.
+    * The table (and so its `_graft_commits/` dir) must exist — a
+    * streaming source cannot start on a nonexistent path. */
+  def commitStream(spark: SparkSession, path: String): DataFrame = {
+    val dir = Merge.commitsDirPath(path)
+    require(Merge.fsFor(spark, path).exists(dir),
+      s"no commit timeline at $dir — the table has no versioned commits " +
+        "yet (write one with upsertVersioned before tailing it)")
+    spark.readStream
+      .schema(commitSchema)
+      .option("pathGlobFilter", "*.json")
+      .json(dir.toString)
+      .filter(col("commit_ts").isNotNull && col("n_rows").isNotNull)
+  }
+
+  /** For every micro-batch of new commits, hand `f` the rows those
+    * commits own (plus the sorted commit ids) and the batch id. Returns
+    * the started [[StreamingQuery]]; `trigger` defaults to
+    * `AvailableNow` (drain-what-exists, the batch-parity mode) — pass
+    * `Trigger.ProcessingTime(...)` to follow the table continuously.
+    *
+    * The id filter is an explicit IN over THIS batch's ids (pushed to
+    * the parquet scan), not a range: rollback gaps or out-of-order file
+    * discovery can never smuggle a neighboring commit's rows into the
+    * wrong batch. */
+  def foreachIncrement(
+      spark: SparkSession,
+      path: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      f: (DataFrame, Seq[Long], Long) => Unit): StreamingQuery =
+    writer(spark, path, trigger)(f)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  private def writer(
+      spark: SparkSession,
+      path: String,
+      trigger: Trigger)(
+      f: (DataFrame, Seq[Long], Long) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    commitStream(spark, path).writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ids = batch.select("commit_ts")
+          .collect().map(_.getLong(0)).distinct.sorted.toIndexedSeq
+        if (ids.nonEmpty) {
+          val rows = Merge.readTable(spark, path)
+            .filter(col(Merge.commitCol).isin(ids: _*))
+          f(rows, ids, batchId)
+        }
+      }
+}

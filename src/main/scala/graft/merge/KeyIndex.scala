@@ -72,10 +72,13 @@ object KeyIndex {
     "op STRING, f STRING, d STRING, n LONG, b STRING"
 
   /** Probe only when the touched partitions hold more data files than
-    * this — below it the full key scan is cheaper than the index read
-    * + bloom join (a handful of parquet footers vs 2–3 Spark jobs).
-    * Operational knob; specs set it to 0 to force probing. */
-  @volatile var minFilesToProbe: Int = 8
+    * this — the probe costs ~3 fixed-latency driver jobs (index read,
+    * live-name collect, bloom semi-join) regardless of data size, while
+    * the full key scan costs one task per file; below ~64 files the
+    * scan wins at ANY file size because file count, not bytes, is what
+    * the index saves. Operational knob; specs set it to 0 to force
+    * probing. */
+  @volatile var minFilesToProbe: Int = 64
 
   def readSpec(spark: SparkSession, path: String): Option[KeySpec] = {
     val fs = Merge.fsFor(spark, path)
@@ -149,12 +152,27 @@ object KeyIndex {
     ()
   }
 
+  /** Exact row count of a parquet file from its footer — driver-side
+    * IO only, no Spark job (the same footer the commit's own writes
+    * just produced; one round-trip per added file, the magnitude of the
+    * publish renames themselves). */
+  private def footerRows(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+    } finally r.close()
+  }
+
   /** Write the index entry for a durably committed file change: bloom
-    * stats per added file (two column-pruned scans of ONLY the newly
-    * written files — pass 1 sizes the filters from the largest file's
-    * row count, pass 2 builds them), plus `rm` tombstones for the
-    * superseded files. No-op when the table has no key spec. `schema`
-    * is the committed write's schema (what the added files contain). */
+    * stats per added file — filters sized from the largest file's
+    * footer row count (driver IO), built in ONE column-pruned
+    * aggregation job over only the newly written files — plus `rm`
+    * tombstones for the superseded files. No-op when the table has no
+    * key spec. `schema` is the committed write's schema (what the
+    * added files contain). */
   private[merge] def recordCommit(
       spark: SparkSession,
       path: String,
@@ -175,36 +193,30 @@ object KeyIndex {
       if (added.isEmpty || !spec.scoped.forall(schema.fieldNames.contains))
         Nil
       else {
-        val addedAbs = added.map(f => new Path(tableRoot, f).toString)
-        val df = spark.read.schema(schema).option("basePath", path)
-          .parquet(addedAbs: _*)
+        val addedAbs = added.map(f => new Path(tableRoot, f))
+        val maxRows = addedAbs.map(p => footerRows(spark, p)).max
+        val (m, k) = BloomBits.sizeFor(maxRows)
+        val hash = xxhash64(spec.scoped.map(col): _*)
+        val stats = spark.read.schema(schema).option("basePath", path)
+          .parquet(addedAbs.map(_.toString): _*)
           .select(input_file_name().as("_f") +:
             spec.scoped.map(col): _*)
-        val counts = df.groupBy("_f").count().collect()
-          .map(r => Merge.relativize(tableRoot, fs.makeQualified(
-            new Path(Merge.decodeFileName(r.getString(0))))) -> r.getLong(1))
-          .toMap
-        if (counts.isEmpty) Nil
-        else {
-          val (m, k) = BloomBits.sizeFor(counts.values.max)
-          val hash = xxhash64(spec.scoped.map(col): _*)
-          val blooms = df
-            .groupBy("_f")
-            .agg(BloomFunctions.bloomAgg(hash, m, k).as("_b"))
-            .collect()
-          blooms.toSeq.map { r =>
-            val rel = Merge.relativize(tableRoot, fs.makeQualified(
-              new Path(Merge.decodeFileName(r.getString(0)))))
-            val dir = rel.lastIndexOf('/') match {
-              case -1 => ""
-              case i => rel.substring(0, i)
-            }
-            val b64 = java.util.Base64.getEncoder
-              .encodeToString(r.getAs[Array[Byte]]("_b"))
-            s"""{"op":"add","f":${Merge.jsonQuote(rel)},""" +
-              s""""d":${Merge.jsonQuote(dir)},"n":${counts(rel)},""" +
-              s""""b":${Merge.jsonQuote(b64)}}"""
+          .groupBy("_f")
+          .agg(count(lit(1)).as("_n"),
+            BloomFunctions.bloomAgg(hash, m, k).as("_b"))
+          .collect()
+        stats.toSeq.map { r =>
+          val rel = Merge.relativize(tableRoot, fs.makeQualified(
+            new Path(Merge.decodeFileName(r.getString(0)))))
+          val dir = rel.lastIndexOf('/') match {
+            case -1 => ""
+            case i => rel.substring(0, i)
           }
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]]("_b"))
+          s"""{"op":"add","f":${Merge.jsonQuote(rel)},""" +
+            s""""d":${Merge.jsonQuote(dir)},"n":${r.getAs[Long]("_n")},""" +
+            s""""b":${Merge.jsonQuote(b64)}}"""
         }
       }
     val rmLines = removed.map(f =>

@@ -1025,6 +1025,9 @@ object Merge {
 
   private def commitsDir(path: String) = new Path(path, "_graft_commits")
 
+  /** The timeline directory (for the incremental commit stream). */
+  private[merge] def commitsDirPath(path: String): Path = commitsDir(path)
+
   /** Timeline entry names: `<zero-padded id>.json` (recorded commit),
     * `.inflight` (issued, data possibly landing), `.rolledback`
     * (reversed — tombstoned so the id is never reissued). Strictly
@@ -1162,7 +1165,12 @@ object Merge {
       s""""partitions":${jsonQuote(parts)},""" +
       s""""files_added":${jsonArray(files.map(_.added).getOrElse(Nil))},""" +
       s""""files_removed":${jsonArray(files.map(_.removed).getOrElse(Nil))}}"""
-    writeSmallFile(fs, new Path(commitsDir(path), f"$cts%020d.json"), body)
+    // complete-or-absent (temp + rename): a commit record is the unit a
+    // CONCURRENT incremental stream tails (IncrementalStream), so a
+    // half-written record must never be observable — the dot-prefixed
+    // temp sibling is invisible to both the timeline listing and the
+    // stream's glob
+    replaceSmallFile(fs, new Path(commitsDir(path), f"$cts%020d.json"), body)
     fs.delete(planFile(path, cts), false)
     fs.delete(inflightMarker(path, cts), false)
   }
@@ -1485,6 +1493,30 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // x03: streaming incremental pull — three versioned upserts, then
+    // the commit-record stream drained AvailableNow into a parquet
+    // sink. Batch boundaries can't change the union (each micro-batch
+    // pulls exactly the rows its commit ids own at read time), so the
+    // sink equals the stamped table state however the file source
+    // groups the commit records; the oracle recomputes that state
+    // relationally.
+    "x03_incremental_stream" -> ((s, dir) => {
+      val path = scratchTable("graft_x03_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
+      val sink = scratchTable("graft_x03sink_")
+      val q = IncrementalStream.foreachIncrement(s, path,
+        scratchTable("graft_x03ckpt_")) { (inc, _, _) =>
+        inc.write.mode("append").parquet(sink)
+      }
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .select(col("okey"), col("part"), col("price"), col("pre"),
+          col(commitCol).as("commit_ts"))
+        .orderBy("part", "okey")
+    }),
     // q19: the commit timeline end-to-end — two versioned upserts, then
     // an incremental pull since commit 1. The pull must return exactly
     // the rows OWNED by commit 2 (batch-2 winners), and none of the
@@ -1618,6 +1650,41 @@ object Merge {
         |         CAST(NULL AS VARCHAR) AS src
         |  FROM b1 LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
         |  WHERE b2.pre IS NULL)
+        |ORDER BY part, okey""".stripMargin,
+    // the drained increments compose to the current stamped state:
+    // batch 3 wins its keys, then batch-2 survivors, then batch-1
+    // survivors — each row once, stamped by its last writer
+    "x03_incremental_stream" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
+        |b3 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 2) WHERE rn = 1)
+        |SELECT okey, part, price, pre, commit_ts FROM (
+        |  SELECT okey, part, price, pre, CAST(3 AS BIGINT) AS commit_ts
+        |  FROM b3
+        |  UNION ALL
+        |  SELECT b2.okey, b2.part, b2.price, b2.pre,
+        |         CAST(2 AS BIGINT) AS commit_ts
+        |  FROM b2 LEFT JOIN b3 ON b2.okey = b3.okey AND b2.part = b3.part
+        |  WHERE b3.pre IS NULL
+        |  UNION ALL
+        |  SELECT b1.okey, b1.part, b1.price, b1.pre,
+        |         CAST(1 AS BIGINT) AS commit_ts
+        |  FROM b1
+        |  LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |  LEFT JOIN b3 ON b1.okey = b3.okey AND b1.part = b3.part
+        |  WHERE b2.pre IS NULL AND b3.pre IS NULL)
         |ORDER BY part, okey""".stripMargin,
     // what changed since commit 1 == exactly the deduped batch-2 rows
     // (batch 2 overwrites or inserts every key it carries; everything
