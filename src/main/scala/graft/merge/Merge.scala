@@ -537,6 +537,7 @@ object Merge {
     val b = if (dedup) precombineDedup(batch, keyCols, precombine) else batch
     b.write.partitionBy(partitionCols: _*).mode(SaveMode.Append).parquet(path)
     updateSchemaMeta(batch.sparkSession, path, batch.schema)
+    voidHistory(batch.sparkSession, path)
   }
 
   /** O2 bulk path: insert with TARGET-FILE-SIZE layout — the honest
@@ -595,6 +596,7 @@ object Merge {
             s"at $path (${e.getMessage}); the new files stay unindexed")
       }
     }
+    voidHistory(spark, path)
   }
 
   /** O1: key-reconciled upsert at file-group granularity (see the
@@ -621,8 +623,30 @@ object Merge {
       precombine: String,
       partitionCols: Seq[String]): Unit = {
     upsertImpl(spark, batch, path, keyCols, precombine, partitionCols,
-      needStats = false, cts = None)
-    ()
+      needStats = false, cts = None, ordered = false)
+    voidHistory(spark, path)
+  }
+
+  /** O1 with ordered-payload semantics — Hudi's
+    * `DefaultHoodieRecordPayload` (shipped in the pinned 0.10.0) vs the
+    * default OverwriteWithLatest that [[upsert]] implements: a stored
+    * row survives unless the incoming row's precombine is >= the stored
+    * one (ties go to the incoming row, matching Hudi). This makes the
+    * final table state a pure per-key argmax over everything ever
+    * written — INVARIANT to batch boundaries and arrival order, which
+    * is what makes it the safe payload for streaming ingestion where
+    * late or replayed micro-batches must not regress a key (the
+    * x04_stream_upsert driver key proves exactly that). */
+  def upsertOrdered(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String]): Unit = {
+    upsertImpl(spark, batch, path, keyCols, precombine, partitionCols,
+      needStats = false, cts = None, ordered = true)
+    voidHistory(spark, path)
   }
 
   /** Stats (deduped row count) are only materialized on the versioned
@@ -636,7 +660,8 @@ object Merge {
       precombine: String,
       partitionCols: Seq[String],
       needStats: Boolean,
-      cts: Option[Long]): (MergeStats, Option[CommitResult]) = {
+      cts: Option[Long],
+      ordered: Boolean): (MergeStats, Option[CommitResult]) = {
     val scopedKeys = keyCols ++ partitionCols
     // persisted: the deduped batch feeds the partition collect, the key
     // join build side, the merged union AND the stats count — one
@@ -732,14 +757,31 @@ object Merge {
           // reads), basePath recovers the partition column from paths
           val matchedRows = spark.read.schema(stored.schema)
             .option("basePath", path).parquet(matchedFiles: _*)
-          // batch wins over stored for the same key (Hudi upsert
-          // semantics: incoming overwrites regardless of precombine
-          // comparison vs stored)
-          val survCond = scopedKeys.map(c => matchedRows(c) <=> batchKeys(c))
-            .reduce(_ && _)
-          val survivors = matchedRows.join(broadcast(batchKeys), survCond,
-            "left_anti")
-          newRows.unionByName(alignTo(survivors, target))
+          if (ordered) {
+            // ordered payload (DefaultHoodieRecordPayload): per key the
+            // max-precombine row wins across stored ∪ batch, ties to
+            // the batch. Same shuffle shape as the anti-join path —
+            // the window partitions on the scoped key, and only the
+            // matched files' rows (not the table) enter it. A losing
+            // batch row leaves the stored row — and its original
+            // `_commit_ts` stamp — untouched, so incremental pulls
+            // never see a key a late batch failed to advance.
+            precombineDedup(
+              newRows.withColumn("_graft_src", lit(1))
+                .unionByName(alignTo(matchedRows, target)
+                  .withColumn("_graft_src", lit(0))),
+              scopedKeys, precombine, tieBreak = Seq("_graft_src"))
+              .drop("_graft_src")
+          } else {
+            // batch wins over stored for the same key (Hudi upsert
+            // semantics: incoming overwrites regardless of precombine
+            // comparison vs stored)
+            val survCond = scopedKeys.map(c => matchedRows(c) <=> batchKeys(c))
+              .reduce(_ && _)
+            val survivors = matchedRows.join(broadcast(batchKeys), survCond,
+              "left_anti")
+            newRows.unionByName(alignTo(survivors, target))
+          }
         }
       val res = commitFiles(spark, merged, path, partitionCols, matchedFiles,
         parts, dropEmptied = false, cts)
@@ -765,7 +807,18 @@ object Merge {
       path: String,
       keyCols: Seq[String],
       partitionCols: Seq[String]): Unit = {
-    if (!tableExists(spark, path)) return
+    deleteImpl(spark, keys, path, keyCols, partitionCols, cts = None)
+    voidHistory(spark, path)
+  }
+
+  private def deleteImpl(
+      spark: SparkSession,
+      keys: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      cts: Option[Long]): (MergeStats, Option[CommitResult]) = {
+    if (!tableExists(spark, path)) return (MergeStats(0L, Nil), None)
     // key scope includes the partition path (Hudi ComplexKeyGenerator
     // semantics): a delete key only removes rows in ITS partition, never
     // a same-keyed row in another touched partition
@@ -774,7 +827,7 @@ object Merge {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val parts = touchedPartitions(delDistinct, partitionCols)
-      if (parts.isEmpty) return
+      if (parts.isEmpty) return (MergeStats(0L, Nil), None)
       val stored = readTable(spark, path)
       // same index-pruned candidate discovery as upsert (delete keys
       // are partition-scoped, i.e. exactly the indexed scoped key)
@@ -814,16 +867,19 @@ object Merge {
             .select("_file").distinct().collect()
             .map(r => decodeFileName(r.getString(0))).toIndexedSeq
       }
-      if (matchedFiles.isEmpty) return
+      if (matchedFiles.isEmpty)
+        return (MergeStats(0L, parts.map(renderPartition)), None)
       val matchedRows = spark.read.schema(stored.schema)
         .option("basePath", path).parquet(matchedFiles: _*)
       val survCond = delKeys.map(c => matchedRows(c) <=> delDistinct(c))
         .reduce(_ && _)
       val remaining = matchedRows.join(broadcast(delDistinct), survCond,
         "left_anti")
-      commitFiles(spark, remaining, path, partitionCols, matchedFiles, parts,
-        dropEmptied = true)
-      ()
+      val res = commitFiles(spark, remaining, path, partitionCols,
+        matchedFiles, parts, dropEmptied = true, cts)
+      // a delete commit WRITES no rows (n_rows 0 in the timeline); its
+      // effect is rows vanishing from every later read
+      (MergeStats(0L, parts.map(renderPartition)), Some(res))
     } finally delDistinct.unpersist()
   }
 
@@ -901,6 +957,7 @@ object Merge {
         s"[graft.merge] WARN: key-index fold failed at $path " +
           s"(${e.getMessage}); the entry log keeps working, just longer")
     }
+    voidHistory(spark, path)
     files.length.toLong
   }
 
@@ -984,6 +1041,7 @@ object Merge {
         s"[graft.merge] WARN: key-index fold failed at $path " +
           s"(${e.getMessage}); the entry log keeps working, just longer")
     }
+    voidHistory(spark, path)
     files.length.toLong
   }
 
@@ -1309,12 +1367,55 @@ object Merge {
     val cts = claimCommitId(spark, path)
     val (stats, commit) = upsertImpl(spark,
       batch.withColumn(commitCol, lit(cts)), path, keyCols, precombine,
-      partitionCols, needStats = true, cts = Some(cts))
+      partitionCols, needStats = true, cts = Some(cts), ordered = false)
     recordCommit(spark, path, cts, stats, commit)
-    // the commit record is durable — only now does the scratch (staging
-    // sibling + retired-file copy) stop being a recovery asset
-    commit.foreach(c => sweepCommitScratch(fsFor(spark, path), c.staging,
-      Some(rollbackDir(path, cts))))
+    // the commit record is durable — only now does the scratch stop
+    // being a recovery asset: the staging sibling is swept and the
+    // retired-file copy becomes this commit's time-travel history
+    commit.foreach(c => retireToHistory(fsFor(spark, path), path, cts,
+      c.staging))
+    cts
+  }
+
+  /** [[upsertVersioned]] with ordered-payload semantics (see
+    * [[upsertOrdered]]). */
+  def upsertOrderedVersioned(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String]): Long = {
+    val cts = claimCommitId(spark, path)
+    val (stats, commit) = upsertImpl(spark,
+      batch.withColumn(commitCol, lit(cts)), path, keyCols, precombine,
+      partitionCols, needStats = true, cts = Some(cts), ordered = true)
+    recordCommit(spark, path, cts, stats, commit)
+    commit.foreach(c => retireToHistory(fsFor(spark, path), path, cts,
+      c.staging))
+    cts
+  }
+
+  /** Versioned delete — [[delete]] recorded as a timeline event: the
+    * commit metadata names the files it rewrote or removed, and the
+    * retired originals move into `_graft_history/`, so [[readAsOf]]
+    * can see through it and [[rollback]] can reverse a crashed one.
+    * (Plain [[delete]] stays timeline-silent — q22's contract — but
+    * voids time travel.) A delete commit owns no rows: `n_rows` is 0
+    * in the timeline and no incremental pull ever returns it —
+    * deleted rows simply stop appearing, Hudi's COW caveat. */
+  def deleteVersioned(
+      spark: SparkSession,
+      keys: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String]): Long = {
+    val cts = claimCommitId(spark, path)
+    val (stats, commit) = deleteImpl(spark, keys, path, keyCols,
+      partitionCols, cts = Some(cts))
+    recordCommit(spark, path, cts, stats, commit)
+    commit.foreach(c => retireToHistory(fsFor(spark, path), path, cts,
+      c.staging))
     cts
   }
 
@@ -1360,6 +1461,200 @@ object Merge {
       untilTs: Long): DataFrame =
     readTable(spark, path)
       .filter(col(commitCol) > afterTs && col(commitCol) <= untilTs)
+
+  // ---- time travel (Hudi `as.of.instant` analogue) ----
+  // The reference pins hudi 0.10.0 (`glue/interactive.sh:12`), the
+  // release that shipped time-travel queries. The engine's analogue:
+  // every versioned commit RETAINS the files it superseded under
+  // `_graft_history/<cts>/` (a rename of the crash-recovery copy the
+  // commit already made — no extra bytes written), and the recorded
+  // commit metadata already names exactly which table-relative files
+  // each commit added and removed. Any past snapshot is then a pure
+  // METADATA reconstruction: start from the current listing and replay
+  // the recorded commits backwards. Retention is bounded by [[clean]]
+  // (Hudi's cleaner); any unversioned mutation voids history (it moves
+  // files without recording them), so a stale snapshot can never be
+  // served silently wrong — [[readAsOf]] refuses instead.
+
+  private def historyRoot(path: String) = new Path(path, "_graft_history")
+
+  private def historyDir(path: String, cts: Long): Path =
+    new Path(historyRoot(path), f"$cts%020d")
+
+  /** Oldest valid `asOf` — monotonic; raised by [[clean]] (history
+    * swept past it) and by unversioned mutations (history void). */
+  private def floorFile(path: String) = new Path(historyRoot(path), "_floor")
+
+  /** The oldest commit id [[readAsOf]] can still serve (0 = the full
+    * recorded timeline is travelable). */
+  def historyFloor(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    val p = floorFile(path)
+    if (!fs.exists(p)) 0L
+    else readSmallFile(fs, p).trim.toLong
+  }
+
+  private def raiseFloor(fs: FileSystem, path: String, to: Long): Unit = {
+    val p = floorFile(path)
+    val cur = if (fs.exists(p)) readSmallFile(fs, p).trim.toLong else 0L
+    if (to > cur) {
+      fs.mkdirs(historyRoot(path))
+      replaceSmallFile(fs, p, to.toString)
+    }
+  }
+
+  /** Move a versioned commit's retired-file copy from the rollback
+    * scratch into durable history (a rename — metadata-priced on
+    * HDFS-like stores), then sweep the staging sibling. Pure-insert
+    * commits retire nothing and leave no history dir. */
+  private def retireToHistory(fs: FileSystem, path: String, cts: Long,
+      staging: String): Unit = {
+    val rb = rollbackDir(path, cts)
+    if (fs.exists(rb)) {
+      fs.mkdirs(historyRoot(path))
+      if (!fs.rename(rb, historyDir(path, cts)))
+        System.err.println(
+          s"[graft.merge] WARN: failed to move retired files $rb into " +
+            s"history; commit $cts is not time-travelable past")
+    }
+    sweepCommitScratch(fs, staging, None)
+  }
+
+  /** Unversioned mutations (plain upsert/delete, insert, bulkInsert,
+    * compact, clusterZOrder) move or add files the timeline never
+    * records, so NO recorded commit — not even the newest — describes
+    * the table anymore. Void honestly: raise the floor PAST every
+    * issued id (time travel refuses entirely until the next versioned
+    * commit re-anchors the timeline) and drop the now-useless history
+    * dirs. No-op on tables with no timeline (nothing to void, no floor
+    * file written). */
+  private def voidHistory(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(commitsDir(path))) return
+    val issued = listIssuedIds(spark, path)
+    if (issued.isEmpty) return
+    raiseFloor(fs, path, issued.max + 1)
+    val root = historyRoot(path)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.isDirectory) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** One recorded commit's file plan, parsed from its timeline entry. */
+  private final case class RecordedCommit(
+      cts: Long, added: Seq[String], removed: Seq[String])
+
+  /** Recorded commits with id > `after`, parsed from the timeline.
+    * Listing is metadata-sized; only the entries AFTER the as-of point
+    * are ever read (the stems carry the id), so a deep timeline costs
+    * nothing to travel near its head. */
+  private def recordedCommitsAfter(spark: SparkSession, path: String,
+      after: Long): Seq[RecordedCommit] = {
+    val fs = fsFor(spark, path)
+    val dir = commitsDir(path)
+    if (!fs.exists(dir)) return Nil
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case commitEntryRe(id, "json") if id.toLong > after =>
+          val j = org.json4s.jackson.JsonMethods.parse(readSmallFile(fs, p))
+          Some(RecordedCommit(id.toLong,
+            (j \ "files_added").extractOrElse[Seq[String]](Nil),
+            (j \ "files_removed").extractOrElse[Seq[String]](Nil)))
+        case _ => None
+      }
+    }.sortBy(_.cts)
+  }
+
+  /** Time-travel read: the table exactly as of commit `asOf` (the
+    * state AFTER that commit landed). Pure metadata reconstruction —
+    * the current file listing, minus files later commits added, plus
+    * files later commits retired into `_graft_history/` — then one
+    * parquet read over the resulting file set (partition values
+    * recovered from the hive layout of each file's resident base, so
+    * partition pruning still applies). Rows carry their original
+    * `_commit_ts` stamps (all ≤ `asOf`).
+    *
+    * Served with the CURRENT recorded schema: files written before an
+    * additive evolution read back null-filled, exactly like a current
+    * read of the same files (Hudi time travel reads through the latest
+    * schema the same way).
+    *
+    * Fails loudly — never serves a wrong snapshot — when `asOf`
+    * predates [[historyFloor]] (history cleaned past it, or voided by
+    * an unversioned mutation). */
+  def readAsOf(spark: SparkSession, path: String, asOf: Long): DataFrame = {
+    require(asOf >= 0, s"asOf must be >= 0, got $asOf")
+    val floor = historyFloor(spark, path)
+    if (asOf < floor)
+      throw new IllegalStateException(
+        s"cannot time-travel to commit $asOf at $path: history floor is " +
+          s"$floor (older snapshots were cleaned, or voided by an " +
+          "unversioned mutation — plain upsert/delete/insert/compact/" +
+          "clusterZOrder do not record file movements)")
+    val fs = fsFor(spark, path)
+    val tableRoot = fs.makeQualified(new Path(path))
+    val later = recordedCommitsAfter(spark, path, asOf)
+    // replay backwards: location = None → resident in the table,
+    // Some(c) → retired by commit c, resident in its history dir
+    var files: Map[String, Option[Long]] =
+      listDataFiles(fs, tableRoot)
+        .map(p => relativize(tableRoot, p) -> (None: Option[Long])).toMap
+    later.sortBy(-_.cts).foreach { c =>
+      files = files -- c.added
+      files ++= c.removed.map(_ -> (Some(c.cts): Option[Long]))
+    }
+    val schema = readSchemaMeta(spark, path).getOrElse(
+      readTable(spark, path).schema)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // one read per resident base (table + each contributing history
+    // dir): basePath recovers the partition column from the preserved
+    // hive layout; explicit schema, no footer reads
+    val groups = files.toSeq.groupBy(_._2).toSeq.sortBy(_._1.getOrElse(-1L))
+    groups.map { case (loc, fs2) =>
+      val base = loc match {
+        case None => tableRoot
+        case Some(c) =>
+          val h = historyDir(path, c)
+          if (!fs.exists(h))
+            throw new IllegalStateException(
+              s"cannot time-travel to commit $asOf at $path: commit $c's " +
+                s"retired files are missing from $h (history damaged — " +
+                "was the directory removed manually?)")
+          fs.makeQualified(h)
+      }
+      spark.read.schema(schema).option("basePath", base.toString)
+        .parquet(fs2.map { case (rel, _) => new Path(base, rel).toString }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The cleaner (Hudi's `hoodie.cleaner.commits.retained` analogue):
+    * keep the retired-file history of the most recent `retainLast`
+    * recorded commits, sweep everything older, and raise the floor so
+    * [[readAsOf]] refuses what it can no longer serve. Bounds history
+    * growth: without cleaning, a COW table's history holds every
+    * superseded file version ever written. Returns the number of
+    * history dirs removed. */
+  def clean(spark: SparkSession, path: String, retainLast: Int): Long = {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    val fs = fsFor(spark, path)
+    val dir = commitsDir(path)
+    if (!fs.exists(dir)) return 0L
+    val recorded = fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case commitEntryRe(id, "json") => id.toLong
+    }.sorted
+    if (recorded.size <= retainLast) return 0L
+    val floor = recorded(recorded.size - retainLast - 1)
+    raiseFloor(fs, path, floor)
+    val root = historyRoot(path)
+    if (!fs.exists(root)) return 0L
+    fs.listStatus(root).toSeq.count { st =>
+      st.isDirectory && st.getPath.getName.forall(_.isDigit) &&
+        st.getPath.getName.toLong <= floor && fs.delete(st.getPath, true)
+    }.toLong
+  }
 
   // ---- query inventory ----
 
@@ -1553,6 +1848,61 @@ object Merge {
       upsertVersioned(s, replayBatch(s, dir, 2), path,
         keyCols, "pre", "part")
       commits(s, path).orderBy("commit_ts")
+    }),
+    // q25: time travel — the q18-style replay taken two commits PAST
+    // the as-of point (a versioned delete, then a third upsert), then
+    // read back as of commit 2. The reconstruction must restore the
+    // delete's victims from history AND drop commit 4's rewrites in
+    // favor of their retired predecessors; the oracle recomputes the
+    // two-batch merge state relationally. Reading the CURRENT state of
+    // the same table is x02/x03's job — this key proves the past one.
+    "q25_time_travel" -> ((s, dir) => {
+      val path = scratchTable("graft_q25_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      val c2 = upsertVersioned(s, replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, keyCols, Seq("part"))
+      upsertVersioned(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
+      readAsOf(s, path, c2)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
+    // x04: streaming keyed ingestion with the ORDERED payload — the
+    // replay corpus split into files and drained through a checkpointed
+    // file stream, each micro-batch upserted with
+    // precombine-vs-stored semantics. The file source's batch grouping
+    // is NOT pinned (maxFilesPerTrigger bounds it, order is the
+    // source's choice); the final state must be the per-key argmax over
+    // the whole corpus REGARDLESS of how the stream batched it — which
+    // is exactly the property that makes ordered upsert the safe
+    // payload for late/replayed data. The oracle computes that argmax.
+    "x04_stream_upsert" -> ((s, dir) => {
+      val path = scratchTable("graft_x04_")
+      val inDir = scratchTable("graft_x04in_")
+      val rows = graft.Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 <= 2)
+        .select(
+          (col("o_orderkey") % 500).as("okey"),
+          col("o_orderstatus").as("part"),
+          col("o_totalprice").as("price"),
+          col("o_orderkey").as("pre"))
+      rows.repartition(8).write.parquet(inDir)
+      val q = s.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 3).parquet(inDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", scratchTable("graft_x04ckpt_"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsertOrdered(s, batch, path, Seq("okey"), "pre", Seq("part"))
+        }
+        .start()
+      q.awaitTermination()
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
     }))
 
   /** DuckDB replay of the same algebra: per-batch dedup by max
@@ -1716,5 +2066,38 @@ object Merge {
         |      FROM raw GROUP BY b)
         |SELECT CAST(d.b + 1 AS BIGINT) AS commit_ts, d.n_rows, p.partitions
         |FROM d JOIN p ON d.b = p.b
-        |ORDER BY commit_ts""".stripMargin)
+        |ORDER BY commit_ts""".stripMargin,
+    // the as-of-commit-2 snapshot = the two-batch merge state, before
+    // the versioned delete and the third upsert that q25 replays past
+    "q25_time_travel" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1)
+        |SELECT okey, part, price, pre FROM (
+        |  SELECT * FROM b2
+        |  UNION ALL
+        |  SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+        |  LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |  WHERE b2.pre IS NULL)
+        |ORDER BY part, okey""".stripMargin,
+    // ordered-payload streaming ingestion converges to the per-key
+    // precombine argmax over the whole corpus, however the stream
+    // grouped it into micro-batches
+    "x04_stream_upsert" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders WHERE o_orderkey % 7 <= 2)
+        |SELECT okey, part, price, pre FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY okey, part
+        |    ORDER BY pre DESC) AS rn
+        |  FROM raw) WHERE rn = 1
+        |ORDER BY part, okey""".stripMargin)
 }

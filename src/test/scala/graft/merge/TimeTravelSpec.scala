@@ -1,0 +1,202 @@
+package graft.merge
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time travel (`readAsOf` — Hudi 0.10's `as.of.instant` analogue),
+  * history retention + [[Merge.clean]], history voiding by unversioned
+  * mutations, versioned delete as a timeline event, and ordered-payload
+  * upsert (`DefaultHoodieRecordPayload` semantics). */
+class TimeTravelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keyCols = Seq("transaction_id", "close_time")
+
+  private def tx(rows: (String, String, String, Double)*): DataFrame =
+    rows.toDF("transaction_id", "close_time", "pair", "price")
+
+  private def snap(df: DataFrame): Seq[(String, String, String, Double)] =
+    df.select("transaction_id", "close_time", "pair", "price")
+      .as[(String, String, String, Double)]
+      .collect().toSeq.sorted
+
+  /** A three-commit versioned table: T1 written at c1, overwritten at
+    * c2; T2 added at c2; T3 added at c3 in another partition. */
+  private def build3(path: String): (Long, Long, Long) = {
+    val c1 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    val c2 = Merge.upsertVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)),
+      path, keyCols, "price", "pair")
+    val c3 = Merge.upsertVersioned(spark, tx(("T3", "c3", "BTCUSD", 4.0)),
+      path, keyCols, "price", "pair")
+    (c1, c2, c3)
+  }
+
+  test("readAsOf reconstructs every commit boundary exactly") {
+    val path = tmpDir("tt") + "/table"
+    val (c1, c2, c3) = build3(path)
+    assert(snap(Merge.readAsOf(spark, path, c1)) ===
+      Seq(("T1", "c1", "ADAGBP", 1.0)))
+    assert(snap(Merge.readAsOf(spark, path, c2)) === Seq(
+      ("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)))
+    // as of the newest commit == the current read, byte-for-byte
+    assert(snap(Merge.readAsOf(spark, path, c3)) ===
+      snap(Merge.readTable(spark, path)))
+    // and every row in a snapshot is stamped at or before the as-of id
+    val maxStamp = Merge.readAsOf(spark, path, c2)
+      .agg(max(col(Merge.commitCol))).head().getLong(0)
+    assert(maxStamp <= c2)
+  }
+
+  test("readAsOf before the first commit is the empty table") {
+    val path = tmpDir("tt0") + "/table"
+    build3(path)
+    assert(Merge.readAsOf(spark, path, 0L).count() === 0L)
+  }
+
+  test("readAsOf sees through a versioned delete") {
+    val path = tmpDir("ttdel") + "/table"
+    val (_, c2, _) = build3(path)
+    Merge.deleteVersioned(spark, Seq(("T1", "c1", "ADAGBP")).toDF(
+      "transaction_id", "close_time", "pair"),
+      path, keyCols, Seq("pair"))
+    // current state lost T1; the pre-delete snapshot still has it
+    assert(!snap(Merge.readTable(spark, path)).exists(_._1 == "T1"))
+    assert(snap(Merge.readAsOf(spark, path, c2)) === Seq(
+      ("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)))
+  }
+
+  test("deleteVersioned is a timeline event that owns no rows") {
+    val path = tmpDir("ttdelc") + "/table"
+    build3(path)
+    val cd = Merge.deleteVersioned(spark, Seq(("T2", "c2", "ADAGBP")).toDF(
+      "transaction_id", "close_time", "pair"),
+      path, keyCols, Seq("pair"))
+    val row = Merge.commits(spark, path)
+      .filter(col("commit_ts") === cd).collect()
+    assert(row.length === 1 && row.head.getLong(1) === 0L)
+    // no incremental pull ever returns rows for the delete commit
+    assert(Merge.readSince(spark, path, cd - 1).count() === 0L)
+  }
+
+  test("clean retains the last N commits and raises the floor") {
+    val path = tmpDir("ttclean") + "/table"
+    val (c1, c2, c3) = build3(path)
+    assert(Merge.historyFloor(spark, path) === 0L)
+    val removed = Merge.clean(spark, path, retainLast = 1)
+    // c1 and c2's history is gone (c1 retired nothing — only c2's dir
+    // physically existed below the floor)
+    assert(removed === 1L)
+    assert(Merge.historyFloor(spark, path) === c2)
+    intercept[IllegalStateException](Merge.readAsOf(spark, path, c1))
+    // the retained window still serves
+    assert(snap(Merge.readAsOf(spark, path, c2)) === Seq(
+      ("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)))
+    assert(snap(Merge.readAsOf(spark, path, c3)) ===
+      snap(Merge.readTable(spark, path)))
+    // cleaning again with the same retention is a no-op
+    assert(Merge.clean(spark, path, retainLast = 1) === 0L)
+  }
+
+  test("unversioned mutations void history instead of lying") {
+    val path = tmpDir("ttvoid") + "/table"
+    val (_, c2, c3) = build3(path)
+    // a plain (timeline-silent) delete moves files the timeline never
+    // recorded — afterwards NO recorded commit describes the table, so
+    // every as-of read refuses until a versioned commit re-anchors it
+    Merge.delete(spark, Seq(("T1", "c1", "ADAGBP")).toDF(
+      "transaction_id", "close_time", "pair"), path, keyCols, Seq("pair"))
+    assert(Merge.historyFloor(spark, path) === c3 + 1)
+    val e = intercept[IllegalStateException](Merge.readAsOf(spark, path, c2))
+    assert(e.getMessage.contains("history floor"))
+    intercept[IllegalStateException](Merge.readAsOf(spark, path, c3))
+    // the next versioned commit re-anchors time travel
+    val c4 = Merge.upsertVersioned(spark, tx(("T4", "c4", "ADAGBP", 6.0)),
+      path, keyCols, "price", "pair")
+    assert(snap(Merge.readAsOf(spark, path, c4)) ===
+      snap(Merge.readTable(spark, path)))
+  }
+
+  test("compact voids history too (it rewrites unrecorded)") {
+    val path = tmpDir("ttcompact") + "/table"
+    val (_, c2, _) = build3(path)
+    // a second ADAGBP file group, so the partition is genuinely
+    // over-filed and compact has something to rewrite
+    val c4 = Merge.upsertVersioned(spark, tx(("T4", "c4", "ADAGBP", 6.0)),
+      path, keyCols, "price", "pair")
+    assert(Merge.compact(spark, path, "pair", keyCols) > 0L)
+    assert(Merge.historyFloor(spark, path) === c4 + 1)
+    intercept[IllegalStateException](Merge.readAsOf(spark, path, c2))
+  }
+
+  test("q25 shape: travel past a versioned delete AND a later upsert") {
+    val path = tmpDir("ttq25") + "/table"
+    val (_, c2, _) = build3(path)
+    Merge.deleteVersioned(spark, Seq(("T2", "c2", "ADAGBP")).toDF(
+      "transaction_id", "close_time", "pair"), path, keyCols, Seq("pair"))
+    // commit 5 rewrites T1's file group again
+    Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 7.0)),
+      path, keyCols, "price", "pair")
+    // as-of c2 must drop commit 5's rewrite (restoring its retired
+    // predecessor) and restore the delete's victim
+    assert(snap(Merge.readAsOf(spark, path, c2)) === Seq(
+      ("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)))
+  }
+
+  // ---- ordered payload (DefaultHoodieRecordPayload semantics) ----
+
+  test("upsertOrdered: stored row survives a lower-precombine batch") {
+    val path = tmpDir("ord")
+    Merge.upsertOrdered(spark, tx(("T1", "c1", "ADAGBP", 9.0)),
+      path, keyCols, "price", Seq("pair"))
+    Merge.upsertOrdered(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", Seq("pair"))
+    assert(snap(spark.read.parquet(path)) === Seq(("T1", "c1", "ADAGBP", 9.0)))
+  }
+
+  test("upsertOrdered: equal precombine goes to the incoming row") {
+    val path = tmpDir("ordtie")
+    // same key + same precombine, different payload column
+    val mk = (tag: String) => Seq(("T1", "c1", "ADAGBP", 5.0, tag))
+      .toDF("transaction_id", "close_time", "pair", "price", "tag")
+    Merge.upsertOrdered(spark, mk("old"), path, keyCols, "price", Seq("pair"))
+    Merge.upsertOrdered(spark, mk("new"), path, keyCols, "price", Seq("pair"))
+    assert(spark.read.parquet(path).select("tag").as[String]
+      .collect().toSeq === Seq("new"))
+  }
+
+  test("upsertOrdered converges to the per-key argmax under any split") {
+    val rows = Seq(
+      ("T1", "c1", "ADAGBP", 3.0), ("T1", "c1", "ADAGBP", 8.0),
+      ("T1", "c1", "ADAGBP", 5.0), ("T2", "c2", "ADAGBP", 1.0),
+      ("T2", "c2", "ADAGBP", 2.0), ("T3", "c3", "BTCUSD", 4.0))
+    val expected = Seq(
+      ("T1", "c1", "ADAGBP", 8.0), ("T2", "c2", "ADAGBP", 2.0),
+      ("T3", "c3", "BTCUSD", 4.0))
+    // two different batch groupings of the same corpus
+    for (split <- Seq(Seq(0 to 1, 2 to 3, 4 to 5), Seq(0 to 3, 4 to 5))) {
+      val path = tmpDir("ordsplit")
+      split.foreach { idx =>
+        Merge.upsertOrdered(spark, tx(idx.map(rows): _*), path,
+          keyCols, "price", Seq("pair"))
+      }
+      assert(snap(spark.read.parquet(path)) === expected)
+    }
+  }
+
+  test("upsertOrderedVersioned: a losing batch does not advance stamps") {
+    val path = tmpDir("ordver") + "/table"
+    val c1 = Merge.upsertOrderedVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 9.0)), path, keyCols, "price", Seq("pair"))
+    Merge.upsertOrderedVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 1.0)), path, keyCols, "price", Seq("pair"))
+    // the stored row won, so its stamp is still c1 — the late batch's
+    // commit owns nothing and incremental consumers correctly see no
+    // change for the key
+    assert(snap(Merge.readTable(spark, path)) ===
+      Seq(("T1", "c1", "ADAGBP", 9.0)))
+    assert(Merge.readSince(spark, path, c1).count() === 0L)
+  }
+}
