@@ -15,7 +15,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // builder-side iteration only (the driver never sets it): restrict
+    // to a comma-separated key list, e.g. SPARK_GRAFT_BENCH_ONLY=q18,q22
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => only.forall(_.contains(k)) }
     // warmup at smoke scale: JIT + codegen caches, so timings below
     // measure the queries, not JVM warmup (order-of-run noise otherwise
     // dominates small queries)

@@ -71,27 +71,43 @@ object KeyIndex {
   private val entrySchema =
     "op STRING, f STRING, d STRING, n LONG, b STRING"
 
-  /** Probe only when the touched partitions hold more data files than
-    * this — the probe costs ~3 fixed-latency driver jobs (index read,
-    * live-name collect, bloom semi-join) regardless of data size, while
-    * the full key scan costs one task per file; below ~64 files the
-    * scan wins at ANY file size because file count, not bytes, is what
-    * the index saves. Operational knob; specs set it to 0 to force
-    * probing. */
+  /** Probe — and BUILD — only when the touched partitions hold more
+    * data files than this. The probe costs ~3 fixed-latency driver jobs
+    * (index read, live-name collect, bloom semi-join) regardless of
+    * data size, while the full key scan costs one task per file; below
+    * ~64 files the scan's task count is trivial at any file size. The
+    * build side mirrors the gate (see [[recordCommit]]): entries nobody
+    * would probe are not worth a footer-read + agg job per commit.
+    * Operational knob; specs set it to 0 to force both. */
   @volatile var minFilesToProbe: Int = 64
+
+  /** …and more data BYTES than this. File count alone is the wrong
+    * break-even variable: the key scan's real cost is reading the key
+    * columns of the candidate files (∝ bytes), while the probe's is
+    * fixed — a partition of 96 × 100 KB files clears any count gate
+    * yet key-scans in one trivial job, so indexing it charges every
+    * commit several jobs to save nothing. Both gates must pass. The
+    * default (4 GiB per touched-partition set) is a rough break-even:
+    * below it the column-pruned key scan is seconds of one small job
+    * even on a single node; above it the fixed-cost probe starts
+    * winning, and keeps winning by more as partitions grow to TBs.
+    * Specs set 0 to force probing/building at toy scale. */
+  @volatile var minBytesToProbe: Long = 4L << 30
 
   def readSpec(spark: SparkSession, path: String): Option[KeySpec] = {
     val fs = Merge.fsFor(spark, path)
     val p = keysPath(path)
     if (!fs.exists(p)) None
     else try {
-      val body = Merge.readSmallFile(fs, p)
-      val df = spark.read.schema("key_cols STRING, partition_cols STRING")
-        .json(spark.createDataset(Seq(body))(
-          org.apache.spark.sql.Encoders.STRING))
-      val r = df.head()
-      Some(KeySpec(r.getString(0).split(',').toSeq.filter(_.nonEmpty),
-        r.getString(1).split(',').toSeq.filter(_.nonEmpty)))
+      // driver-side parse: this runs on EVERY merge operation (and
+      // again per commit record) — a spark.read.json here would cost a
+      // whole Spark job each time just to read one tiny metadata file
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val j = org.json4s.jackson.JsonMethods.parse(Merge.readSmallFile(fs, p))
+      Some(KeySpec(
+        (j \ "key_cols").extract[String].split(',').toSeq.filter(_.nonEmpty),
+        (j \ "partition_cols").extract[String].split(',').toSeq
+          .filter(_.nonEmpty)))
     } catch {
       case e: Exception =>
         System.err.println(s"[graft.merge] WARN: unreadable key spec at " +
@@ -189,8 +205,33 @@ object KeyIndex {
     }
     val fs = Merge.fsFor(spark, path)
     val tableRoot = fs.makeQualified(new Path(path))
+    // Build blooms only when the touched partitions clear BOTH probe
+    // gates ([[minFilesToProbe]] file count AND [[minBytesToProbe]]
+    // data bytes) — below them, candidateFiles never consults the
+    // index, so building would charge every commit footer reads + one
+    // agg job for entries nobody reads. Skipping is safe at any point
+    // (unindexed files are always candidates); once a partition grows
+    // past the gates, later commits index their files, and compactIndex
+    // — compaction's maintenance moment — folds in the stragglers.
+    val touchedDirs = (added ++ removed).map { rel =>
+      rel.lastIndexOf('/') match {
+        case -1 => ""
+        case i => rel.substring(0, i)
+      }
+    }.distinct
+    val touchedStatuses = touchedDirs.flatMap { d =>
+      val dir = if (d.isEmpty) tableRoot else new Path(tableRoot, d)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val gatesOpen = touchedStatuses.size > minFilesToProbe &&
+      touchedStatuses.map(_.getLen).sum > minBytesToProbe
     val addLines: Seq[String] =
-      if (added.isEmpty || !spec.scoped.forall(schema.fieldNames.contains))
+      if (added.isEmpty || !gatesOpen ||
+          !spec.scoped.forall(schema.fieldNames.contains))
         Nil
       else {
         val addedAbs = added.map(f => new Path(tableRoot, f))
@@ -264,8 +305,10 @@ object KeyIndex {
       spec: KeySpec,
       touchedDirs: Seq[String],
       allFiles: Seq[String],
+      allBytes: Long,
       probe: DataFrame): Option[Seq[String]] = {
-    if (allFiles.size <= minFilesToProbe) return None
+    if (allFiles.size <= minFilesToProbe || allBytes <= minBytesToProbe)
+      return None
     val live = liveEntries(spark, path).getOrElse(return None)
       .filter(col("d").isin(touchedDirs: _*))
       .persist()

@@ -307,12 +307,18 @@ object Merge {
     * ('_'/'.'-prefixed at any level — `_SUCCESS`, `.crc` siblings,
     * `_graft_commits/`...). */
   private def listDataFiles(fs: FileSystem, root: Path): Seq[Path] =
+    listDataStatuses(fs, root).map(_.getPath)
+
+  /** [[listDataFiles]] with the full `FileStatus` (the byte sizes feed
+    * the key-index probe/build gates). */
+  private[merge] def listDataStatuses(fs: FileSystem, root: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("_") || n.startsWith(".")) Nil
-      else if (st.isDirectory) listDataFiles(fs, st.getPath)
-      else Seq(st.getPath)
+      else if (st.isDirectory) listDataStatuses(fs, st.getPath)
+      else Seq(st)
     }
 
   private[merge] def relativize(root: Path, p: Path): String =
@@ -725,11 +731,12 @@ object Merge {
           val typedKeys = deduped.select(scopedKeys.map(c =>
             col(c).cast(storedType(c)).as(c)): _*).distinct()
           val touchedDirs = parts.map(t => partitionRelDir(partitionCols, t))
-          val allFiles = touchedDirs.flatMap(d =>
-            listDataFiles(fs, new Path(tableRoot, d))
-              .map(p => relativize(tableRoot, p)))
+          val statuses = touchedDirs.flatMap(d =>
+            listDataStatuses(fs, new Path(tableRoot, d)))
+          val allFiles = statuses.map(st =>
+            relativize(tableRoot, st.getPath))
           KeyIndex.candidateFiles(spark, path, spec, touchedDirs, allFiles,
-            typedKeys)
+            statuses.map(_.getLen).sum, typedKeys)
         }
       val keySource = candidates match {
         case Some(cand) if cand.isEmpty => None // no file can match
@@ -843,11 +850,12 @@ object Merge {
           val typedKeys = delDistinct.select(delKeys.map(c =>
             col(c).cast(storedType(c)).as(c)): _*).distinct()
           val touchedDirs = parts.map(t => partitionRelDir(partitionCols, t))
-          val allFiles = touchedDirs.flatMap(d =>
-            listDataFiles(fs, new Path(tableRoot, d))
-              .map(p => relativize(tableRoot, p)))
+          val statuses = touchedDirs.flatMap(d =>
+            listDataStatuses(fs, new Path(tableRoot, d)))
+          val allFiles = statuses.map(st =>
+            relativize(tableRoot, st.getPath))
           KeyIndex.candidateFiles(spark, path, spec, touchedDirs, allFiles,
-            typedKeys)
+            statuses.map(_.getLen).sum, typedKeys)
         }
       val keySource = candidates match {
         case Some(cand) if cand.isEmpty => None // no file holds a del key
@@ -1630,6 +1638,79 @@ object Merge {
     }.reduce(_.unionByName(_))
   }
 
+  /** Physical revert to the state as of commit `toTs` — Hudi's
+    * savepoint-restore. Walks the recorded commits after `toTs` newest
+    * first, un-publishing each one's added files, restoring its retired
+    * files from `_graft_history/`, and tombstoning its id
+    * (`.rolledback` — issued ids are never reissued, even reverted
+    * ones). Unlike [[rollback]], which refuses recorded commits, this
+    * IS the operator that deletes durable history: incremental
+    * consumers that already read the reverted commits must themselves
+    * be reset (exactly Hudi's restore caveat — their checkpoints point
+    * at commits that no longer exist). The recorded schema is left as
+    * is: columns added by reverted commits stay declared and read back
+    * null-filled (additive evolution never retracts).
+    *
+    * Requires the whole revert range to be reconstructable
+    * (`toTs >= historyFloor`, every reverted commit's history present)
+    * and QUIESCED: an inflight commit after `toTs` must be
+    * [[rollback]]ed first. Validates both before touching any file.
+    * Idempotent across its own crash windows — every step checks
+    * before acting, so a restore that dies midway can be re-run. */
+  def restoreTo(spark: SparkSession, path: String, toTs: Long): Unit = {
+    val floor = historyFloor(spark, path)
+    if (toTs < floor)
+      throw new IllegalStateException(
+        s"cannot restore $path to commit $toTs: history floor is $floor " +
+          "(see readAsOf — the revert range is no longer reconstructable)")
+    val fs = fsFor(spark, path)
+    val tableRoot = fs.makeQualified(new Path(path))
+    val later = recordedCommitsAfter(spark, path, toTs).sortBy(-_.cts)
+    // pre-validate the WHOLE range before any mutation: missing history
+    // or a still-inflight commit must abort a zero-file-touched restore
+    later.filter(_.removed.nonEmpty).foreach { c =>
+      if (!fs.exists(historyDir(path, c.cts)))
+        throw new IllegalStateException(
+          s"cannot restore $path to commit $toTs: commit ${c.cts}'s " +
+            s"retired files are missing from ${historyDir(path, c.cts)}")
+    }
+    listIssuedIds(spark, path).filter(_ > toTs).foreach { id =>
+      if (fs.exists(inflightMarker(path, id)))
+        throw new IllegalStateException(
+          s"cannot restore $path to commit $toTs: commit $id is still " +
+            s"inflight — rollback(path, $id) it first")
+    }
+    later.foreach { c =>
+      c.added.foreach { rel =>
+        val p = new Path(tableRoot, rel)
+        if (fs.exists(p) && !fs.delete(p, false))
+          throw new java.io.IOException(s"restore: failed to un-publish $p")
+      }
+      val h = historyDir(path, c.cts)
+      c.removed.foreach { rel =>
+        val src = new Path(h, rel) // absent = already restored (re-run)
+        if (fs.exists(src)) {
+          val dest = new Path(tableRoot, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(src, dest))
+            throw new java.io.IOException(s"restore: failed to restore $dest")
+        }
+      }
+      c.added.foreach { rel =>
+        dropEmptiedDirs(fs, new Path(tableRoot, rel).getParent,
+          rel.count(_ == '/'))
+      }
+      // the reverted commit's index entry points at files just removed
+      KeyIndex.dropEntry(spark, path, c.cts)
+      // tombstone BEFORE dropping the record: the id stays issued
+      // through every crash window (same order rollback uses)
+      writeSmallFile(fs,
+        new Path(commitsDir(path), f"${c.cts}%020d.rolledback"), "")
+      fs.delete(new Path(commitsDir(path), f"${c.cts}%020d.json"), false)
+      if (fs.exists(h)) fs.delete(h, true) // drained above; drop the husk
+    }
+  }
+
   /** The cleaner (Hudi's `hoodie.cleaner.commits.retained` analogue):
     * keep the retired-file history of the most recent `retainLast`
     * recorded commits, sweep everything older, and raise the floor so
@@ -1774,8 +1855,10 @@ object Merge {
     "x02_indexed_upsert" -> ((s, dir) => {
       val path = scratchTable("graft_x02_")
       val keyCols = Seq("okey")
-      val prev = KeyIndex.minFilesToProbe
+      val prevF = KeyIndex.minFilesToProbe
+      val prevB = KeyIndex.minBytesToProbe
       KeyIndex.minFilesToProbe = 0
+      KeyIndex.minBytesToProbe = 0
       try {
         upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
         upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
@@ -1783,7 +1866,10 @@ object Merge {
           .select("okey", "part"), path, keyCols, "part")
         compact(s, path, "part", keyCols)
         upsert(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
-      } finally KeyIndex.minFilesToProbe = prev
+      } finally {
+        KeyIndex.minFilesToProbe = prevF
+        KeyIndex.minBytesToProbe = prevB
+      }
       readTable(s, path)
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
@@ -1867,6 +1953,26 @@ object Merge {
         path, keyCols, Seq("part"))
       upsertVersioned(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
       readAsOf(s, path, c2)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
+    // q26: savepoint-restore — the q25 replay physically REVERTED to
+    // commit 2: commits 3 and 4's files un-published, their retired
+    // predecessors restored from history, their ids tombstoned. The
+    // PLAIN read of the restored table must equal the snapshot q25
+    // only reads as-of.
+    "q26_restore" -> ((s, dir) => {
+      val path = scratchTable("graft_q26_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      val c2 = upsertVersioned(s, replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, keyCols, Seq("part"))
+      upsertVersioned(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
+      restoreTo(s, path, c2)
+      readTable(s, path)
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
@@ -2070,6 +2176,27 @@ object Merge {
     // the as-of-commit-2 snapshot = the two-batch merge state, before
     // the versioned delete and the third upsert that q25 replays past
     "q25_time_travel" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1)
+        |SELECT okey, part, price, pre FROM (
+        |  SELECT * FROM b2
+        |  UNION ALL
+        |  SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+        |  LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |  WHERE b2.pre IS NULL)
+        |ORDER BY part, okey""".stripMargin,
+    // a restored table IS the as-of snapshot, read plainly — the same
+    // two-batch merge state as q25
+    "q26_restore" ->
       """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
         |               o_totalprice AS price, o_orderkey AS pre
         |             FROM orders),

@@ -15,11 +15,17 @@ class KeyIndexSpec extends SparkSpec {
 
   private val keyCols = Seq("k")
 
-  /** Force probing at toy file counts for the duration of `body`. */
+  /** Force probing (and building) at toy file counts/bytes for the
+    * duration of `body`. */
   private def probing[A](body: => A): A = {
-    val prev = KeyIndex.minFilesToProbe
+    val prevF = KeyIndex.minFilesToProbe
+    val prevB = KeyIndex.minBytesToProbe
     KeyIndex.minFilesToProbe = 0
-    try body finally KeyIndex.minFilesToProbe = prev
+    KeyIndex.minBytesToProbe = 0
+    try body finally {
+      KeyIndex.minFilesToProbe = prevF
+      KeyIndex.minBytesToProbe = prevB
+    }
   }
 
   private def rows(ks: Range, part: String): DataFrame =
@@ -83,7 +89,7 @@ class KeyIndexSpec extends SparkSpec {
       for (k <- Seq(0L, 39L, 100L, 139L, 200L, 239L)) {
         val probe = Seq((k, "a")).toDF("k", "part")
         val cand = KeyIndex.candidateFiles(spark, path, spec, Seq("part=a"),
-          all, probe).get.toSet
+          all, Long.MaxValue, probe).get.toSet
         val owners = truth.filter(_._2.contains(k)).keySet
         assert(owners.subsetOf(cand),
           s"key $k: true file(s) $owners missing from candidates $cand")
@@ -92,7 +98,7 @@ class KeyIndexSpec extends SparkSpec {
       // should not drag in all files (bloom fpp makes >1 possible, but
       // 6 tiny files at <1% fpp keeping ALL would mean no pruning)
       val cand0 = KeyIndex.candidateFiles(spark, path, spec, Seq("part=a"),
-        all, Seq((0L, "a")).toDF("k", "part")).get
+        all, Long.MaxValue, Seq((0L, "a")).toDF("k", "part")).get
       assert(cand0.size < all.size)
     }
   }
@@ -143,7 +149,7 @@ class KeyIndexSpec extends SparkSpec {
       val spec = KeyIndex.readSpec(spark, path).get
       val all = listing(path).toSeq
       val cand = KeyIndex.candidateFiles(spark, path, spec, Seq("part=a"),
-        all, Seq((7L, "a")).toDF("k", "part")).get
+        all, Long.MaxValue, Seq((7L, "a")).toDF("k", "part")).get
       assert(cand.nonEmpty && cand.toSet.subsetOf(all.toSet))
     }
   }
@@ -158,7 +164,7 @@ class KeyIndexSpec extends SparkSpec {
       new java.io.File(s"$path/$victim").delete()
       val all = listing(path).toSeq
       val cand = KeyIndex.candidateFiles(spark, path, spec, Seq("part=a"),
-        all, Seq((1L, "a")).toDF("k", "part"))
+        all, Long.MaxValue, Seq((1L, "a")).toDF("k", "part"))
       cand.foreach(c => assert(!c.contains(victim),
         "a phantom index entry must never direct a read at a missing file"))
       // unindexed: drop a file FROM THE INDEX only → it must always be
@@ -183,7 +189,7 @@ class KeyIndexSpec extends SparkSpec {
         new java.io.File(dir, s".${f.getName}.crc").delete()
       }
       val c2 = KeyIndex.candidateFiles(spark, fresh, fspec, Seq("part=a"),
-        fall, Seq((999999L, "a")).toDF("k", "part")).get
+        fall, Long.MaxValue, Seq((999999L, "a")).toDF("k", "part")).get
       assert(c2.contains(unindexed),
         "an unindexed data file must always be a candidate")
     }

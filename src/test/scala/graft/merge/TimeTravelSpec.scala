@@ -145,6 +145,54 @@ class TimeTravelSpec extends SparkSpec {
       ("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)))
   }
 
+  // ---- restore (Hudi savepoint-restore) ----
+
+  test("restoreTo physically reverts to the as-of state") {
+    val path = tmpDir("ttrestore") + "/table"
+    val (_, c2, c3) = build3(path)
+    val want = snap(Merge.readAsOf(spark, path, c2))
+    Merge.restoreTo(spark, path, c2)
+    assert(snap(Merge.readTable(spark, path)) === want)
+    // the reverted commit is gone from the timeline…
+    assert(Merge.commits(spark, path).agg(max(col("commit_ts")))
+      .head().getLong(0) === c2)
+    // …but its id is tombstoned, never reissued
+    val c4 = Merge.upsertVersioned(spark, tx(("T9", "c9", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    assert(c4 === c3 + 1)
+    // time travel within the surviving range still works
+    assert(snap(Merge.readAsOf(spark, path, c2)) === want)
+  }
+
+  test("restoreTo is idempotent and refuses below the floor") {
+    val path = tmpDir("ttrestore2") + "/table"
+    val (c1, c2, _) = build3(path)
+    Merge.restoreTo(spark, path, c2)
+    val state = snap(Merge.readTable(spark, path))
+    // re-running the same restore touches nothing
+    Merge.restoreTo(spark, path, c2)
+    assert(snap(Merge.readTable(spark, path)) === state)
+    // after cleaning, reverting past the floor must refuse (the retired
+    // bytes below it are gone) — restoring to the pre-history empty
+    // table would need c1's victims, swept above
+    Merge.clean(spark, path, retainLast = 1)
+    assert(Merge.historyFloor(spark, path) === c1)
+    intercept[IllegalStateException](Merge.restoreTo(spark, path, 0L))
+  }
+
+  test("restoreTo refuses while a later commit is inflight") {
+    val path = tmpDir("ttrestore3") + "/table"
+    val (_, c2, _) = build3(path)
+    // simulate a crashed writer holding commit 4 inflight
+    val claimed = Merge.claimCommitId(spark, path)
+    val e = intercept[IllegalStateException](Merge.restoreTo(spark, path, c2))
+    assert(e.getMessage.contains("inflight"))
+    Merge.rollback(spark, path, claimed)
+    Merge.restoreTo(spark, path, c2)
+    assert(snap(Merge.readTable(spark, path)) === Seq(
+      ("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)))
+  }
+
   // ---- ordered payload (DefaultHoodieRecordPayload semantics) ----
 
   test("upsertOrdered: stored row survives a lower-precombine batch") {
