@@ -683,10 +683,17 @@ object Merge {
       if (!tableExists(spark, path)) {
         // initial write: the same staged commit as every other write —
         // the staging + rename publish knows its added-file plan before
-        // any file lands, so even a FIRST versioned commit rolls back
-        val res = commitFiles(spark, deduped, path, partitionCols,
+        // any file lands, so even a FIRST versioned commit rolls back.
+        // The timeline's n_rows rides the write itself as an observed
+        // metric — no separate count job per commit.
+        val obs = if (needStats) Some(org.apache.spark.sql.Observation())
+          else None
+        val body = obs.fold(deduped)(o =>
+          deduped.observe(o, count(lit(1)).as("n")))
+        val res = commitFiles(spark, body, path, partitionCols,
           supersededFiles = Nil, touched = Nil, dropEmptied = false, cts)
-        return (MergeStats(if (needStats) deduped.count() else 0L,
+        return (MergeStats(
+          obs.map(_.get("n").asInstanceOf[Long]).getOrElse(0L),
           if (needStats)
             touchedPartitions(deduped, partitionCols).map(renderPartition)
           else Nil), Some(res))
@@ -756,7 +763,15 @@ object Merge {
             .select("_file").distinct().collect()
             .map(r => decodeFileName(r.getString(0))).toIndexedSeq
       }
-      val newRows = alignTo(deduped, target)
+      // n_rows for the timeline is observed on the batch branch of the
+      // write plan itself (Observation metrics count only successful
+      // tasks) — the versioned path previously paid a separate count()
+      // job per commit for it
+      val obs = if (needStats) Some(org.apache.spark.sql.Observation())
+        else None
+      val newRows0 = alignTo(deduped, target)
+      val newRows = obs.fold(newRows0)(o =>
+        newRows0.observe(o, count(lit(1)).as("n")))
       val merged =
         if (matchedFiles.isEmpty) newRows // pure insert: nothing to rewrite
         else {
@@ -792,7 +807,7 @@ object Merge {
         }
       val res = commitFiles(spark, merged, path, partitionCols, matchedFiles,
         parts, dropEmptied = false, cts)
-      (MergeStats(if (needStats) deduped.count() else 0L,
+      (MergeStats(obs.map(_.get("n").asInstanceOf[Long]).getOrElse(0L),
         parts.map(renderPartition)), Some(res))
     } finally deduped.unpersist()
   }
