@@ -90,6 +90,30 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicates(keys :+ "ts")
 
+  /** Stream-stream event-time interval join — the attribution shape: a
+    * left event pairs with the SAME user's right events that occur
+    * within `within` AFTER it (click → purchase-within-2h). Both sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions, so Spark evicts join state as the watermark advances:
+    * state is (arrival rate × (within + lateness)) per side,
+    * independent of stream length — the property that lets this run
+    * forever against a firehose. An INNER interval join's output is a
+    * pure set (each qualifying pair emits exactly once, when its
+    * second side arrives), so the result is invariant to micro-batch
+    * boundaries. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      within: String = "2 hours",
+      lateness: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(r,
+      expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
+        s"r.ts <= l.ts + interval $within"))
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"),
+        col("l.user_id").as("user_id"),
+        col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+  }
+
   final case class SessionIn(user_id: Long, ts: java.sql.Timestamp,
       value: Double)
   final case class SessionState(start: Long, last: Long, n: Int,
@@ -289,7 +313,18 @@ object EventStreams {
       drainAvailableNow(s, dir, "e05_sink", copies = 2)(dedupStream(_))
         .filter(col("event_type") =!= "_sentinel")
         .select("event_id", "ts", "user_id", "event_type", "value")
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+    // e06: stream-stream interval join (click → purchase attribution) —
+    // a SELF-join of the drained stream filtered two ways; the inner
+    // interval join must emit exactly the qualifying pairs however the
+    // source batches the files, and the oracle is the same join
+    // relationally
+    "e06_stream_join" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e06_sink") { src =>
+        intervalJoin(
+          src.filter(col("event_type") === "click"),
+          src.filter(col("event_type") === "purchase"))
+      }.orderBy("l_id", "r_id")))
 
   /** DuckDB parity: e01 is a plain hourly bucket aggregate (every
     * window is flushed by the sentinel, so streamed == batch); e02 is
@@ -350,5 +385,13 @@ object EventStreams {
     // a doubled stream deduped back to exactly-once == the table itself
     "e05_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    // the streamed interval join == the same join done relationally
+    "e06_stream_join" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id,
+        |       l.user_id AS user_id, l.ts AS l_ts, r.ts AS r_ts
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+        |ORDER BY l_id, r_id""".stripMargin)
 }

@@ -145,6 +145,24 @@ class TimeTravelSpec extends SparkSpec {
       ("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)))
   }
 
+  test("readAsOf serves pre-evolution snapshots through the current schema") {
+    val path = tmpDir("ttevo") + "/table"
+    val c1 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    // commit 2 carries a column commit 1 never had (additive evolution)
+    Merge.upsertVersioned(spark,
+      Seq(("T2", "c2", "ADAGBP", 2.0, "b2")).toDF(
+        "transaction_id", "close_time", "pair", "price", "src"),
+      path, keyCols, "price", "pair")
+    // the as-of-c1 snapshot reads through the CURRENT recorded schema:
+    // the evolved column exists and is null-filled, exactly like a
+    // current read of the same pre-evolution file (Hudi's read path)
+    val snap1 = Merge.readAsOf(spark, path, c1)
+    assert(snap1.columns.contains("src"))
+    assert(snap1.select("transaction_id", "src")
+      .as[(String, Option[String])].collect().toSeq === Seq(("T1", None)))
+  }
+
   // ---- restore (Hudi savepoint-restore) ----
 
   test("restoreTo physically reverts to the as-of state") {

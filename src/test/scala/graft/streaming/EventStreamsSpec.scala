@@ -68,6 +68,38 @@ class EventStreamsSpec extends SparkSpec {
       (2L, 1, 8.0)))
   }
 
+  test("e06: interval join pairs across micro-batches, bounds the window") {
+    // clicks arrive in batch 0, purchases in batch 1 (mtime-ordered
+    // files, one per trigger): the qualifying pair must still emit —
+    // that is the join STATE working across batches — and the
+    // out-of-window purchase must not
+    val base = tmpDir("ivjoin")
+    def ts(s: Long) = new java.sql.Timestamp((86400 + s) * 1000)
+    def ev(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit(null).cast("string"))
+    ev(Seq((1L, ts(0), 10L, "click", 1.0),
+      (2L, ts(100), 20L, "click", 1.0)))
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    Thread.sleep(1500) // strictly later mtime → strictly later batch
+    ev(Seq((3L, ts(60), 10L, "purchase", 5.0),      // within 2h of click 1
+      (4L, ts(50000), 20L, "purchase", 5.0)))       // far outside 2h
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val src = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val out = EventStreams.intervalJoin(
+      src.filter($"event_type" === "click"),
+      src.filter($"event_type" === "purchase"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ivjoin")
+      .option("checkpointLocation", tmpDir("ivjoinckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("ivjoin").select("l_id", "r_id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 3L)))
+  }
+
   test("e05: a twice-replayed stream dedups back to exactly-once") {
     // the e05 drain feeds every event through TWO micro-batches; the
     // watermark-bounded dropDuplicates must emit each exactly once
