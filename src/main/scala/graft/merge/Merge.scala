@@ -103,7 +103,7 @@ object Merge {
     * low-cardinality partition columns — cheap at any table size, and it
     * turns the table read into a partition-pruned scan. Each element is
     * one partition tuple in `partitionCols` order. */
-  private def touchedPartitions(
+  private[merge] def touchedPartitions(
       batch: DataFrame, partitionCols: Seq[String]): Seq[Seq[Any]] =
     batch.select(partitionCols.map(col): _*).distinct().collect()
       .map(r => partitionCols.indices.map(r.get)).toSeq
@@ -117,7 +117,7 @@ object Merge {
     * InSet that partition pruning folds); multi-column becomes an OR of
     * per-tuple null-safe conjunctions — partition tuples are few, so
     * the predicate stays small. */
-  private def partitionIn(partitionCols: Seq[String], parts: Seq[Seq[Any]])
+  private[merge] def partitionIn(partitionCols: Seq[String], parts: Seq[Seq[Any]])
       : Column =
     if (partitionCols.size == 1) {
       val vals = parts.map(_.head)
@@ -145,13 +145,13 @@ object Merge {
 
   /** The table-relative directory of one partition tuple
     * (`pair=ADAGBP` or `day=2024-01-01/pair=ADAGBP`). */
-  private def partitionRelDir(cols: Seq[String], vals: Seq[Any]): String =
+  private[merge] def partitionRelDir(cols: Seq[String], vals: Seq[Any]): String =
     cols.zip(vals).map { case (c, v) => partitionDirName(c, v) }.mkString("/")
 
   /** Human-readable partition tuple for commit metadata: raw values
     * joined by '/' (single-column renders as the bare value, matching
     * the pre-multi-level metadata format). */
-  private def renderPartition(vals: Seq[Any]): String =
+  private[merge] def renderPartition(vals: Seq[Any]): String =
     vals.map(v => if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString)
       .mkString("/")
 
@@ -161,7 +161,7 @@ object Merge {
   /** "Exists" means HAS DATA: metadata entries (`_graft_commits/`,
     * `_graft_schema.json`, `_SUCCESS`) don't count — an inflight
     * timeline marker may be created before the first batch lands. */
-  private def tableExists(spark: SparkSession, path: String): Boolean = {
+  private[merge] def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = fsFor(spark, path)
     fs.exists(p) && fs.listStatus(p).exists { st =>
@@ -229,7 +229,7 @@ object Merge {
   /** Additive union of the recorded schema and this write's schema (a
     * field's FIRST recorded type wins — evolution adds columns, never
     * retypes them). */
-  private def updateSchemaMeta(spark: SparkSession, path: String,
+  private[merge] def updateSchemaMeta(spark: SparkSession, path: String,
       schema: StructType): Unit = {
     // when the recorded schema is missing OR unreadable, the base must
     // come from the actual files (footer merge), NOT the batch alone —
@@ -296,7 +296,7 @@ object Merge {
   private[merge] def decodeFileName(urlEncoded: String): String =
     new Path(new java.net.URI(urlEncoded)).toString
 
-  private def alignTo(df: DataFrame, target: Seq[(String, DataType)])
+  private[merge] def alignTo(df: DataFrame, target: Seq[(String, DataType)])
       : DataFrame =
     df.select(target.map { case (n, t) =>
       if (df.columns.contains(n)) col(n).cast(t).as(n)
@@ -333,7 +333,7 @@ object Merge {
     * empty. A surviving husk is worse than cosmetic — a table whose
     * only entry is an empty partition dir reads as "existing" and fails
     * schema inference on the next write. */
-  private def dropEmptiedDirs(fs: FileSystem, leaf: Path, levels: Int): Unit = {
+  private[merge] def dropEmptiedDirs(fs: FileSystem, leaf: Path, levels: Int): Unit = {
     var p = leaf
     var lv = levels
     var emptied = lv > 0 && fs.exists(p) && fs.listStatus(p).forall { st =>
@@ -354,14 +354,14 @@ object Merge {
     * unlinked from the table and the commit record landing — the
     * crash-recovery copy [[rollback]] restores. '_'-prefixed, so
     * invisible to every read. */
-  private def rollbackDir(path: String, cts: Long): Path =
+  private[merge] def rollbackDir(path: String, cts: Long): Path =
     new Path(path, f"_graft_rollback/$cts%020d")
 
   /** Drop a commit's working state after it is durably recorded (or
     * fully rolled back): the staging sibling and, for versioned commits,
     * the retired-file copy. A failed sweep must be VISIBLE — each leaked
     * dir holds real data and accumulates silently otherwise. */
-  private def sweepCommitScratch(fs: FileSystem, staging: String,
+  private[merge] def sweepCommitScratch(fs: FileSystem, staging: String,
       rollback: Option[Path]): Unit = {
     val stagingPath = new Path(staging)
     if (fs.exists(stagingPath) && !fs.delete(stagingPath, true))
@@ -1104,7 +1104,7 @@ object Merge {
     * `glue/interactive.sh:21-23`). */
   val commitCol = "_commit_ts"
 
-  private def commitsDir(path: String) = new Path(path, "_graft_commits")
+  private[merge] def commitsDir(path: String) = new Path(path, "_graft_commits")
 
   /** The timeline directory (for the incremental commit stream). */
   private[merge] def commitsDirPath(path: String): Path = commitsDir(path)
@@ -1115,7 +1115,7 @@ object Merge {
     * numeric stems: any other file in `_graft_commits/` (editor backup,
     * `.crc` sibling on checksum filesystems) is FOREIGN and ignored —
     * one junk entry must not brick every later versioned write. */
-  private val commitEntryRe = """^(\d+)\.(json|inflight|rolledback)$""".r
+  private[merge] val commitEntryRe = """^(\d+)\.(json|inflight|rolledback)$""".r
 
   /** Every id the timeline has ever ISSUED — recorded commits, inflight
     * markers left by crashed runs, and rolled-back tombstones. All
@@ -1158,7 +1158,7 @@ object Merge {
   private[merge] def jsonQuote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  private def jsonArray(xs: Seq[String]): String =
+  private[merge] def jsonArray(xs: Seq[String]): String =
     xs.map(jsonQuote).mkString("[", ",", "]")
 
   private def inflightMarker(path: String, cts: Long) =
@@ -1171,7 +1171,7 @@ object Merge {
     * crash mid-write can never corrupt (or momentarily drop) the claim
     * itself. `.plan` is not matched by [[commitEntryRe]], so these are
     * foreign to timeline listings and swept with their commit. */
-  private def planFile(path: String, cts: Long) =
+  private[merge] def planFile(path: String, cts: Long) =
     new Path(commitsDir(path), f"$cts%020d.plan")
 
   /** Claim the next commit id by creating its inflight marker with
@@ -1237,7 +1237,7 @@ object Merge {
     cts
   }
 
-  private def recordCommit(spark: SparkSession, path: String, cts: Long,
+  private[merge] def recordCommit(spark: SparkSession, path: String, cts: Long,
       stats: MergeStats, files: Option[CommitResult]): Unit = {
     val fs = fsFor(spark, path)
     fs.mkdirs(commitsDir(path))
@@ -1551,7 +1551,7 @@ object Merge {
     * commit re-anchors the timeline) and drop the now-useless history
     * dirs. No-op on tables with no timeline (nothing to void, no floor
     * file written). */
-  private def voidHistory(spark: SparkSession, path: String): Unit = {
+  private[merge] def voidHistory(spark: SparkSession, path: String): Unit = {
     val fs = fsFor(spark, path)
     if (!fs.exists(commitsDir(path))) return
     val issued = listIssuedIds(spark, path)
@@ -1762,7 +1762,7 @@ object Merge {
     * at JVM exit (a bench process runs each replay three times; without
     * the sweep every run leaves a table-sized temp dir behind). Not
     * removed eagerly: the returned DataFrame's lineage reads the dir. */
-  private def scratchTable(prefix: String): String = {
+  private[merge] def scratchTable(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix).toString
     // check-and-install under the SAME lock as the append: two threads
     // racing first use must not both install the hook
@@ -1787,7 +1787,7 @@ object Merge {
     * same-key rows per batch, so within-batch precombine dedup (O4) is
     * genuinely exercised; precombine is unique (o_orderkey), so the
     * winner is total — no tie-break dependence. */
-  private def replayBatch(spark: SparkSession, dir: String, b: Int): DataFrame =
+  private[merge] def replayBatch(spark: SparkSession, dir: String, b: Int): DataFrame =
     graft.Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 7 === b)
       .select(
@@ -2031,7 +2031,7 @@ object Merge {
     * delete — each window/join mirrors one Merge stage. */
   /** The q18 replay algebra, shared verbatim by q23: compaction must be
     * content-invariant, so both keys check against the SAME relation. */
-  private val replaySql =
+  private[merge] val replaySql =
     """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
       |               o_totalprice AS price, o_orderkey AS pre
       |             FROM orders),

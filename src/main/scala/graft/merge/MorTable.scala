@@ -1,0 +1,438 @@
+package graft.merge
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Merge-on-read table type — the OTHER Hudi table type
+  * (`MERGE_ON_READ`; the reference pins `hudi-spark3-bundle_2.12:0.10.0`,
+  * `glue/interactive.sh:12`, whose MOR shipped read-optimized and
+  * snapshot query paths). [[Merge]] implements COPY_ON_WRITE, the type
+  * the reference's load job configures (`glue/scripts/
+  * load_transactions.py:64`): every upsert rewrites the matched base
+  * files. MOR inverts the cost: a write APPENDS a small delta file set
+  * and touches no base file at all, and the read pays a per-key merge
+  * until [[compact]] folds the deltas back into base parquet.
+  *
+  * Why this is the 100 TB streaming-ingestion shape: a micro-batch of
+  * 10k rows against a 100 TB table under COW rewrites every file group
+  * the batch touches — potentially hundreds of 128 MB files for a
+  * well-spread key batch, a multi-GB write per micro-batch. Under MOR
+  * the same batch writes ~one small parquet file per touched partition
+  * (cost O(batch), independent of table size), and compaction amortizes
+  * the rewrite over many batches on a schedule the operator controls.
+  * The trade is read cost: the snapshot view shuffles the
+  * delta-touched partitions through one per-key window. Partitions with
+  * no deltas are read with ZERO overhead (they bypass the merge
+  * entirely), and a freshly compacted table reads exactly like COW.
+  *
+  * Physical layout (all metadata '_'-prefixed, so invisible to plain
+  * parquet reads of the table root):
+  *
+  *  - base files: hive-partitioned parquet at the table root, written
+  *    and maintained by the same staged durable commits as [[Merge]] —
+  *    every base row carries its writer's `_commit_ts` stamp;
+  *  - delta files: hive-partitioned parquet under `_graft_deltas/`,
+  *    each row stamped `_commit_ts` = its delta commit id plus a
+  *    `_is_deleted` tombstone flag (Hudi's `_hoodie_is_deleted`);
+  *  - one shared commit timeline under `_graft_commits/` — base and
+  *    delta commits interleave in one monotonic id sequence, so
+  *    [[Merge.commits]] enumerates the full history and [[readSince]]
+  *    pulls increments across both kinds;
+  *  - the key spec in `_graft_mor.json` (key columns, precombine
+  *    column, partition columns), recorded at table creation so readers
+  *    and table services need no out-of-band knowledge.
+  *
+  * Commit atomicity on the delta path: delta files are staged to a
+  * sibling dir, the full plan lands in the `.plan` marker sibling
+  * (complete-or-absent), files rename into `_graft_deltas/`, and ONLY
+  * the timeline record makes them live — [[read]] filters delta rows to
+  * recorded commit ids, so a crash mid-publish leaves invisible residue
+  * that [[Merge.rollback]] reverses mechanically (same plan format,
+  * same tombstoning), never a torn read.
+  *
+  * Semantics match [[Merge.upsert]] (OverwriteWithLatest batch-wins):
+  * within a batch the max-precombine row per scoped key survives (O4);
+  * across commits the latest commit wins a key. The snapshot view is
+  * therefore a per-key argmax over `_commit_ts` with tombstones
+  * filtered last — and after ANY sequence of upserts/deletes,
+  * snapshot ≡ the COW table the same batches would have produced
+  * (MorSpec's differential law, and the q27/q28 driver oracles).
+  *
+  * Time travel is not offered on MOR tables in this engine: delta
+  * commits and compaction move bytes [[Merge.readAsOf]]'s
+  * listing-replay cannot see through, so every MOR write voids the
+  * as-of floor — a stale snapshot is refused, never served wrong. */
+object MorTable {
+
+  /** Reserved tombstone column (Hudi `_hoodie_is_deleted` analogue). */
+  val deletedCol = "_is_deleted"
+
+  private val deltaRel = "_graft_deltas"
+
+  final case class MorSpec(
+      keyCols: Seq[String], precombine: String, partitionCols: Seq[String])
+
+  private def specFile(path: String) = new Path(path, "_graft_mor.json")
+
+  private def deltaRoot(spark: SparkSession, path: String): Path = {
+    val fs = Merge.fsFor(spark, path)
+    new Path(fs.makeQualified(new Path(path)), deltaRel)
+  }
+
+  /** The table's recorded key spec. Fails on a non-MOR path — a COW
+    * table has no `_graft_mor.json`. */
+  def spec(spark: SparkSession, path: String): MorSpec = {
+    val fs = Merge.fsFor(spark, path)
+    val f = specFile(path)
+    require(fs.exists(f),
+      s"$path is not a MOR table (no ${f.getName}) — Merge.* reads/writes " +
+        "COW tables, MorTable.* this format")
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(Merge.readSmallFile(fs, f))
+    MorSpec(
+      (j \ "key_cols").extract[Seq[String]],
+      (j \ "precombine").extract[String],
+      (j \ "partition_cols").extract[Seq[String]])
+  }
+
+  private def writeSpec(spark: SparkSession, path: String, sp: MorSpec)
+      : Unit = {
+    val body = s"""{"key_cols":${Merge.jsonArray(sp.keyCols)},""" +
+      s""""precombine":${Merge.jsonQuote(sp.precombine)},""" +
+      s""""partition_cols":${Merge.jsonArray(sp.partitionCols)}}"""
+    Merge.replaceSmallFile(Merge.fsFor(spark, path), specFile(path), body)
+  }
+
+  /** Upsert a batch. First write creates the table: the key spec is
+    * recorded and the batch lands as BASE parquet via the same staged
+    * versioned commit as [[Merge.upsertVersioned]]. Every later upsert
+    * appends a delta commit — no base file is read or written
+    * (MorSpec asserts base mtimes byte-for-byte untouched): within-batch
+    * precombine dedup, `_commit_ts` stamp, staged publish into
+    * `_graft_deltas/`, timeline record. Additive schema evolution works
+    * as in COW: a batch carrying new columns widens the recorded
+    * schema, and earlier rows read back null-filled. Returns the commit
+    * id. */
+  def upsert(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String]): Long = {
+    val sp = MorSpec(keyCols, precombine, partitionCols)
+    if (!Merge.tableExists(spark, path)) {
+      // spec first: it is '_'-prefixed (invisible to tableExists), and a
+      // crash between it and the base commit leaves a retryable empty
+      // table, not a spec-less one
+      writeSpec(spark, path, sp)
+      return Merge.upsertVersioned(spark, batch, path, keyCols, precombine,
+        partitionCols)
+    }
+    val stored = spec(spark, path)
+    require(stored == sp,
+      s"MOR spec mismatch at $path: table is $stored, caller passed $sp")
+    val scoped = keyCols ++ partitionCols
+    val deduped = Merge.precombineDedup(batch, scoped, precombine)
+    val cts = Merge.claimCommitId(spark, path)
+    val stamped = deduped.withColumn(Merge.commitCol, lit(cts))
+    // widen the recorded schema BEFORE aligning, so a new column in
+    // this batch survives the alignment and old rows null-fill
+    Merge.updateSchemaMeta(spark, path, stamped.schema)
+    val target = targetSchema(spark, path)
+    val body = Merge.alignTo(stamped, target)
+      .withColumn(deletedCol, lit(false))
+    publishDeltas(spark, path, body, stored, cts,
+      Merge.touchedPartitions(deduped, partitionCols)
+        .map(Merge.renderPartition))
+  }
+
+  /** [[upsert]] over a single-column partition layout. */
+  def upsert(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCol: String): Long =
+    upsert(spark, batch, path, keyCols, precombine, Seq(partitionCol))
+
+  /** Delete by key: appends a TOMBSTONE delta commit (`_is_deleted` =
+    * true rows carrying only the scoped key, data columns null). No
+    * base file is touched; the key vanishes from [[read]] immediately
+    * and from [[readOptimized]] at the next [[compact]] — exactly
+    * Hudi-MOR's delete visibility split. `keys` must carry the spec's
+    * key + partition columns. Returns the commit id. */
+  def delete(spark: SparkSession, keys: DataFrame, path: String): Long = {
+    val sp = spec(spark, path)
+    val scoped = sp.keyCols ++ sp.partitionCols
+    val k = keys.select(scoped.map(col): _*).distinct()
+    val cts = Merge.claimCommitId(spark, path)
+    val target = targetSchema(spark, path)
+    val body = Merge.alignTo(k.withColumn(Merge.commitCol, lit(cts)), target)
+      .withColumn(deletedCol, lit(true))
+    publishDeltas(spark, path, body, sp, cts,
+      Merge.touchedPartitions(k, sp.partitionCols)
+        .map(Merge.renderPartition))
+  }
+
+  /** Recorded schema as (name, type) pairs — always includes
+    * `_commit_ts` (the first write was versioned). */
+  private def targetSchema(spark: SparkSession, path: String)
+      : Seq[(String, DataType)] = {
+    val s = Merge.recordedSchema(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"MOR table $path has no recorded schema — was the base commit " +
+          "interrupted? rerun the first upsert"))
+    s.fields.map(f => (f.name, f.dataType)).toSeq
+  }
+
+  /** Stage → plan → publish → record, the delta-path instance of the
+    * [[Merge.commitFiles]] discipline. The staged file names are final,
+    * so the plan (added under `_graft_deltas/`, nothing removed) is
+    * known before any mutation and [[Merge.rollback]] can reverse any
+    * crash window; the timeline record is the commit point — until it
+    * lands, [[read]]'s recorded-id filter keeps the rows invisible. */
+  private def publishDeltas(
+      spark: SparkSession,
+      path: String,
+      body: DataFrame,
+      sp: MorSpec,
+      cts: Long,
+      partsRendered: Seq[String]): Long = {
+    val fs = Merge.fsFor(spark, path)
+    val staging = path.stripSuffix("/") + s"_mor_staging_${System.nanoTime()}"
+    val obs = org.apache.spark.sql.Observation()
+    body.observe(obs, count(lit(1)).as("n"))
+      .write.partitionBy(sp.partitionCols: _*)
+      .mode(SaveMode.Overwrite).parquet(staging)
+    val stagingRoot = fs.makeQualified(new Path(staging))
+    val tableRoot = fs.makeQualified(new Path(path))
+    val dRoot = new Path(tableRoot, deltaRel)
+    val moves = Merge.listDataStatuses(fs, stagingRoot).map { st =>
+      (st.getPath,
+        new Path(dRoot, Merge.relativize(stagingRoot, st.getPath)))
+    }
+    val added = moves.map { case (_, d) => Merge.relativize(tableRoot, d) }
+    val planBody = s"""{"commit_ts":$cts,""" +
+      s""""staging":${Merge.jsonQuote(staging)},""" +
+      s""""files_added":${Merge.jsonArray(added)},"files_removed":[]}"""
+    Merge.replaceSmallFile(fs, Merge.planFile(path, cts), planBody)
+    moves.foreach { case (src, dest) =>
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(
+          s"MOR delta publish: failed to move $src to $dest")
+    }
+    val n = obs.get("n").asInstanceOf[Long]
+    Merge.recordCommit(spark, path, cts,
+      Merge.MergeStats(n, partsRendered),
+      Some(Merge.CommitResult(added, Nil, staging)))
+    Merge.sweepCommitScratch(fs, staging, None)
+    // delta commits and compactions move bytes the COW listing-replay
+    // cannot reconstruct — void the as-of floor (refuse, never lie)
+    Merge.voidHistory(spark, path)
+    cts
+  }
+
+  /** Commit ids that were ISSUED but never recorded (inflight markers
+    * and rollback tombstones). Metadata-sized listing; these are the
+    * ids whose delta rows must never surface. */
+  private def unrecordedIds(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = Merge.fsFor(spark, path)
+    val dir = Merge.commitsDirPath(path)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case Merge.commitEntryRe(id, ext) if ext != "json" => id.toLong
+    }
+  }
+
+  /** Snapshot view (Hudi `_rt`): base ∪ live deltas, one per-key argmax
+    * over `_commit_ts`, tombstones filtered last. Scale shape: the
+    * merge window shuffles ONLY the delta-touched partitions — base
+    * rows in untouched partitions (the overwhelming majority of a
+    * 100 TB table between compactions) union straight through with no
+    * shuffle, and a table with no live deltas short-circuits to the
+    * plain base read. Crash residue never surfaces: delta rows are
+    * filtered to ids with a recorded timeline entry (each delta file
+    * holds one `_commit_ts` value, so parquet min/max stats prune whole
+    * residue files, not rows). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val sp = spec(spark, path)
+    val fs = Merge.fsFor(spark, path)
+    val base = Merge.readTable(spark, path)
+    val dRoot = deltaRoot(spark, path)
+    val deltaFiles = Merge.listDataStatuses(fs, dRoot)
+    if (deltaFiles.isEmpty) return base
+    val target = targetSchema(spark, path)
+    val deltaSchema = org.apache.spark.sql.types.StructType(
+      Merge.recordedSchema(spark, path).get.fields :+
+        org.apache.spark.sql.types.StructField(deletedCol, BooleanType))
+    val rawDeltas = spark.read.schema(deltaSchema)
+      .option("basePath", dRoot.toString).parquet(dRoot.toString)
+    val bad = unrecordedIds(spark, path)
+    val deltas =
+      if (bad.isEmpty) rawDeltas
+      else rawDeltas.filter(!col(Merge.commitCol).isin(bad: _*))
+    val cols = target.map(_._1) :+ deletedCol
+    val touched = Merge.touchedPartitions(
+      deltas.select(sp.partitionCols.map(col): _*), sp.partitionCols)
+    val touchedPred =
+      coalesce(Merge.partitionIn(sp.partitionCols, touched), lit(false))
+    val flagged = base.withColumn(deletedCol, lit(false))
+      .select(cols.map(col): _*)
+    val untouched = flagged.filter(!touchedPred)
+    val contested = flagged.filter(touchedPred)
+      .unionByName(deltas.select(cols.map(col): _*))
+    val w = Window
+      .partitionBy((sp.partitionCols ++ sp.keyCols).map(col): _*)
+      .orderBy(col(Merge.commitCol).desc_nulls_last)
+    val merged = contested
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .filter(!col(deletedCol))
+    untouched.unionByName(merged).drop(deletedCol)
+  }
+
+  /** Read-optimized view (Hudi `_ro`): base files only — columnar speed,
+    * staleness bounded by the compaction cadence. Identical to the
+    * snapshot right after [[compact]]. */
+  def readOptimized(spark: SparkSession, path: String): DataFrame =
+    Merge.readTable(spark, path)
+
+  /** Incremental pull across base and delta commits: snapshot rows whose
+    * winning version was written after `sinceTs` (same contract as
+    * [[Merge.readSince]] — deleted keys simply stop appearing). */
+  def readSince(spark: SparkSession, path: String, sinceTs: Long): DataFrame =
+    read(spark, path).filter(col(Merge.commitCol) > sinceTs)
+
+  /** Fold every live delta into base parquet — Hudi's MOR compaction.
+    * Per delta-touched partition: compute the merged snapshot (stamps
+    * pass through UNMODIFIED — incremental pulls are
+    * compaction-invariant, the same contract as [[Merge.compact]]),
+    * rewrite that partition's base via the staged durable commit
+    * (tombstoned keys leave; a fully-deleted partition's dir drops),
+    * then consume the folded delta files. Crash-safe at every window:
+    * the base rewrite is plan-recorded and rollback-able, and delta
+    * consumption AFTER the commit record is idempotent — a leftover
+    * delta row ties with the folded base row on (key, `_commit_ts`)
+    * with identical content, and a leftover tombstone finds no base row
+    * to shadow, so a re-read or re-compact converges to the same
+    * snapshot. Returns the number of delta files folded. */
+  def compact(spark: SparkSession, path: String): Long = {
+    val sp = spec(spark, path)
+    val fs = Merge.fsFor(spark, path)
+    val dRoot = deltaRoot(spark, path)
+    val deltaFiles = Merge.listDataStatuses(fs, dRoot)
+    if (deltaFiles.isEmpty) return 0L
+    val tableRoot = fs.makeQualified(new Path(path))
+    val target = targetSchema(spark, path)
+    val deltaSchema = org.apache.spark.sql.types.StructType(
+      Merge.recordedSchema(spark, path).get.fields :+
+        org.apache.spark.sql.types.StructField(deletedCol, BooleanType))
+    val rawDeltas = spark.read.schema(deltaSchema)
+      .option("basePath", dRoot.toString).parquet(dRoot.toString)
+    val bad = unrecordedIds(spark, path)
+    val deltas =
+      if (bad.isEmpty) rawDeltas
+      else rawDeltas.filter(!col(Merge.commitCol).isin(bad: _*))
+    val touched = Merge.touchedPartitions(
+      deltas.select(sp.partitionCols.map(col): _*), sp.partitionCols)
+    val touchedPred =
+      coalesce(Merge.partitionIn(sp.partitionCols, touched), lit(false))
+    val cols = target.map(_._1) :+ deletedCol
+    val contested = Merge.readTable(spark, path)
+      .withColumn(deletedCol, lit(false)).select(cols.map(col): _*)
+      .filter(touchedPred)
+      .unionByName(deltas.select(cols.map(col): _*))
+    val w = Window
+      .partitionBy((sp.partitionCols ++ sp.keyCols).map(col): _*)
+      .orderBy(col(Merge.commitCol).desc_nulls_last)
+    val merged = contested
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .filter(!col(deletedCol)).drop(deletedCol)
+      // key-clustered layout within each rewritten partition, same as
+      // Merge.compact — keeps base parquet min/max stats selective
+      .sortWithinPartitions(
+        (sp.partitionCols ++ sp.keyCols).map(col): _*)
+    val touchedDirs = touched.map(t =>
+      Merge.partitionRelDir(sp.partitionCols, t))
+    val superseded = touchedDirs
+      .flatMap(d => Merge.listDataStatuses(fs, new Path(tableRoot, d)))
+      .map(_.getPath.toString)
+    val cts = Merge.claimCommitId(spark, path)
+    val res = Merge.commitFiles(spark, merged, path, sp.partitionCols,
+      superseded, touched, dropEmptied = true, Some(cts))
+    // compaction owns no rows (stamps pass through) — n_rows 0, like a
+    // delete commit
+    Merge.recordCommit(spark, path, cts,
+      Merge.MergeStats(0L, touched.map(Merge.renderPartition)), Some(res))
+    // the record is durable: consume the folded deltas (idempotent
+    // residue until then, see scaladoc) and drop the scratch
+    deltaFiles.foreach { st =>
+      if (!fs.delete(st.getPath, false))
+        throw new java.io.IOException(
+          s"MOR compact: failed to consume folded delta ${st.getPath}")
+      Merge.dropEmptiedDirs(fs, st.getPath.getParent,
+        Merge.relativize(tableRoot, st.getPath).count(_ == '/') - 1)
+    }
+    Merge.sweepCommitScratch(fs, res.staging,
+      Some(Merge.rollbackDir(path, cts)))
+    Merge.voidHistory(spark, path)
+    deltaFiles.size.toLong
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Driver keys. Both replay the q18 batch algebra through the MOR
+    * write path, so the DuckDB oracles are the SAME relational
+    * recomputations the COW keys use — MOR is a physical-layout choice,
+    * and these keys prove it is result-invisible. */
+  val queries: Map[String, Q] = Map(
+    // q27: base commit, delta commit, tombstone delete — read the
+    // SNAPSHOT view with the deltas still live (base ∪ deltas through
+    // the merge window). Oracle = the q18 two-batch + delete algebra.
+    "q27_mor" -> ((s, dir) => {
+      val path = Merge.scratchTable("graft_q27_")
+      val keyCols = Seq("okey")
+      MorTable.upsert(s, Merge.replayBatch(s, dir, 0), path,
+        keyCols, "pre", "part")
+      MorTable.upsert(s, Merge.replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      MorTable.delete(s, Merge.replayBatch(s, dir, 0)
+        .filter(org.apache.spark.sql.functions.col("pre") % 3 === 0)
+        .select("okey", "part"), path)
+      MorTable.read(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
+    // q28: one more delta batch, then compaction folds everything into
+    // base and the READ-OPTIMIZED view must equal the full merge state
+    // (the x02 three-batch algebra) — staleness is exactly zero after
+    // compaction.
+    "q28_mor_compact" -> ((s, dir) => {
+      val path = Merge.scratchTable("graft_q28_")
+      val keyCols = Seq("okey")
+      MorTable.upsert(s, Merge.replayBatch(s, dir, 0), path,
+        keyCols, "pre", "part")
+      MorTable.upsert(s, Merge.replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      MorTable.delete(s, Merge.replayBatch(s, dir, 0)
+        .filter(org.apache.spark.sql.functions.col("pre") % 3 === 0)
+        .select("okey", "part"), path)
+      MorTable.upsert(s, Merge.replayBatch(s, dir, 2), path,
+        keyCols, "pre", "part")
+      MorTable.compact(s, path)
+      MorTable.readOptimized(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q27_mor" -> Merge.replaySql,
+    "q28_mor_compact" -> Merge.oracle("x02_indexed_upsert"))
+}
