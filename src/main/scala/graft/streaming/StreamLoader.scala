@@ -50,7 +50,15 @@ object StreamLoader {
         * and at scale the loader must pay its own maintenance. None =
         * off. */
       compactEvery: Option[Int] = None,
-      targetFileBytes: Long = 128L * 1024 * 1024)
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      /** MERGE_ON_READ ingestion ([[graft.merge.MorTable]]): each
+        * micro-batch appends an O(batch) delta commit instead of
+        * rewriting the matched file groups — the write-cost shape a
+        * 100 TB table needs under a steady micro-batch stream. Readers
+        * use `MorTable.read` (snapshot) / `readOptimized`;
+        * `compactEvery` folds the accumulated deltas into base on the
+        * same cadence COW uses for small-file maintenance. */
+      mergeOnRead: Boolean = false)
 
   /** Build (not start) the streaming query. */
   def query(spark: SparkSession, args: Args): StreamingQuery = {
@@ -78,9 +86,7 @@ object StreamLoader {
         try {
           val committed =
             try {
-              Merge.upsert(spark, df, args.tablePath,
-                LoadTransactions.keyCols, LoadTransactions.precombine,
-                LoadTransactions.partitionCol)
+              upsertInto(spark, df, args)
               true
             } catch {
               case e: Exception => // T5: dead-letter the batch, keep going
@@ -100,10 +106,14 @@ object StreamLoader {
           // nor stop the stream — the next pass retries naturally
           if (committed) args.compactEvery.foreach { n =>
             if ((batchId + 1) % n == 0)
-              try Merge.compact(spark, args.tablePath,
-                LoadTransactions.partitionCol, LoadTransactions.keyCols,
-                args.targetFileBytes)
-              catch {
+              try {
+                if (args.mergeOnRead)
+                  graft.merge.MorTable.compact(spark, args.tablePath)
+                else
+                  Merge.compact(spark, args.tablePath,
+                    LoadTransactions.partitionCol, LoadTransactions.keyCols,
+                    args.targetFileBytes)
+              } catch {
                 case e: Exception => System.err.println(
                   s"[stream-loader] compaction after batch $batchId failed: $e")
               }
@@ -151,10 +161,23 @@ object StreamLoader {
     val dlq = spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
     val rows = dlq.drop("_error", "_batch_id")
     val n = rows.count()
-    Merge.upsert(spark, rows, args.tablePath,
-      LoadTransactions.keyCols, LoadTransactions.precombine,
-      LoadTransactions.partitionCol)
+    upsertInto(spark, rows, args)
     files.foreach(f => fs.delete(f, false))
     n
   }
+
+  /** The table write, dispatched on table type: COW rewrites the
+    * matched file groups; MOR appends a delta commit. Both are
+    * key-reconciled, so the at-least-once replay contract holds
+    * either way. */
+  private def upsertInto(spark: SparkSession, df: DataFrame, args: Args)
+      : Unit =
+    if (args.mergeOnRead)
+      graft.merge.MorTable.upsert(spark, df, args.tablePath,
+        LoadTransactions.keyCols, LoadTransactions.precombine,
+        Seq(LoadTransactions.partitionCol)): Unit
+    else
+      Merge.upsert(spark, df, args.tablePath,
+        LoadTransactions.keyCols, LoadTransactions.precombine,
+        LoadTransactions.partitionCol)
 }

@@ -145,6 +145,45 @@ class StreamLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(args.tablePath).count() === 3)
   }
 
+  test("mergeOnRead ingestion: delta-append micro-batches, same end " +
+      "state as COW, compaction folds on cadence") {
+    import graft.merge.MorTable
+    // same three-file input drained twice: once COW, once MOR
+    def drain(tag: String, mor: Boolean, compactEvery: Option[Int])
+        : StreamLoader.Args = {
+      val args = mkArgs(tag).copy(mergeOnRead = mor,
+        compactEvery = compactEvery, maxFilesPerTrigger = Some(1))
+      Files.createDirectories(Paths.get(args.inputDir))
+      writeTx(args.inputDir, "a.json", "TX1", "0.5")
+      writeTx(args.inputDir, "b.json", "TX2", "0.6")
+      writeTx(args.inputDir, "c.json", "TX1", "0.9") // upserts TX1
+      StreamLoader.runAvailableNow(spark, args)
+      args
+    }
+    val cow = drain("slmor_cow", mor = false, None)
+    val morLazy = drain("slmor_lazy", mor = true, None)
+    // no compaction: batches 2 and 3 appended deltas, base is batch 1
+    val deltas = new java.io.File(
+      s"${morLazy.tablePath}/_graft_deltas/pair=ADAGBP")
+    assert(deltas.exists() && deltas.listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "MOR micro-batches must land as deltas, not base rewrites")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select($"transaction_id", $"price".cast("double"))
+        .as[(String, Double)].collect().toSeq.sorted
+    val expected = state(spark.read.parquet(cow.tablePath))
+    assert(state(MorTable.read(spark, morLazy.tablePath)) === expected)
+    // per-batch compaction: deltas folded, read-optimized is current
+    val morCompact = drain("slmor_compact", mor = true, Some(1))
+    val dDir = new java.io.File(
+      s"${morCompact.tablePath}/_graft_deltas/pair=ADAGBP")
+    assert(!dDir.exists() || dDir.listFiles()
+      .forall(!_.getName.endsWith(".parquet")),
+      "per-batch compaction must consume every delta")
+    assert(state(MorTable.readOptimized(spark, morCompact.tablePath))
+      === expected)
+  }
+
   test("micro-batches serialize: one ordered notification per batch (T6)") {
     // max_concurrent_runs = 1 is native to Structured Streaming: batches
     // run strictly one at a time — observable as exactly one success
