@@ -72,8 +72,21 @@ object MorTable {
 
   private val deltaRel = "_graft_deltas"
 
+  /** Table-level payload semantics, fixed at creation (Hudi's
+    * `hoodie.datasource.write.payload.class`):
+    *  - `latest` — OverwriteWithLatest: the newest COMMIT wins a key
+    *    ([[Merge.upsert]] parity); deletes are unconditional.
+    *  - `ordered` — DefaultHoodieRecordPayload: the max-PRECOMBINE row
+    *    wins across everything ever written, ties to the newer commit
+    *    ([[Merge.upsertOrdered]] parity — the late-data-safe streaming
+    *    payload). Tombstones COMPETE: [[delete]] requires the
+    *    precombine column in `keys`, and a tombstone whose precombine
+    *    loses to the stored row leaves it standing (exactly Hudi's
+    *    ordered-payload delete, and deliberately unlike the COW
+    *    [[Merge.delete]], which is unconditional). */
   final case class MorSpec(
-      keyCols: Seq[String], precombine: String, partitionCols: Seq[String])
+      keyCols: Seq[String], precombine: String, partitionCols: Seq[String],
+      payload: String = "latest")
 
   private def specFile(path: String) = new Path(path, "_graft_mor.json")
 
@@ -95,16 +108,30 @@ object MorTable {
     MorSpec(
       (j \ "key_cols").extract[Seq[String]],
       (j \ "precombine").extract[String],
-      (j \ "partition_cols").extract[Seq[String]])
+      (j \ "partition_cols").extract[Seq[String]],
+      // absent in tables created before payloads existed = latest
+      (j \ "payload").extractOpt[String].getOrElse("latest"))
   }
 
   private def writeSpec(spark: SparkSession, path: String, sp: MorSpec)
       : Unit = {
     val body = s"""{"key_cols":${Merge.jsonArray(sp.keyCols)},""" +
       s""""precombine":${Merge.jsonQuote(sp.precombine)},""" +
-      s""""partition_cols":${Merge.jsonArray(sp.partitionCols)}}"""
+      s""""partition_cols":${Merge.jsonArray(sp.partitionCols)},""" +
+      s""""payload":${Merge.jsonQuote(sp.payload)}}"""
     Merge.replaceSmallFile(Merge.fsFor(spark, path), specFile(path), body)
   }
+
+  /** The snapshot merge order for one payload: `latest` picks the
+    * newest commit; `ordered` picks the max precombine, ties to the
+    * newer commit. (`desc_nulls_last` on the stamp keeps any
+    * pre-timeline base row — impossible for tables this object
+    * created, but cheap insurance — from beating a stamped one.) */
+  private def mergeOrder(sp: MorSpec): Seq[org.apache.spark.sql.Column] =
+    if (sp.payload == "ordered")
+      Seq(col(sp.precombine).desc_nulls_last,
+        col(Merge.commitCol).desc_nulls_last)
+    else Seq(col(Merge.commitCol).desc_nulls_last)
 
   /** Upsert a batch. First write creates the table: the key spec is
     * recorded and the batch lands as BASE parquet via the same staged
@@ -122,8 +149,31 @@ object MorTable {
       path: String,
       keyCols: Seq[String],
       precombine: String,
-      partitionCols: Seq[String]): Long = {
-    val sp = MorSpec(keyCols, precombine, partitionCols)
+      partitionCols: Seq[String]): Long =
+    upsertImpl(spark, batch, path,
+      MorSpec(keyCols, precombine, partitionCols, "latest"))
+
+  /** [[upsert]] onto an `ordered`-payload table (creates one on first
+    * write): the final state is the per-key precombine argmax over
+    * everything ever written — invariant to batch boundaries and
+    * arrival order, the safe payload for streaming ingestion with
+    * late or replayed data ([[Merge.upsertOrdered]] parity). */
+  def upsertOrdered(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String]): Long =
+    upsertImpl(spark, batch, path,
+      MorSpec(keyCols, precombine, partitionCols, "ordered"))
+
+  private def upsertImpl(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      sp: MorSpec): Long = {
+    val MorSpec(keyCols, precombine, partitionCols, _) = sp
     if (!Merge.tableExists(spark, path)) {
       // spec first: it is '_'-prefixed (invisible to tableExists), and a
       // crash between it and the base commit leaves a retryable empty
@@ -168,8 +218,18 @@ object MorTable {
     * key + partition columns. Returns the commit id. */
   def delete(spark: SparkSession, keys: DataFrame, path: String): Long = {
     val sp = spec(spark, path)
+    val ordered = sp.payload == "ordered"
+    if (ordered) require(keys.columns.contains(sp.precombine),
+      s"ordered-payload MOR delete at $path needs the precombine column " +
+        s"'${sp.precombine}' in keys — a tombstone competes by ordering " +
+        "value (Hudi DefaultHoodieRecordPayload semantics)")
     val scoped = sp.keyCols ++ sp.partitionCols
-    val k = keys.select(scoped.map(col): _*).distinct()
+    val k =
+      if (ordered)
+        Merge.precombineDedup(
+          keys.select((scoped :+ sp.precombine).map(col): _*),
+          scoped, sp.precombine)
+      else keys.select(scoped.map(col): _*).distinct()
     val cts = Merge.claimCommitId(spark, path)
     val target = targetSchema(spark, path)
     val body = Merge.alignTo(k.withColumn(Merge.commitCol, lit(cts)), target)
@@ -289,7 +349,7 @@ object MorTable {
       .unionByName(deltas.select(cols.map(col): _*))
     val w = Window
       .partitionBy((sp.partitionCols ++ sp.keyCols).map(col): _*)
-      .orderBy(col(Merge.commitCol).desc_nulls_last)
+      .orderBy(mergeOrder(sp): _*)
     val merged = contested
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
@@ -350,7 +410,7 @@ object MorTable {
       .unionByName(deltas.select(cols.map(col): _*))
     val w = Window
       .partitionBy((sp.partitionCols ++ sp.keyCols).map(col): _*)
-      .orderBy(col(Merge.commitCol).desc_nulls_last)
+      .orderBy(mergeOrder(sp): _*)
     val merged = contested
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")

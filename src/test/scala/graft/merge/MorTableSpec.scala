@@ -238,6 +238,62 @@ class MorTableSpec extends SparkSpec {
       s"delta-free MOR read must not pay a merge window:\n$plan")
   }
 
+  test("ordered payload: per-key precombine argmax, invariant to batch " +
+      "split (COW upsertOrdered parity)") {
+    val mor = tmpDir("mor_ord")
+    val cow = tmpDir("cow_ord")
+    val rows = Seq(
+      tx(("T1", "c1", "ADAGBP", 5.0), ("T2", "c1", "BTCUSD", 2.0)),
+      tx(("T1", "c1", "ADAGBP", 3.0), ("T3", "c1", "ADAGBP", 1.0)), // T1 loses
+      tx(("T2", "c1", "BTCUSD", 9.0), ("T1", "c1", "ADAGBP", 4.0))) // T1 loses
+    rows.foreach(b =>
+      MorTable.upsertOrdered(spark, b, mor, keyCols, "price", Seq("pair")))
+    rows.foreach(b =>
+      Merge.upsertOrdered(spark, b, cow, keyCols, "price", Seq("pair")))
+    val expected = Seq(("T1", "c1", "ADAGBP", 5.0),
+      ("T2", "c1", "BTCUSD", 9.0), ("T3", "c1", "ADAGBP", 1.0))
+    assert(snap(MorTable.read(spark, mor)) === expected)
+    assert(snap(Merge.readTable(spark, cow)) === expected)
+    // and a different batch grouping converges to the same state
+    val mor2 = tmpDir("mor_ord2")
+    MorTable.upsertOrdered(spark, rows.reduce(_ union _), mor2,
+      keyCols, "price", Seq("pair"))
+    assert(snap(MorTable.read(spark, mor2)) === expected)
+  }
+
+  test("ordered payload: tombstones compete by precombine") {
+    val path = tmpDir("mor_ordtomb")
+    MorTable.upsertOrdered(spark, tx(("T1", "c1", "ADAGBP", 5.0),
+      ("T2", "c1", "BTCUSD", 5.0)), path, keyCols, "price", Seq("pair"))
+    // T1 tombstone WINS (9 > 5); T2 tombstone LOSES (3 < 5)
+    MorTable.delete(spark, Seq(
+      ("T1", "c1", "ADAGBP", 9.0), ("T2", "c1", "BTCUSD", 3.0)
+    ).toDF("transaction_id", "close_time", "pair", "price"), path)
+    assert(snap(MorTable.read(spark, path)) ===
+      Seq(("T2", "c1", "BTCUSD", 5.0)))
+    // compaction makes it physical and stays content-invariant
+    MorTable.compact(spark, path)
+    assert(snap(MorTable.readOptimized(spark, path)) ===
+      Seq(("T2", "c1", "BTCUSD", 5.0)))
+    val fs = Merge.fsFor(spark, path)
+    assert(!fs.exists(new Path(path, "pair=ADAGBP")))
+  }
+
+  test("ordered payload: delete without the precombine column is refused") {
+    val path = tmpDir("mor_ordreq")
+    MorTable.upsertOrdered(spark, tx(("T1", "c1", "ADAGBP", 5.0)),
+      path, keyCols, "price", Seq("pair"))
+    intercept[IllegalArgumentException] {
+      MorTable.delete(spark, Seq(("T1", "c1", "ADAGBP")).toDF(
+        "transaction_id", "close_time", "pair"), path)
+    }
+    // and a latest-payload upsert onto an ordered table is refused
+    intercept[IllegalArgumentException] {
+      MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+        path, keyCols, "price", "pair")
+    }
+  }
+
   test("spec mismatch and non-MOR paths fail loudly") {
     val path = tmpDir("mor_spec")
     MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
