@@ -94,8 +94,14 @@ object IncrementalStream {
         val ids = batch.select("commit_ts")
           .collect().map(_.getLong(0)).distinct.sorted.toIndexedSeq
         if (ids.nonEmpty) {
-          val rows = Merge.readTable(spark, path)
-            .filter(col(Merge.commitCol).isin(ids: _*))
+          // MOR tables share the COW timeline but keep fresh rows in
+          // delta files — pull increments from the SNAPSHOT view there
+          // (winners stamped by their last writer, same ownership
+          // contract), or a delta commit's rows would never stream
+          val source =
+            if (MorTable.isMor(spark, path)) MorTable.read(spark, path)
+            else Merge.readTable(spark, path)
+          val rows = source.filter(col(Merge.commitCol).isin(ids: _*))
           f(rows, ids, batchId)
         }
       }

@@ -95,6 +95,12 @@ object MorTable {
     new Path(fs.makeQualified(new Path(path)), deltaRel)
   }
 
+  /** Whether `path` is a MOR table (has a recorded `_graft_mor.json`).
+    * Cheap (one metadata existence check) — the dispatch consumers like
+    * [[IncrementalStream]] use to pick the right row source. */
+  def isMor(spark: SparkSession, path: String): Boolean =
+    Merge.fsFor(spark, path).exists(specFile(path))
+
   /** The table's recorded key spec. Fails on a non-MOR path — a COW
     * table has no `_graft_mor.json`. */
   def spec(spark: SparkSession, path: String): MorSpec = {

@@ -51,6 +51,31 @@ class IncrementalStreamSpec extends SparkSpec {
       .forall(r => r._3 == "v2" && r._4 == 2L))
   }
 
+  test("a MOR table streams its delta-commit rows (snapshot source)") {
+    val path = tmpDir("incs_mor") + "/t"
+    MorTable.upsert(spark, rows(0 until 30, "a", "v1"), path,
+      keyCols, "v", "part")
+    MorTable.upsert(spark, rows(20 until 40, "a", "v2"), path,
+      keyCols, "v", "part")
+    MorTable.delete(spark, rows(0 until 5, "a", "x").select("k", "part"),
+      path)
+    val sink = tmpDir("incs_morsink") + "/out"
+    val ids = drainTo(path, sink, tmpDir("incs_morckpt"))
+    assert(ids.flatten.sorted === Seq(1L, 2L, 3L))
+    val got = spark.read.parquet(sink)
+      .select("k", "part", "v", Merge.commitCol)
+      .as[(Long, String, String, Long)].collect().toSeq.sorted
+    val want = MorTable.read(spark, path)
+      .select("k", "part", "v", Merge.commitCol)
+      .as[(Long, String, String, Long)].collect().toSeq.sorted
+    assert(got === want)
+    // the delta commit's winners streamed (base alone would miss them)
+    assert(got.filter(r => r._1 >= 20 && r._1 < 40)
+      .forall(r => r._3 == "v2" && r._4 == 2L))
+    // tombstoned keys don't appear (deletes don't stream — Hudi caveat)
+    assert(got.forall(_._1 >= 5))
+  }
+
   test("checkpointed resume streams only commits that landed since") {
     val path = tmpDir("incs_resume") + "/t"
     Merge.upsertVersioned(spark, rows(0 until 10, "a", "v1"), path,
