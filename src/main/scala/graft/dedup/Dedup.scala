@@ -501,6 +501,50 @@ object Dedup {
       .limit(topN)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a k-means
+    * coarse quantizer, then compare pairs WITHIN each cluster only — a
+    * vector is dropped when some lower-id vector in its cluster sits
+    * within `threshold` cosine of it (the deterministic min-id keeper,
+    * same policy as [[dropExactDups]]). Returns one row per vector:
+    * (vec_id, cid, keep).
+    *
+    * The scale shape is the point: exact all-pairs is O(n²); clustering
+    * first bounds the pairwise stage to Σ clusterᵢ² ≈ n²/k, and the
+    * quadratic unit is a CLUSTER (≈ n/k vectors, tuned via k to fit an
+    * executor), shuffled on `cid` so clusters compare in parallel.
+    * Quantizer training is bounded by `maxTrainVectors`
+    * ([[graft.similarity.Similarity.kmeansCentroids]] — the full corpus
+    * is only ever assigned, one broadcast cross-join pass); a skewed
+    * cluster splits under AQE like any other skewed join key. Semantic
+    * near-dups (cos ≳ threshold) land in the same cluster with high
+    * probability exactly because they are near-identical vectors —
+    * misses at cluster borders are the standard SemDeDup trade. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double, iters: Int = 3,
+      maxTrainVectors: Int = 100000): DataFrame = {
+    import graft.similarity.Similarity
+    val corpus = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"))
+    val cents = Similarity.kmeansCentroids(corpus, k, iters, maxTrainVectors)
+    val e = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cells = Similarity.assign(e, cents)
+      .select(col("cid"), col("vec_id"), normalized(col("v")).as("vn"))
+    val a = cells.select(col("cid"), col("vec_id").as("ai"),
+      col("vn").as("av"))
+    val b = cells.select(col("cid"), col("vec_id").as("bi"),
+      col("vn").as("bv"))
+    val drops = a.join(b, Seq("cid"))
+      .filter(col("ai") < col("bi") &&
+        dot(col("av"), col("bv")) >= threshold)
+      .select(col("bi").as("vec_id")).distinct()
+    cells.select(col("vec_id"), col("cid"))
+      .join(drops.withColumn("_d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        (!coalesce(col("_d"), lit(false))).as("keep"))
+  }
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame
@@ -531,6 +575,13 @@ object Dedup {
         .orderBy("doc_id")),
     "d06_embedding_topsim" -> ((s, dir) =>
       embeddingTopPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 20)),
+    // SemDeDup: cluster-bounded pairwise semantic dedup; oracle replays
+    // the same deterministic Lloyd + assignment CTEs as s03, then the
+    // min-id keeper as a NOT EXISTS
+    "d11_semantic_dedup" -> ((s, dir) =>
+      semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 10, threshold = 0.35, maxTrainVectors = 256)
+        .orderBy("vec_id")),
     "d07_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       contaminationFlags(docs.filter(col("doc_id") >= 10),
@@ -673,6 +724,23 @@ object Dedup {
         |  FROM documents)
         |WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin,
+    "d11_semantic_dedup" -> {
+      import graft.similarity.Similarity.{assignCteSql, lloydCtesSql, normSql}
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM e),
+         |${lloydCtesSql(10, 3, 256)},
+         |${assignCteSql("cells", "c3", "corpus")},
+         |n AS (SELECT vec_id, cid, ${normSql("v")} AS vn FROM cells),
+         |drops AS (SELECT DISTINCT b.vec_id FROM n a JOIN n b
+         |          ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |          WHERE list_dot_product(a.vn, b.vn) >= 0.35)
+         |SELECT c.vec_id, c.cid,
+         |       NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = c.vec_id)
+         |         AS keep
+         |FROM cells c
+         |ORDER BY vec_id""".stripMargin
+    },
     "d06_embedding_topsim" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

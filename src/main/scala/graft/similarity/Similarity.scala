@@ -305,25 +305,25 @@ object Similarity {
 
   /** The normalized-vector SQL fragment (bit-identical to our
     * normalize-then-dot path — verified empirically). */
-  private def normSql(v: String): String =
+  private[graft] def normSql(v: String): String =
     s"list_transform($v, x -> x / sqrt(list_dot_product($v, $v)))"
 
-  /** DuckDB SQL for the s03 IVF pipeline: THREE unrolled Lloyd
-    * iterations reproducing [[kmeansCentroids]] exactly — assignment by
-    * normalized dot (ties → lowest cid), per-dimension means summed in
-    * vec_id order (`list_sum(list(val ORDER BY vec_id))` is a sequential
-    * fold, matching our sorted collect_list fold) — then cell
-    * assignment, nProbe centroid probing, and in-cell exact ranking. */
-  private def s03OracleSql(k: Int, iters: Int, nProbe: Int,
-      topK: Int, trainN: Int): String = {
-    def assignSql(name: String, cents: String, source: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, v, cid FROM (
-         |    SELECT $source.vec_id, $source.v, c.cid,
-         |      row_number() OVER (PARTITION BY $source.vec_id ORDER BY
-         |        list_dot_product(${normSql(s"$source.v")}, ${normSql("c.cv")}) DESC,
-         |        c.cid) AS rn
-         |    FROM $source CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+  /** One nearest-centroid assignment CTE (ties → lowest cid) — the SQL
+    * mirror of [[assign]]. Shared by the s03 and d11 oracles. */
+  private[graft] def assignCteSql(name: String, cents: String,
+      source: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT $source.vec_id, $source.v, c.cid,
+       |      row_number() OVER (PARTITION BY $source.vec_id ORDER BY
+       |        list_dot_product(${normSql(s"$source.v")}, ${normSql("c.cv")}) DESC,
+       |        c.cid) AS rn
+       |    FROM $source CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+
+  /** The deterministic-Lloyd CTE chain (train sample, seed centroids,
+    * `iters` assign+means rounds) over a CTE named `corpus` — the SQL
+    * mirror of [[kmeansCentroids]]. Final centroids CTE: `c<iters>`. */
+  private[graft] def lloydCtesSql(k: Int, iters: Int, trainN: Int): String = {
     def meansSql(name: String, assigned: String): String =
       s"""$name AS (
          |  SELECT cid, list(m ORDER BY i) AS cv FROM (
@@ -333,19 +333,30 @@ object Similarity {
          |    GROUP BY cid, i)
          |  GROUP BY cid)""".stripMargin
     val iterations = (1 to iters).map { i =>
-      assignSql(s"a$i", if (i == 1) "c0" else s"c${i - 1}", "train") + ",\n" +
-        meansSql(s"c$i", s"a$i")
+      assignCteSql(s"a$i", if (i == 1) "c0" else s"c${i - 1}", "train") +
+        ",\n" + meansSql(s"c$i", s"a$i")
     }.mkString(",\n")
+    s"""train AS (SELECT vec_id, v FROM corpus
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $trainN),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |       FROM train ORDER BY vec_id LIMIT $k),
+       |$iterations""".stripMargin
+  }
+
+  /** DuckDB SQL for the s03 IVF pipeline: THREE unrolled Lloyd
+    * iterations reproducing [[kmeansCentroids]] exactly — assignment by
+    * normalized dot (ties → lowest cid), per-dimension means summed in
+    * vec_id order (`list_sum(list(val ORDER BY vec_id))` is a sequential
+    * fold, matching our sorted collect_list fold) — then cell
+    * assignment, nProbe centroid probing, and in-cell exact ranking. */
+  private def s03OracleSql(k: Int, iters: Int, nProbe: Int,
+      topK: Int, trainN: Int): String = {
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-       |train AS (SELECT vec_id, v FROM corpus
-       |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $trainN),
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-       |       FROM train ORDER BY vec_id LIMIT $k),
-       |$iterations,
-       |${assignSql("cells", s"c$iters", "corpus")},
+       |${lloydCtesSql(k, iters, trainN)},
+       |${assignCteSql("cells", s"c$iters", "corpus")},
        |probes AS (
        |  SELECT query_id, qvn, cid FROM (
        |    SELECT q.vec_id AS query_id, ${normSql("q.v")} AS qvn, c.cid,

@@ -142,6 +142,28 @@ class DedupSpec extends SparkSpec {
     assert(dupTop.contains((900001L, 900002L)))
   }
 
+  test("semanticDedup: min-id keeper per semantic group, distant " +
+      "vectors kept, output covers the corpus") {
+    // two tight directions + two far singletons; k=2 puts each tight
+    // group (and its aligned singleton, if any) in one cluster
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.141f, 0.0f, 0.0f)), // ~1, dup of 1
+      (5L, Array(0.98f, -0.2f, 0.0f, 0.0f)),  // ~1, dup of 1
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.1f, 0.99f, 0.0f)),   // dup of 3
+      (9L, Array(0.0f, 1.0f, 0.0f, 0.0f))     // alone in direction
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      k = 2, threshold = 0.95, iters = 2, maxTrainVectors = 6)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 9L),
+      "one decision row per vector")
+    assert(out(1L) && out(3L), "min-id representatives kept")
+    assert(!out(2L) && !out(5L) && !out(4L), "semantic dups dropped")
+    assert(out(9L), "a vector with no near neighbor survives")
+  }
+
   test("duplicateClusters: min-id labels across chains; dropNearDups keeps keepers") {
     // two chains (diameter > 1 exercises multi-round propagation) and
     // one isolated pair
