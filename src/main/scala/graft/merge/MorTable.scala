@@ -496,9 +496,44 @@ object MorTable {
       MorTable.readOptimized(s, path)
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
+    }),
+    // x05: the x04 streaming-ingestion harness routed through MOR with
+    // the ordered payload — each checkpointed micro-batch is one
+    // O(batch) delta commit, and the SNAPSHOT view (live deltas, no
+    // compaction) must equal the corpus-wide per-key precombine argmax
+    // REGARDLESS of how the file source grouped micro-batches. Same
+    // oracle as x04: the payload, not the storage layout, defines the
+    // result.
+    "x05_stream_mor" -> ((s, dir) => {
+      val path = Merge.scratchTable("graft_x05_")
+      val inDir = Merge.scratchTable("graft_x05in_")
+      val rows = graft.Tables.orders(s, dir)
+        .filter(org.apache.spark.sql.functions.col("o_orderkey") % 7 <= 2)
+        .select(
+          (org.apache.spark.sql.functions.col("o_orderkey") % 500)
+            .as("okey"),
+          org.apache.spark.sql.functions.col("o_orderstatus").as("part"),
+          org.apache.spark.sql.functions.col("o_totalprice").as("price"),
+          org.apache.spark.sql.functions.col("o_orderkey").as("pre"))
+      rows.repartition(8).write.parquet(inDir)
+      val q = s.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 3).parquet(inDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", Merge.scratchTable("graft_x05ckpt_"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          MorTable.upsertOrdered(s, batch, path,
+            Seq("okey"), "pre", Seq("part")): Unit
+        }
+        .start()
+      q.awaitTermination()
+      MorTable.read(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
     }))
 
   val oracle: Map[String, String] = Map(
     "q27_mor" -> Merge.replaySql,
-    "q28_mor_compact" -> Merge.oracle("x02_indexed_upsert"))
+    "q28_mor_compact" -> Merge.oracle("x02_indexed_upsert"),
+    "x05_stream_mor" -> Merge.oracle("x04_stream_upsert"))
 }
