@@ -78,6 +78,43 @@ object TextAnalysis {
       .drop("_toks")
   }
 
+  /** Gopher-style document-level quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1 — the public doc-filter recipe C4/Gopher
+    * pipelines apply before training): word-count bounds, mean-word-
+    * length bounds, alphabetic-word fraction, and a minimum stopword
+    * hit count. Emits the per-rule evidence plus the composite `keep`
+    * verdict, so a pipeline can audit WHY a document dropped (the
+    * standard practice — filters are tuned by inspecting the evidence
+    * columns, not the verdict).
+    *
+    * Everything is one narrow codegen'd projection over a single
+    * materialized token array — no shuffle, no UDF; at 100 TB this is
+    * a map-only pass that fuses into whatever scan feeds it. */
+  def gopherRules(df0: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 30, maxWords: Int = 80,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val df = df0.withColumn("_toks", tokens(col(textCol)))
+    val toks = col("_toks")
+    val nW = size(toks).cast("long")
+    val meanLen = when(nW > 0,
+      aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") /
+        nW.cast("double")).otherwise(lit(0.0))
+    val alphaFrac = when(nW > 0,
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+        nW.cast("double")).otherwise(lit(0.0))
+    val stopHits = stopCount(toks, stopEn).cast("long")
+    df.select(col(idCol),
+      nW.as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("n_stop_hits"),
+      (nW >= minWords && nW <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        alphaFrac >= minAlphaFrac &&
+        stopHits >= minStopHits).as("keep"))
+  }
+
   /** n-gram-heuristic language ID over a MATERIALIZED token-array
     * column: per-language stopword hit counts, fixed-priority argmax
     * (de < en < es < fr lexicographic tie-break), 'und'(etermined) when
@@ -340,6 +377,9 @@ object TextAnalysis {
         .select("doc_id", "n_tokens", "alpha_ratio", "digit_ratio",
           "stopword_ratio", "avg_token_len", "quality_score")
         .orderBy("doc_id")),
+    "t12_gopher_rules" -> ((s, dir) =>
+      gopherRules(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "t03_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("_toks", tokens(col("text")))
@@ -410,6 +450,20 @@ object TextAnalysis {
          |SELECT doc_id, n_tokens, alpha_ratio, digit_ratio, stopword_ratio, avg_token_len,
          |  alpha_ratio * 0.5 + stopword_ratio * 0.3 +
          |    CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.2 ELSE 0.0 END AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "t12_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS alpha_word_frac,
+         |  CAST(${stopSql(stopEn)} AS BIGINT) AS n_stop_hits
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, n_stop_hits,
+         |  (n_words >= 30 AND n_words <= 80
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND alpha_word_frac >= 0.8
+         |   AND n_stop_hits >= 2) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
     "t03_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),

@@ -266,6 +266,25 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("gopherRules: clean prose keeps, short/stopless/numeric docs drop, " +
+      "empty doc is safe") {
+    val prose = ("the weather around these mountains is lovely and the " +
+      "morning walks feel calm and bright ") * 2 // 30 words, stopword-rich
+    val short = "the cat sat" // under minWords
+    val nostop = ("alpha beta gamma delta epsilon zeta eta theta " * 5).trim
+    val numeric = ("12 34 56 78 90 " * 8).trim // alpha_word_frac = 0
+    val df = Seq((1L, prose), (2L, short), (3L, nostop), (4L, numeric),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(5))).toMap
+    assert(out(1L)._2, s"prose must keep: ${out(1L)}")
+    assert(!out(2L)._2, "short doc drops on word count")
+    assert(!out(3L)._2, "no stopword hits drops")
+    assert(!out(4L)._2, "numeric-only drops on alpha fraction")
+    assert(out(5L) === ((0L, false)), "empty doc: zero words, no NaN, drop")
+  }
+
   test("qualityFeatures: ratios in [0,1], score favors clean prose") {
     val clean = "the cat and the dog sat in the house and it is a good day " * 3
     val junk = "@@@@ #### 1234 %%%% !!!! 9999 ****"
