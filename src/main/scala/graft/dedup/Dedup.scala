@@ -421,6 +421,34 @@ object Dedup {
     * growth: a doc's keep/drop decision never changes as other docs
     * arrive (unlike RNG sampling), so mixtures are reproducible and
     * incremental. Pure narrow filter — no shuffle at any scale. */
+  /** Token-budget corpus selection: per stratum, walk the documents in
+    * deterministic md5 order and keep them while the RUNNING token
+    * total stays within `budgetTokens` — the standard step for building
+    * a training mixture with per-domain token targets (fractions say
+    * "how much of each domain"; budgets say "how many tokens", which is
+    * what a training run actually consumes). A document is kept iff the
+    * cumulative token count INCLUDING it fits the budget; later
+    * documents in the walk are dropped even if a smaller one would
+    * still fit (no knapsack — the walk stays deterministic and
+    * growth-stable, like [[mixtureSample]]'s coin).
+    *
+    * One window over a (stratum)-partitioned shuffle; the running sum
+    * is a frame-less cumulative aggregate, so each stratum streams
+    * through its reducer once. Emits n_tokens + the running total as
+    * evidence. */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
       fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
     // uniform in [0,1): first 32 md5 bits of the id
@@ -582,6 +610,13 @@ object Dedup {
       semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 10, threshold = 0.35, maxTrainVectors = 256)
         .orderBy("vec_id")),
+    // token-budget mixture selection: 2000 tokens per language, docs
+    // walked in deterministic md5 order
+    "d12_token_budget" -> ((s, dir) =>
+      tokenBudgetSample(Tables.documents(s, dir), "doc_id", "text",
+        "lang", budgetTokens = 2000)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("lang", "doc_id")),
     "d07_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       contaminationFlags(docs.filter(col("doc_id") >= 10),
@@ -724,6 +759,18 @@ object Dedup {
         |  FROM documents)
         |WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin,
+    "d12_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len(${graft.text.TextAnalysis.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 2000
+         |ORDER BY lang, doc_id""".stripMargin,
     "d11_semantic_dedup" -> {
       import graft.similarity.Similarity.{assignCteSql, lloydCtesSql, normSql}
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

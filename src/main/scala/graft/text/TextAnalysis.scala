@@ -423,7 +423,7 @@ object TextAnalysis {
 
   /** DuckDB equivalents. Note DuckDB regexp_replace needs the 'g' flag
     * (Spark replaces globally by default). */
-  private val toksSql =
+  private[graft] val toksSql =
     "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
 
   private def stopSql(set: Seq[String]): String =

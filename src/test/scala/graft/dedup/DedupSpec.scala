@@ -216,6 +216,47 @@ class DedupSpec extends SparkSpec {
     assert(keptGrown.filter(_ < 1000L) === kept)
   }
 
+  test("tokenBudgetSample: running total capped per stratum, walk deterministic") {
+    val corpus = Seq(
+      (1L, "en", "one two three"),            // 3 tokens
+      (2L, "en", "four five six seven"),      // 4 tokens
+      (3L, "en", "eight nine"),               // 2 tokens
+      (4L, "de", "eins zwei drei vier fuenf") // 5 tokens
+    ).toDF("doc_id", "lang", "text")
+    // budget large enough for everything: all docs kept, sums exact
+    val all = Dedup.tokenBudgetSample(corpus, "doc_id", "text", "lang", 100L)
+    assert(all.count() === 4)
+    val tok = all.select("doc_id", "n_tokens").as[(Long, Long)]
+      .collect().toMap
+    assert(tok === Map(1L -> 3L, 2L -> 4L, 3L -> 2L, 4L -> 5L))
+    // per-stratum cum_tokens ends at the stratum's total regardless of order
+    val enMax = all.filter($"lang" === "en")
+      .agg(max("cum_tokens")).as[Long].head()
+    assert(enMax === 9L)
+
+    // tight budget: a doc is kept iff cum INCLUDING it fits; the walk is
+    // md5-ordered, so recompute the expected keep set the same way
+    val budget = 5L
+    val kept = Dedup.tokenBudgetSample(corpus, "doc_id", "text", "lang", budget)
+    kept.collect().foreach { r =>
+      assert(r.getAs[Long]("cum_tokens") <= budget)
+      assert(r.getAs[Long]("cum_tokens") >= r.getAs[Long]("n_tokens"))
+    }
+    // de stratum: single 5-token doc exactly fills budget 5 (boundary kept)
+    assert(kept.filter($"lang" === "de").count() === 1)
+    // determinism: two runs agree exactly
+    val again = Dedup.tokenBudgetSample(corpus, "doc_id", "text", "lang", budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept.select("doc_id").as[Long].collect().toSet)
+    // growth stability: adding docs never flips an existing keep into a
+    // larger cum (new docs can only push LATER walk positions out)
+    val grown = corpus.unionByName(
+      Seq((99L, "en", "zz zz zz")).toDF("doc_id", "lang", "text"))
+    val keptGrown = Dedup.tokenBudgetSample(grown, "doc_id", "text", "lang", budget)
+      .filter($"doc_id" =!= 99L).select("doc_id").as[Long].collect().toSet
+    assert(keptGrown.subsetOf(kept.select("doc_id").as[Long].collect().toSet))
+  }
+
   test("hashSampleByStratum: n per stratum, deterministic") {
     val docs = (1L to 40L).map(i =>
       (i, if (i % 2 == 0) "even" else "odd", s"text $i"))
