@@ -1653,6 +1653,109 @@ object Merge {
     }.reduce(_.unionByName(_))
   }
 
+  /** Change-data-capture read: every row-level change applied by the
+    * recorded commits in (afterTs, untilTs] — the Delta-CDF / Hudi
+    * incremental-with-deletes shape, recovered purely from commit
+    * metadata and the COW history, with NO change files written at
+    * commit time and NO snapshot diffing at read time. Each commit's
+    * changes derive from just the files it touched: post-images are the
+    * rows in its added files stamped with its own commit id
+    * (carried-over rows keep their older stamps, so the stamp filter
+    * drops them at the scan), pre-images are the rows in the files it
+    * retired to `_graft_history/<cts>/`. Joining the two on `keyCols`
+    * classifies everything: post∖pre = insert, post∩pre = update
+    * (pre- and post-image rows emitted), pre∖postAll = delete (postAll
+    * = every row in the added files, so carried-over keys are not
+    * mistaken for deletes). Cost scales with the commits' touched file
+    * groups, never with table size.
+    *
+    * `keyCols` must be the FULL identifying key — for partition-scoped
+    * keys (the [[upsert]] default) pass keyCols ++ partitionCols.
+    *
+    * Output = the table's columns (minus the `_commit_ts` stamp) plus
+    * `_change_type` ∈ insert | update_preimage | update_postimage |
+    * delete and `_change_commit` = the commit that applied the change;
+    * deletes and update pre-images carry the pre-change payload.
+    *
+    * Like [[readAsOf]], requires `afterTs >= historyFloor` and refuses
+    * rather than serving incomplete changes when history was cleaned or
+    * voided by an unversioned mutation. [[readSince]] stays the cheap
+    * path when deletes and pre-images don't matter. */
+  def readChanges(spark: SparkSession, path: String, afterTs: Long,
+      untilTs: Long, keyCols: Seq[String]): DataFrame = {
+    require(afterTs >= 0 && untilTs > afterTs,
+      s"need untilTs > afterTs >= 0, got ($afterTs, $untilTs]")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val floor = historyFloor(spark, path)
+    if (afterTs < floor)
+      throw new IllegalStateException(
+        s"cannot read changes after commit $afterTs at $path: history " +
+          s"floor is $floor (older pre-images were cleaned, or voided " +
+          "by an unversioned mutation — see readAsOf)")
+    val fs = fsFor(spark, path)
+    val tableRoot = fs.makeQualified(new Path(path))
+    val all = recordedCommitsAfter(spark, path, afterTs)
+    val inRange = all.filter(_.cts <= untilTs)
+    val schema = readSchemaMeta(spark, path).getOrElse(
+      readTable(spark, path).schema)
+    val payloadCols = schema.fields.map(_.name).filterNot(_ == commitCol)
+    keyCols.foreach(k => require(payloadCols.contains(k),
+      s"key column $k not in table schema ${payloadCols.mkString(",")}"))
+    // where does each in-range added file live NOW? resident in the
+    // table unless a later recorded commit retired it into its history
+    // dir (that later commit is > afterTs, so floor guarantees its
+    // history is still present)
+    val retiredBy: Map[String, Long] =
+      all.flatMap(c => c.removed.map(_ -> c.cts)).toMap
+    def histDirChecked(c: Long): Path = {
+      val h = historyDir(path, c)
+      if (!fs.exists(h))
+        throw new IllegalStateException(
+          s"cannot read changes at $path: commit $c's retired files " +
+            s"are missing from $h (history damaged — was the " +
+            "directory removed manually?)")
+      fs.makeQualified(h)
+    }
+    def readRels(rels: Seq[String], locate: String => Path): DataFrame =
+      if (rels.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else rels.groupBy(locate).toSeq.sortBy(_._1.toString)
+        .map { case (base, group) =>
+          spark.read.schema(schema).option("basePath", base.toString)
+            .parquet(group.map(r => new Path(base, r).toString): _*)
+        }.reduce(_.unionByName(_))
+    val perCommit = inRange.map { c =>
+      val postAll = readRels(c.added, rel =>
+        retiredBy.get(rel) match {
+          case Some(later) if later > c.cts => histDirChecked(later)
+          case _ => tableRoot
+        })
+      val pre = readRels(c.removed, _ => histDirChecked(c.cts))
+      val post = postAll.filter(col(commitCol) === c.cts)
+      val inserts = post.join(pre, keyCols, "left_anti")
+        .withColumn("_change_type", lit("insert"))
+      val updPost = post.join(pre, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_postimage"))
+      val updPre = pre.join(post, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+      val deletes = pre.join(postAll, keyCols, "left_anti")
+        .withColumn("_change_type", lit("delete"))
+      inserts.unionByName(updPost).unionByName(updPre).unionByName(deletes)
+        .withColumn("_change_commit", lit(c.cts))
+    }
+    val out =
+      if (perCommit.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_change_commit", lit(0L))
+          .limit(0)
+      else perCommit.reduce(_.unionByName(_))
+    out.select(payloadCols.map(col) :+ col("_change_type") :+
+      col("_change_commit"): _*)
+  }
+
   /** Physical revert to the state as of commit `toTs` — Hudi's
     * savepoint-restore. Walks the recorded commits after `toTs` newest
     * first, un-publishing each one's added files, restoring its retired
@@ -1991,6 +2094,26 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // q29: change-data-capture — the three-commit replay read back as
+    // row-level changes in (c1, c3]: batch 2's upserts split into
+    // inserts vs update pre/post-image pairs against the batch-1
+    // state, and the versioned delete's victims emitted with their
+    // pre-change payload. The oracle recomputes every change class
+    // relationally from the same batch algebra; nothing engine-side
+    // may leak a carried-over row as a change.
+    "q29_cdc" -> ((s, dir) => {
+      val path = scratchTable("graft_q29_")
+      val keyCols = Seq("okey")
+      val c1 = upsertVersioned(s, replayBatch(s, dir, 0), path,
+        keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      val c3 = deleteVersioned(s, replayBatch(s, dir, 0)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, keyCols, Seq("part"))
+      readChanges(s, path, c1, c3, Seq("okey", "part"))
+        .orderBy("_change_commit", "_change_type", "part", "okey")
+    }),
     // x04: streaming keyed ingestion with the ORDERED payload — the
     // replay corpus split into files and drained through a checkpointed
     // file stream, each micro-batch upserted with
@@ -2230,6 +2353,46 @@ object Merge {
         |  LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
         |  WHERE b2.pre IS NULL)
         |ORDER BY part, okey""".stripMargin,
+    // every change class recomputed relationally: commit 2 = batch 2
+    // vs the batch-1 state (outer join splits inserts from updates,
+    // update keys emit both images), commit 3 = the delete victims
+    // with their pre-change payload from the two-batch merge state
+    "q29_cdc" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
+        |t2 AS (SELECT * FROM b2
+        |       UNION ALL
+        |       SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+        |       LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |       WHERE b2.pre IS NULL),
+        |d AS (SELECT DISTINCT okey, part FROM raw
+        |      WHERE pre % 7 = 0 AND pre % 3 = 0),
+        |ch AS (
+        |  SELECT b2.okey, b2.part, b2.price, b2.pre,
+        |         CASE WHEN b1.pre IS NULL THEN 'insert'
+        |              ELSE 'update_postimage' END AS _change_type,
+        |         CAST(2 AS BIGINT) AS _change_commit
+        |  FROM b2 LEFT JOIN b1 ON b2.okey = b1.okey AND b2.part = b1.part
+        |  UNION ALL
+        |  SELECT b1.okey, b1.part, b1.price, b1.pre,
+        |         'update_preimage', CAST(2 AS BIGINT)
+        |  FROM b1 JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |  UNION ALL
+        |  SELECT t2.okey, t2.part, t2.price, t2.pre,
+        |         'delete', CAST(3 AS BIGINT)
+        |  FROM t2 JOIN d ON t2.okey = d.okey AND t2.part = d.part)
+        |SELECT okey, part, price, pre, _change_type, _change_commit
+        |FROM ch
+        |ORDER BY _change_commit, _change_type, part, okey""".stripMargin,
     // ordered-payload streaming ingestion converges to the per-key
     // precombine argmax over the whole corpus, however the stream
     // grouped it into micro-batches

@@ -68,6 +68,57 @@ class TimeTravelSpec extends SparkSpec {
       ("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)))
   }
 
+  test("readChanges classifies inserts/updates/deletes; carried rows never leak") {
+    val path = tmpDir("cdc") + "/table"
+    val c1 = Merge.upsertVersioned(spark,
+      tx(("T0", "c0", "ADAGBP", 0.5), ("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    Merge.upsertVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)),
+      path, keyCols, "price", "pair")
+    val c3 = Merge.deleteVersioned(spark,
+      Seq(("T0", "c0", "ADAGBP")).toDF("transaction_id", "close_time", "pair"),
+      path, keyCols, Seq("pair"))
+    val fullKey = keyCols :+ "pair"
+    val ch = Merge.readChanges(spark, path, c1, c3, fullKey)
+      .select("transaction_id", "price", "_change_type", "_change_commit")
+      .as[(String, Double, String, Long)].collect().toSet
+    // T0 was carried through c2's group rewrite untouched — it must
+    // surface ONLY as c3's delete, with its pre-change payload
+    assert(ch === Set(
+      ("T1", 1.0, "update_preimage", c1 + 1),
+      ("T1", 2.0, "update_postimage", c1 + 1),
+      ("T2", 3.0, "insert", c1 + 1),
+      ("T0", 0.5, "delete", c3)))
+    // the first commit against an empty table is pure inserts
+    val first = Merge.readChanges(spark, path, 0L, c1, fullKey)
+      .select("transaction_id", "_change_type")
+      .as[(String, String)].collect().toSet
+    assert(first === Set(("T0", "insert"), ("T1", "insert")))
+  }
+
+  test("readChanges: empty range yields the contract schema, zero rows") {
+    val path = tmpDir("cdcempty") + "/table"
+    val (_, _, c3) = build3(path)
+    val ch = Merge.readChanges(spark, path, c3, c3 + 10, keyCols :+ "pair")
+    assert(ch.count() === 0L)
+    assert(ch.columns.contains("_change_type") &&
+      ch.columns.contains("_change_commit"))
+    assert(!ch.columns.contains(Merge.commitCol))
+  }
+
+  test("readChanges refuses once history is voided or cleaned past the range") {
+    val path = tmpDir("cdcvoid") + "/table"
+    val (c1, _, c3) = build3(path)
+    // an unversioned (timeline-silent) delete voids history → the
+    // pre-images readChanges needs are gone
+    Merge.delete(spark, Seq(("T1", "c1", "ADAGBP")).toDF(
+      "transaction_id", "close_time", "pair"), path, keyCols, Seq("pair"))
+    val e = intercept[IllegalStateException](
+      Merge.readChanges(spark, path, c1, c3, keyCols :+ "pair"))
+    assert(e.getMessage.contains("history floor"))
+  }
+
   test("deleteVersioned is a timeline event that owns no rows") {
     val path = tmpDir("ttdelc") + "/table"
     build3(path)
