@@ -349,6 +349,70 @@ object TextAnalysis {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Language-model quality score, CCNet-style (arXiv:1911.00359):
+    * score each document by how predictable its token sequence is
+    * under a model trained on the corpus itself — the standard
+    * "does this read like the reference corpus" quality filter (CCNet
+    * buckets Common Crawl by Wikipedia-LM perplexity; here the corpus
+    * is its own reference). The model is an add-one-smoothed BIGRAM
+    * model, and the emitted score is the per-doc MEAN conditional
+    * probability `mean_i (c(w_i,w_{i+1})+1)/(c(w_i)+V)` — the
+    * arithmetic mean rather than CCNet's log-space perplexity
+    * (geometric mean), a deliberate deviation: every term is a ratio
+    * of exact corpus counts, and IEEE division/addition are
+    * bit-identical across engines while libm's `ln` is not, so the
+    * score is oracle-checkable bit-for-bit. Both statistics order
+    * "formulaic, corpus-like" above "rare-word salad"; they are NOT
+    * monotone transforms of each other, so this is its own declared
+    * statistic, not a perplexity approximation.
+    *
+    * Per-doc sums fold in TOKEN-POSITION order (sort_array over
+    * (pos, p), then a sequential `aggregate`) — the same
+    * specified-order fold contract the e02/e04 oracles pin, which is
+    * what makes a float sum portable at all.
+    *
+    * Shape at scale: one bigram aggregate over the corpus (shuffle on
+    * the bigram), unigram counts derived FROM the bigram aggregate
+    * (no second tokenize), one vocab-size aggregate (column-pruned
+    * second scan, broadcast as a 1-row frame like tfidf's N), then an
+    * equi-join of doc bigrams against the two count tables (AQE
+    * handles stop-word skew) and a per-doc fold bounded by doc
+    * length. Docs with <2 tokens surface with n_bigrams=0 and a NULL
+    * score — never silently dropped. */
+  def lmQualityScore(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val big = toks
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol), posexplode(expr(
+        "transform(slice(_toks, 1, size(_toks) - 1), " +
+          "(w, i) -> struct(w AS w1, _toks[i + 1] AS w2))"))
+        .as(Seq("pos", "bg")))
+      .select(col(idCol), col("pos"), col("bg.w1"), col("bg.w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = toks.select(explode(col("_toks")).as("_t"))
+      .agg(countDistinct(col("_t")).as("_v"))
+    val scored = big
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p", (col("c2") + 1).cast("double") /
+        (col("c1") + col("_v")).cast("double"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("p")).as("_sum_p"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("_sum_p") / col("n_bigrams")).as("lm_score"))
+  }
+
   /** PII/noise scrubbing: emails, URLs, and long digit runs replaced by
     * typed placeholder tokens. Pure regexp_replace chain — codegen'd,
     * narrow, portable regex subset (no lookarounds). */
@@ -416,6 +480,9 @@ object TextAnalysis {
     "t10_countmin" -> ((s, dir) =>
       countMinSketch(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("d", "bucket")),
+    "t13_lm_score" -> ((s, dir) =>
+      lmQualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "t11_tfidf" -> ((s, dir) =>
       tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id", "rank")),
@@ -500,6 +567,32 @@ object TextAnalysis {
          |ORDER BY tf_corpus DESC, term LIMIT 100""".stripMargin,
     // rational tf-idf (tf × N / df): same left-assoc double arithmetic
     // tree as the engine — ln would be libm-dependent and break parity
+    // the add-one bigram model restated: counts from the same bigram
+    // relation, the per-doc float sum folded in the same token-position
+    // order (list ORDER BY pos → list_sum), one final IEEE division
+    "t13_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bgr AS (SELECT doc_id, bg.pos AS pos, bg.w1 AS w1, bg.w2 AS w2
+         |        FROM (SELECT doc_id,
+         |                unnest(list_transform(generate_series(1, len(toks)-1),
+         |                  i -> {'pos': i, 'w1': toks[i], 'w2': toks[i+1]})) AS bg
+         |              FROM t WHERE len(toks) >= 2)),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgr GROUP BY 1, 2),
+         |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT COUNT(DISTINCT tok) AS v
+         |      FROM (SELECT unnest(toks) AS tok FROM t)),
+         |p AS (SELECT bgr.doc_id, bgr.pos,
+         |        CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+         |      FROM bgr JOIN c2 ON bgr.w1 = c2.w1 AND bgr.w2 = c2.w2
+         |               JOIN c1 ON bgr.w1 = c1.w1, v),
+         |s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |        list_sum(list(p ORDER BY pos)) AS sum_p
+         |      FROM p GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  s.sum_p / s.n_bigrams AS lm_score
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "t11_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

@@ -285,6 +285,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) === ((0L, false)), "empty doc: zero words, no NaN, drop")
   }
 
+  test("lmQualityScore: corpus-like text outscores rare-word salad; " +
+      "short docs surface with NULL") {
+    // the repeated phrase dominates the corpus counts, so its bigrams
+    // are highly predictable; doc 3's tokens are all corpus-unique
+    val common = "the cat sat on the mat"
+    val df = Seq(
+      (1L, common), (2L, common), (4L, common),
+      (3L, "zyx wvu tsr qpo nml"),
+      (5L, "solo"), (6L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmQualityScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L)._2.get > out(3L)._2.get,
+      s"corpus-like must outscore rare: ${out(1L)} vs ${out(3L)}")
+    assert(out(1L) === out(2L), "identical docs score identically")
+    assert(out(1L)._1 === 5L, "n-1 bigrams")
+    // <2 tokens: kept, zero bigrams, NULL score — never silently dropped
+    assert(out(5L) === ((0L, None)))
+    assert(out(6L) === ((0L, None)))
+    // scores are probabilities' mean: in (0, 1]
+    Seq(1L, 3L).foreach(id =>
+      assert(out(id)._2.get > 0.0 && out(id)._2.get <= 1.0))
+  }
+
   test("qualityFeatures: ratios in [0,1], score favors clean prose") {
     val clean = "the cat and the dog sat in the house and it is a good day " * 3
     val junk = "@@@@ #### 1234 %%%% !!!! 9999 ****"
