@@ -80,6 +80,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("d12: token-budget walk is one shuffle (the stratum window)") {
+    val p = plan("d12_token_budget")
+    // tokenize + md5 are narrow; the only row shuffle is the window's
+    // stratum partitioning (the trailing rangepartitioning is the
+    // driver key's presentation orderBy, not part of the operator)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t13: bigram counts combine map-side; vocab rides a 1-row broadcast") {
+    val p = plan("t13_lm_score")
+    // the corpus-sized aggregate (bigram counts) must partial-combine
+    // before its shuffle — at 100 TB the map-side combine is the
+    // difference between shuffling distinct bigrams and shuffling
+    // every token occurrence
+    assert(p.contains("partial_count"), p)
+    // V is a 1-row aggregate cross-joined in as a broadcast, never a
+    // driver-side eager count (the same in-plan-N contract as t11)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q19: incremental pull pushes the commit-stamp predicate to the scan") {
     // readSince must be a stat-pruned scan: at 100 TB the filter
     // reaching the parquet reader is what lets row groups whose

@@ -294,6 +294,20 @@ class MorTableSpec extends SparkSpec {
     }
   }
 
+  test("readChanges refuses on a MOR table once deltas land (floor voided)") {
+    val path = tmpDir("mor_cdc")
+    val c1 = MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    val c2 = MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 2.0)),
+      path, keyCols, "price", "pair")
+    // delta appends record no file retirements, so CDC pre-images do
+    // not exist — the shared floor discipline must refuse, not
+    // fabricate changes from the base files alone
+    val e = intercept[IllegalStateException](
+      Merge.readChanges(spark, path, c1, c2, keyCols :+ "pair"))
+    assert(e.getMessage.contains("history floor"))
+  }
+
   test("spec mismatch and non-MOR paths fail loudly") {
     val path = tmpDir("mor_spec")
     MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
