@@ -82,6 +82,50 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming change-data-capture: like [[foreachIncrement]], but each
+    * micro-batch hands `f` the CHANGES its commits applied
+    * ([[Merge.readChanges]] rows — insert / update_preimage /
+    * update_postimage / delete with a `_change_commit` stamp) instead
+    * of the commits' current rows — the Delta-CDF-streaming analogue,
+    * for consumers that must see deletes and before-images (audit
+    * feeds, downstream invalidation, replicas).
+    *
+    * Changes are computed per exact commit id (`readChanges(id-1, id)`
+    * for each id in THIS batch), never as one open range — a commit
+    * that lands between the source's file listing and the change read
+    * belongs to the NEXT batch, and a range read would deliver it
+    * twice. Per-id reads stay cheap: each touches only its commit's
+    * added + retired files.
+    *
+    * COW tables only, and the history window applies: if [[Merge.clean]]
+    * sweeps (or a MOR delta / unversioned mutation voids) a commit's
+    * pre-images before the consumer drains it, the batch fails loudly
+    * with the floor refusal rather than delivering partial changes —
+    * size `clean`'s retention to the consumer's maximum lag, exactly
+    * like Hudi's cleaner-vs-incremental-consumer contract. Same
+    * at-least-once semantics as [[foreachIncrement]]. */
+  def foreachChanges(
+      spark: SparkSession,
+      path: String,
+      checkpointDir: String,
+      keyCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow())(
+      f: (DataFrame, Seq[Long], Long) => Unit): StreamingQuery =
+    commitStream(spark, path).writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ids = batch.select("commit_ts")
+          .collect().map(_.getLong(0)).distinct.sorted.toIndexedSeq
+        if (ids.nonEmpty) {
+          val changes = ids
+            .map(id => Merge.readChanges(spark, path, id - 1, id, keyCols))
+            .reduce(_.unionByName(_))
+          f(changes, ids, batchId)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   private def writer(
       spark: SparkSession,
       path: String,

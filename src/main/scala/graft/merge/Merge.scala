@@ -2094,6 +2094,30 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // x06: streaming CDC — the q29 replay's full change history (0, c3]
+    // drained through the checkpointed commit stream, each micro-batch
+    // delivering exactly its commit ids' changes. The union must equal
+    // the batch readChanges over the whole range however the file
+    // source grouped the commit records — commit 1's pure inserts plus
+    // q29's update/insert/delete classes; the oracle recomputes all of
+    // it relationally.
+    "x06_stream_cdc" -> ((s, dir) => {
+      val path = scratchTable("graft_x06_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, keyCols, Seq("part"))
+      val sink = scratchTable("graft_x06sink_")
+      val q = IncrementalStream.foreachChanges(s, path,
+        scratchTable("graft_x06ckpt_"), Seq("okey", "part")) { (ch, _, _) =>
+        ch.write.mode("append").parquet(sink)
+      }
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .orderBy("_change_commit", "_change_type", "part", "okey")
+    }),
     // q29: change-data-capture — the three-commit replay read back as
     // row-level changes in (c1, c3]: batch 2's upserts split into
     // inserts vs update pre/post-image pairs against the batch-1
@@ -2353,6 +2377,49 @@ object Merge {
         |  LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
         |  WHERE b2.pre IS NULL)
         |ORDER BY part, okey""".stripMargin,
+    // the streamed change history = commit 1's pure inserts (the
+    // deduped batch-0 rows) plus the q29 change classes, however the
+    // commit stream batched them
+    "x06_stream_cdc" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
+        |t2 AS (SELECT * FROM b2
+        |       UNION ALL
+        |       SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+        |       LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |       WHERE b2.pre IS NULL),
+        |d AS (SELECT DISTINCT okey, part FROM raw
+        |      WHERE pre % 7 = 0 AND pre % 3 = 0),
+        |ch AS (
+        |  SELECT okey, part, price, pre,
+        |         'insert' AS _change_type, CAST(1 AS BIGINT) AS _change_commit
+        |  FROM b1
+        |  UNION ALL
+        |  SELECT b2.okey, b2.part, b2.price, b2.pre,
+        |         CASE WHEN b1.pre IS NULL THEN 'insert'
+        |              ELSE 'update_postimage' END,
+        |         CAST(2 AS BIGINT)
+        |  FROM b2 LEFT JOIN b1 ON b2.okey = b1.okey AND b2.part = b1.part
+        |  UNION ALL
+        |  SELECT b1.okey, b1.part, b1.price, b1.pre,
+        |         'update_preimage', CAST(2 AS BIGINT)
+        |  FROM b1 JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |  UNION ALL
+        |  SELECT t2.okey, t2.part, t2.price, t2.pre,
+        |         'delete', CAST(3 AS BIGINT)
+        |  FROM t2 JOIN d ON t2.okey = d.okey AND t2.part = d.part)
+        |SELECT okey, part, price, pre, _change_type, _change_commit
+        |FROM ch
+        |ORDER BY _change_commit, _change_type, part, okey""".stripMargin,
     // every change class recomputed relationally: commit 2 = batch 2
     // vs the batch-1 state (outer join splits inserts from updates,
     // update keys emit both images), commit 3 = the delete victims

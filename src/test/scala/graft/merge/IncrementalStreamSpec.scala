@@ -107,6 +107,62 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(latest === want)
   }
 
+  private def drainChangesTo(path: String, sink: String, ckpt: String)
+      : Seq[Seq[Long]] = {
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = IncrementalStream.foreachChanges(spark, path, ckpt,
+      keyCols :+ "part") { (ch, ids, _) =>
+        batches += ids
+        ch.write.mode("append").parquet(sink)
+    }
+    q.awaitTermination()
+    batches.toSeq
+  }
+
+  test("foreachChanges drain equals the batch readChanges over the range") {
+    val path = tmpDir("cdcs_drain") + "/t"
+    Merge.upsertVersioned(spark, rows(0 until 30, "a", "v1"), path,
+      keyCols, "v", "part")
+    Merge.upsertVersioned(spark, rows(20 until 40, "a", "v2"), path,
+      keyCols, "v", "part")
+    val c3 = Merge.deleteVersioned(spark,
+      rows(0 until 5, "a", "x").select("k", "part"), path, keyCols,
+      Seq("part"))
+    val sink = tmpDir("cdcs_sink") + "/out"
+    val ids = drainChangesTo(path, sink, tmpDir("cdcs_ckpt"))
+    assert(ids.flatten.sorted === Seq(1L, 2L, 3L))
+    def canon(df: DataFrame): Seq[(Long, String, String, String, Long)] =
+      df.select("k", "part", "v", "_change_type", "_change_commit")
+        .as[(Long, String, String, String, Long)].collect().toSeq.sorted
+    assert(canon(spark.read.parquet(sink)) ===
+      canon(Merge.readChanges(spark, path, 0L, c3, keyCols :+ "part")))
+    // and the classes land where they should: deletes carry pre-images
+    val del = spark.read.parquet(sink).filter($"_change_type" === "delete")
+      .select("k", "v").as[(Long, String)].collect().toSeq.sorted
+    assert(del === (0L until 5L).map(k => (k, "v1")))
+  }
+
+  test("foreachChanges resume delivers only the new commits' changes") {
+    val path = tmpDir("cdcs_resume") + "/t"
+    Merge.upsertVersioned(spark, rows(0 until 10, "a", "v1"), path,
+      keyCols, "v", "part")
+    val sink = tmpDir("cdcs_rsink") + "/out"
+    val ckpt = tmpDir("cdcs_rckpt")
+    assert(drainChangesTo(path, sink, ckpt).flatten === Seq(1L))
+    Merge.upsertVersioned(spark, rows(5 until 8, "a", "v2"), path,
+      keyCols, "v", "part")
+    assert(drainChangesTo(path, sink, ckpt).flatten === Seq(2L))
+    // the second drain appended exactly commit 2's changes: 3 updated
+    // keys × two images, no re-delivery of commit 1's inserts
+    val c2rows = spark.read.parquet(sink)
+      .filter($"_change_commit" === 2L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(c2rows.length === 6)
+    assert(c2rows.map(_._1).distinct.sorted === Seq(5L, 6L, 7L))
+    assert(spark.read.parquet(sink)
+      .filter($"_change_commit" === 1L).count() === 10L)
+  }
+
   test("foreign junk in the timeline dir does not stream") {
     val path = tmpDir("incs_junk") + "/t"
     Merge.upsertVersioned(spark, rows(0 until 5, "a", "v1"), path,
