@@ -349,6 +349,60 @@ object TextAnalysis {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Cross-document duplicated-span scrub (the RefinedWeb /
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring step, arXiv:2306.01116 / 2107.06499, at token-span
+    * granularity): any k-token span whose text occurs in MORE than
+    * `maxDf` documents is boilerplate (navigation chrome, license
+    * headers, templated sentences), and every token covered by an
+    * occurrence of such a span is removed from every document — unlike
+    * document-level dedup, which keeps one copy, span scrub removes
+    * ALL copies, because the span's very ubiquity is what makes it
+    * low-value training signal. Emits per-doc evidence
+    * (n_tokens_before/after, n_spans_hit) plus the scrubbed text.
+    *
+    * Shape at scale: one posexplode of k-gram spans (rows ∝ corpus
+    * tokens, each carrying a k-token string — the honest cost; hashing
+    * the gram would shrink the shuffle but a single 64-bit collision
+    * silently scrubs an innocent span, the wrong trade for a
+    * destructive operator), a gram-keyed df aggregate with map-side
+    * combine, a semi-join back to occurrences (AQE handles the skew a
+    * viral span creates), and a per-doc covered-start list bounded by
+    * doc length. The final mask is a nested HOF filter — codegen'd,
+    * O(len × hits) per doc. Docs shorter than k pass through
+    * untouched; the scrub never drops a document (emptied docs surface
+    * with empty text and n_tokens_after=0). */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, maxDf: Int = 1): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val grams = toks
+      .filter(size(col("_toks")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(_toks) - $k), " +
+          s"i -> concat_ws(' ', slice(_toks, i + 1, $k)))"))
+        .as(Seq("pos", "gram")))
+    val boiler = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxDf)
+    val starts = grams.join(boiler, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_starts"),
+        count(lit(1)).as("n_spans_hit"))
+    toks.join(starts, Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+      .withColumn("_kept", expr(
+        s"filter(transform(_toks, (w, i) -> struct(w AS w, i AS i)), " +
+          s"x -> NOT exists(_starts, s -> x.i >= s AND x.i < s + $k))"))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens_before"),
+        size(col("_kept")).cast("long").as("n_tokens_after"),
+        coalesce(col("n_spans_hit"), lit(0L)).as("n_spans_hit"),
+        concat_ws(" ", expr("transform(_kept, x -> x.w)")).as("scrubbed"))
+  }
+
   /** Language-model quality score, CCNet-style (arXiv:1911.00359):
     * score each document by how predictable its token sequence is
     * under a model trained on the corpus itself — the standard
@@ -480,6 +534,10 @@ object TextAnalysis {
     "t10_countmin" -> ((s, dir) =>
       countMinSketch(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("d", "bucket")),
+    "t14_span_scrub" -> ((s, dir) =>
+      scrubDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, maxDf = 1)
+        .orderBy("doc_id")),
     "t13_lm_score" -> ((s, dir) =>
       lmQualityScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -567,6 +625,35 @@ object TextAnalysis {
          |ORDER BY tf_corpus DESC, term LIMIT 100""".stripMargin,
     // rational tf-idf (tf × N / df): same left-assoc double arithmetic
     // tree as the engine — ln would be libm-dependent and break parity
+    // the span scrub restated on 1-based indices: same gram df, same
+    // covered-interval mask (both sides' start/index offsets shift by
+    // one, so the coverage relation is identical)
+    "t14_span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(1, len(toks)-4)) AS i
+         |            FROM t WHERE len(toks) >= 5)),
+         |b AS (SELECT gram FROM g GROUP BY gram
+         |      HAVING COUNT(DISTINCT doc_id) > 1),
+         |s AS (SELECT doc_id, list(pos ORDER BY pos) AS starts,
+         |        COUNT(*) AS n_spans_hit
+         |      FROM g JOIN b USING (gram) GROUP BY doc_id),
+         |f AS (SELECT t.doc_id, t.toks, COALESCE(s.starts, []) AS starts,
+         |        COALESCE(s.n_spans_hit, 0) AS n_spans_hit
+         |      FROM t LEFT JOIN s ON t.doc_id = s.doc_id),
+         |kk AS (SELECT doc_id, toks, n_spans_hit,
+         |        list_filter(generate_series(1, len(toks)), j ->
+         |          len(list_filter(starts, st -> j >= st AND j < st + 5)) = 0)
+         |          AS keptidx
+         |       FROM f)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens_before,
+         |  CAST(len(keptidx) AS BIGINT) AS n_tokens_after,
+         |  CAST(n_spans_hit AS BIGINT) AS n_spans_hit,
+         |  COALESCE(array_to_string(list_transform(keptidx, j -> toks[j]), ' '),
+         |    '') AS scrubbed
+         |FROM kk ORDER BY doc_id""".stripMargin,
     // the add-one bigram model restated: counts from the same bigram
     // relation, the per-doc float sum folded in the same token-position
     // order (list ORDER BY pos → list_sum), one final IEEE division

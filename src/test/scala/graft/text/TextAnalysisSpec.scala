@@ -285,6 +285,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) === ((0L, false)), "empty doc: zero words, no NaN, drop")
   }
 
+  test("scrubDuplicateSpans: shared spans removed from ALL docs, " +
+      "unique text untouched") {
+    val boiler = "all rights reserved by the site"   // 6 tokens, shared
+    val df = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon zeta"),
+      (3L, "nothing shared here at all today")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubDuplicateSpans(df, "doc_id", "text",
+      k = 5, maxDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // the 6-token boiler contains two overlapping 5-gram occurrences
+    // per doc; their union covers exactly the 6 boiler tokens
+    assert(out(1L) === ((9L, 3L, 2L, "alpha beta gamma")))
+    assert(out(2L) === ((9L, 3L, 2L, "delta epsilon zeta")))
+    // doc 3 shares nothing: passes through byte-identical
+    assert(out(3L) === ((6L, 6L, 0L, "nothing shared here at all today")))
+    // a doc that IS the boiler scrubs to empty — removed-everywhere
+    // semantics (unlike dedup, no copy survives)
+    val withExact = df.unionByName(
+      Seq((4L, boiler)).toDF("doc_id", "text"))
+    val o4 = TextAnalysis.scrubDuplicateSpans(withExact, "doc_id", "text",
+      k = 5, maxDf = 1).filter($"doc_id" === 4L).collect().head
+    assert(o4.getLong(2) === 0L && o4.getString(4) === "")
+    // short docs (< k tokens) can never host a span: untouched
+    val short = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val os = TextAnalysis.scrubDuplicateSpans(short, "doc_id", "text",
+      k = 5, maxDf = 1).collect()
+    assert(os.forall(r => r.getLong(3) === 0L))
+  }
+
   test("lmQualityScore: corpus-like text outscores rare-word salad; " +
       "short docs surface with NULL") {
     // the repeated phrase dominates the corpus counts, so its bigrams
