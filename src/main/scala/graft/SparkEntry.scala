@@ -22,7 +22,7 @@ object SparkEntry {
     analytics.Relational.queries ++ text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++ merge.Merge.queries ++
-      merge.MorTable.queries ++
+      merge.MorTable.queries ++ pipeline.TrainingPipeline.queries ++
       streaming.EventStreams.queries ++ scale.Scale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,6 +31,6 @@ object SparkEntry {
     analytics.Relational.oracle ++ text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++ similarity.Similarity.oracle ++
       multimodal.Multimodal.oracle ++ merge.Merge.oracle ++
-      merge.MorTable.oracle ++
+      merge.MorTable.oracle ++ pipeline.TrainingPipeline.oracle ++
       streaming.EventStreams.oracle ++ scale.Scale.oracle
 }

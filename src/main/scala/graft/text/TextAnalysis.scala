@@ -551,6 +551,11 @@ object TextAnalysis {
   private[graft] val toksSql =
     "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
 
+  /** The English-stopword hit count over `toks`, for oracle SQL that
+    * restates the Gopher keep predicate outside this object (the
+    * curation pipeline's composed oracle). */
+  private[graft] def stopEnSql: String = stopSql(stopEn)
+
   private def stopSql(set: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${set.map("'" + _ + "'").mkString(",")})))"
 

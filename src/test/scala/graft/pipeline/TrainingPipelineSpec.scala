@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The composed curation pipeline: every stage must demonstrably
+  * participate (filter excludes, dedup collapses, budget cuts) — stage
+  * interaction is exactly what the composite oracle hash pins in the
+  * driver, and what this spec pins structurally. */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two distinct Gopher-passing 30-worders (word count, mean length,
+  // alpha fraction, stopword hits all inside the default gates)
+  private val proseA = "the cat and the dog sat in a warm house " * 3
+  private val proseB =
+    "a big tree grew near the old mill and it gave cool shade to all " * 2
+
+  test("curate: filter excludes, dedup collapses to min id, budget cuts") {
+    val docs = Seq(
+      (1L, "en", proseA),
+      (2L, "en", proseA),   // exact dup of 1 → dedup keeps id 1
+      (3L, "en", "x y z"),  // fails Gopher word count
+      (4L, "en", proseB)
+    ).toDF("doc_id", "lang", "text")
+
+    // generous budget: survivors are exactly the filter+dedup output
+    val wide = TrainingPipeline.curate(docs, "doc_id", "text", "lang", 1000L)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(wide.keySet === Set(1L, 4L))
+    assert(wide(1L) === 30L && wide(4L) === 30L)
+
+    // tight budget: the md5 walk admits only its first survivor
+    val tight = TrainingPipeline.curate(docs, "doc_id", "text", "lang", 32L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect()
+    assert(tight.length === 1)
+    assert(Set(1L, 4L).contains(tight.head._1))
+    assert(tight.head._2 <= 32L)
+
+    // the dup's id must never be the survivor — dedup ran BEFORE the
+    // budget walk (a post-budget dedup could admit id 2 instead)
+    assert(!wide.contains(2L))
+  }
+
+  test("curate stays one lazy plan: no eager jobs at construction") {
+    val docs = Seq((1L, "en", proseA)).toDF("doc_id", "lang", "text")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    TrainingPipeline.curate(docs, "doc_id", "text", "lang", 100L)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "building the pipeline must run no Spark job")
+  }
+}
