@@ -812,6 +812,122 @@ object Merge {
     } finally deduped.unpersist()
   }
 
+  /** Partition replace — Hudi's INSERT_OVERWRITE, the backfill
+    * primitive: every partition the batch touches is replaced WHOLESALE
+    * by the batch's rows for it (within-batch precombine dedup applies;
+    * stored rows are dropped without ever being read — no key scan, no
+    * merge join, so backfill cost is the WRITE cost plus a metadata
+    * listing, the property that makes reprocessing a bad day's
+    * partition cheap at 100 TB). Untouched partitions are untouched
+    * files. Same staged commit + additive-evolution contract as
+    * [[upsert]]. */
+  def insertOverwrite(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCol: String): Unit =
+    insertOverwrite(spark, batch, path, keyCols, precombine,
+      Seq(partitionCol))
+
+  /** [[insertOverwrite]] over a multi-level partition layout. */
+  def insertOverwrite(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String]): Unit = {
+    insertOverwriteImpl(spark, batch, path, keyCols, precombine,
+      partitionCols, needStats = false, cts = None)
+    ()
+  }
+
+  /** [[insertOverwrite]] as a recorded timeline commit: the replaced
+    * partitions' files retire to `_graft_history/`, so time travel,
+    * [[restoreTo]], [[readChanges]] and the incremental/CDC streams all
+    * compose with backfills — a partition replace surfaces in CDC as
+    * exactly its row-level effect (kept keys update, vanished keys
+    * delete, new keys insert). Returns the commit id. */
+  def insertOverwriteVersioned(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String]): Long = {
+    val cts = claimCommitId(spark, path)
+    val (stats, commit) = insertOverwriteImpl(spark,
+      batch.withColumn(commitCol, lit(cts)), path, keyCols, precombine,
+      partitionCols, needStats = true, cts = Some(cts))
+    recordCommit(spark, path, cts, stats, commit)
+    commit.foreach(c => retireToHistory(fsFor(spark, path), path, cts,
+      c.staging))
+    cts
+  }
+
+  private def insertOverwriteImpl(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String],
+      needStats: Boolean,
+      cts: Option[Long]): (MergeStats, Option[CommitResult]) = {
+    val scopedKeys = keyCols ++ partitionCols
+    val deduped = precombineDedup(batch, scopedKeys, precombine)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spec = KeySpec(keyCols, partitionCols)
+      KeyIndex.ensureSpec(spark, path, spec)
+      val obs = if (needStats) Some(org.apache.spark.sql.Observation())
+        else None
+      if (!tableExists(spark, path)) {
+        // overwrite of nothing = the same staged initial write as upsert
+        val body = obs.fold(deduped)(o =>
+          deduped.observe(o, count(lit(1)).as("n")))
+        val res = commitFiles(spark, body, path, partitionCols,
+          supersededFiles = Nil, touched = Nil, dropEmptied = false, cts)
+        return (MergeStats(
+          obs.map(_.get("n").asInstanceOf[Long]).getOrElse(0L),
+          if (needStats)
+            touchedPartitions(deduped, partitionCols).map(renderPartition)
+          else Nil), Some(res))
+      }
+      val parts = touchedPartitions(deduped, partitionCols)
+      if (parts.isEmpty) return (MergeStats(0L, Nil), None)
+      val stored = readTable(spark, path)
+      // the same additive-evolution contract as upsert: a batch may add
+      // columns, never silently drop stored ones
+      val missing = stored.columns.toSet -- deduped.columns.toSet
+      require(missing.isEmpty,
+        s"insertOverwrite batch schema mismatch vs stored table at " +
+          s"$path: batch lacks ${missing.mkString(",")} " +
+          "(a versioned table must be written via " +
+          "insertOverwriteVersioned)")
+      val extra = deduped.columns.filterNot(stored.columns.contains)
+      val target: Seq[(String, DataType)] =
+        stored.schema.fields.map(f => f.name -> f.dataType).toIndexedSeq ++
+          deduped.schema.fields.filter(f => extra.contains(f.name))
+            .map(f => f.name -> f.dataType)
+      // EVERY data file in a touched partition is superseded — this is
+      // a metadata listing, not a scan
+      val fs = fsFor(spark, path)
+      val tableRoot = fs.makeQualified(new Path(path))
+      val superseded = parts.flatMap(t => listDataStatuses(fs,
+        new Path(tableRoot, partitionRelDir(partitionCols, t)))
+        .map(_.getPath.toString))
+      val body0 = alignTo(deduped, target)
+      val body = obs.fold(body0)(o => body0.observe(o, count(lit(1)).as("n")))
+      val res = commitFiles(spark, body, path, partitionCols, superseded,
+        parts, dropEmptied = false, cts)
+      (MergeStats(obs.map(_.get("n").asInstanceOf[Long]).getOrElse(0L),
+        parts.map(renderPartition)), Some(res))
+    } finally deduped.unpersist()
+  }
+
   /** O3: delete by key — file-group rewrite of only the parquet files
     * that contain a matched key; emptied partition dirs are dropped. */
   def delete(
@@ -2094,6 +2210,23 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // q30: partition replace (INSERT_OVERWRITE) — the two-batch merge
+    // state with partition F then backfilled wholesale from batch 2:
+    // partition F must equal ONLY the deduped batch-2 F rows (stored F
+    // rows vanish unread), every other partition must be byte-stable.
+    // The oracle recomputes the replace relationally.
+    "q30_insert_overwrite" -> ((s, dir) => {
+      val path = scratchTable("graft_q30_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      insertOverwriteVersioned(s,
+        replayBatch(s, dir, 2).filter(col("part") === "F"),
+        path, keyCols, "pre", Seq("part"))
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     // x06: streaming CDC — the q29 replay's full change history (0, c3]
     // drained through the checkpointed commit stream, each micro-batch
     // delivering exactly its commit ids' changes. The union must equal
@@ -2376,6 +2509,34 @@ object Merge {
         |  SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
         |  LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
         |  WHERE b2.pre IS NULL)
+        |ORDER BY part, okey""".stripMargin,
+    // partition F replaced by batch 2's deduped F rows; the rest is the
+    // untouched two-batch merge state
+    "q30_insert_overwrite" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
+        |t2 AS (SELECT * FROM b2
+        |       UNION ALL
+        |       SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+        |       LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |       WHERE b2.pre IS NULL),
+        |b3f AS (SELECT okey, part, price, pre FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY okey, part
+        |            ORDER BY pre DESC) AS rn
+        |          FROM raw WHERE pre % 7 = 2 AND part = 'F') WHERE rn = 1)
+        |SELECT okey, part, price, pre FROM (
+        |  SELECT * FROM b3f
+        |  UNION ALL
+        |  SELECT * FROM t2 WHERE part <> 'F')
         |ORDER BY part, okey""".stripMargin,
     // the streamed change history = commit 1's pure inserts (the
     // deduped batch-0 rows) plus the q29 change classes, however the

@@ -91,6 +91,28 @@ class MergeSpec extends SparkSpec {
     assert(readTable(path).size === 3)
   }
 
+  test("insertOverwrite replaces touched partitions wholesale, others untouched") {
+    val path = tmpDir("iow")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c1", "ADAGBP", 2.0), ("T3", "c1", "BTCUSD", 3.0)),
+      path, keyCols, "price", "pair")
+    val btcBefore = new java.io.File(s"$path/pair=BTCUSD")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(20)
+    // batch carries a within-batch dup for T1 — precombine must pick
+    // 9.0; stored T2 vanishes WITHOUT being read (partition replace)
+    Merge.insertOverwrite(spark, tx(("T1", "c1", "ADAGBP", 5.0),
+      ("T1", "c1", "ADAGBP", 9.0), ("T4", "c4", "ADAGBP", 4.0)),
+      path, keyCols, "price", "pair")
+    assert(readTable(path) === Seq(
+      ("T1", "c1", "ADAGBP", 9.0),
+      ("T3", "c1", "BTCUSD", 3.0),
+      ("T4", "c4", "ADAGBP", 4.0)))
+    val btcAfter = new java.io.File(s"$path/pair=BTCUSD")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(btcAfter === btcBefore, "untouched partition must not move")
+  }
+
   test("delete removes only matching keys in touched partitions (O3)") {
     val path = tmpDir("delete")
     Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),

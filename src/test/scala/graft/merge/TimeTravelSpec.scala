@@ -97,6 +97,39 @@ class TimeTravelSpec extends SparkSpec {
     assert(first === Set(("T0", "insert"), ("T1", "insert")))
   }
 
+  test("versioned insertOverwrite composes with time travel, CDC, restore") {
+    val path = tmpDir("iowv") + "/table"
+    val c1 = Merge.upsertVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 1.0), ("T2", "c1", "ADAGBP", 2.0),
+        ("T3", "c1", "BTCUSD", 3.0)),
+      path, keyCols, "price", "pair")
+    val c2 = Merge.insertOverwriteVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 5.0), ("T4", "c4", "ADAGBP", 4.0)),
+      path, keyCols, "price", Seq("pair"))
+    // current state: the replace landed, BTCUSD untouched
+    assert(snap(Merge.readTable(spark, path)) === Seq(
+      ("T1", "c1", "ADAGBP", 5.0), ("T3", "c1", "BTCUSD", 3.0),
+      ("T4", "c4", "ADAGBP", 4.0)))
+    // the pre-backfill snapshot reconstructs from history
+    assert(snap(Merge.readAsOf(spark, path, c1)) === Seq(
+      ("T1", "c1", "ADAGBP", 1.0), ("T2", "c1", "ADAGBP", 2.0),
+      ("T3", "c1", "BTCUSD", 3.0)))
+    // CDC sees the replace as its exact row-level effect — no special
+    // casing in readChanges: kept key updates, vanished key deletes,
+    // new key inserts, other partitions silent
+    val ch = Merge.readChanges(spark, path, c1, c2, keyCols :+ "pair")
+      .select("transaction_id", "price", "_change_type")
+      .as[(String, Double, String)].collect().toSet
+    assert(ch === Set(
+      ("T1", 1.0, "update_preimage"), ("T1", 5.0, "update_postimage"),
+      ("T2", 2.0, "delete"), ("T4", 4.0, "insert")))
+    // and the backfill physically reverts
+    Merge.restoreTo(spark, path, c1)
+    assert(snap(Merge.readTable(spark, path)) === Seq(
+      ("T1", "c1", "ADAGBP", 1.0), ("T2", "c1", "ADAGBP", 2.0),
+      ("T3", "c1", "BTCUSD", 3.0)))
+  }
+
   test("readChanges: empty range yields the contract schema, zero rows") {
     val path = tmpDir("cdcempty") + "/table"
     val (_, _, c3) = build3(path)
