@@ -223,6 +223,60 @@ object Relational {
         col("n_orders"), col("total_price"))
       .orderBy("status", "priority")
 
+  /** Q31 — pivot (long→wide conditional aggregation). The pivot values
+    * are DECLARED, not discovered: `pivot(col)` without values runs an
+    * eager distinct job over the corpus before the plan even builds —
+    * at 100 TB that is a full extra pass; with declared values the
+    * whole pivot is one partial-aggregated groupBy. */
+  val pivotAgg: Q = (s, dir) =>
+    orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(d(sum(dec(col("o_totalprice")))))
+      .select(col("o_orderpriority").as("priority"),
+        col("F").as("total_f"), col("O").as("total_o"),
+        col("P").as("total_p"))
+      .orderBy("priority")
+
+  /** Q32 — explicit GROUPING SETS (the shapes rollup/cube can't
+    * express: status-only ∪ priority-only, no combined or grand-total
+    * set). Same partial-aggregation expansion as rollup — one shuffle. */
+  val groupingSetsAgg: Q = (s, dir) =>
+    orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        d(sum(dec(col("o_totalprice")))).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
+  /** Q33 — row-shift analytics: lag/lead neighbors and ntile quartiles
+    * in one window pass (one shuffle on the partition key; the frame
+    * order carries a full value tie-break so shifted neighbors are
+    * engine-independent). */
+  val windowShift: Q = (s, dir) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+    lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"),
+        d(lag(dec(col("l_quantity")), 1).over(w)).as("prev_qty"),
+        d(lead(dec(col("l_quantity")), 1).over(w)).as("next_qty"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      // full duplicate rows exist; identical rows swap window slots
+      // freely across engines but produce the same output MULTISET, so
+      // the presentation order must cover the shifted columns too (and
+      // the oracle pins NULLS FIRST to Spark's asc default)
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"),
+        col("prev_qty").asc_nulls_first, col("next_qty").asc_nulls_first,
+        col("quartile"))
+  }
+
   /** Q17 — exact percentiles (sort-based; DuckDB quantile_cont uses the
     * same linear interpolation over the same doubles). */
   val percentiles: Q = (s, dir) =>
@@ -317,9 +371,44 @@ object Relational {
     "q13_time_bucket" -> timeBucket,
     "q14_rollup" -> rollupAgg,
     "q15_json_extract" -> jsonExtract,
+    "q31_pivot" -> pivotAgg,
+    "q32_grouping_sets" -> groupingSetsAgg,
+    "q33_window_shift" -> windowShift,
   )
 
   val oracle: Map[String, String] = Map(
+    // conditional aggregation IS the pivot, restated portably
+    "q31_pivot" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_p
+        |FROM orders GROUP BY 1
+        |ORDER BY priority""".stripMargin,
+    "q32_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+    "q33_window_shift" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        |  CAST(lag(CAST(l_quantity AS DECIMAL(12,2)), 1) OVER w AS DOUBLE)
+        |    AS prev_qty,
+        |  CAST(lead(CAST(l_quantity AS DECIMAL(12,2)), 1) OVER w AS DOUBLE)
+        |    AS next_qty,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |  l_quantity, prev_qty NULLS FIRST, next_qty NULLS FIRST,
+        |  quartile""".stripMargin,
     "q21_range_join" ->
       """WITH u AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
         |             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isv

@@ -1,12 +1,37 @@
 package graft.analytics
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Value-level checks that the driver's DuckDB oracle can't express —
   * currently the approx-percentile error bound (sketch contents are
   * implementation-defined, so q17b is a rows-only driver row; this spec
   * is its hard correctness signal). */
 class RelationalSpec extends SparkSpec {
+
+  test("q31/q32: pivot cells match groupBy; grouping sets emit no grand total") {
+    // the pivot is a reshaping of the plain two-key aggregate — every
+    // wide cell must equal the corresponding long row
+    val long = graft.Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(graft.Tables.d(sum(graft.Tables.dec(col("o_totalprice")))).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val wide = graft.SparkEntry.queries("q31_pivot")(spark, sfDir)
+      .collect()
+    wide.foreach { r =>
+      val p = r.getString(0)
+      Seq(("F", 1), ("O", 2), ("P", 3)).foreach { case (st, i) =>
+        val cell = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        assert(cell === long.get((p, st)), s"($p, $st)")
+      }
+    }
+    // grouping sets (status), (priority): every row aggregates exactly
+    // ONE dimension — no (status, priority) cell, no grand total
+    val gs = graft.SparkEntry.queries("q32_grouping_sets")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(gs.forall { case (s2, p) => (s2 == "ALL") != (p == "ALL") })
+  }
 
   test("q17b approx percentiles track exact q17 within sketch error") {
     def byFlag(name: String): Map[String, (Double, Double, Double)] =
