@@ -277,6 +277,20 @@ object Relational {
         col("quartile"))
   }
 
+  /** Q34 — unpivot (wide→long melt, pivot's inverse): each metric
+    * column becomes a (metric, value) row. Pure narrow Generate — no
+    * shuffle; row count = rows × metrics by construction. */
+  val unpivotMetrics: Q = (s, dir) =>
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        d(dec(col("l_quantity"))).as("qty"),
+        d(dec(col("l_extendedprice"))).as("price"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("qty"), col("price")), "metric", "value")
+      // duplicate (orderkey, linenumber) rows exist — value completes
+      // the total order
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+
   /** Q17 — exact percentiles (sort-based; DuckDB quantile_cont uses the
     * same linear interpolation over the same doubles). */
   val percentiles: Q = (s, dir) =>
@@ -374,6 +388,7 @@ object Relational {
     "q31_pivot" -> pivotAgg,
     "q32_grouping_sets" -> groupingSetsAgg,
     "q33_window_shift" -> windowShift,
+    "q34_unpivot" -> unpivotMetrics,
   )
 
   val oracle: Map[String, String] = Map(
@@ -409,6 +424,15 @@ object Relational {
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
         |  l_quantity, prev_qty NULLS FIRST, next_qty NULLS FIRST,
         |  quartile""".stripMargin,
+    "q34_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+        |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price',
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
     "q21_range_join" ->
       """WITH u AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
         |             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isv
