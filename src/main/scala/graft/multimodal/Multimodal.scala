@@ -132,6 +132,23 @@ object Multimodal {
     // frame sampling + resize over binary payloads: every 2nd 32-byte
     // chunk, content-addressed — the narrow-map video-frame path with a
     // relational oracle over the same bytes
+    // cross-media duplicate frames: the exact-dedup algebra applied to
+    // frame fingerprints (intro/outro/black-frame detection at corpus
+    // scale) — frames stay narrow until the fingerprint aggregate, and
+    // only 32-byte hashes shuffle, never payload bytes
+    "m05_frame_dedup" -> ((s, dir) =>
+      syntheticMedia(s, dir)
+        .select(col("media_id"),
+          explode(frameSample(col("payload"), frameSize = 32, stride = 2))
+            .as("frame"))
+        .select(col("media_id"), sha2(col("frame"), 256).as("fp"))
+        .groupBy("fp")
+        .agg(
+          countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("media_id")).as("keeper_media"))
+        .filter(col("n_media") > 1)
+        .orderBy("fp")),
     "m04_frame_sample" -> ((s, dir) =>
       syntheticMedia(s, dir)
         .select(col("media_id"),
@@ -173,6 +190,19 @@ object Multimodal {
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
     // frames start every frameSize×stride = 64 bytes; ASCII text (see
     // m03 note) makes char slicing == byte slicing
+    "m05_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    substring(text, CAST(i * 64 + 1 AS INT), 32) AS frame
+        |  FROM documents,
+        |       unnest(generate_series(0, greatest((length(text) - 1) // 64, 0))) AS t(i))
+        |SELECT sha256(frame) AS fp,
+        |  CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+        |  COUNT(*) AS n_occurrences,
+        |  MIN(media_id) AS keeper_media
+        |FROM f GROUP BY 1
+        |HAVING COUNT(DISTINCT media_id) > 1
+        |ORDER BY fp""".stripMargin,
     "m04_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id, i AS frame_idx,

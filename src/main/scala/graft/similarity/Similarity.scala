@@ -87,6 +87,18 @@ object Similarity {
         col("corpus_id"), col("cos_sim"))
   }
 
+  /** Filtered vector search: exact cosine top-k restricted to the
+    * corpus rows satisfying `predicate` — the "metadata filter + vector
+    * search" shape every retrieval stack needs (search within a tenant,
+    * a label, a date range). Pure composition: the filter lands BEFORE
+    * the broadcast-scored scan, so Catalyst pushes it into the parquet
+    * reader and only matching row groups are ever scored —
+    * post-filtering top-k results (the naive composition) would both
+    * scan everything and under-fill k. PlanSpec asserts the pushdown. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      predicate: Column): DataFrame =
+    bruteTopK(corpus.filter(predicate), queries, k)
+
   /** Deterministic pseudo-random hyperplane for plane j: component i is
     * md5("j,i")-derived uniform in [-0.5, 0.5). Computed ONCE on the
     * driver and shipped as a literal array — zero hashing in the
@@ -276,6 +288,12 @@ object Similarity {
     "s01_knn_brute" -> ((s, dir) =>
       bruteTopK(corpusOf(s, dir), queriesOf(s, dir), 10)
         .orderBy("query_id", "rank")),
+    // filtered search: top-k within label=1 only — the metadata-filter
+    // + vector-search composition, filter pushed to the corpus scan
+    "s04_ann_filtered" -> ((s, dir) =>
+      filteredTopK(corpusOf(s, dir), queriesOf(s, dir), 10,
+        col("label") === 1)
+        .orderBy("query_id", "rank")),
     "s02_ann_lsh" -> ((s, dir) =>
       lshTopK(corpusOf(s, dir), queriesOf(s, dir), 10, bits = 4, tables = 8)
         .orderBy("query_id", "rank")),
@@ -407,6 +425,24 @@ object Similarity {
          |SELECT query_id, rank, corpus_id, cos_sim
          |FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    "s04_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, v AS cv FROM e
+        |      WHERE vec_id >= 5 AND label = 1),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |         list_cosine_similarity(qv, cv) AS cos_sim
+        |  FROM q CROSS JOIN c WHERE corpus_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_sim DESC, corpus_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, corpus_id, cos_sim
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "s01_knn_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

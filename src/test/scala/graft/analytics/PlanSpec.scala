@@ -102,6 +102,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s04: the metadata filter reaches the corpus parquet scan") {
+    // filtered ANN must prune row groups BEFORE scoring — a
+    // post-scoring filter would scan everything and under-fill k
+    val p = plan("s04_ann_filtered")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(label,1)"), p)
+  }
+
   test("q19: incremental pull pushes the commit-stamp predicate to the scan") {
     // readSince must be a stat-pruned scan: at 100 TB the filter
     // reaching the parquet reader is what lets row groups whose

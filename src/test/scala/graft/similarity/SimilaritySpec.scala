@@ -38,6 +38,23 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getLong(2) === 100L)
   }
 
+  test("filteredTopK: every result satisfies the predicate, k still fills") {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val top = Similarity.filteredTopK(corpus, queries, 10, $"label" === 1)
+    val rows = top.select("query_id", "corpus_id").as[(Long, Long)].collect()
+    assert(rows.forall { case (_, c) => labels(c) == 1 },
+      "a result outside the filter leaked through")
+    // k fills from the filtered subset (it is large enough here) —
+    // post-filtering brute results instead would under-fill
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+    // and it equals brute-force over the pre-filtered corpus (pure
+    // composition, no semantic drift)
+    val direct = neighborSets(
+      Similarity.bruteTopK(corpus.filter($"label" === 1), queries, 10))
+    assert(neighborSets(top) === direct)
+  }
+
   test("LSH buckets are deterministic and split the corpus") {
     val b1 = Similarity.lshBuckets(corpus, 8).select("vec_id", "bucket")
       .as[(Long, Long)].collect().toMap
