@@ -113,6 +113,19 @@ class MergeSpec extends SparkSpec {
     assert(btcAfter === btcBefore, "untouched partition must not move")
   }
 
+  test("insertOverwrite into a brand-new partition is a plain append") {
+    val path = tmpDir("iownew")
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    // one batch both replaces an existing partition and creates a new
+    // one — the new partition has no files to supersede
+    Merge.insertOverwrite(spark, tx(("T2", "c2", "ADAGBP", 2.0),
+      ("T3", "c3", "ETHUSD", 3.0)), path, keyCols, "price", "pair")
+    assert(readTable(path) === Seq(
+      ("T2", "c2", "ADAGBP", 2.0),
+      ("T3", "c3", "ETHUSD", 3.0)))
+  }
+
   test("delete removes only matching keys in touched partitions (O3)") {
     val path = tmpDir("delete")
     Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
