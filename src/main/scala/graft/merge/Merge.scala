@@ -812,6 +812,47 @@ object Merge {
     } finally deduped.unpersist()
   }
 
+  /** Metadata-only adoption of an existing PLAIN parquet layout into
+    * the commit timeline — Hudi's METADATA_ONLY bootstrap: not one data
+    * byte is rewritten; the adoption commit simply records every
+    * current data file as added, so versioned upserts/deletes, time
+    * travel back to the adoption point, CDC and the incremental
+    * streams all work from here on. The one-time cost is a single
+    * column-pruned count (the timeline's n_rows) and a partition-value
+    * distinct — both deliberate: adoption happens once per table.
+    *
+    * Bootstrapped rows carry NO `_commit_ts` stamp (their files predate
+    * the timeline; after the first versioned write the column appears
+    * and they read back null) — so incremental pulls exclude them, the
+    * honest semantics for rows that predate the timeline: a consumer
+    * starting from 0 sees every post-adoption change, and a snapshot
+    * read sees everything. Refuses a path that already has a timeline.
+    * Returns the adoption commit id. */
+  def bootstrap(spark: SparkSession, path: String,
+      partitionCols: Seq[String]): Long = {
+    val fs = fsFor(spark, path)
+    val tableRoot = fs.makeQualified(new Path(path))
+    require(tableExists(spark, path),
+      s"no data files at $path — nothing to bootstrap")
+    require(!fs.exists(commitsDir(path)),
+      s"$path already has a commit timeline — bootstrap adopts plain " +
+        "layouts only")
+    val files = listDataStatuses(fs, tableRoot)
+      .map(st => relativize(tableRoot, st.getPath))
+    val df = readTable(spark, path)
+    partitionCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not present in the layout at $path"))
+    // declare the schema first: even a crash between here and the
+    // commit record leaves only harmless metadata (and a tombstonable
+    // inflight marker)
+    updateSchemaMeta(spark, path, df.schema)
+    val cts = claimCommitId(spark, path)
+    val parts = touchedPartitions(df, partitionCols).map(renderPartition)
+    recordCommit(spark, path, cts, MergeStats(df.count(), parts),
+      Some(CommitResult(files, Nil, "")))
+    cts
+  }
+
   /** Partition replace — Hudi's INSERT_OVERWRITE, the backfill
     * primitive: every partition the batch touches is replaced WHOLESALE
     * by the batch's rows for it (within-batch precombine dedup applies;
@@ -2210,6 +2251,22 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // q35: metadata-only bootstrap — a PLAIN parquet lake (batch 0
+    // written raw, duplicates and all) adopted into the timeline, then
+    // upserted against. The upsert must replace every stored row whose
+    // key batch 1 carries (including raw duplicates of that key) and
+    // leave the other raw rows byte-identical; the oracle recomputes
+    // exactly that anti-join + union.
+    "q35_bootstrap" -> ((s, dir) => {
+      val path = scratchTable("graft_q35_")
+      val keyCols = Seq("okey")
+      replayBatch(s, dir, 0).write.partitionBy("part").parquet(path)
+      bootstrap(s, path, Seq("part"))
+      upsertVersioned(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey", "pre")
+    }),
     // q30: partition replace (INSERT_OVERWRITE) — the two-batch merge
     // state with partition F then backfilled wholesale from batch 2:
     // partition F must equal ONLY the deduped batch-2 F rows (stored F
@@ -2510,6 +2567,24 @@ object Merge {
         |  LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
         |  WHERE b2.pre IS NULL)
         |ORDER BY part, okey""".stripMargin,
+    // the adopted raw batch-0 rows (duplicates preserved) anti-joined
+    // by batch-1's deduped keys, plus the batch-1 winners
+    "q35_bootstrap" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |raw0 AS (SELECT okey, part, price, pre FROM raw WHERE pre % 7 = 0),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1)
+        |SELECT okey, part, price, pre FROM (
+        |  SELECT * FROM b2
+        |  UNION ALL
+        |  SELECT raw0.okey, raw0.part, raw0.price, raw0.pre FROM raw0
+        |  LEFT JOIN b2 ON raw0.okey = b2.okey AND raw0.part = b2.part
+        |  WHERE b2.pre IS NULL)
+        |ORDER BY part, okey, pre""".stripMargin,
     // partition F replaced by batch 2's deduped F rows; the rest is the
     // untouched two-batch merge state
     "q30_insert_overwrite" ->

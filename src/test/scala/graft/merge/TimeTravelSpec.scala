@@ -130,6 +130,33 @@ class TimeTravelSpec extends SparkSpec {
       ("T3", "c1", "BTCUSD", 3.0)))
   }
 
+  test("bootstrap adopts a plain layout: timeline works, pulls exclude " +
+      "pre-timeline rows") {
+    val path = tmpDir("boot") + "/table"
+    tx(("T1", "c1", "ADAGBP", 1.0), ("T2", "c1", "BTCUSD", 2.0))
+      .write.partitionBy("pair").parquet(path)
+    val c1 = Merge.bootstrap(spark, path, Seq("pair"))
+    assert(c1 === 1L)
+    // adopting again, or adopting a timeline'd table, refuses
+    intercept[IllegalArgumentException](
+      Merge.bootstrap(spark, path, Seq("pair")))
+    val c2 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 9.0)),
+      path, keyCols, "price", "pair")
+    assert(snap(Merge.readTable(spark, path)) === Seq(
+      ("T1", "c1", "ADAGBP", 9.0), ("T2", "c1", "BTCUSD", 2.0)))
+    // incremental pull from 0: only post-adoption changes (pre-timeline
+    // rows carry a null stamp and are honestly excluded)
+    assert(snap(Merge.readSince(spark, path, 0L)) === Seq(
+      ("T1", "c1", "ADAGBP", 9.0)))
+    // time travel back to the adoption point restores the raw layout
+    assert(snap(Merge.readAsOf(spark, path, c1)) === Seq(
+      ("T1", "c1", "ADAGBP", 1.0), ("T2", "c1", "BTCUSD", 2.0)))
+    // and the timeline enumerates both commits with real row counts
+    val t = Merge.commits(spark, path).orderBy("commit_ts")
+      .select("commit_ts", "n_rows").as[(Long, Long)].collect().toSeq
+    assert(t === Seq((c1, 2L), (c2, 1L)))
+  }
+
   test("readChanges across additive evolution: pre-images null-fill") {
     val path = tmpDir("cdcevo") + "/table"
     val c1 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
