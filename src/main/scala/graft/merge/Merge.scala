@@ -1715,9 +1715,57 @@ object Merge {
     if (issued.isEmpty) return
     raiseFloor(fs, path, issued.max + 1)
     val root = historyRoot(path)
+    // savepoint markers go too: a pin below the voided floor would be a
+    // standing lie (the pinned snapshot is no longer reconstructable)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      if (st.isDirectory) fs.delete(st.getPath, true)
+      if (st.isDirectory || st.getPath.getName.startsWith("_savepoint_"))
+        fs.delete(st.getPath, true)
+      ()
     }
+  }
+
+  private def savepointFile(path: String, cts: Long) =
+    new Path(historyRoot(path), f"_savepoint_$cts%020d")
+
+  /** Pin commit `cts` against [[clean]] — Hudi's savepoint: while the
+    * pin exists, clean never raises the history floor past `cts`, so
+    * `readAsOf(cts)` / `restoreTo(cts)` stay serviceable however small
+    * the retention window gets (the disaster-recovery anchor). Requires
+    * a recorded, still-travelable commit. Unversioned mutations still
+    * void pins along with the history they pinned — a savepoint
+    * guarantees retention, not immunity from unrecorded rewrites. */
+  def savepoint(spark: SparkSession, path: String, cts: Long): Unit = {
+    val fs = fsFor(spark, path)
+    require(fs.exists(new Path(commitsDir(path), f"$cts%020d.json")),
+      s"commit $cts is not recorded at $path — only recorded commits " +
+        "can be savepointed")
+    val floor = historyFloor(spark, path)
+    if (cts < floor)
+      throw new IllegalStateException(
+        s"cannot savepoint commit $cts at $path: history floor is " +
+          s"$floor — the snapshot is already gone")
+    fs.mkdirs(historyRoot(path))
+    writeSmallFile(fs, savepointFile(path, cts), cts.toString)
+  }
+
+  /** Release a savepoint; the next [[clean]] may sweep past it. */
+  def releaseSavepoint(spark: SparkSession, path: String, cts: Long): Unit = {
+    val fs = fsFor(spark, path)
+    require(fs.exists(savepointFile(path, cts)),
+      s"no savepoint at commit $cts for $path")
+    fs.delete(savepointFile(path, cts), false)
+    ()
+  }
+
+  /** The currently pinned commit ids, ascending. */
+  def savepoints(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsFor(spark, path)
+    val root = historyRoot(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("_savepoint_") =>
+        n.stripPrefix("_savepoint_").toLong
+    }.sorted
   }
 
   /** One recorded commit's file plan, parsed from its timeline entry. */
@@ -2002,7 +2050,12 @@ object Merge {
       case commitEntryRe(id, "json") => id.toLong
     }.sorted
     if (recorded.size <= retainLast) return 0L
-    val floor = recorded(recorded.size - retainLast - 1)
+    // a savepoint caps the floor: clean retains AT LEAST the retention
+    // window, and never sweeps a pinned snapshot
+    val byRetention = recorded(recorded.size - retainLast - 1)
+    val pinned = savepoints(spark, path)
+    val floor =
+      if (pinned.isEmpty) byRetention else math.min(byRetention, pinned.min)
     raiseFloor(fs, path, floor)
     val root = historyRoot(path)
     if (!fs.exists(root)) return 0L

@@ -230,6 +230,37 @@ class TimeTravelSpec extends SparkSpec {
     assert(Merge.clean(spark, path, retainLast = 1) === 0L)
   }
 
+  test("savepoint pins a commit against clean; release unpins") {
+    val path = tmpDir("ttsp") + "/table"
+    val (c1, _, c3) = build3(path)
+    Merge.savepoint(spark, path, c1)
+    assert(Merge.savepoints(spark, path) === Seq(c1))
+    // retention alone would sweep past c1; the pin caps the floor
+    assert(Merge.clean(spark, path, retainLast = 1) === 0L)
+    assert(Merge.historyFloor(spark, path) <= c1)
+    assert(snap(Merge.readAsOf(spark, path, c1)) ===
+      Seq(("T1", "c1", "ADAGBP", 1.0)))
+    // released: the next clean sweeps and the snapshot refuses
+    Merge.releaseSavepoint(spark, path, c1)
+    assert(Merge.savepoints(spark, path).isEmpty)
+    assert(Merge.clean(spark, path, retainLast = 1) > 0L)
+    intercept[IllegalStateException](Merge.readAsOf(spark, path, c1))
+    // pinning an already-swept commit refuses; so does an unrecorded id
+    intercept[IllegalStateException](Merge.savepoint(spark, path, c1))
+    intercept[IllegalArgumentException](
+      Merge.savepoint(spark, path, c3 + 10))
+  }
+
+  test("a void sweeps savepoint markers too (no standing lies)") {
+    val path = tmpDir("ttspvoid") + "/table"
+    val (c1, _, _) = build3(path)
+    Merge.savepoint(spark, path, c1)
+    Merge.delete(spark, Seq(("T1", "c1", "ADAGBP")).toDF(
+      "transaction_id", "close_time", "pair"), path, keyCols, Seq("pair"))
+    assert(Merge.savepoints(spark, path).isEmpty,
+      "a pin below the voided floor would be a standing lie")
+  }
+
   test("unversioned mutations void history instead of lying") {
     val path = tmpDir("ttvoid") + "/table"
     val (_, c2, c3) = build3(path)
