@@ -102,6 +102,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q31: declared-value pivot partial-aggregates (no discovery job)") {
+    val p = plan("q31_pivot")
+    // pivotfirst partial-combines map-side like any aggregate; an
+    // undeclared-values pivot would have run an eager distinct job
+    // before this plan even existed
+    assert(p.contains("partial_pivotfirst"), p)
+  }
+
+  test("q34: unpivot is a narrow Expand — zero row shuffles") {
+    val p = plan("q34_unpivot")
+    assert(p.contains("Expand"), p)
+    // the only exchange is the presentation sort's rangepartitioning
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("s04: the metadata filter reaches the corpus parquet scan") {
     // filtered ANN must prune row groups BEFORE scoring — a
     // post-scoring filter would scan everything and under-fill k
