@@ -157,6 +157,25 @@ class TimeTravelSpec extends SparkSpec {
     assert(t === Seq((c1, 2L), (c2, 1L)))
   }
 
+  test("readChanges × ordered payload: a losing batch row emits NO change") {
+    val path = tmpDir("cdcord") + "/table"
+    val c1 = Merge.upsertOrderedVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 9.0), ("T2", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", Seq("pair"))
+    // T1's update LOSES on precombine (5.0 < 9.0): its file group is
+    // rewritten but the stored row — and stamp — carry through, so CDC
+    // must see only T2's win; a naive rewrote-therefore-changed CDC
+    // would fabricate a phantom T1 update
+    val c2 = Merge.upsertOrderedVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 5.0), ("T2", "c1", "ADAGBP", 7.0)),
+      path, keyCols, "price", Seq("pair"))
+    val ch = Merge.readChanges(spark, path, c1, c2, keyCols :+ "pair")
+      .select("transaction_id", "price", "_change_type")
+      .as[(String, Double, String)].collect().toSet
+    assert(ch === Set(
+      ("T2", 1.0, "update_preimage"), ("T2", 7.0, "update_postimage")))
+  }
+
   test("readChanges across additive evolution: pre-images null-fill") {
     val path = tmpDir("cdcevo") + "/table"
     val c1 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
