@@ -45,6 +45,28 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment: the event stream joined to a broadcast
+    * dimension (user → segment), then windowed per-segment aggregates —
+    * the standard "enrich a firehose with reference data" shape.
+    * A stream-static inner join is STATELESS (each micro-batch probes
+    * the static side; no watermark bookkeeping on the dimension), and
+    * the broadcast keeps the stream side from shuffling before the
+    * windowed aggregate — at 100 TB/day the only stateful operator is
+    * the watermark-bounded window itself. Rows without a dimension
+    * match (the drain sentinel, unknown users) drop at the inner join. */
+  def enrichedWindowedValue(events: DataFrame, dim: DataFrame,
+      dimKey: String, dimVal: String, windowLen: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .join(broadcast(dim.select(col(dimKey), col(dimVal))),
+        col("user_id") === col(dimKey))
+      .groupBy(window(col("ts"), windowLen), col(dimVal))
+      .agg(count(lit(1)).as("n_events"),
+        Tables.d(sum(Tables.dec(col("value")))).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col(dimVal).as("segment"), col("n_events"), col("total_value"))
+
   /** Sliding-window per-type counts: each event lands in
     * windowLen/slide overlapping windows (stock Spark `window` with a
     * slide). State cost multiplies by the overlap factor — the
@@ -319,6 +341,16 @@ object EventStreams {
     // interval join must emit exactly the qualifying pairs however the
     // source batches the files, and the oracle is the same join
     // relationally
+    // e07: stream-static enrichment — the drained stream broadcast-
+    // joined to the customer dimension, windowed per market segment.
+    // The static join is stateless, so streamed == batch; the oracle is
+    // the same join + hourly bucket relationally (the sentinel has no
+    // dimension row and drops at the inner join)
+    "e07_stream_enrich" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e07_sink") { src =>
+        enrichedWindowedValue(src,
+          Tables.customer(s, dir), "c_custkey", "c_mktsegment")
+      }.orderBy("window_start", "segment")),
     "e06_stream_join" -> ((s, dir) =>
       drainAvailableNow(s, dir, "e06_sink") { src =>
         intervalJoin(
@@ -332,6 +364,13 @@ object EventStreams {
     * times like the engine state, value sum as an ORDER BY ts sequential
     * fold matching the engine's in-order accumulation. */
   val oracle: Map[String, String] = Map(
+    "e07_stream_enrich" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  c_mktsegment AS segment,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e01_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events,

@@ -100,6 +100,23 @@ class EventStreamsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq === Seq((1L, 3L)))
   }
 
+  test("e07: enrichment joins the dimension, drops unmatched, sums per segment") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    val ev = Seq(
+      (1L, ts, 10L, "click", 1.5, null.asInstanceOf[String]),
+      (2L, ts, 10L, "click", 2.5, null.asInstanceOf[String]),
+      (3L, ts, 20L, "view", 4.0, null.asInstanceOf[String]),
+      (4L, ts, 99L, "view", 8.0, null.asInstanceOf[String])) // no dim row
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dim = Seq((10L, "AUTO"), (20L, "HOME"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = EventStreams.enrichedWindowedValue(ev, dim,
+      "c_custkey", "c_mktsegment")
+      .select("segment", "n_events", "total_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out === Set(("AUTO", 2L, 4.0), ("HOME", 1L, 4.0)))
+  }
+
   test("e05: a twice-replayed stream dedups back to exactly-once") {
     // the e05 drain feeds every event through TWO micro-batches; the
     // watermark-bounded dropDuplicates must emit each exactly once
