@@ -126,6 +126,50 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** CDC replication: maintain `dstPath` as a live replica of
+    * `srcPath` purely from the change stream — the proof that
+    * [[foreachChanges]] carries EVERYTHING needed to reconstruct a
+    * table (post-images apply as upserts, deletes as deletes, per
+    * commit in commit order). At-least-once replay is safe by
+    * construction: re-applying a commit's post-images upserts the same
+    * rows to the same keys, and re-deleting absent keys is a no-op —
+    * so the replica converges to the source state under any crash /
+    * resume of the stream (effective exactly-once from keyed writes,
+    * the same argument as StreamLoader).
+    *
+    * The replica is written with plain (unversioned) upserts — it has
+    * its own history, not the source's; consumers wanting the source
+    * timeline should read the source. */
+  def replicateTo(
+      spark: SparkSession,
+      srcPath: String,
+      dstPath: String,
+      checkpointDir: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    foreachChanges(spark, srcPath, checkpointDir,
+      keyCols ++ partitionCols, trigger) { (ch, ids, _) =>
+      val cached = ch.cache()
+      try ids.foreach { id =>
+        val c = cached.filter(col("_change_commit") === id)
+        val ups = c.filter(col("_change_type")
+          .isin("insert", "update_postimage"))
+          .drop("_change_type", "_change_commit")
+        val dels = c.filter(col("_change_type") === "delete")
+          .select((keyCols ++ partitionCols).map(col): _*)
+        if (!ups.isEmpty)
+          Merge.upsert(spark, ups, dstPath, keyCols, precombine,
+            partitionCols)
+        if (!dels.isEmpty)
+          Merge.delete(spark, dels, dstPath, keyCols, partitionCols)
+      } finally {
+        cached.unpersist()
+        ()
+      }
+    }
+
   private def writer(
       spark: SparkSession,
       path: String,

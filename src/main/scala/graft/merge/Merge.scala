@@ -2304,6 +2304,28 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // x07: CDC replication — the q29 3-commit source (two upserts + a
+    // versioned delete) replicated into a SECOND table purely from the
+    // change stream. The replica's plain read must equal the q18
+    // replay algebra (the source's final state) however the commit
+    // stream batched the changes — the proof that the CDC feed carries
+    // everything needed to reconstruct a table.
+    "x07_cdc_replica" -> ((s, dir) => {
+      val path = scratchTable("graft_x07src_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, keyCols, Seq("part"))
+      val dst = scratchTable("graft_x07dst_")
+      val q = IncrementalStream.replicateTo(s, path, dst,
+        scratchTable("graft_x07ckpt_"), keyCols, "pre", Seq("part"))
+      q.awaitTermination()
+      readTable(s, dst)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     // q35: metadata-only bootstrap — a PLAIN parquet lake (batch 0
     // written raw, duplicates and all) adopted into the timeline, then
     // upserted against. The upsert must replace every stored row whose
@@ -2448,6 +2470,8 @@ object Merge {
   val oracle: Map[String, String] = Map(
     "q18_upsert_replay" -> replaySql,
     "q23_compact" -> replaySql,
+    // a CDC-maintained replica IS the source's final state
+    "x07_cdc_replica" -> replaySql,
     // the q18 algebra extended by one more batch-wins merge (batch 2,
     // pre%7=2) applied after the delete — the state x02 replays on an
     // index-pruned table

@@ -163,6 +163,35 @@ class IncrementalStreamSpec extends SparkSpec {
       .filter($"_change_commit" === 1L).count() === 10L)
   }
 
+  test("replicateTo: replica tracks the source across resumes") {
+    val src = tmpDir("repl_src") + "/t"
+    val dst = tmpDir("repl_dst") + "/t"
+    val ckpt = tmpDir("repl_ckpt")
+    Merge.upsertVersioned(spark, rows(0 until 20, "a", "v1"), src,
+      keyCols, "v", "part")
+    Merge.deleteVersioned(spark,
+      rows(0 until 5, "a", "x").select("k", "part"), src, keyCols,
+      Seq("part"))
+    def sync(): Unit = {
+      val q = IncrementalStream.replicateTo(spark, src, dst, ckpt,
+        keyCols, "v", Seq("part"))
+      q.awaitTermination()
+    }
+    def state(path: String): Seq[(Long, String, String)] =
+      spark.read.parquet(path).select("k", "part", "v")
+        .as[(Long, String, String)].collect().toSeq.sorted
+    sync()
+    assert(state(dst) === state(src))
+    // new source commits; a RESUMED replication applies only them
+    Merge.upsertVersioned(spark, rows(10 until 25, "b", "v2"), src,
+      keyCols, "v", "part")
+    Merge.deleteVersioned(spark,
+      rows(5 until 8, "a", "x").select("k", "part"), src, keyCols,
+      Seq("part"))
+    sync()
+    assert(state(dst) === state(src))
+  }
+
   test("foreign junk in the timeline dir does not stream") {
     val path = tmpDir("incs_junk") + "/t"
     Merge.upsertVersioned(spark, rows(0 until 5, "a", "v1"), path,
