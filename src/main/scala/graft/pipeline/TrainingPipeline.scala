@@ -38,6 +38,22 @@ object TrainingPipeline {
       budgetTokens)
   }
 
+  /** [[curate]] over span-scrubbed text: the duplicated-span scrub
+    * REWRITES every document first, and the whole quality → dedup →
+    * budget chain then runs on the rewritten corpus — the composition
+    * no single-stage key exercises (every downstream stat — word
+    * counts, fingerprints, token budgets — must reflect the scrubbed
+    * text, not the original). Still one lazy plan. */
+  def curateScrubbed(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budgetTokens: Long, k: Int = 5, maxDf: Int = 1)
+      : DataFrame = {
+    val scrubbed = TextAnalysis
+      .scrubDuplicateSpans(docs, idCol, textCol, k, maxDf)
+      .select(col(idCol), col("scrubbed").as(textCol))
+      .join(docs.select(col(idCol), col(strataCol)), Seq(idCol))
+    curate(scrubbed, idCol, textCol, strataCol, budgetTokens)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -49,9 +65,63 @@ object TrainingPipeline {
       curate(Tables.documents(s, dir), "doc_id", "text", "lang",
         budgetTokens = 1500)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("lang", "doc_id")),
+    // p02: the same chain over span-scrubbed text — every downstream
+    // stat must reflect the REWRITTEN corpus (a doc can pass Gopher on
+    // its original text yet fail after losing boilerplate spans, and
+    // token budgets count the scrubbed tokens)
+    "p02_curation_scrub" -> ((s, dir) =>
+      curateScrubbed(Tables.documents(s, dir), "doc_id", "text", "lang",
+        budgetTokens = 1500)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("lang", "doc_id")))
 
   val oracle: Map[String, String] = Map(
+    "p02_curation_scrub" -> {
+      val toksSql = TextAnalysis.toksSql
+      s"""WITH t0 AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |g0 AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks)-4)) AS i
+         |             FROM t0 WHERE len(toks) >= 5)),
+         |b0 AS (SELECT gram FROM g0 GROUP BY gram
+         |       HAVING COUNT(DISTINCT doc_id) > 1),
+         |s0 AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
+         |       FROM g0 JOIN b0 USING (gram) GROUP BY doc_id),
+         |scrubbed AS (SELECT t0.doc_id, t0.lang,
+         |        list_transform(
+         |          list_filter(generate_series(1, len(toks)), j ->
+         |            len(list_filter(COALESCE(s0.starts, []),
+         |              st -> j >= st AND j < st + 5)) = 0),
+         |          j -> toks[j]) AS toks
+         |      FROM t0 LEFT JOIN s0 ON t0.doc_id = s0.doc_id),
+         |t AS (SELECT doc_id, lang, toks FROM scrubbed),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS alpha_word_frac,
+         |  CAST(${TextAnalysis.stopEnSql} AS BIGINT) AS n_stop_hits
+         |  FROM t),
+         |g AS (SELECT doc_id FROM f
+         |      WHERE n_words >= 30 AND n_words <= 80
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND alpha_word_frac >= 0.8
+         |        AND n_stop_hits >= 2),
+         |dd AS (SELECT doc_id, lang, toks FROM (
+         |         SELECT t.*, row_number() OVER (
+         |           PARTITION BY md5(array_to_string(toks, ' '))
+         |           ORDER BY doc_id) AS rn
+         |         FROM t JOIN g USING (doc_id)) WHERE rn = 1),
+         |c AS (SELECT doc_id, lang,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM dd)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 1500
+         |ORDER BY lang, doc_id""".stripMargin
+    },
     "p01_curation" -> {
       val toksSql = TextAnalysis.toksSql
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),

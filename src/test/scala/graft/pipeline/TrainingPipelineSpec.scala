@@ -42,6 +42,27 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!wide.contains(2L))
   }
 
+  test("curateScrubbed: a doc passing Gopher on raw text drops after scrub") {
+    // two docs share a 26-word boilerplate block with unique 5-word
+    // tails: raw word count 31 passes Gopher, but the scrub removes the
+    // shared block everywhere and the 5-word remainder fails minWords
+    val block = ("the cat and dog sat in a house and it " * 2).trim +
+      " the sun is up and all is well here today"
+    val df = Seq(
+      (1L, "en", s"$block alpha maple river stone cloud"),
+      (2L, "en", s"$block brick tulip meadow frost owl"),
+      (3L, "en", proseB)).toDF("doc_id", "lang", "text")
+    // sanity: raw curation keeps all three
+    val raw = TrainingPipeline.curate(df, "doc_id", "text", "lang", 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(raw === Set(1L, 2L, 3L))
+    // scrubbed: the shared block is boilerplate; only doc 3 survives
+    val out = TrainingPipeline.curateScrubbed(df, "doc_id", "text", "lang",
+      1000L).select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(out.keySet === Set(3L))
+    assert(out(3L) === 30L, "doc 3 shares nothing: token count unchanged")
+  }
+
   test("curate stays one lazy plan: no eager jobs at construction") {
     val docs = Seq((1L, "en", proseA)).toDF("doc_id", "lang", "text")
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
