@@ -363,7 +363,42 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q38 — multi-way star join (TPC-H Q5 shape): local-supplier revenue
+    * by nation within one region and a two-year order-date window.
+    *
+    * Scale shape: the only fact-fact join (lineitem ⋈ orders) shuffles
+    * on orderkey with the date filter applied BEFORE the shuffle (only
+    * the window's orders move); region and nation are broadcast
+    * explicitly (25/5 rows at any SF), while customer and supplier are
+    * left to AQE — they are SF-scaled, so hard-coding a broadcast
+    * would blow past driver memory at 100 TB where plan-time size
+    * estimation must decide. Revenue goes through exact decimals so
+    * the sum is order-independent (see [[graft.Tables]]). */
+  val starJoin: Q = (s, dir) => {
+    val r = broadcast(region(s, dir).filter(col("r_name") === "ASIA"))
+    val n = broadcast(nation(s, dir))
+    val c = customer(s, dir)
+    val sup = supplier(s, dir)
+    val o = orders(s, dir).filter(
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = lineitem(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(n, sup("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        d(sum(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q38_star_join" -> starJoin,
     "q16_cube" -> cubeAgg,
     "q17_percentiles" -> percentiles,
     "q17b_approx_percentiles" -> approxPercentiles,
@@ -392,6 +427,22 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q38_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     // conditional aggregation IS the pivot, restated portably
     "q31_pivot" ->
       """SELECT o_orderpriority AS priority,

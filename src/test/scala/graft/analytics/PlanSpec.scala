@@ -33,6 +33,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q38: star join broadcasts dims and pushes the date filter down") {
+    val df = SparkEntry.queries("q38_star_join")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // region + nation ride broadcasts at any SF (25 / 5 rows); the
+    // order-date window must reach the orders scan so only the filtered
+    // window shuffles into the fact-fact join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("o_orderdate"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate") ||
+      pushed.contains("o_orderdate"), p)
+  }
+
   test("q03: aggregation is partial (map-side) before the shuffle") {
     val p = plan("q03_agg_pricing")
     assert(p.contains("HashAggregate"), p)
