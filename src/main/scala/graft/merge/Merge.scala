@@ -2174,6 +2174,24 @@ object Merge {
         .select("okey", "lnum", "pk", "sk", "qty", "part")
         .orderBy("okey", "lnum", "pk", "sk", "qty", "part")
     }),
+    // q36: footer-stats file skipping end-to-end — a key-range read
+    // over a range-laid-out table must equal the plain relational
+    // filter (the oracle), with the pruning itself asserted at file
+    // level in StatsPruningSpec. bulkInsert's repartitionByRange gives
+    // each file a tight okey range, so the BETWEEN scan schedules only
+    // the overlapping files.
+    "q36_stats_skipping" -> ((s, dir) => {
+      val path = scratchTable("graft_q36_")
+      val rows = graft.Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        col("l_returnflag").as("part"))
+      bulkInsert(rows, path, "part", keyCols = Seq("okey"),
+        targetFileBytes = 256L << 10)
+      StatsPruning.readPruned(s, path, "okey", 1000L, 5000L)
+        .select("okey", "lnum", "qty", "price", "part")
+        .orderBy("okey", "lnum", "qty", "price", "part")
+    }),
     // x02: the file-level key index end-to-end — the q18 replay plus a
     // compaction (which folds the index log and re-indexes every file)
     // and a post-compaction upsert whose matched-file discovery runs
@@ -2514,6 +2532,15 @@ object Merge {
         |       l_quantity AS qty, l_returnflag AS part
         |FROM lineitem
         |ORDER BY okey, lnum, pk, sk, qty, part""".stripMargin,
+    // stats skipping must be result-invisible: the pruned read IS the
+    // plain filter
+    "q36_stats_skipping" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS lnum,
+        |       l_quantity AS qty, l_extendedprice AS price,
+        |       l_returnflag AS part
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 5000
+        |ORDER BY okey, lnum, qty, price, part""".stripMargin,
     // evolution: batch-2 rows carry src='b1'; batch-1 survivors are
     // NULL-filled — exactly the read-back of a mixed-schema table
     "q18b_schema_evolution" ->

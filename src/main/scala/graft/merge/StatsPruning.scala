@@ -1,0 +1,264 @@
+package graft.merge
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping from parquet footer statistics — the
+  * engine's analogue of Delta/Hudi column-stats pruning, for range
+  * predicates over merge-managed tables.
+  *
+  * Why it exists: Spark's parquet reader already skips ROW GROUPS via
+  * pushed filters, but it only does so inside tasks it has already
+  * scheduled — a selective range query over a 100 TB table still lists,
+  * plans, and launches a task per file split, and each task opens the
+  * footer just to discover it can skip everything. Pruning at PLAN time
+  * from the same footer min/max stats removes those files from the scan
+  * relation entirely: no splits, no tasks, no footer-open per task.
+  * On a table laid out by [[Merge.bulkInsert]]/[[Merge.clusterZOrder]]
+  * (range-partitioned by key, so per-file ranges are tight and
+  * disjoint) a key-range query schedules O(matching files) tasks
+  * instead of O(all files).
+  *
+  * Unlike an index, footer stats need no maintenance and exist for
+  * every parquet file ever written — including plain-parquet tables
+  * adopted via [[Merge.bootstrap]] — so pruning is available on any
+  * graft table with zero metadata. The footer reads themselves are
+  * metadata-magnitude IO (KB per file): driver-side below
+  * [[distributeFooterReadsAbove]] files, one Spark map job above it
+  * (100k footers ≈ a few hundred MB of metadata read in parallel —
+  * far cheaper than scheduling 100k scan tasks to skip themselves).
+  *
+  * The pruning is ADVISORY and conservative — it can only drop a file
+  * when the footer PROVES no row matches:
+  *
+  *  - A file whose footer lacks the column is KEPT. (Partition columns
+  *    never appear in data files — their values come from directory
+  *    names, which Spark's own partition pruning handles; a column
+  *    added by additive schema evolution reads back null, which a
+  *    range predicate rejects, but "absent" alone cannot distinguish
+  *    the two cases, so we never prune on absence.)
+  *  - A block with absent/empty statistics, or a physical type outside
+  *    the supported comparison domains, keeps the file.
+  *  - A file whose every block has recorded stats and holds only nulls
+  *    is pruned (a range predicate is null-rejecting).
+  *  - Otherwise the file survives iff [min, max] overlaps [lo, hi].
+  *
+  * Comparison domains: integral INT32/INT64 (plus DATE days and INT64
+  * TIMESTAMP millis/micros/nanos, normalized to micros), FLOAT/DOUBLE,
+  * and UTF8 binary. Numerics compare exactly through BigDecimal (a
+  * double bound against an INT64 column must not lose bits above 2^53).
+  * Strings compare via Java String ordering, which agrees with
+  * parquet's unsigned-byte stats ordering on ASCII; non-ASCII bounds
+  * may merely under-prune (both orders sort any truncated/padded stats
+  * bound conservatively). INT96 timestamps carry no usable stats and
+  * are never pruned on.
+  *
+  * Correctness does not depend on pruning at all: [[readPruned]]
+  * re-applies the exact range predicate to the surviving files, so a
+  * wrongly-kept file contributes nothing and the result equals the
+  * unpruned scan (the driver's q36 oracle — a plain SQL filter —
+  * checks exactly this equivalence).
+  */
+object StatsPruning {
+
+  /** Above this many data files, footers are read in one Spark map job
+    * instead of a driver loop. Operational knob; specs set 0 to force
+    * the distributed path at toy scale. */
+  @volatile var distributeFooterReadsAbove: Int = 2048
+
+  /** A comparison bound: exact numeric (BigDecimal) or string. */
+  private[merge] sealed trait Bound extends Serializable
+  private[merge] final case class NumB(v: java.math.BigDecimal) extends Bound
+  private[merge] final case class StrB(v: String) extends Bound
+
+  private[merge] def toBound(v: Any): Bound = v match {
+    case b: Byte => NumB(java.math.BigDecimal.valueOf(b.toLong))
+    case s: Short => NumB(java.math.BigDecimal.valueOf(s.toLong))
+    case i: Int => NumB(java.math.BigDecimal.valueOf(i.toLong))
+    case l: Long => NumB(java.math.BigDecimal.valueOf(l))
+    case f: Float => NumB(new java.math.BigDecimal(f.toDouble))
+    case d: Double => NumB(new java.math.BigDecimal(d))
+    case s: String => StrB(s)
+    case t: java.sql.Timestamp =>
+      // epoch micros, exactly (getTime carries millis; getNanos the
+      // sub-second remainder)
+      NumB(java.math.BigDecimal.valueOf(
+        t.getTime / 1000 * 1000000L + t.getNanos.toLong / 1000))
+    case d: java.sql.Date =>
+      NumB(java.math.BigDecimal.valueOf(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate =>
+      NumB(java.math.BigDecimal.valueOf(d.toEpochDay))
+    case other => throw new IllegalArgumentException(
+      s"unsupported bound type ${other.getClass.getName} — supported: " +
+        "integral/floating numerics, String, java.sql.Timestamp/Date, " +
+        "LocalDate")
+  }
+
+  private def cmp(a: Bound, b: Bound): Option[Int] = (a, b) match {
+    case (NumB(x), NumB(y)) => Some(x.compareTo(y))
+    case (StrB(x), StrB(y)) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Block-level stats range in a comparison domain, or the two
+    * non-range outcomes. */
+  private sealed trait BlockStats
+  private final case class StatsRange(min: Bound, max: Bound) extends BlockStats
+  private case object AllNull extends BlockStats
+  private case object Unusable extends BlockStats
+
+  /** Extract one block's (min, max) for `column` from already-parsed
+    * footer metadata. Runs on executors in the distributed path — no
+    * Spark classes beyond parquet-mr. */
+  private def blockStats(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : BlockStats = {
+    val stats = cc.getStatistics
+    if (stats == null || stats.isEmpty) return Unusable
+    if (!stats.hasNonNullValue) return AllNull
+    val pt = cc.getPrimitiveType
+    val logical = pt.getLogicalTypeAnnotation
+    def num(scale: Long => Long, lo: Long, hi: Long): BlockStats =
+      StatsRange(NumB(java.math.BigDecimal.valueOf(scale(lo))),
+        NumB(java.math.BigDecimal.valueOf(scale(hi))))
+    pt.getPrimitiveTypeName match {
+      case PrimitiveType.PrimitiveTypeName.INT32 =>
+        logical match {
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            Unusable
+          case _ => // plain ints and DATE (epoch days) compare as longs
+            val s = stats.asInstanceOf[
+              org.apache.parquet.column.statistics.IntStatistics]
+            num(identity, s.getMin.toLong, s.getMax.toLong)
+        }
+      case PrimitiveType.PrimitiveTypeName.INT64 =>
+        val s = stats.asInstanceOf[
+          org.apache.parquet.column.statistics.LongStatistics]
+        logical match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            import LogicalTypeAnnotation.TimeUnit._
+            ts.getUnit match {
+              case MILLIS => num(_ * 1000L, s.getMin, s.getMax)
+              case MICROS => num(identity, s.getMin, s.getMax)
+              case NANOS => num(_ / 1000L, s.getMin, s.getMax)
+            }
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            Unusable
+          case _ => num(identity, s.getMin, s.getMax)
+        }
+      case PrimitiveType.PrimitiveTypeName.FLOAT =>
+        val s = stats.asInstanceOf[
+          org.apache.parquet.column.statistics.FloatStatistics]
+        StatsRange(NumB(new java.math.BigDecimal(s.getMin.toDouble)),
+          NumB(new java.math.BigDecimal(s.getMax.toDouble)))
+      case PrimitiveType.PrimitiveTypeName.DOUBLE =>
+        val s = stats.asInstanceOf[
+          org.apache.parquet.column.statistics.DoubleStatistics]
+        StatsRange(NumB(new java.math.BigDecimal(s.getMin)),
+          NumB(new java.math.BigDecimal(s.getMax)))
+      case PrimitiveType.PrimitiveTypeName.BINARY
+          if logical.isInstanceOf[
+            LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        val s = stats.asInstanceOf[
+          org.apache.parquet.column.statistics.BinaryStatistics]
+        StatsRange(StrB(s.genericGetMin.toStringUsingUTF8),
+          StrB(s.genericGetMax.toStringUsingUTF8))
+      case _ => Unusable // INT96, FIXED_LEN, plain BINARY: no domain
+    }
+  }
+
+  /** Whether `file` can be PROVEN to hold no row with
+    * `column ∈ [lo, hi]` — one footer read, no data IO. */
+  private def provablyEmpty(conf: Configuration, file: String,
+      column: String, lo: Bound, hi: Bound): Boolean = {
+    val in = HadoopInputFile.fromPath(new Path(file), conf)
+    val r = ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = r.getFooter.getBlocks.asScala
+      val perBlock = blocks.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column) match {
+          case None => Unusable // column absent: partition col or pre-
+          // evolution file — never prune on absence (see scaladoc)
+          case Some(cc) => blockStats(cc)
+        }
+      }
+      if (perBlock.contains(Unusable)) return false
+      val ranges = perBlock.collect { case sr: StatsRange => sr }
+      if (ranges.isEmpty) return blocks.nonEmpty // every block all-null
+      ranges.forall { sr =>
+        (cmp(sr.max, lo), cmp(sr.min, hi)) match {
+          case (Some(a), Some(b)) => a < 0 || b > 0 // disjoint from [lo,hi]
+          case _ => false // bound domain ≠ column domain: keep
+        }
+      }
+    } finally r.close()
+  }
+
+  /** The files of the table at `path` that may hold rows with
+    * `column ∈ [lo, hi]` (absolute path strings), plus the total file
+    * count — exposed so specs and operators can observe the prune
+    * ratio. Driver-side footer loop below
+    * [[distributeFooterReadsAbove]] files, one Spark map job above. */
+  def pruneFiles(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any): (Seq[String], Int) = {
+    val loB = toBound(lo)
+    val hiB = toBound(hi)
+    val fs = Merge.fsFor(spark, path)
+    val root = fs.makeQualified(new Path(path))
+    val all = Merge.listDataStatuses(fs, root).map(_.getPath.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val kept =
+      if (all.size <= distributeFooterReadsAbove)
+        all.filterNot(f => provablyEmpty(conf, f, column, loB, hiB))
+      else {
+        // ship the conf as plain entries (Configuration itself is not
+        // serializable); rebuilding it per partition is metadata-cheap
+        import scala.jdk.CollectionConverters._
+        val entries = conf.iterator().asScala
+          .map(e => (e.getKey, e.getValue)).toArray
+        val bc = spark.sparkContext.broadcast(entries)
+        val slices = math.min(
+          all.size / 64 + 1, spark.sparkContext.defaultParallelism * 4)
+        spark.sparkContext.parallelize(all, math.max(slices, 1))
+          .mapPartitions { files =>
+            val c = new Configuration(false)
+            bc.value.foreach { case (k, v) => c.set(k, v) }
+            files.filterNot(f => provablyEmpty(c, f, column, loB, hiB))
+          }.collect().toIndexedSeq
+      }
+    (kept, all.size)
+  }
+
+  /** Read `path` restricted to `column BETWEEN lo AND hi`, scanning
+    * only the files whose footer stats admit a match. The predicate is
+    * re-applied to the surviving files, so the result is exactly the
+    * unpruned `readTable(...).filter(...)` — pruning only removes
+    * tasks, never changes rows. */
+  def readPruned(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    val (kept, _) = pruneFiles(spark, path, column, lo, hi)
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val schema = Merge.recordedSchema(spark, path)
+    val base =
+      if (kept.isEmpty) {
+        val s = schema.getOrElse(Merge.readTable(spark, path).schema)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else schema match {
+        // basePath recovers hive partition columns from the dir names
+        // of an explicit file list (same pattern as the upsert read)
+        case Some(s) => spark.read.schema(s).option("basePath", path)
+          .parquet(kept: _*)
+        case None => spark.read.option("mergeSchema", "true")
+          .option("basePath", path).parquet(kept: _*)
+      }
+    base.filter(pred)
+  }
+}
