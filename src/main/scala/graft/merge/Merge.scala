@@ -2421,6 +2421,32 @@ object Merge {
       readChanges(s, path, c1, c3, Seq("okey", "part"))
         .orderBy("_change_commit", "_change_type", "part", "okey")
     }),
+    // x08: incremental view maintenance end-to-end — an aggregate
+    // table built after the first source commit, then advanced to the
+    // final state purely from the change stream (one refresh per
+    // source commit: an update-heavy merge, then a delete). The oracle
+    // recomputes the aggregate directly from the replayed final state,
+    // so the incremental path must land on EXACTLY the from-scratch
+    // answer (exact-decimal sums make that bit-for-bit).
+    "x08_incr_view" -> ((s, dir) => {
+      val src = scratchTable("graft_x08s_")
+      val vw = scratchTable("graft_x08v_")
+      def b(i: Int): DataFrame = replayBatch(s, dir, i)
+        .withColumn("bucket", col("okey") % 10)
+      upsertVersioned(s, b(0), src, Seq("okey"), "pre", "part")
+      IncrementalView.create(s, src, vw, srcKeys = Seq("okey", "part"),
+        groupCols = Seq("part", "bucket"), sumCol = "price",
+        partitionCol = "part")
+      upsertVersioned(s, b(1), src, Seq("okey"), "pre", "part")
+      IncrementalView.refresh(s, vw)
+      deleteVersioned(s, b(0).filter(col("pre") % 3 === 0)
+        .select("okey", "part"), src, Seq("okey"), Seq("part"))
+      IncrementalView.refresh(s, vw)
+      IncrementalView.readView(s, vw)
+        .select(col("part"), col("bucket"),
+          graft.Tables.d(col("sum_v")).as("sum_v"), col("n_rows"))
+        .orderBy("part", "bucket")
+    }),
     // x04: streaming keyed ingestion with the ORDERED payload — the
     // replay corpus split into files and drained through a checkpointed
     // file stream, each micro-batch upserted with
@@ -2490,6 +2516,15 @@ object Merge {
     "q23_compact" -> replaySql,
     // a CDC-maintained replica IS the source's final state
     "x07_cdc_replica" -> replaySql,
+    // the incrementally-maintained aggregate must equal the direct
+    // aggregate of the replayed final state
+    "x08_incr_view" ->
+      s"""SELECT part, okey % 10 AS bucket,
+         |  CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+         |  COUNT(*) AS n_rows
+         |FROM ($replaySql)
+         |GROUP BY part, okey % 10
+         |ORDER BY part, bucket""".stripMargin,
     // the q18 algebra extended by one more batch-wins merge (batch 2,
     // pre%7=2) applied after the delete — the state x02 replays on an
     // index-pruned table

@@ -118,7 +118,8 @@ object StatsPruning {
   private def blockStats(
       cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
       : BlockStats = {
-    val stats = cc.getStatistics
+    val stats: org.apache.parquet.column.statistics.Statistics[_] =
+      cc.getStatistics
     if (stats == null || stats.isEmpty) return Unusable
     if (!stats.hasNonNullValue) return AllNull
     val pt = cc.getPrimitiveType
