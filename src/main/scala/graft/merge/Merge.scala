@@ -655,6 +655,105 @@ object Merge {
     voidHistory(spark, path)
   }
 
+  /** Conditional merge — MERGE INTO semantics (Delta/Hudi's
+    * WHEN MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT MATCHED
+    * [AND cond] THEN INSERT) composed from the existing primitives.
+    *
+    * The batch is precombine-deduped first (one candidate row per
+    * scoped key — conditions are evaluated on the winning row), then
+    * split three ways against the CURRENT target state:
+    *
+    *  - matched ∧ `whenMatchedDelete`          → the target row is deleted
+    *  - matched ∧ ¬delete ∧ `whenMatchedUpdate`→ the target row is
+    *    replaced by the source row (full-row update, the engine's
+    *    upsert payload)
+    *  - matched ∧ neither                      → the target row survives
+    *    untouched (the source row is DISCARDED — this is what plain
+    *    upsert cannot express)
+    *  - not matched ∧ `whenNotMatchedInsert`   → the source row inserts
+    *
+    * Conditions reference the source row as `s.<col>` and (for the two
+    * matched clauses) the target row as `t.<col>`; the insert condition
+    * sees only `s.<col>`. `None` means the Delta defaults: never
+    * delete, always update, always insert. Delete wins over update when
+    * both conditions hold (clause order in SQL MERGE).
+    *
+    * Scale shape: the matched/not-matched split is ONE key-scoped join
+    * against a partition-pruned read of only the batch-touched
+    * partitions, then the work lands through [[delete]] +
+    * [[upsert]] — whose own matched-FILE discovery (key scan or bloom
+    * index) limits the rewrite to the file groups that actually hold
+    * the affected keys. Applied as two mutations (a delete commit, then
+    * an upsert commit), not one atomic commit: a crash between them
+    * leaves the deletes applied and the updates/inserts not — visible
+    * and re-runnable (the second application of the same merge is NOT
+    * generally idempotent though: target rows updated by the first run
+    * re-match with the new state). Single-writer, like every mutation
+    * here. */
+  def mergeInto(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String],
+      whenMatchedDelete: Option[Column] = None,
+      whenMatchedUpdate: Option[Column] = None,
+      whenNotMatchedInsert: Option[Column] = None): Unit = {
+    val scopedKeys = keyCols ++ partitionCols
+    val srcCols = batch.columns.toSeq
+    val deduped = precombineDedup(batch, scopedKeys, precombine)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!tableExists(spark, path)) {
+        // nothing can match: the merge degenerates to conditional insert
+        val ins = whenNotMatchedInsert
+          .map(c => deduped.alias("s").filter(c)).getOrElse(deduped)
+          .select(srcCols.map(col): _*)
+        upsert(spark, ins, path, keyCols, precombine, partitionCols)
+        return
+      }
+      val parts = touchedPartitions(deduped, partitionCols)
+      val target = readTable(spark, path)
+        .filter(partitionIn(partitionCols, parts))
+      val s = deduped.alias("s")
+      val t = target.alias("t")
+      val on = scopedKeys.map(k => col(s"s.$k") <=> col(s"t.$k"))
+        .reduce(_ && _)
+      // NULL-valued conditions are "not satisfied" (SQL MERGE clause
+      // semantics): a null delete condition must fall through to the
+      // update clause, not veto it
+      val delCond = coalesce(whenMatchedDelete.getOrElse(lit(false)),
+        lit(false))
+      val updCond = whenMatchedUpdate.getOrElse(lit(true))
+      val matched = s.join(t, on, "inner")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // materialize BOTH splits with lineage truncated before any
+        // mutation: their plans read the target's current files, which
+        // the delete commit below rewrites — a lazy plan evaluated
+        // after it would chase vanished parquet paths
+        val delKeys = matched.filter(delCond)
+          .select(scopedKeys.map(k => col(s"s.$k").as(k)): _*)
+          .localCheckpoint(true)
+        val ins = whenNotMatchedInsert
+          .foldLeft(s.join(t, on, "left_anti"))((df, c) => df.filter(c))
+          .select(srcCols.map(c => col(s"s.$c").as(c)): _*)
+        val upserts = matched.filter(!delCond && updCond)
+          .select(srcCols.map(c => col(s"s.$c").as(c)): _*)
+          .unionByName(ins)
+          .localCheckpoint(true)
+        // disjoint key sets (delete ⊥ update by construction, inserts
+        // are not-matched), so ordering is content-irrelevant; delete
+        // first keeps the table minimal between the two commits
+        if (delKeys.limit(1).count() > 0)
+          delete(spark, delKeys, path, keyCols, partitionCols)
+        if (upserts.limit(1).count() > 0)
+          upsert(spark, upserts, path, keyCols, precombine, partitionCols)
+      } finally { matched.unpersist(); () }
+    } finally { deduped.unpersist(); () }
+  }
+
   /** Stats (deduped row count) are only materialized on the versioned
     * path — the count is one extra job per commit, and the plain-upsert
     * callers (streaming micro-batches, batch loads) all discard it. */
@@ -2174,6 +2273,24 @@ object Merge {
         .select("okey", "lnum", "pk", "sk", "qty", "part")
         .orderBy("okey", "lnum", "pk", "sk", "qty", "part")
     }),
+    // q37: conditional merge end-to-end — batch 1 merged into the
+    // batch-0 base with all three clauses live: matched sources with
+    // pre%5=0 delete their target, the rest update only when the
+    // incoming price beats the stored one (a source+target condition),
+    // and not-matched sources insert only even keys. The oracle
+    // recomputes the same three-way split relationally.
+    "q37_merge_conditional" -> ((s, dir) => {
+      val path = scratchTable("graft_q37_")
+      upsert(s, replayBatch(s, dir, 0), path, Seq("okey"), "pre", "part")
+      mergeInto(s, replayBatch(s, dir, 1), path, Seq("okey"), "pre",
+        Seq("part"),
+        whenMatchedDelete = Some(col("s.pre") % 5 === 0),
+        whenMatchedUpdate = Some(col("s.price") > col("t.price")),
+        whenNotMatchedInsert = Some(col("s.okey") % 2 === 0))
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     // q36: footer-stats file skipping end-to-end — a key-range read
     // over a range-laid-out table must equal the plain relational
     // filter (the oracle), with the pruning itself asserted at file
@@ -2567,6 +2684,38 @@ object Merge {
         |       l_quantity AS qty, l_returnflag AS part
         |FROM lineitem
         |ORDER BY okey, lnum, pk, sk, qty, part""".stripMargin,
+    // the three-way MERGE split, restated relationally: m = matched
+    // pairs, dels/ups by the clause conditions (delete wins), ins =
+    // not-matched evens; final = untouched base ∪ updates ∪ inserts
+    "q37_merge_conditional" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
+        |m AS (SELECT b2.okey, b2.part, b2.price, b2.pre,
+        |             b1.price AS tprice
+        |      FROM b2 JOIN b1 ON b2.okey = b1.okey AND b2.part = b1.part),
+        |dels AS (SELECT okey, part FROM m WHERE pre % 5 = 0),
+        |ups AS (SELECT okey, part, price, pre FROM m
+        |        WHERE pre % 5 <> 0 AND price > tprice),
+        |ins AS (SELECT b2.okey, b2.part, b2.price, b2.pre FROM b2
+        |        LEFT JOIN b1 ON b2.okey = b1.okey AND b2.part = b1.part
+        |        WHERE b1.pre IS NULL AND b2.okey % 2 = 0),
+        |kept AS (SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+        |         LEFT JOIN dels ON b1.okey = dels.okey AND b1.part = dels.part
+        |         LEFT JOIN ups ON b1.okey = ups.okey AND b1.part = ups.part
+        |         WHERE dels.okey IS NULL AND ups.okey IS NULL)
+        |SELECT okey, part, price, pre FROM kept
+        |UNION ALL SELECT okey, part, price, pre FROM ups
+        |UNION ALL SELECT okey, part, price, pre FROM ins
+        |ORDER BY part, okey""".stripMargin,
     // stats skipping must be result-invisible: the pruned read IS the
     // plain filter
     "q36_stats_skipping" ->
