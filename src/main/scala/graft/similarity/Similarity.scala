@@ -99,6 +99,43 @@ object Similarity {
       predicate: Column): DataFrame =
     bruteTopK(corpus.filter(predicate), queries, k)
 
+  /** SQ8-style scalar quantization top-k (the FAISS scalar-quantizer
+    * baseline): each corpus dimension is affinely coded onto
+    * `levels` + 1 integer steps between its corpus-wide [min, max],
+    * and search scores the DEQUANTIZED corpus against full-precision
+    * queries (asymmetric distance). At 100 TB the point is memory:
+    * an int8 code is 8× smaller than a double, so a cached/served
+    * corpus holds 8× more vectors per executor; the scan shape is
+    * identical to [[bruteTopK]] (narrow map + bounded local heaps).
+    *
+    * Determinism contract: the per-dimension stats are exact min/max
+    * aggregates; quantize/dequantize is a fixed IEEE expression
+    * (`round(((x-mn)*L)/(mx-mn))`, ties half-up — both engines round
+    * positive halves away from zero) spelled identically in the s05
+    * oracle, so codes and scores are bit-identical. A constant
+    * dimension (mx = mn) codes to its constant, never a 0/0.
+    *
+    * Stats ride a driver collect of `dims` rows (64 here) — broadcast
+    * as literals, the same pattern as the LSH hyperplanes. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      levels: Int = 127): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val stats = c.select(posexplode(col("v")).as(Seq("i", "val")))
+      .groupBy("i").agg(min("val").as("mn"), max("val").as("mx"))
+      .orderBy("i").collect()
+    val mnL = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val mxL = typedLit(stats.map(_.getDouble(2)).toSeq)
+    val L = lit(levels.toDouble)
+    val dequant = transform(col("v"), (x, i) => {
+      val m = element_at(mnL, i + 1)
+      val M = element_at(mxL, i + 1)
+      when(M === m, m)
+        .otherwise(m + (round(((x - m) * L) / (M - m)) * (M - m)) / L)
+    })
+    bruteTopK(c.select(col("vec_id"), dequant.as("embedding")), queries, k)
+  }
+
   /** Deterministic pseudo-random hyperplane for plane j: component i is
     * md5("j,i")-derived uniform in [-0.5, 0.5). Computed ONCE on the
     * driver and shipped as a literal array — zero hashing in the
@@ -297,6 +334,11 @@ object Similarity {
     "s02_ann_lsh" -> ((s, dir) =>
       lshTopK(corpusOf(s, dir), queriesOf(s, dir), 10, bits = 4, tables = 8)
         .orderBy("query_id", "rank")),
+    // scalar-quantized (SQ8) search: codes from corpus-wide per-dim
+    // min/max, asymmetric scoring against dequantized vectors
+    "s05_ann_quantized" -> ((s, dir) =>
+      sqTopK(corpusOf(s, dir), queriesOf(s, dir), 10)
+        .orderBy("query_id", "rank")),
     "s03_ann_ivf" -> ((s, dir) =>
       // maxTrainVectors below the sf0.01+ corpus size so the driver
       // check exercises the sampled-training path, not just the
@@ -402,6 +444,37 @@ object Similarity {
     * deterministic Lloyd SQL. */
   val oracle: Map[String, String] = Map(
     "s03_ann_ivf" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
+    // the same quantize/dequantize IEEE expression the engine ships,
+    // restated over unnested dims; scoring via list_cosine_similarity
+    // (bit-identical to the engine's sequential-fold cosine)
+    "s05_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+        |cv AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i
+        |       FROM c),
+        |dims AS (SELECT i, min(val) AS mn, max(val) AS mx FROM cv GROUP BY i),
+        |dq AS (SELECT vec_id, list(d ORDER BY i) AS dv FROM (
+        |         SELECT cv.vec_id, cv.i,
+        |           CASE WHEN dims.mx = dims.mn THEN dims.mn
+        |                ELSE dims.mn + (round(((cv.val - dims.mn) * 127.0)
+        |                  / (dims.mx - dims.mn)) * (dims.mx - dims.mn)) / 127.0
+        |           END AS d
+        |         FROM cv JOIN dims USING (i))
+        |       GROUP BY vec_id),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, dq.vec_id AS corpus_id,
+        |         list_cosine_similarity(q.v, dq.dv) AS cos_sim
+        |  FROM q CROSS JOIN dq WHERE dq.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos_sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_sim DESC, corpus_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, corpus_id, cos_sim
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "s02_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

@@ -68,17 +68,45 @@ class SimilaritySpec extends SparkSpec {
     val brute = neighborSets(Similarity.bruteTopK(corpus, queries, 10))
     val ann = neighborSets(
       Similarity.lshTopK(corpus, queries, 10, bits = 4, tables = 8))
-    val recall = brute.keys.map { q =>
+    val recall = brute.keys.toSeq.map { q =>
       val hits = ann.getOrElse(q, Set.empty) & brute(q)
       hits.size.toDouble / 10
     }.sum / brute.size
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("sqTopK recall tracks code resolution") {
+    // 8-bit codes lose almost nothing even on random near-orthogonal
+    // vectors; 12-bit recovers the exact sets — and finer codes must
+    // never lose recall (the resolution dial points the right way)
+    val brute = neighborSets(Similarity.bruteTopK(corpus, queries, 10))
+    def recallAt(levels: Int): Double = {
+      val ann = neighborSets(Similarity.sqTopK(corpus, queries, 10, levels))
+      brute.keys.toSeq.map { q =>
+        (ann.getOrElse(q, Set.empty) & brute(q)).size.toDouble / 10
+      }.sum / brute.size
+    }
+    val coarse = recallAt(127)
+    val fine = recallAt(4095)
+    assert(coarse > 0.9, s"sq8 recall=$coarse")
+    assert(fine >= coarse, s"finer codes must not lose recall " +
+      s"($fine vs $coarse)")
+  }
+
+  test("sqTopK: a constant dimension never yields NaN scores") {
+    import spark.implicits._
+    val c = (5L to 20L).map(i =>
+      (i, Array(1.0f, i.toFloat, -i.toFloat))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.sqTopK(c, q, 5).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("ivfTopK recall vs brute-force (nProbe=4 of 10 centroids)") {
     val brute = neighborSets(Similarity.bruteTopK(corpus, queries, 10))
     val ann = neighborSets(Similarity.ivfTopK(corpus, queries, 10, 10, 4))
-    val recall = brute.keys.map { q =>
+    val recall = brute.keys.toSeq.map { q =>
       (ann.getOrElse(q, Set.empty) & brute(q)).size.toDouble / 10
     }.sum / brute.size
     assert(recall > 0.4, s"recall=$recall")
