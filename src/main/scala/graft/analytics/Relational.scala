@@ -397,7 +397,29 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Q39 — correlated subquery, decorrelated: for each order, how many
+    * of its lineitems exceed the order's own average quantity. The
+    * naive form is a correlated scalar subquery per row (re-aggregating
+    * the order's lineitems for every lineitem); Catalyst would rewrite
+    * it as a self-join — two scans and two shuffles. Declared as a
+    * window over `l_orderkey` it is ONE scan and ONE shuffle, the plan
+    * a decorrelator should reach. The above-average test is
+    * cross-multiplied (`qty × n > Σqty`, exact decimals) so no
+    * division-rounding can differ across engines. */
+  val correlatedAboveAvg: Q = (s, dir) => {
+    val w = Window.partitionBy("l_orderkey")
+    lineitem(s, dir)
+      .select(col("l_orderkey"), dec(col("l_quantity")).as("q"))
+      .withColumn("n_items", count(lit(1)).over(w))
+      .withColumn("sum_qty", sum(col("q")).over(w))
+      .groupBy("l_orderkey", "n_items")
+      .agg(count(when(col("q") * col("n_items") > col("sum_qty"), 1))
+        .as("n_above"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q39_correlated" -> correlatedAboveAvg,
     "q38_star_join" -> starJoin,
     "q16_cube" -> cubeAgg,
     "q17_percentiles" -> percentiles,
@@ -427,6 +449,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the correlated subquery stated as the self-join DuckDB's
+    // decorrelator would produce; the engine's window form must agree
+    "q39_correlated" ->
+      """WITH agg AS (SELECT l_orderkey, COUNT(*) AS n_items,
+        |                    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        |             FROM lineitem GROUP BY l_orderkey)
+        |SELECT l.l_orderkey, a.n_items,
+        |       COUNT(CASE WHEN CAST(l.l_quantity AS DECIMAL(12,2)) * a.n_items
+        |                       > a.sum_qty THEN 1 END) AS n_above
+        |FROM lineitem l JOIN agg a ON l.l_orderkey = a.l_orderkey
+        |GROUP BY l.l_orderkey, a.n_items
+        |ORDER BY l.l_orderkey""".stripMargin,
     "q38_star_join" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

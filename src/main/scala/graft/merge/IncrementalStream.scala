@@ -170,6 +170,36 @@ object IncrementalStream {
       }
     }
 
+  /** Streaming incremental-view maintenance: the source's commit
+    * stream drives [[IncrementalView.refresh]] — each micro-batch of
+    * new commits triggers one cursor-advancing refresh, so the view
+    * follows the source with per-commit-batch latency and O(changed
+    * rows) work per trigger.
+    *
+    * The micro-batch CONTENT is deliberately unused: refresh reads its
+    * own delta from the view's stamped cursor to the source head, which
+    * makes the composition exactly-once under ANY stream behavior —
+    * a re-delivered batch finds the cursor already advanced and
+    * no-ops, a batch that groups several commits applies them as one
+    * delta. The stream is purely a change-notification channel (the
+    * same at-least-once-composes-to-exactly-once argument as
+    * [[replicateTo]], but via the view's own idempotence instead of
+    * keyed-write replay). */
+  def maintainView(
+      spark: SparkSession,
+      srcPath: String,
+      viewPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    commitStream(spark, srcPath).writeStream
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        IncrementalView.refresh(spark, viewPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   private def writer(
       spark: SparkSession,
       path: String,

@@ -2564,6 +2564,30 @@ object Merge {
           graft.Tables.d(col("sum_v")).as("sum_v"), col("n_rows"))
         .orderBy("part", "bucket")
     }),
+    // x09: STREAMING view maintenance — same source replay and final
+    // aggregate as x08, but the refreshes are driven by draining the
+    // checkpointed commit stream (batch grouping is the source's
+    // choice; the cursor makes any grouping land on the same state).
+    "x09_stream_ivm" -> ((s, dir) => {
+      val src = scratchTable("graft_x09s_")
+      val vw = scratchTable("graft_x09v_")
+      def b(i: Int): DataFrame = replayBatch(s, dir, i)
+        .withColumn("bucket", col("okey") % 10)
+      upsertVersioned(s, b(0), src, Seq("okey"), "pre", "part")
+      IncrementalView.create(s, src, vw, srcKeys = Seq("okey", "part"),
+        groupCols = Seq("part", "bucket"), sumCol = "price",
+        partitionCol = "part")
+      upsertVersioned(s, b(1), src, Seq("okey"), "pre", "part")
+      deleteVersioned(s, b(0).filter(col("pre") % 3 === 0)
+        .select("okey", "part"), src, Seq("okey"), Seq("part"))
+      val q = IncrementalStream.maintainView(s, src, vw,
+        scratchTable("graft_x09ck_"))
+      q.awaitTermination()
+      IncrementalView.readView(s, vw)
+        .select(col("part"), col("bucket"),
+          graft.Tables.d(col("sum_v")).as("sum_v"), col("n_rows"))
+        .orderBy("part", "bucket")
+    }),
     // x04: streaming keyed ingestion with the ORDERED payload — the
     // replay corpus split into files and drained through a checkpointed
     // file stream, each micro-batch upserted with
@@ -2636,6 +2660,15 @@ object Merge {
     // the incrementally-maintained aggregate must equal the direct
     // aggregate of the replayed final state
     "x08_incr_view" ->
+      s"""SELECT part, okey % 10 AS bucket,
+         |  CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+         |  COUNT(*) AS n_rows
+         |FROM ($replaySql)
+         |GROUP BY part, okey % 10
+         |ORDER BY part, bucket""".stripMargin,
+    // stream-driven refreshes land on the same state as x08's manual
+    // ones — the cursor, not the batching, decides what applies
+    "x09_stream_ivm" ->
       s"""SELECT part, okey % 10 AS bucket,
          |  CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
          |  COUNT(*) AS n_rows

@@ -192,6 +192,39 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(state(dst) === state(src))
   }
 
+  test("maintainView: stream-driven refreshes track the source") {
+    val src = tmpDir("incs_mv") + "/src"
+    val vw = tmpDir("incs_mv") + "/vw"
+    val ckpt = tmpDir("incs_mvck")
+    def batch(ks: Range, part: String, v: Double): DataFrame =
+      ks.map(k => (k.toLong, part, v, k.toLong)).toDF("k", "part", "v", "pre")
+        .withColumn("bucket", col("k") % 2)
+    def recompute(): Set[(String, Long, BigDecimal, Long)] =
+      Merge.readTable(spark, src).groupBy("part", "bucket")
+        .agg(sum(graft.Tables.dec(col("v"))).cast("decimal(30,2)").as("s"),
+          count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          BigDecimal(r.getDecimal(2)), r.getLong(3))).toSet
+    def viewState(): Set[(String, Long, BigDecimal, Long)] =
+      IncrementalView.readView(spark, vw).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          BigDecimal(r.getDecimal(2)), r.getLong(3))).toSet
+    Merge.upsertVersioned(spark, batch(0 until 10, "a", 1.0), src,
+      keyCols, "pre", "part")
+    IncrementalView.create(spark, src, vw, Seq("k", "part"),
+      Seq("part", "bucket"), "v", "part")
+    // a drain with nothing new leaves the view at its created state
+    IncrementalStream.maintainView(spark, src, vw, ckpt).awaitTermination()
+    assert(viewState() === recompute())
+    // two more commits land; the SAME checkpoint drains only them
+    Merge.upsertVersioned(spark, batch(5 until 15, "a", 2.0), src,
+      keyCols, "pre", "part")
+    Merge.deleteVersioned(spark, Seq((0L, "a"), (1L, "a")).toDF("k", "part"),
+      src, keyCols, Seq("part"))
+    IncrementalStream.maintainView(spark, src, vw, ckpt).awaitTermination()
+    assert(viewState() === recompute())
+  }
+
   test("foreign junk in the timeline dir does not stream") {
     val path = tmpDir("incs_junk") + "/t"
     Merge.upsertVersioned(spark, rows(0 until 5, "a", "v1"), path,
