@@ -23,6 +23,7 @@ object SparkEntry {
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++ merge.Merge.queries ++
       merge.MorTable.queries ++ pipeline.TrainingPipeline.queries ++
+      pipeline.Expectations.queries ++
       streaming.EventStreams.queries ++ scale.Scale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       dedup.Dedup.oracle ++ similarity.Similarity.oracle ++
       multimodal.Multimodal.oracle ++ merge.Merge.oracle ++
       merge.MorTable.oracle ++ pipeline.TrainingPipeline.oracle ++
+      pipeline.Expectations.oracle ++
       streaming.EventStreams.oracle ++ scale.Scale.oracle
 }

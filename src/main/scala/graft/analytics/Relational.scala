@@ -418,7 +418,74 @@ object Relational {
       .orderBy("l_orderkey")
   }
 
+  /** Q40 — time-series gap-fill: resample each user's purchase history
+    * onto the dense daily calendar of the observed global span and
+    * forward-fill the last observed value (LOCF) across gap days — the
+    * canonical resample-then-fill every time-series store ships
+    * (carried-forward balances, sensor staleness, price marks).
+    *
+    * Scale shape: the per-(user, day) last-observation pre-aggregates
+    * map-side (arg-max as a struct `max` — no window over the raw
+    * stream); the calendar grid is generated NARROW (explode of a
+    * per-user `sequence` against the broadcast 1-row global span, no
+    * grid shuffle); the only full-size exchanges are the grid⋈daily
+    * join and the user-keyed fill window, both carrying output-sized
+    * data — you cannot fill a calendar without materializing it. The
+    * fill itself copies observed doubles untouched (no arithmetic), so
+    * cross-engine parity is bit-exact by construction. */
+  val gapfillLocf: Q = (s, dir) => {
+    val ev = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+    // last observation per (user, day): struct max compares (ts,
+    // event_id, value) lexicographically and event_id is unique, so
+    // the pick is total-ordered — deterministic without a window
+    val daily = ev.groupBy("user_id", "day")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("_l"))
+      .select(col("user_id"), col("day"), col("_l.value").as("v_obs"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = ev.select("user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("v_fill", last(col("v_obs"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("v_fill"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Q41 — ordered-sequence funnel (view → click → purchase): for each
+    * user with a view, the first view, the first click STRICTLY AFTER
+    * that view, and the first purchase strictly after that click.
+    * Event-sequence matching is the analytics op behind conversion
+    * funnels and behavioral cohorts.
+    *
+    * Scale shape: every stage is a groupBy/join on `user_id` — ONE
+    * partitioning reused down the whole chain (Catalyst elides the
+    * later exchanges), per-stage state is one timestamp per user, and
+    * depth-k funnels are k chained same-key steps with no row
+    * explosion anywhere. */
+  val funnel: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q40_gapfill" -> gapfillLocf,
+    "q41_funnel" -> funnel,
     "q39_correlated" -> correlatedAboveAvg,
     "q38_star_join" -> starJoin,
     "q16_cube" -> cubeAgg,
@@ -449,6 +516,48 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same resample: dense calendar over the observed span, last
+    // observation per day (ts DESC, event_id DESC = Spark's struct
+    // max), IGNORE NULLS fill — values are copied, never computed, so
+    // doubles agree bit-for-bit
+    "q40_gapfill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+        |            FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT user_id, day, value AS v_obs FROM (
+        |            SELECT user_id, day, value, row_number() OVER (
+        |              PARTITION BY user_id, day
+        |              ORDER BY ts DESC, event_id DESC) AS rn
+        |            FROM ev) WHERE rn = 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |grid AS (SELECT u.user_id, CAST(g.day AS DATE) AS day
+        |         FROM (SELECT DISTINCT user_id FROM ev) u
+        |         CROSS JOIN span
+        |         CROSS JOIN UNNEST(generate_series(CAST(span.d0 AS TIMESTAMP),
+        |                    CAST(span.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g(day))
+        |SELECT g.user_id, g.day,
+        |       last_value(d.v_obs IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+    // the funnel as three chained min-after-anchor stages; strict '>'
+    // on both sides, left joins preserve users who stall mid-funnel
+    "q41_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     // the correlated subquery stated as the self-join DuckDB's
     // decorrelator would produce; the engine's window form must agree
     "q39_correlated" ->

@@ -3,6 +3,8 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{BloomBits, BloomFunctions}
+
 /** Scale utilities: the shuffle-shaping tools a 100 TB deployment needs
   * beyond what AQE does automatically.
   *
@@ -76,6 +78,32 @@ object Scale {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Equi-join with a bloom runtime filter: build one self-describing
+    * [[BloomBits]] filter over the dim side's join keys (an eager
+    * driver action — the dim side is the SMALL/filtered one by
+    * contract, and the filter is capped at 1 MiB by
+    * [[BloomBits.sizeFor]]), then prune the fact side with the
+    * codegen'd `graft_bloom_maybe` probe BEFORE the join.
+    *
+    * This is dynamic/runtime filtering (Trino's dynamic filters,
+    * Spark's own `InjectRuntimeFilter`) made explicit: at 100 TB the
+    * win is that fact rows that cannot match never enter the join
+    * exchange — the probe runs inside the scan's codegen stage, so a
+    * selective dim turns a full-fact shuffle into a shuffle of the
+    * matching fraction. False positives are possible (they just ride
+    * to the join and fall out there); false negatives are impossible
+    * (build and probe share one hash path), so the result is
+    * IDENTICAL to the plain join. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedDimKeys: Long): DataFrame = {
+    val (m, k) = BloomBits.sizeFor(expectedDimKeys)
+    val filt = dim
+      .select(BloomFunctions.bloomAgg(xxhash64(col(dimKey)), m, k).as("f"))
+      .head.getAs[Array[Byte]](0)
+    fact.filter(BloomFunctions.bloomMaybe(lit(filt), xxhash64(col(factKey))))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame
@@ -99,6 +127,26 @@ object Scale {
       saltedEquiJoin(left, right, Seq("k"), factor = 8)
         .select(col("c_custkey"), col("k"), col("n_name"))
         .orderBy("c_custkey", "k", "n_name")
+    },
+    // x10: bloom-pruned join parity — like x01, the utility's contract
+    // is "identical to the plain join", so the oracle IS the plain
+    // join. The dim side (small parts) keeps ~6% of partkeys, the
+    // shape where runtime filtering pays: ~94% of lineitem never
+    // enters the join exchange. Revenue goes through exact decimals.
+    "x10_bloom_join" -> { (s, dir) =>
+      import graft.Tables._
+      val dim = part(s, dir).filter(col("p_size") <= 3)
+        .select(col("p_partkey"), col("p_brand"))
+      val li = lineitem(s, dir)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      bloomPrunedJoin(li, dim, "l_partkey", "p_partkey",
+        expectedDimKeys = 100000L)
+        .groupBy("p_brand")
+        .agg(
+          d(sum(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
     })
 
   val oracle: Map[String, String] = Map(
@@ -110,5 +158,15 @@ object Scale {
         |      FROM customer) c
         |JOIN (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name
         |      FROM nation) n USING (k)
-        |ORDER BY c_custkey, k, n_name""".stripMargin)
+        |ORDER BY c_custkey, k, n_name""".stripMargin,
+    "x10_bloom_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 3
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
 }

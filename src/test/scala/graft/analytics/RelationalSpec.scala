@@ -52,4 +52,47 @@ class RelationalSpec extends SparkSpec {
       assert(close(a99, p99), s"$flag p99: $a99 vs $p99")
     }
   }
+
+  test("q40 gapfill: dense calendar, LOCF carries, leading gap stays null") {
+    val rows = graft.SparkEntry.queries("q40_gapfill")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val span = rows.map(_._2).distinct.sorted
+    val nDays = java.time.temporal.ChronoUnit.DAYS
+      .between(span.head, span.last) + 1
+    assert(span.size.toLong === nDays, "calendar has gaps")
+    // every user covers the WHOLE span — resampling is global
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.length.toLong === nDays, s"user $u missing days")
+      val series = rs.sortBy(_._2).map(_._3)
+      // once a value is observed the fill never returns to null (LOCF)
+      val firstObs = series.indexWhere(_.isDefined)
+      assert(firstObs >= 0 || series.forall(_.isEmpty))
+      if (firstObs >= 0) {
+        assert(series.take(firstObs).forall(_.isEmpty), "pre-obs not null")
+        assert(series.drop(firstObs).forall(_.isDefined), "LOCF dropped")
+      }
+    }
+  }
+
+  test("q41 funnel: stage times strictly ordered, stalls stay null") {
+    val rows = graft.SparkEntry.queries("q41_funnel")(spark, sfDir)
+      .collect()
+      .map(r => (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+        .asInstanceOf[(Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+          Option[java.sql.Timestamp])])
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, c, p) =>
+      assert(v.isDefined, "every row anchors on a first view")
+      // a later stage implies the earlier one, strictly after it
+      (c, p) match {
+        case (None, Some(_)) => fail("purchase without click")
+        case _ =>
+      }
+      c.foreach(t => assert(t.after(v.get), "click not after view"))
+      p.foreach(t => assert(t.after(c.get.asInstanceOf[java.util.Date]),
+        "purchase not after click"))
+    }
+  }
 }

@@ -27,6 +27,32 @@ class ScaleSpec extends SparkSpec {
     assert(salts.size >= 6) // near-uniform over 8 buckets
   }
 
+  test("bloomPrunedJoin: identical to the plain join, prunes pre-shuffle") {
+    val dim = Tables.part(spark, sfDir).filter(col("p_size") <= 3)
+      .select(col("p_partkey"), col("p_brand"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_extendedprice")
+    val pruned = Scale.bloomPrunedJoin(li, dim, "l_partkey", "p_partkey",
+      expectedDimKeys = 1000L)
+    val plain = li.join(dim, col("l_partkey") === col("p_partkey"))
+    // parity: runtime filtering must be invisible in the result
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    // the probe really prunes: a selective dim keeps a small fraction
+    // of fact rows from ever reaching the join
+    val (mB, kH) = graft.functions.BloomBits.sizeFor(1000L)
+    val filt = dim.select(graft.functions.BloomFunctions
+      .bloomAgg(xxhash64(col("p_partkey")), mB, kH).as("f"))
+      .head.getAs[Array[Byte]](0)
+    val kept = li.filter(graft.functions.BloomFunctions
+      .bloomMaybe(lit(filt), xxhash64(col("l_partkey")))).count()
+    assert(kept < li.count() / 2, s"probe kept $kept of ${li.count()}")
+    // and it runs inside the scan stage: the probe expression appears
+    // in the executed plan (a Filter below the join, not a post-join
+    // residual)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("graft_bloom_maybe"))
+  }
+
   test("bucketed-by-key tables join with zero shuffle") {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
