@@ -462,11 +462,14 @@ object Relational {
     * Event-sequence matching is the analytics op behind conversion
     * funnels and behavioral cohorts.
     *
-    * Scale shape: every stage is a groupBy/join on `user_id` — ONE
-    * partitioning reused down the whole chain (Catalyst elides the
-    * later exchanges), per-stage state is one timestamp per user, and
-    * depth-k funnels are k chained same-key steps with no row
-    * explosion anywhere. */
+    * Scale shape: every stage is a groupBy/join on `user_id`. Each
+    * stage shuffles its own event slice once into the user_id
+    * partitioning; the joins BETWEEN stages add no exchanges at scale
+    * because the aggregates' output partitioning already satisfies
+    * them (at toy SF AQE broadcasts the stage outputs instead — same
+    * result, cheaper at that size). Per-stage state is one timestamp
+    * per user, so depth-k funnels are k chained same-key steps with no
+    * row explosion anywhere. */
   val funnel: Q = (s, dir) => {
     val ev = events(s, dir)
       .select(col("user_id"), col("ts"), col("event_type"))

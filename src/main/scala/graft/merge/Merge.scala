@@ -2060,6 +2060,54 @@ object Merge {
       col("_change_commit"): _*)
   }
 
+  /** Snapshot diff between two recorded commits: one row per key whose
+    * STATE differs at `toTs` vs `fromTs`, classified `insert` (absent →
+    * present), `delete` (present → absent) or `update` (present at
+    * both with any payload column changed). The anti-entropy primitive:
+    * audit what a window of commits net-changed, reconcile a replica,
+    * or review a backfill before publishing downstream.
+    *
+    * STATE-based, not event-based: a key deleted then re-inserted with
+    * identical values nets to NO row here (its state is equal), while
+    * [[readChanges]] reports both events — the two views agree on net
+    * effect by construction (`TimeTravelSpec` pins this against the CDC
+    * stream). `keyCols` must be the full identifying key, as in
+    * [[readChanges]]. Across additive schema evolution the older
+    * snapshot is null-aligned to the newer schema, so a value appearing
+    * in an evolved column reads as `update` — the honest answer.
+    *
+    * Scale shape: both snapshots are plan-time file selections
+    * ([[readAsOf]] — no data copied), and the diff is ONE full-outer
+    * shuffle on the key struct; payload comparison rides the same
+    * exchange as a null-safe struct equality, so cost is the two
+    * snapshot scans plus one key-sized join regardless of how many
+    * commits separate the snapshots. */
+  def diffSnapshots(spark: SparkSession, path: String, fromTs: Long,
+      toTs: Long, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(fromTs <= toTs, s"need fromTs <= toTs, got ($fromTs, $toTs)")
+    val a0 = readAsOf(spark, path, fromTs).drop(commitCol)
+    val b0 = readAsOf(spark, path, toTs).drop(commitCol)
+    keyCols.foreach(c => require(b0.columns.contains(c),
+      s"key column $c not present in the table at $path"))
+    // additive evolution: align the older snapshot to the newer schema
+    // (missing columns read null, so evolved values surface as updates)
+    val a1 = alignTo(a0, b0.schema.map(f => f.name -> f.dataType))
+    val valCols = b0.columns.filterNot(keyCols.contains).toSeq
+    val left = a1.select(struct(keyCols.map(col): _*).as("_ka"),
+      struct(valCols.map(col): _*).as("_va"))
+    val right = b0.select(struct(keyCols.map(col): _*).as("_kb"),
+      struct(valCols.map(col): _*).as("_vb"))
+    left.join(right, col("_ka") <=> col("_kb"), "full_outer")
+      .withColumn("change",
+        when(col("_ka").isNull, "insert")
+          .when(col("_kb").isNull, "delete")
+          .when(!(col("_va") <=> col("_vb")), "update"))
+      .filter(col("change").isNotNull)
+      .withColumn("_k", coalesce(col("_ka"), col("_kb")))
+      .select(keyCols.map(c => col(s"_k.$c").as(c)) :+ col("change"): _*)
+  }
+
   /** Physical revert to the state as of commit `toTs` — Hudi's
     * savepoint-restore. Walks the recorded commits after `toTs` newest
     * first, un-publishing each one's added files, restoring its retired
@@ -2588,6 +2636,25 @@ object Merge {
           graft.Tables.d(col("sum_v")).as("sum_v"), col("n_rows"))
         .orderBy("part", "bucket")
     }),
+    // x11: snapshot diff — the 4-commit replay diffed from the
+    // 2-upsert snapshot to head: batch-2-only keys read insert, keys
+    // it overwrites read update (batch-wins rewrites every matched
+    // key; precombine `pre` differs mod 7 so no rewrite is a no-op),
+    // deleted keys not re-inserted by batch 2 read delete
+    "x11_snapshot_diff" -> ((s, dir) => {
+      val path = scratchTable("graft_x11_")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, Seq("okey"),
+        "pre", "part")
+      val c2 = upsertVersioned(s, replayBatch(s, dir, 1), path,
+        Seq("okey"), "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, Seq("okey"), Seq("part"))
+      val c4 = upsertVersioned(s, replayBatch(s, dir, 2), path,
+        Seq("okey"), "pre", "part")
+      diffSnapshots(s, path, c2, c4, Seq("okey", "part"))
+        .orderBy("part", "okey")
+    }),
     // x04: streaming keyed ingestion with the ORDERED payload — the
     // replay corpus split into files and drained through a checkpointed
     // file stream, each micro-batch upserted with
@@ -2675,6 +2742,49 @@ object Merge {
          |FROM ($replaySql)
          |GROUP BY part, okey % 10
          |ORDER BY part, bucket""".stripMargin,
+    // the snapshot-vs-snapshot full-outer classification over the same
+    // replay algebra: t2 = the 2-upsert snapshot, t4 = head after the
+    // delete + batch-2 merge
+    "x11_snapshot_diff" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
+        |t2 AS (SELECT * FROM b2
+        |       UNION ALL
+        |       SELECT b1.* FROM b1
+        |       LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |       WHERE b2.pre IS NULL),
+        |d AS (SELECT DISTINCT okey, part FROM raw
+        |      WHERE pre % 7 = 0 AND pre % 3 = 0),
+        |t3 AS (SELECT t2.* FROM t2
+        |       LEFT JOIN d ON t2.okey = d.okey AND t2.part = d.part
+        |       WHERE d.okey IS NULL),
+        |b3 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 2) WHERE rn = 1),
+        |t4 AS (SELECT * FROM b3
+        |       UNION ALL
+        |       SELECT t3.* FROM t3
+        |       LEFT JOIN b3 ON t3.okey = b3.okey AND t3.part = b3.part
+        |       WHERE b3.pre IS NULL)
+        |SELECT COALESCE(a.okey, b.okey) AS okey,
+        |       COALESCE(a.part, b.part) AS part,
+        |       CASE WHEN a.okey IS NULL THEN 'insert'
+        |            WHEN b.okey IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change
+        |FROM t2 a FULL JOIN t4 b ON a.okey = b.okey AND a.part = b.part
+        |WHERE a.okey IS NULL OR b.okey IS NULL
+        |   OR a.price <> b.price OR a.pre <> b.pre
+        |ORDER BY part, okey""".stripMargin,
     // the q18 algebra extended by one more batch-wins merge (batch 2,
     // pre%7=2) applied after the delete — the state x02 replays on an
     // index-pruned table

@@ -445,4 +445,69 @@ class TimeTravelSpec extends SparkSpec {
       Seq(("T1", "c1", "ADAGBP", 9.0)))
     assert(Merge.readSince(spark, path, c1).count() === 0L)
   }
+
+  private val diffKeys = Seq("transaction_id", "close_time", "pair")
+
+  private def diffSet(path: String, a: Long, b: Long)
+      : Set[(String, String)] =
+    Merge.diffSnapshots(spark, path, a, b, diffKeys)
+      .select("transaction_id", "change")
+      .as[(String, String)].collect().toSet
+
+  test("diffSnapshots classifies net state changes; diff(c,c) is empty") {
+    val path = tmpDir("diff") + "/table"
+    val (c1, _, c3) = build3(path)
+    assert(diffSet(path, c1, c1) === Set.empty)
+    // c1→c3: T1's overwrite is an update, T2 and T3 are inserts
+    assert(diffSet(path, c1, c3) ===
+      Set(("T1", "update"), ("T2", "insert"), ("T3", "insert")))
+    val c4 = Merge.deleteVersioned(spark,
+      tx(("T2", "c2", "ADAGBP", 0.0)).select("transaction_id",
+        "close_time", "pair"), path, keyCols, Seq("pair"))
+    assert(diffSet(path, c3, c4) === Set(("T2", "delete")))
+  }
+
+  test("diffSnapshots is state-based: identical re-insert nets to nothing") {
+    val path = tmpDir("diffnet") + "/table"
+    val c1 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c1", "ADAGBP", 2.0)), path, keyCols, "price", "pair")
+    Merge.deleteVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 0.0)).select("transaction_id",
+        "close_time", "pair"), path, keyCols, Seq("pair"))
+    val c3 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    // the CDC stream reports both events; the state diff reports none
+    assert(Merge.readChanges(spark, path, c1, c3, diffKeys)
+      .filter(col("transaction_id") === "T1").count() === 2L)
+    assert(diffSet(path, c1, c3) === Set.empty)
+  }
+
+  test("diffSnapshots agrees with the CDC stream's net effect") {
+    val path = tmpDir("diffcdc") + "/table"
+    val (c1, _, c3) = build3(path)
+    // net effect from CDC: last action per key, with delete-after-
+    // insert collapsing — recompute per key from the change stream
+    val perKey = Merge.readChanges(spark, path, c1, c3, diffKeys)
+      .filter(col("_change_type") =!= "update_preimage")
+      .select("transaction_id", "_change_type", "_change_commit")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (k, evs) => k -> evs.maxBy(_._3)._2 }
+    val expected = perKey.map {
+      case (k, "insert") => k -> "insert"
+      case (k, "update_postimage") => k -> "update"
+      case (k, other) => k -> other
+    }.toSet
+    assert(diffSet(path, c1, c3) === expected)
+  }
+
+  test("diffSnapshots across additive evolution reads new columns as updates") {
+    val path = tmpDir("diffevo") + "/table"
+    val c1 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
+      path, keyCols, "price", "pair")
+    val c2 = Merge.upsertVersioned(spark,
+      tx(("T1", "c1", "ADAGBP", 1.0)).withColumn("venue", lit("LSE")),
+      path, keyCols, "price", "pair")
+    // same price; the evolved column's value is the only change
+    assert(diffSet(path, c1, c2) === Set(("T1", "update")))
+  }
 }
