@@ -1197,27 +1197,9 @@ object Merge {
     require(maxFiles >= 1, "maxFiles must be >= 1")
     if (!tableExists(spark, path)) return 0L
     val fs = fsFor(spark, path)
-    // leaf partition dirs: one `col=value` level per partition column
-    def leafDirs(root: Path, cols: Seq[String]): Seq[Path] = cols match {
-      case Nil => Seq(root)
-      case c +: rest => fs.listStatus(root).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$c="))
-        .flatMap(d => leafDirs(d.getPath, rest))
-    }
-    val candidates = leafDirs(new Path(path), partitionCols).flatMap { d =>
-      val files = fs.listStatus(d)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-      val bytes = files.map(_.getLen).sum
-      // Long division throughout — an Int conversion here wraps for
-      // TB-scale partitions with small targets (the bulkInsert bug)
-      val ideal = bytes / targetFileBytes + 1
-      if (files.length > ideal) Some((files.map(_.getPath).toSeq, bytes))
-      else None
-    }
-    if (candidates.isEmpty) return 0L
-    val files = candidates.flatMap(_._1).map(_.toString).toIndexedSeq
-    val totalBytes = candidates.map(_._2).sum
+    val (files, totalBytes) =
+      compactionCandidates(fs, path, partitionCols, targetFileBytes)
+    if (files.isEmpty) return 0L
     val stored = readTable(spark, path)
     val rows = spark.read.schema(stored.schema)
       .option("basePath", path).parquet(files: _*)
@@ -1237,6 +1219,95 @@ object Merge {
           s"(${e.getMessage}); the entry log keeps working, just longer")
     }
     voidHistory(spark, path)
+    files.length.toLong
+  }
+
+  /** Small-file candidate selection shared by [[compact]] and
+    * [[compactVersioned]]: every leaf partition holding more files
+    * than its byte size justifies contributes all of them. A metadata
+    * listing — no data is read. */
+  private def compactionCandidates(fs: FileSystem, path: String,
+      partitionCols: Seq[String], targetFileBytes: Long)
+      : (IndexedSeq[String], Long) = {
+    // leaf partition dirs: one `col=value` level per partition column
+    def leafDirs(root: Path, cols: Seq[String]): Seq[Path] = cols match {
+      case Nil => Seq(root)
+      case c +: rest => fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$c="))
+        .flatMap(d => leafDirs(d.getPath, rest))
+    }
+    val candidates = leafDirs(new Path(path), partitionCols).flatMap { d =>
+      val files = fs.listStatus(d)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      val bytes = files.map(_.getLen).sum
+      // Long division throughout — an Int conversion here wraps for
+      // TB-scale partitions with small targets (the bulkInsert bug)
+      val ideal = bytes / targetFileBytes + 1
+      if (files.length > ideal) Some((files.map(_.getPath).toSeq, bytes))
+      else None
+    }
+    (candidates.flatMap(_._1).map(_.toString).toIndexedSeq,
+      candidates.map(_._2).sum)
+  }
+
+  /** [[compact]] recorded on the commit timeline — compaction as a
+    * table SERVICE instead of a history-voiding mutation (Hudi's
+    * compaction/clustering are timeline actions for the same reason).
+    * The rewrite preserves every row's `_commit_ts` stamp, so the
+    * commit owns NO rows: incremental pulls re-emit nothing, the CDC
+    * stream classifies zero changes for it (every pre-image survives
+    * into the post set with its old stamp), and [[diffSnapshots]]
+    * across it is empty — while [[readAsOf]] before the compaction
+    * still reconstructs the old small-file state from
+    * `_graft_history/`, and [[rollback]]/[[restoreTo]] reverse it
+    * mechanically like any other commit.
+    *
+    * Requires a table whose recorded schema carries the stamp column
+    * (at least one versioned write) — on a plain table there is no
+    * history to preserve and [[compact]] is the right (cheaper) tool.
+    * Returns the number of small files replaced (0 = nothing to do,
+    * no commit claimed). */
+  def compactVersioned(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      keyCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxFiles: Int = 1 << 20): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    if (!tableExists(spark, path)) return 0L
+    require(readSchemaMeta(spark, path)
+        .exists(_.fieldNames.contains(commitCol)),
+      s"$path carries no $commitCol stamps (no versioned write yet) — " +
+        "there is no history to preserve; use compact")
+    val fs = fsFor(spark, path)
+    val (files, totalBytes) =
+      compactionCandidates(fs, path, partitionCols, targetFileBytes)
+    if (files.isEmpty) return 0L
+    val stored = readTable(spark, path)
+    // stamps ride along untouched: the read schema includes commitCol,
+    // and no column is rewritten — preservation IS the no-CDC contract
+    val rows = spark.read.schema(stored.schema)
+      .option("basePath", path).parquet(files: _*)
+    val nFiles = math.min(totalBytes / targetFileBytes + 1, maxFiles.toLong)
+      .toInt
+    val layout = (partitionCols.map(col) ++ keyCols.map(col)).toIndexedSeq
+    val cts = claimCommitId(spark, path)
+    val res = commitFiles(spark, rows.repartitionByRange(nFiles, layout: _*),
+      path, partitionCols, files, touched = Nil, dropEmptied = false,
+      Some(cts))
+    // n_rows = 0: the commit moves bytes, not state — the honest
+    // timeline row for a service action
+    recordCommit(spark, path, cts, MergeStats(0L, Nil), Some(res))
+    retireToHistory(fs, path, cts, res.staging)
+    try KeyIndex.compactIndex(spark, path)
+    catch {
+      case e: Exception => System.err.println(
+        s"[graft.merge] WARN: key-index fold failed at $path " +
+          s"(${e.getMessage}); the entry log keeps working, just longer")
+    }
     files.length.toLong
   }
 
@@ -2655,6 +2726,26 @@ object Merge {
       diffSnapshots(s, path, c2, c4, Seq("okey", "part"))
         .orderBy("part", "okey")
     }),
+    // x12: recorded compaction — after the small-file rewrite, the
+    // query time-travels BACK PAST the compaction commit to the
+    // 2-upsert snapshot: the result is only correct if the compaction
+    // retired (not destroyed) the old layout and owns no rows itself.
+    // Same expected state as q25 through a physically different path.
+    "x12_compact_versioned" -> ((s, dir) => {
+      val path = scratchTable("graft_x12_")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, Seq("okey"),
+        "pre", "part")
+      val c2 = upsertVersioned(s, replayBatch(s, dir, 1), path,
+        Seq("okey"), "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, Seq("okey"), Seq("part"))
+      val n = compactVersioned(s, path, Seq("part"), Seq("okey"))
+      require(n > 0, "x12 expects the replay layout to need compaction")
+      readAsOf(s, path, c2)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     // x04: streaming keyed ingestion with the ORDERED payload — the
     // replay corpus split into files and drained through a checkpointed
     // file stream, each micro-batch upserted with
@@ -2958,6 +3049,27 @@ object Merge {
         |ORDER BY commit_ts""".stripMargin,
     // the as-of-commit-2 snapshot = the two-batch merge state, before
     // the versioned delete and the third upsert that q25 replays past
+    // time travel across a RECORDED compaction lands on the same
+    // 2-upsert snapshot as q25 — compaction moved bytes, not state
+    "x12_compact_versioned" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b2 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1)
+        |SELECT okey, part, price, pre FROM (
+        |  SELECT * FROM b2
+        |  UNION ALL
+        |  SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+        |  LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+        |  WHERE b2.pre IS NULL)
+        |ORDER BY part, okey""".stripMargin,
     "q25_time_travel" ->
       """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
         |               o_totalprice AS price, o_orderkey AS pre

@@ -500,6 +500,59 @@ class TimeTravelSpec extends SparkSpec {
     assert(diffSet(path, c1, c3) === expected)
   }
 
+  test("compactVersioned: bytes move, state and history both survive") {
+    val path = tmpDir("cv") + "/table"
+    val (c1, c2, c3) = build3(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Int = {
+      def walk(p: org.apache.hadoop.fs.Path): Int =
+        fs.listStatus(p).map { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) 0
+          else if (st.isDirectory) walk(st.getPath)
+          else 1
+        }.sum
+      walk(new org.apache.hadoop.fs.Path(path))
+    }
+    val before = snap(Merge.readTable(spark, path))
+    val filesBefore = dataFiles()
+    val n = Merge.compactVersioned(spark, path, Seq("pair"), keyCols)
+    assert(n > 0 && dataFiles() < filesBefore, "no files were merged")
+    // state identical; the service commit owns no rows anywhere
+    assert(snap(Merge.readTable(spark, path)) === before)
+    val cCompact = Merge.commits(spark, path)
+      .agg(max("commit_ts")).head().getLong(0)
+    assert(cCompact > c3)
+    assert(Merge.readSince(spark, path, c3).count() === 0L)
+    assert(Merge.readChanges(spark, path, c3, cCompact, diffKeys)
+      .count() === 0L)
+    assert(diffSet(path, c3, cCompact) === Set.empty)
+    // and history is preserved, not voided: every boundary replays
+    assert(snap(Merge.readAsOf(spark, path, c1)) ===
+      Seq(("T1", "c1", "ADAGBP", 1.0)))
+    assert(snap(Merge.readAsOf(spark, path, c2)) === Seq(
+      ("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)))
+    assert(snap(Merge.readAsOf(spark, path, c3)) === before)
+  }
+
+  test("compactVersioned composes with restoreTo; refuses plain tables") {
+    val path = tmpDir("cvr") + "/table"
+    val (_, c2, _) = build3(path)
+    Merge.compactVersioned(spark, path, Seq("pair"), keyCols)
+    // physical revert back across the compaction AND commit 3
+    Merge.restoreTo(spark, path, c2)
+    assert(snap(Merge.readTable(spark, path)) === Seq(
+      ("T1", "c1", "ADAGBP", 2.0), ("T2", "c2", "ADAGBP", 3.0)))
+    val plain = tmpDir("cvp") + "/table"
+    Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)), plain,
+      keyCols, "price", "pair")
+    val e = intercept[IllegalArgumentException] {
+      Merge.compactVersioned(spark, plain, Seq("pair"), keyCols)
+    }
+    assert(e.getMessage.contains("use compact"))
+  }
+
   test("diffSnapshots across additive evolution reads new columns as updates") {
     val path = tmpDir("diffevo") + "/table"
     val c1 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
