@@ -1206,19 +1206,46 @@ object Merge {
     val nFiles = math.min(totalBytes / targetFileBytes + 1, maxFiles.toLong)
       .toInt
     val layout = (partitionCols.map(col) ++ keyCols.map(col)).toIndexedSeq
-    commitFiles(spark, rows.repartitionByRange(nFiles, layout: _*), path,
-      partitionCols, files, touched = Nil, dropEmptied = false)
-    // compaction is ALSO the index's maintenance moment: fold the
-    // per-commit entry log into one snapshot (and, because compaction
-    // rewrites go through commitFiles, files from plain inserts that
-    // predated the index are now indexed too)
+    commitRewrite(spark, path, partitionCols,
+      rows.repartitionByRange(nFiles, layout: _*), files, versioned = false)
+  }
+
+  /** Shared tail of every layout rewrite (compaction / clustering):
+    * stage + publish the rewritten rows superseding `files`, then run
+    * index maintenance. Versioned rewrites land as recorded service
+    * commits (stats say 0 rows — bytes moved, not state) with their
+    * retired originals preserved in `_graft_history/`; unversioned
+    * ones void history, because an unrecorded rewrite makes older
+    * snapshots unreconstructable and the floor must say so.
+    *
+    * A rewrite is ALSO the key index's maintenance moment: the
+    * per-commit entry log folds into one snapshot, and files from
+    * plain inserts that predated the index get indexed by riding
+    * through commitFiles. */
+  private def commitRewrite(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      rewritten: DataFrame,
+      files: IndexedSeq[String],
+      versioned: Boolean): Long = {
+    if (versioned) {
+      val cts = claimCommitId(spark, path)
+      val res = commitFiles(spark, rewritten, path, partitionCols, files,
+        touched = Nil, dropEmptied = false, Some(cts))
+      recordCommit(spark, path, cts, MergeStats(0L, Nil), Some(res))
+      retireToHistory(fsFor(spark, path), path, cts, res.staging)
+    } else {
+      commitFiles(spark, rewritten, path, partitionCols, files,
+        touched = Nil, dropEmptied = false)
+    }
     try KeyIndex.compactIndex(spark, path)
     catch {
       case e: Exception => System.err.println(
         s"[graft.merge] WARN: key-index fold failed at $path " +
           s"(${e.getMessage}); the entry log keeps working, just longer")
     }
-    voidHistory(spark, path)
+    if (!versioned) voidHistory(spark, path)
     files.length.toLong
   }
 
@@ -1294,21 +1321,8 @@ object Merge {
     val nFiles = math.min(totalBytes / targetFileBytes + 1, maxFiles.toLong)
       .toInt
     val layout = (partitionCols.map(col) ++ keyCols.map(col)).toIndexedSeq
-    val cts = claimCommitId(spark, path)
-    val res = commitFiles(spark, rows.repartitionByRange(nFiles, layout: _*),
-      path, partitionCols, files, touched = Nil, dropEmptied = false,
-      Some(cts))
-    // n_rows = 0: the commit moves bytes, not state — the honest
-    // timeline row for a service action
-    recordCommit(spark, path, cts, MergeStats(0L, Nil), Some(res))
-    retireToHistory(fs, path, cts, res.staging)
-    try KeyIndex.compactIndex(spark, path)
-    catch {
-      case e: Exception => System.err.println(
-        s"[graft.merge] WARN: key-index fold failed at $path " +
-          s"(${e.getMessage}); the entry log keeps working, just longer")
-    }
-    files.length.toLong
+    commitRewrite(spark, path, partitionCols,
+      rows.repartitionByRange(nFiles, layout: _*), files, versioned = true)
   }
 
   /** Z-order clustering — the multi-column analogue of [[compact]]'s
@@ -1333,16 +1347,50 @@ object Merge {
     * Numeric zCols only — hash non-numeric columns to a number first
     * (e.g. `xxhash64`); silent coercion of strings would z-order on
     * dictionary ids the caller never sees. Nulls collapse to cell 0.
-    * Goes through the same durable staged commit as every other write
-    * (versioned-commit callers can wrap it like compact). Returns the
-    * number of files rewritten. */
+    * Goes through the same durable staged commit as every other write;
+    * voids history like [[compact]] (use [[clusterZOrderVersioned]] on
+    * a versioned table). Returns the number of files rewritten. */
   def clusterZOrder(
       spark: SparkSession,
       path: String,
       partitionCols: Seq[String],
       zCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
+      maxFiles: Int = 1 << 20): Long =
+    clusterZOrderImpl(spark, path, partitionCols, zCols, targetFileBytes,
+      maxFiles, versioned = false)
+
+  /** [[clusterZOrder]] recorded on the commit timeline — clustering as
+    * a table service with the same contract as [[compactVersioned]]:
+    * stamps pass through untouched so the commit owns no rows (no CDC,
+    * no incremental re-emission, empty [[diffSnapshots]]), pre-cluster
+    * snapshots stay reconstructable from `_graft_history/`, and
+    * rollback/restore reverse it mechanically — exactly Hudi 0.10's
+    * clustering-as-timeline-action. Requires at least one versioned
+    * write, as for [[compactVersioned]]. */
+  def clusterZOrderVersioned(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      zCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
       maxFiles: Int = 1 << 20): Long = {
+    require(readSchemaMeta(spark, path)
+        .exists(_.fieldNames.contains(commitCol)),
+      s"$path carries no $commitCol stamps (no versioned write yet) — " +
+        "there is no history to preserve; use clusterZOrder")
+    clusterZOrderImpl(spark, path, partitionCols, zCols, targetFileBytes,
+      maxFiles, versioned = true)
+  }
+
+  private def clusterZOrderImpl(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      zCols: Seq[String],
+      targetFileBytes: Long,
+      maxFiles: Int,
+      versioned: Boolean): Long = {
     require(zCols.size >= 2,
       "z-order needs >= 2 columns (one column is a plain sort — use " +
         "compact's key layout for that)")
@@ -1383,16 +1431,7 @@ object Merge {
       .repartitionByRange(nFiles, layout: _*)
       .sortWithinPartitions(layout: _*)
       .select(rows.columns.toIndexedSeq.map(col): _*)
-    commitFiles(spark, clustered, path, partitionCols, files,
-      touched = Nil, dropEmptied = false)
-    try KeyIndex.compactIndex(spark, path)
-    catch {
-      case e: Exception => System.err.println(
-        s"[graft.merge] WARN: key-index fold failed at $path " +
-          s"(${e.getMessage}); the entry log keeps working, just longer")
-    }
-    voidHistory(spark, path)
-    files.length.toLong
+    commitRewrite(spark, path, partitionCols, clustered, files, versioned)
   }
 
   /** Remove leaked staging siblings — the table-sized recovery copies a

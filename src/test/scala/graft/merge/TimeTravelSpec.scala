@@ -553,6 +553,27 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("use compact"))
   }
 
+  test("clusterZOrderVersioned: a recorded no-row commit, history intact") {
+    val path = tmpDir("zv") + "/table"
+    def batch(ks: Range, v: Double): DataFrame =
+      ks.map(k => (k.toLong, "p1", k.toDouble, v)).toDF("k", "part", "x", "y")
+    val c1 = Merge.upsertVersioned(spark, batch(0 until 20, 1.0), path,
+      Seq("k"), "y", "part")
+    val c2 = Merge.upsertVersioned(spark, batch(10 until 30, 2.0), path,
+      Seq("k"), "y", "part")
+    def state(df: DataFrame): Set[(Long, Double, Double)] =
+      df.select("k", "x", "y").as[(Long, Double, Double)].collect().toSet
+    val before = state(Merge.readTable(spark, path))
+    val n = Merge.clusterZOrderVersioned(spark, path, Seq("part"),
+      zCols = Seq("x", "y"))
+    assert(n > 0)
+    assert(state(Merge.readTable(spark, path)) === before)
+    // the service commit owns no rows; pre-cluster snapshots replay
+    assert(Merge.readSince(spark, path, c2).count() === 0L)
+    assert(state(Merge.readAsOf(spark, path, c1)) ===
+      (0 until 20).map(k => (k.toLong, k.toDouble, 1.0)).toSet)
+  }
+
   test("diffSnapshots across additive evolution reads new columns as updates") {
     val path = tmpDir("diffevo") + "/table"
     val c1 = Merge.upsertVersioned(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
