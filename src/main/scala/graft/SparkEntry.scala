@@ -23,7 +23,7 @@ object SparkEntry {
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++ merge.Merge.queries ++
       merge.MorTable.queries ++ pipeline.TrainingPipeline.queries ++
-      pipeline.Expectations.queries ++
+      pipeline.Expectations.queries ++ pipeline.Profile.queries ++
       streaming.EventStreams.queries ++ scale.Scale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,6 +33,6 @@ object SparkEntry {
       dedup.Dedup.oracle ++ similarity.Similarity.oracle ++
       multimodal.Multimodal.oracle ++ merge.Merge.oracle ++
       merge.MorTable.oracle ++ pipeline.TrainingPipeline.oracle ++
-      pipeline.Expectations.oracle ++
+      pipeline.Expectations.oracle ++ pipeline.Profile.oracle ++
       streaming.EventStreams.oracle ++ scale.Scale.oracle
 }

@@ -486,9 +486,55 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Q42 — equi-width histogram with IN-PLAN bounds: 20 bins over the
+    * observed [min, max] of extended price, each bin carrying count and
+    * exact-decimal mass. The profiling primitive behind range pruning
+    * decisions and skew diagnosis. The bounds ride a broadcast one-row
+    * aggregate (no separate stats action, the zorder/tf-idf pattern);
+    * binning is pure double arithmetic — IEEE-identical across engines
+    * on identical inputs — and the top edge clamps into the last bin.
+    * One scan + one 20-row shuffle. */
+  val histogram: Q = (s, dir) => {
+    val li = lineitem(s, dir).select(col("l_extendedprice").as("x"))
+    val stats = li.agg(min("x").as("mn"), max("x").as("mx"))
+    li.crossJoin(broadcast(stats))
+      .withColumn("bin", least(
+        floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 20)
+          .cast("long"),
+        lit(19L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("x")))).as("sum_x"))
+      .orderBy("bin")
+  }
+
+  /** Q43 — the SQL entry path: the same session runs ANSI SQL text
+    * over a registered view, proving the engine's Athena-shaped
+    * surface (the reference's analysts query the lake via SQL, README
+    * and glue/interactive.sh) round-trips through Spark's parser /
+    * analyzer with oracle parity. The plan is identical to the
+    * DataFrame form — one partial-aggregated groupBy under the same
+    * pushed-down scan filter. */
+  val sqlSurface: Q = (s, dir) => {
+    lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n
+      FROM graft_lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_gapfill" -> gapfillLocf,
     "q41_funnel" -> funnel,
+    "q42_histogram" -> histogram,
+    "q43_sql_surface" -> sqlSurface,
     "q39_correlated" -> correlatedAboveAvg,
     "q38_star_join" -> starJoin,
     "q16_cube" -> cubeAgg,
@@ -544,6 +590,32 @@ object Relational {
         |FROM grid g LEFT JOIN daily d
         |  ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+    // identical double arithmetic on identical inputs — bins agree
+    // bit-for-bit; the decimal mass keeps sums order-independent
+    "q42_histogram" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS mn,
+        |                  max(l_extendedprice) AS mx FROM lineitem)
+        |SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) / (mx - mn) * 20)
+        |               AS BIGINT), 19) AS bin,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_x
+        |FROM lineitem CROSS JOIN s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the engine ran this as SQL TEXT through its own parser; the
+    // oracle runs the equivalent statement in DuckDB
+    "q43_sql_surface" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // the funnel as three chained min-after-anchor stages; strict '>'
     // on both sides, left joins preserve users who stall mid-funnel
     "q41_funnel" ->
