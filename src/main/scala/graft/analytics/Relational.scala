@@ -530,7 +530,30 @@ object Relational {
       ORDER BY l_returnflag, l_linestatus""")
   }
 
+  /** Q44 — retention cohorts: users grouped by FIRST purchase day, the
+    * matrix counting how many of each cohort purchased again k days
+    * later. The behavioral-analytics staple (cohort retention /
+    * repeat-rate curves).
+    *
+    * Scale shape: the cohort anchor is a user-keyed min aggregate whose
+    * exchange the join back to the event stream reuses; the matrix is a
+    * second aggregate over (cohort, offset) — two key shuffles total,
+    * the distinct-user count partial-aggregating per cohort cell. All
+    * arithmetic is integral (dates and day diffs), so parity is exact
+    * by construction. */
+  val retention: Q = (s, dir) => {
+    val ev = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min(col("d")).as("d0"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("d0").as("cohort_day"),
+        datediff(col("d"), col("d0")).cast("long").as("offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_retention" -> retention,
     "q40_gapfill" -> gapfillLocf,
     "q41_funnel" -> funnel,
     "q42_histogram" -> histogram,
@@ -590,6 +613,17 @@ object Relational {
         |FROM grid g LEFT JOIN daily d
         |  ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+    // integral date arithmetic only — the cohort matrix is exact
+    "q44_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |            WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id)
+        |SELECT c.d0 AS cohort_day,
+        |       date_diff('day', c.d0, ev.d) AS offset,
+        |       COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // identical double arithmetic on identical inputs — bins agree
     // bit-for-bit; the decimal mass keeps sums order-independent
     "q42_histogram" ->

@@ -116,6 +116,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q40: purchase filter reaches the events scan; span rides a broadcast") {
+    val df = SparkEntry.queries("q40_gapfill")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the event-type predicate must prune at the scan, and the 1-row
+    // global span must never shuffle the grid side
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("event_type"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("p03: the expectation report is ONE scan of the table") {
+    val df = SparkEntry.queries("p03_expectations")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // one FileScan, however many rules — rules must never multiply
+    // the read (count inside the AQE final plan only; the printed
+    // initial plan repeats every node)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.linesIterator
+      .count(_.contains("FileScan parquet")) === 1, p)
+  }
+
+  test("q42: histogram bounds are derived in-plan (single scan family)") {
+    val df = SparkEntry.queries("q42_histogram")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the stats side is a broadcast of a 1-row aggregate, not a
+    // shuffled join against the data
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q31: declared-value pivot partial-aggregates (no discovery job)") {
     val p = plan("q31_pivot")
     // pivotfirst partial-combines map-side like any aggregate; an
