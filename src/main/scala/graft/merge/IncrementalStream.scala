@@ -149,14 +149,50 @@ object IncrementalStream {
       precombine: String,
       partitionCols: Seq[String],
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    replicateTransformed(spark, srcPath, dstPath, checkpointDir, keyCols,
+      precombine, partitionCols, identity, trigger)
+
+  /** [[replicateTo]] with a ROW-LOCAL transform applied to every
+    * post-image before it lands — a feature table / projection
+    * maintained purely from the change stream, the map-only half of
+    * incremental view maintenance ([[graft.merge.IncrementalView]] is
+    * the aggregate half). Source deletes propagate by key, so the
+    * feature table never serves rows whose source vanished — the
+    * lineage-hygiene property a training-data feature store needs.
+    *
+    * `transform` contract (validated structurally per batch): it must
+    * preserve `keyCols`, `partitionCols` and `precombine` (deletes
+    * replay by key, upserts dedup by precombine), and it must be
+    * row-local — each output row a function of its input row alone —
+    * because it sees only each commit's changed rows, never the whole
+    * table; an aggregate or join against the batch would compute over
+    * a commit-sized slice and silently diverge. Same at-least-once →
+    * exactly-once convergence as [[replicateTo]]: replaying a
+    * transformed upsert or a keyed delete is a no-op. */
+  def replicateTransformed(
+      spark: SparkSession,
+      srcPath: String,
+      dstPath: String,
+      checkpointDir: String,
+      keyCols: Seq[String],
+      precombine: String,
+      partitionCols: Seq[String],
+      transform: DataFrame => DataFrame,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     foreachChanges(spark, srcPath, checkpointDir,
       keyCols ++ partitionCols, trigger) { (ch, ids, _) =>
       val cached = ch.cache()
       try ids.foreach { id =>
         val c = cached.filter(col("_change_commit") === id)
-        val ups = c.filter(col("_change_type")
+        val ups0 = c.filter(col("_change_type")
           .isin("insert", "update_postimage"))
           .drop("_change_type", "_change_commit")
+        val ups = transform(ups0)
+        val required = keyCols ++ partitionCols :+ precombine
+        val missing = required.filterNot(ups.columns.contains)
+        require(missing.isEmpty,
+          s"transform must preserve key/partition/precombine columns; " +
+            s"missing: ${missing.mkString(", ")}")
         val dels = c.filter(col("_change_type") === "delete")
           .select((keyCols ++ partitionCols).map(col): _*)
         if (!ups.isEmpty)

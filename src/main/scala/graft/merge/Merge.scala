@@ -2603,6 +2603,28 @@ object Merge {
     // replay algebra (the source's final state) however the commit
     // stream batched the changes — the proof that the CDC feed carries
     // everything needed to reconstruct a table.
+    // x13: TRANSFORMED replica — a feature view (price band + exact
+    // cents) maintained purely from the change stream; the delete must
+    // propagate so the feature table serves no vanished source rows
+    "x13_feature_view" -> ((s, dir) => {
+      val path = scratchTable("graft_x13src_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, keyCols, Seq("part"))
+      val dst = scratchTable("graft_x13dst_")
+      val q = IncrementalStream.replicateTransformed(s, path, dst,
+        scratchTable("graft_x13ckpt_"), keyCols, "pre", Seq("part"),
+        df => df.select(col("okey"), col("part"), col("pre"),
+          floor(col("price") / 500).cast("long").as("band"),
+          (graft.Tables.dec(col("price")) * 100).cast("long").as("cents")))
+      q.awaitTermination()
+      readTable(s, dst)
+        .select("okey", "part", "pre", "band", "cents")
+        .orderBy("part", "okey")
+    }),
     "x07_cdc_replica" -> ((s, dir) => {
       val path = scratchTable("graft_x07src_")
       val keyCols = Seq("okey")
@@ -2854,6 +2876,15 @@ object Merge {
     "q23_compact" -> replaySql,
     // a CDC-maintained replica IS the source's final state
     "x07_cdc_replica" -> replaySql,
+    // the row-local feature transform applied to the replay's final
+    // state — the CDC-maintained feature view must agree with the
+    // direct map over the source's end state
+    "x13_feature_view" ->
+      s"""SELECT okey, part, pre,
+         |  CAST(FLOOR(price / 500) AS BIGINT) AS band,
+         |  CAST(CAST(price AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |FROM ($replaySql)
+         |ORDER BY part, okey""".stripMargin,
     // the incrementally-maintained aggregate must equal the direct
     // aggregate of the replayed final state
     "x08_incr_view" ->

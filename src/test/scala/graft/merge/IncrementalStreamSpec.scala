@@ -192,6 +192,51 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(state(dst) === state(src))
   }
 
+  test("replicateTransformed: feature view tracks source, deletes propagate") {
+    val src = tmpDir("incs_tf") + "/src"
+    val dst = tmpDir("incs_tf") + "/dst"
+    val ckpt = tmpDir("incs_tfck")
+    val transform: DataFrame => DataFrame = df =>
+      df.select(col("k"), col("part"), col("v"),
+        (col("k") * 2).as("feat"))
+    def featState(): Set[(Long, String, Long)] =
+      Merge.readTable(spark, dst).select("k", "v", "feat")
+        .as[(Long, String, Long)].collect().toSet
+    def expected(): Set[(Long, String, Long)] =
+      Merge.readTable(spark, src)
+        .select(col("k"), col("v"), (col("k") * 2))
+        .as[(Long, String, Long)].collect().toSet
+    Merge.upsertVersioned(spark, rows(0 until 8, "a", "v1"), src,
+      keyCols, "v", "part")
+    IncrementalStream.replicateTransformed(spark, src, dst, ckpt,
+      keyCols, "v", Seq("part"), transform).awaitTermination()
+    assert(featState() === expected())
+    // resume the SAME checkpoint over an update + a delete
+    Merge.upsertVersioned(spark, rows(4 until 12, "a", "v2"), src,
+      keyCols, "v", "part")
+    Merge.deleteVersioned(spark,
+      Seq((0L, "a"), (1L, "a")).toDF("k", "part"), src, keyCols,
+      Seq("part"))
+    IncrementalStream.replicateTransformed(spark, src, dst, ckpt,
+      keyCols, "v", Seq("part"), transform).awaitTermination()
+    assert(featState() === expected())
+  }
+
+  test("replicateTransformed rejects a transform that drops the key") {
+    val src = tmpDir("incs_tfbad") + "/src"
+    Merge.upsertVersioned(spark, rows(0 until 3, "a", "v1"), src,
+      keyCols, "v", "part")
+    val q = IncrementalStream.replicateTransformed(spark, src,
+      tmpDir("incs_tfbad") + "/dst", tmpDir("incs_tfbadck"),
+      keyCols, "v", Seq("part"),
+      df => df.drop("v"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("must preserve") ||
+      Option(e.getCause).exists(_.getMessage.contains("must preserve")))
+  }
+
   test("maintainView: stream-driven refreshes track the source") {
     val src = tmpDir("incs_mv") + "/src"
     val vw = tmpDir("incs_mv") + "/vw"
