@@ -1867,7 +1867,7 @@ object Merge {
 
   private def historyRoot(path: String) = new Path(path, "_graft_history")
 
-  private def historyDir(path: String, cts: Long): Path =
+  private[merge] def historyDir(path: String, cts: Long): Path =
     new Path(historyRoot(path), f"$cts%020d")
 
   /** Oldest valid `asOf` — monotonic; raised by [[clean]] (history
@@ -1896,7 +1896,7 @@ object Merge {
     * scratch into durable history (a rename — metadata-priced on
     * HDFS-like stores), then sweep the staging sibling. Pure-insert
     * commits retire nothing and leave no history dir. */
-  private def retireToHistory(fs: FileSystem, path: String, cts: Long,
+  private[merge] def retireToHistory(fs: FileSystem, path: String, cts: Long,
       staging: String): Unit = {
     val rb = rollbackDir(path, cts)
     if (fs.exists(rb)) {
@@ -1978,14 +1978,14 @@ object Merge {
   }
 
   /** One recorded commit's file plan, parsed from its timeline entry. */
-  private final case class RecordedCommit(
+  private[merge] final case class RecordedCommit(
       cts: Long, added: Seq[String], removed: Seq[String])
 
   /** Recorded commits with id > `after`, parsed from the timeline.
     * Listing is metadata-sized; only the entries AFTER the as-of point
     * are ever read (the stems carry the id), so a deep timeline costs
     * nothing to travel near its head. */
-  private def recordedCommitsAfter(spark: SparkSession, path: String,
+  private[merge] def recordedCommitsAfter(spark: SparkSession, path: String,
       after: Long): Seq[RecordedCommit] = {
     val fs = fsFor(spark, path)
     val dir = commitsDir(path)
@@ -2021,6 +2021,33 @@ object Merge {
     * predates [[historyFloor]] (history cleaned past it, or voided by
     * an unversioned mutation). */
   def readAsOf(spark: SparkSession, path: String, asOf: Long): DataFrame = {
+    require(!MorTable.isMor(spark, path),
+      s"$path is a MERGE_ON_READ table — use MorTable.readAsOf (the " +
+        "snapshot must merge base AND delta files at the as-of point)")
+    snapshotAt(spark, path, asOf)
+  }
+
+  /** Replay the recorded file movements backwards from `initial`
+    * (table-relative paths) to the state as of `asOf`: rel path → None
+    * (resident in the table) | Some(c) (retired by commit c, resident
+    * in its history dir). Shared by COW time travel and the MOR
+    * delta-namespace replay — each caller supplies its namespace's
+    * current listing and ignores map entries outside it (a MOR
+    * compaction commit records base AND delta retirements in one
+    * removed list). */
+  private[merge] def replayFileMap(spark: SparkSession, path: String,
+      asOf: Long, initial: Seq[String]): Map[String, Option[Long]] = {
+    var files: Map[String, Option[Long]] =
+      initial.map(_ -> (None: Option[Long])).toMap
+    recordedCommitsAfter(spark, path, asOf).sortBy(-_.cts).foreach { c =>
+      files = files -- c.added
+      files ++= c.removed.map(_ -> (Some(c.cts): Option[Long]))
+    }
+    files
+  }
+
+  private[merge] def requireAboveFloor(spark: SparkSession, path: String,
+      asOf: Long): Unit = {
     require(asOf >= 0, s"asOf must be >= 0, got $asOf")
     val floor = historyFloor(spark, path)
     if (asOf < floor)
@@ -2029,18 +2056,24 @@ object Merge {
           s"$floor (older snapshots were cleaned, or voided by an " +
           "unversioned mutation — plain upsert/delete/insert/compact/" +
           "clusterZOrder do not record file movements)")
+  }
+
+  /** The COW snapshot reconstruction (no MOR guard): ROOT-namespace
+    * files only — `_`-prefixed dirs are skipped by the listing, and
+    * any `_graft_deltas/` entries a MOR compaction's removed list
+    * re-introduces are filtered back out, so on a MOR table this is
+    * exactly the BASE at `asOf` (MorTable.readAsOf merges the delta
+    * side on top). */
+  private[merge] def snapshotAt(spark: SparkSession, path: String,
+      asOf: Long): DataFrame = {
+    requireAboveFloor(spark, path, asOf)
     val fs = fsFor(spark, path)
     val tableRoot = fs.makeQualified(new Path(path))
-    val later = recordedCommitsAfter(spark, path, asOf)
     // replay backwards: location = None → resident in the table,
     // Some(c) → retired by commit c, resident in its history dir
-    var files: Map[String, Option[Long]] =
-      listDataFiles(fs, tableRoot)
-        .map(p => relativize(tableRoot, p) -> (None: Option[Long])).toMap
-    later.sortBy(-_.cts).foreach { c =>
-      files = files -- c.added
-      files ++= c.removed.map(_ -> (Some(c.cts): Option[Long]))
-    }
+    val files = replayFileMap(spark, path, asOf,
+      listDataFiles(fs, tableRoot).map(relativize(tableRoot, _)))
+      .filter { case (rel, _) => !rel.startsWith("_") }
     val schema = readSchemaMeta(spark, path).getOrElse(
       readTable(spark, path).schema)
     if (files.isEmpty)
@@ -2097,6 +2130,10 @@ object Merge {
     * path when deletes and pre-images don't matter. */
   def readChanges(spark: SparkSession, path: String, afterTs: Long,
       untilTs: Long, keyCols: Seq[String]): DataFrame = {
+    require(!MorTable.isMor(spark, path),
+      s"$path is a MERGE_ON_READ table — change capture is not " +
+        "supported on MOR (a delta commit's rows are merge inputs, not " +
+        "post-images; compact to fold deltas into base first)")
     require(afterTs >= 0 && untilTs > afterTs,
       s"need untilTs > afterTs >= 0, got ($afterTs, $untilTs]")
     require(keyCols.nonEmpty, "keyCols must be non-empty")

@@ -61,10 +61,19 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * snapshot ≡ the COW table the same batches would have produced
   * (MorSpec's differential law, and the q27/q28 driver oracles).
   *
-  * Time travel is not offered on MOR tables in this engine: delta
-  * commits and compaction move bytes [[Merge.readAsOf]]'s
-  * listing-replay cannot see through, so every MOR write voids the
-  * as-of floor — a stale snapshot is refused, never served wrong. */
+  * Time travel: [[readAsOf]] reconstructs any recorded boundary by
+  * composing TWO namespace replays — the root namespace (base files;
+  * [[Merge.snapshotAt]]'s generic listing-replay, which never sees
+  * `_`-prefixed delta files) and the `_graft_deltas/` namespace (delta
+  * files live at the as-of point; files consumed by a later compaction
+  * read from that compaction's history dir) — then applying the same
+  * per-key merge the live snapshot uses. This works because every MOR
+  * byte movement is a RECORDED commit: delta publishes add files,
+  * compaction retires consumed deltas and replaced base files through
+  * the same commit plan ([[Merge.rollback]]/[[Merge.restoreTo]]
+  * reverse it mechanically). Change capture ([[Merge.readChanges]])
+  * stays refused on MOR — a delta commit's rows are merge INPUTS, not
+  * post-images — compact first if CDC is needed. */
 object MorTable {
 
   /** Reserved tombstone column (Hudi `_hoodie_is_deleted` analogue). */
@@ -298,9 +307,8 @@ object MorTable {
       Merge.MergeStats(n, partsRendered),
       Some(Merge.CommitResult(added, Nil, staging)))
     Merge.sweepCommitScratch(fs, staging, None)
-    // delta commits and compactions move bytes the COW listing-replay
-    // cannot reconstruct — void the as-of floor (refuse, never lie)
-    Merge.voidHistory(spark, path)
+    // a delta publish is a pure ADD in the recorded plan — the as-of
+    // replay sees through it, so history stays valid (no voiding)
     cts
   }
 
@@ -343,6 +351,15 @@ object MorTable {
     val deltas =
       if (bad.isEmpty) rawDeltas
       else rawDeltas.filter(!col(Merge.commitCol).isin(bad: _*))
+    mergeSnapshot(base, deltas, sp, target)
+  }
+
+  /** base ∪ deltas per-key argmax with tombstones filtered last — the
+    * snapshot merge shared by [[read]] and [[readAsOf]]. Only the
+    * delta-touched partitions shuffle; the rest of base unions
+    * straight through. */
+  private def mergeSnapshot(base: DataFrame, deltas: DataFrame,
+      sp: MorSpec, target: Seq[(String, DataType)]): DataFrame = {
     val cols = target.map(_._1) :+ deletedCol
     val touched = Merge.touchedPartitions(
       deltas.select(sp.partitionCols.map(col): _*), sp.partitionCols)
@@ -363,6 +380,61 @@ object MorTable {
     untouched.unionByName(merged).drop(deletedCol)
   }
 
+  /** MOR time travel: the snapshot as of recorded commit `asOf` —
+    * base-at-asOf (the generic root-namespace replay,
+    * [[Merge.snapshotAt]]) merged with the delta files LIVE at that
+    * point (present then, not yet folded; deltas consumed by a later
+    * compaction read back from that compaction's history dir). Same
+    * floor discipline as COW: [[Merge.clean]] bounds retention, and
+    * any unversioned mutation voids honestly. */
+  def readAsOf(spark: SparkSession, path: String, asOf: Long): DataFrame = {
+    val sp = spec(spark, path)
+    val fs = Merge.fsFor(spark, path)
+    val tableRoot = fs.makeQualified(new Path(path))
+    val base = Merge.snapshotAt(spark, path, asOf)
+    val dRoot = deltaRoot(spark, path)
+    val initial = Merge.listDataStatuses(fs, dRoot)
+      .map(st => Merge.relativize(tableRoot, st.getPath))
+    // the commit plans name base AND delta retirements in one removed
+    // list — keep only this namespace's entries
+    val dmap = Merge.replayFileMap(spark, path, asOf, initial)
+      .filter { case (rel, _) => rel.startsWith(deltaRel + "/") }
+    val target = targetSchema(spark, path)
+    val deltaSchema = org.apache.spark.sql.types.StructType(
+      Merge.recordedSchema(spark, path).get.fields :+
+        org.apache.spark.sql.types.StructField(deletedCol, BooleanType))
+    if (dmap.isEmpty) return mergeSnapshot(base,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaSchema),
+      sp, target)
+    val deltas0 = dmap.toSeq.groupBy(_._2).toSeq
+      .sortBy(_._1.getOrElse(-1L))
+      .map { case (loc, grp) =>
+        val root = loc match {
+          case None => tableRoot
+          case Some(c) =>
+            val h = Merge.historyDir(path, c)
+            if (!fs.exists(h))
+              throw new IllegalStateException(
+                s"cannot time-travel to commit $asOf at $path: commit " +
+                  s"$c's retired delta files are missing from $h " +
+                  "(history damaged — was the directory removed " +
+                  "manually?)")
+            fs.makeQualified(h)
+        }
+        spark.read.schema(deltaSchema)
+          .option("basePath", new Path(root, deltaRel).toString)
+          .parquet(grp.map { case (rel, _) =>
+            new Path(root, rel).toString }: _*)
+      }.reduce(_.unionByName(_))
+    // defensive row filters on top of the file replay: crash residue
+    // (unrecorded ids) and any rows stamped past the as-of point
+    val bad = unrecordedIds(spark, path)
+    val deltas = deltas0.filter(col(Merge.commitCol) <= asOf &&
+      (if (bad.isEmpty) lit(true) else !col(Merge.commitCol).isin(bad: _*)))
+    mergeSnapshot(base, deltas, sp, target)
+  }
+
   /** Read-optimized view (Hudi `_ro`): base files only — columnar speed,
     * staleness bounded by the compaction cadence. Identical to the
     * snapshot right after [[compact]]. */
@@ -381,13 +453,14 @@ object MorTable {
     * compaction-invariant, the same contract as [[Merge.compact]]),
     * rewrite that partition's base via the staged durable commit
     * (tombstoned keys leave; a fully-deleted partition's dir drops),
-    * then consume the folded delta files. Crash-safe at every window:
-    * the base rewrite is plan-recorded and rollback-able, and delta
-    * consumption AFTER the commit record is idempotent — a leftover
-    * delta row ties with the folded base row on (key, `_commit_ts`)
-    * with identical content, and a leftover tombstone finds no base row
-    * to shadow, so a re-read or re-compact converges to the same
-    * snapshot. Returns the number of delta files folded. */
+    * with the folded delta files retiring through the SAME commit plan
+    * as the replaced base files. Crash-safe at every window exactly
+    * like any versioned commit: the plan lands before any mutation, a
+    * crash anywhere is mechanically reversed by [[Merge.rollback]]
+    * (consumed deltas restore from `_graft_rollback/`), and on success
+    * everything retires to the commit's history dir — which is what
+    * keeps pre-compaction snapshots ([[readAsOf]]) reconstructable.
+    * Returns the number of delta files folded. */
   def compact(spark: SparkSession, path: String): Long = {
     val sp = spec(spark, path)
     val fs = Merge.fsFor(spark, path)
@@ -427,9 +500,13 @@ object MorTable {
         (sp.partitionCols ++ sp.keyCols).map(col): _*)
     val touchedDirs = touched.map(t =>
       Merge.partitionRelDir(sp.partitionCols, t))
+    // consumed delta files are SUPERSEDED like the replaced base files:
+    // they retire through the commit plan (crash → rollback restores
+    // them; success → they move to this commit's history dir), which is
+    // what keeps pre-compaction snapshots reconstructable
     val superseded = touchedDirs
       .flatMap(d => Merge.listDataStatuses(fs, new Path(tableRoot, d)))
-      .map(_.getPath.toString)
+      .map(_.getPath.toString) ++ deltaFiles.map(_.getPath.toString)
     val cts = Merge.claimCommitId(spark, path)
     val res = Merge.commitFiles(spark, merged, path, sp.partitionCols,
       superseded, touched, dropEmptied = true, Some(cts))
@@ -437,18 +514,12 @@ object MorTable {
     // delete commit
     Merge.recordCommit(spark, path, cts,
       Merge.MergeStats(0L, touched.map(Merge.renderPartition)), Some(res))
-    // the record is durable: consume the folded deltas (idempotent
-    // residue until then, see scaladoc) and drop the scratch
+    Merge.retireToHistory(fs, path, cts, res.staging)
+    // the retires left empty delta hive dirs behind — cosmetic sweep
     deltaFiles.foreach { st =>
-      if (!fs.delete(st.getPath, false))
-        throw new java.io.IOException(
-          s"MOR compact: failed to consume folded delta ${st.getPath}")
       Merge.dropEmptiedDirs(fs, st.getPath.getParent,
         Merge.relativize(tableRoot, st.getPath).count(_ == '/') - 1)
     }
-    Merge.sweepCommitScratch(fs, res.staging,
-      Some(Merge.rollbackDir(path, cts)))
-    Merge.voidHistory(spark, path)
     deltaFiles.size.toLong
   }
 
@@ -462,6 +533,25 @@ object MorTable {
     // q27: base commit, delta commit, tombstone delete — read the
     // SNAPSHOT view with the deltas still live (base ∪ deltas through
     // the merge window). Oracle = the q18 two-batch + delete algebra.
+    // x14: MOR time travel — after a compaction folds the first two
+    // delta commits and a third lands, the query reads AS OF commit 2:
+    // correct only if base-at-2 composes with the delta files the
+    // compaction retired into history. Same expected state as q25
+    // through the MOR write path.
+    "x14_mor_time_travel" -> ((s, dir) => {
+      val path = Merge.scratchTable("graft_x14_")
+      val keyCols = Seq("okey")
+      MorTable.upsert(s, Merge.replayBatch(s, dir, 0), path,
+        keyCols, "pre", "part")
+      val c2 = MorTable.upsert(s, Merge.replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      MorTable.compact(s, path)
+      MorTable.upsert(s, Merge.replayBatch(s, dir, 2), path,
+        keyCols, "pre", "part")
+      MorTable.readAsOf(s, path, c2)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     "q27_mor" -> ((s, dir) => {
       val path = Merge.scratchTable("graft_q27_")
       val keyCols = Seq("okey")
@@ -535,5 +625,8 @@ object MorTable {
   val oracle: Map[String, String] = Map(
     "q27_mor" -> Merge.replaySql,
     "q28_mor_compact" -> Merge.oracle("x02_indexed_upsert"),
-    "x05_stream_mor" -> Merge.oracle("x04_stream_upsert"))
+    "x05_stream_mor" -> Merge.oracle("x04_stream_upsert"),
+    // the as-of-commit-2 state is the same 2-batch merge q25 pins —
+    // MOR time travel must land on it through a compaction boundary
+    "x14_mor_time_travel" -> Merge.oracle("x12_compact_versioned"))
 }

@@ -294,18 +294,65 @@ class MorTableSpec extends SparkSpec {
     }
   }
 
-  test("readChanges refuses on a MOR table once deltas land (floor voided)") {
+  test("readChanges and COW readAsOf refuse on a MOR table, explicitly") {
     val path = tmpDir("mor_cdc")
     val c1 = MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
       path, keyCols, "price", "pair")
     val c2 = MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 2.0)),
       path, keyCols, "price", "pair")
-    // delta appends record no file retirements, so CDC pre-images do
-    // not exist — the shared floor discipline must refuse, not
-    // fabricate changes from the base files alone
-    val e = intercept[IllegalStateException](
+    // a delta commit's rows are merge INPUTS, not post-images — CDC
+    // must refuse rather than fabricate changes from base files alone;
+    // and the COW as-of entry point must route to MorTable.readAsOf
+    val e = intercept[IllegalArgumentException](
       Merge.readChanges(spark, path, c1, c2, keyCols :+ "pair"))
-    assert(e.getMessage.contains("history floor"))
+    assert(e.getMessage.contains("MERGE_ON_READ"))
+    val e2 = intercept[IllegalArgumentException](
+      Merge.readAsOf(spark, path, c1))
+    assert(e2.getMessage.contains("MorTable.readAsOf"))
+  }
+
+  test("MOR time travel: every boundary replays, across delta commits") {
+    val path = tmpDir("mor_tt")
+    val c1 = MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c1", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
+    val c2 = MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 9.0)),
+      path, keyCols, "price", "pair")
+    val c3 = MorTable.delete(spark, Seq(("T2", "c1", "BTCUSD")).toDF(
+      "transaction_id", "close_time", "pair"), path)
+    assert(snap(MorTable.readAsOf(spark, path, c1)) ===
+      Seq(("T1", "c1", "ADAGBP", 1.0), ("T2", "c1", "BTCUSD", 2.0)))
+    assert(snap(MorTable.readAsOf(spark, path, c2)) ===
+      Seq(("T1", "c1", "ADAGBP", 9.0), ("T2", "c1", "BTCUSD", 2.0)))
+    // as of the head commit ≡ the live snapshot; before history ≡ empty
+    assert(snap(MorTable.readAsOf(spark, path, c3)) ===
+      snap(MorTable.read(spark, path)))
+    assert(MorTable.readAsOf(spark, path, 0L).count() === 0L)
+  }
+
+  test("MOR time travel: back PAST a compaction (deltas from history)") {
+    val path = tmpDir("mor_ttc")
+    val c1 = MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0),
+      ("T2", "c1", "BTCUSD", 2.0)), path, keyCols, "price", "pair")
+    val c2 = MorTable.upsert(spark, tx(("T1", "c1", "ADAGBP", 9.0)),
+      path, keyCols, "price", "pair")
+    MorTable.compact(spark, path)
+    val c4 = MorTable.upsert(spark, tx(("T2", "c1", "BTCUSD", 5.0)),
+      path, keyCols, "price", "pair")
+    // pre-compaction boundaries need BOTH replays: base-at-T plus the
+    // consumed delta files read back from the compaction's history dir
+    assert(snap(MorTable.readAsOf(spark, path, c1)) ===
+      Seq(("T1", "c1", "ADAGBP", 1.0), ("T2", "c1", "BTCUSD", 2.0)))
+    assert(snap(MorTable.readAsOf(spark, path, c2)) ===
+      Seq(("T1", "c1", "ADAGBP", 9.0), ("T2", "c1", "BTCUSD", 2.0)))
+    assert(snap(MorTable.readAsOf(spark, path, c4)) ===
+      snap(MorTable.read(spark, path)))
+    // the cleaner still governs: sweeping history past the compaction
+    // raises the floor and pre-compaction reads refuse
+    Merge.clean(spark, path, retainLast = 1)
+    val e = intercept[IllegalStateException](
+      MorTable.readAsOf(spark, path, c1))
+    assert(e.getMessage.contains("history floor") ||
+      e.getMessage.contains("floor"))
   }
 
   test("spec mismatch and non-MOR paths fail loudly") {
