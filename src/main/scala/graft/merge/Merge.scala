@@ -265,7 +265,30 @@ object Merge {
         StructType(old.fields ++
           schema.fields.filterNot(f => old.fieldNames.contains(f.name)))
     }
-    replaceSmallFile(fsFor(spark, path), schemaMetaPath(path), merged.json)
+    // the schema file is the one metadata target CONCURRENT writers on
+    // disjoint partitions both touch — a lost delete+rename race here
+    // would hide the losing writer's evolved columns. Retry bounded:
+    // re-read the winner's union and fold ours in (additive unions
+    // commute, so any interleaving converges to the same field set).
+    var attempts = 0
+    var done = false
+    var toWrite = merged
+    while (!done) {
+      try {
+        replaceSmallFile(fsFor(spark, path), schemaMetaPath(path),
+          toWrite.json)
+        done = true
+      } catch {
+        case e: java.io.IOException if attempts < 5 =>
+          attempts += 1
+          val theirs = readSchemaMeta(spark, path)
+          toWrite = theirs match {
+            case None => toWrite
+            case Some(t) => StructType(t.fields ++
+              toWrite.fields.filterNot(f => t.fieldNames.contains(f.name)))
+          }
+      }
+    }
   }
 
   /** The recorded authoritative schema, if this table has one — the
@@ -1558,6 +1581,24 @@ object Merge {
     claimFrom(spark, path, nextCommit(spark, path))
   }
 
+  /** Atomic exclusive create of an empty claim marker. Hadoop's local
+    * `create(path, overwrite = false)` is CHECK-THEN-TRUNCATE — two
+    * racing claimants can both pass the exists check and both
+    * "succeed" (the second truncates the first), sharing a commit id.
+    * On local filesystems go through POSIX O_EXCL (`Files.createFile`),
+    * which the kernel makes genuinely atomic; HDFS `create` is atomic
+    * at the namenode already. The S3A degradation stays as documented
+    * on [[claimCommitId]]. */
+  private def createExclusive(fs: FileSystem, p: Path): Unit = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+        _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      java.nio.file.Files.createFile(local)
+      ()
+    case _ => fs.create(p, false).close()
+  }
+
   /** The claim loop from a given candidate id (split out so specs can
     * drive the collision path deterministically). A failed exclusive
     * create counts as a collision whenever the id is provably ISSUED —
@@ -1582,7 +1623,7 @@ object Merge {
       else {
         val marker = inflightMarker(path, cts)
         try {
-          fs.create(marker, false).close()
+          createExclusive(fs, marker)
           // a racing writer may have recorded/tombstoned this id between
           // the check and our create (rollback drops its marker AFTER
           // tombstoning): release the stale claim rather than keep a

@@ -770,6 +770,56 @@ class MergeSpec extends SparkSpec {
     assert(!commitsFile(path, "00000000000000000002.inflight").exists())
   }
 
+  test("concurrent disjoint versioned upserts both land with distinct ids") {
+    val path = tmpDir("occ") + "/table"
+    Merge.upsertVersioned(spark, tx(("T0", "c0", "SEED", 0.5)), path,
+      keyCols, "price", "pair")
+    // two writers racing on DISJOINT partitions: the exclusive-create
+    // claim serializes id allocation (the loser's failed create walks
+    // to the next id), their file movements never intersect, and the
+    // schema-meta union retries through the delete+rename race — so
+    // both commits land. This is the engine's de-facto optimistic
+    // concurrency: non-conflicting writers succeed; conflicting ones
+    // abort on the vanished-superseded-file check (next spec) with a
+    // mechanical rollback.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Merge.upsertVersioned(spark,
+      tx(("TA", "c1", "ADAGBP", 1.0)), path, keyCols, "price", "pair"))
+    val fb = Future(Merge.upsertVersioned(spark,
+      tx(("TB", "c1", "BTCUSD", 2.0)), path, keyCols, "price", "pair"))
+    val ca = Await.result(fa, 180.seconds)
+    val cb = Await.result(fb, 180.seconds)
+    assert(ca !== cb, "exclusive claim must never share an id")
+    assert(readTable(path) === Seq(("T0", "c0", "SEED", 0.5),
+      ("TA", "c1", "ADAGBP", 1.0), ("TB", "c1", "BTCUSD", 2.0)).sorted)
+    assert(Merge.commits(spark, path).count() === 3L)
+    // the head snapshot replays to exactly the live table
+    val last = math.max(ca, cb)
+    assert(Merge.readAsOf(spark, path, last)
+      .select("transaction_id", "close_time", "pair", "price")
+      .as[(String, String, String, Double)].collect().toSeq.sorted ===
+      readTable(path))
+  }
+
+  test("claim ids stay unique under a many-way race from one candidate") {
+    val path = tmpDir("claimrace") + "/table"
+    Merge.fsFor(spark, path).mkdirs(Merge.commitsDirPath(path))
+    // 16 claimants all starting at candidate 1 — maximal contention on
+    // the exclusive create; every id must be claimed by exactly one
+    // (this is the test that catches a check-then-truncate "exclusive"
+    // create, which lets two racers share an id)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ids = Await.result(Future.sequence(
+      (1 to 16).toList.map(_ => Future(Merge.claimFrom(spark, path, 1L)))),
+      120.seconds)
+    assert(ids.distinct.size === 16, s"shared ids in ${ids.sorted}")
+    assert(ids.sorted === (1L to 16L).toList)
+  }
+
   test("a vanished superseded file fails the commit loudly (single-writer)") {
     val path = tmpDir("singlewriter")
     Merge.upsert(spark, tx(("T1", "c1", "ADAGBP", 1.0)),
