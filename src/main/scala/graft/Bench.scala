@@ -10,7 +10,7 @@ object Bench {
       // UTC pin: q02/q13 timestamp formatting must not depend on host TZ
       // (the DuckDB oracle compares naive timestamps)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+      // no-op on current MICROS-annotated testdata — see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,22 +29,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. Read nanos as long and floor-convert to a microsecond
-    * timestamp (exactly DuckDB's ns→us truncation, so oracle values agree
-    * for every derived column; raw `ts` itself is never emitted by a
-    * query, to keep ns-vs-us precision out of the comparison).
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set once at construction by Verify/Bench/SparkSpec — NOT mutated
-    * here: a hidden conf flip inside a read helper would change the
-    * behavior of every later parquet read in the session).
+  /** events.parquet's `ts` annotation has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark surfaces as BIGINT only
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`) and, currently,
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark 4 reads
+    * natively as TIMESTAMP_NTZ). Branch on the dataType the reader
+    * actually produced and normalize to a session-TZ TIMESTAMP either
+    * way; the session TZ is pinned to UTC by Verify/Bench/SparkSpec, so
+    * the NTZ→TZ cast is a pure re-tag (identical micros) and both paths
+    * yield the exact microsecond values DuckDB's oracle reads from the
+    * same footer. Raw `ts` itself is never emitted by a query, keeping
+    * physical-annotation drift out of the hash comparison.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      .contains("true"),
-      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events")
-    table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType         => expr("timestamp_micros(ts div 1000)") // ns→µs floor
+      case TimestampNTZType => col("ts").cast(TimestampType)         // UTC session pin
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet-resolved type $other")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
