@@ -19,7 +19,8 @@ object SparkEntry {
     * training-data extension inventory (text / dedup / similarity /
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Relational.queries ++ text.TextAnalysis.queries ++
+    analytics.Relational.queries ++ analytics.Markets.queries ++
+      text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++ merge.Merge.queries ++
       merge.MorTable.queries ++ pipeline.TrainingPipeline.queries ++
@@ -29,7 +30,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    analytics.Relational.oracle ++ text.TextAnalysis.oracle ++
+    analytics.Relational.oracle ++ analytics.Markets.oracle ++
+      text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++ similarity.Similarity.oracle ++
       multimodal.Multimodal.oracle ++ merge.Merge.oracle ++
       merge.MorTable.oracle ++ pipeline.TrainingPipeline.oracle ++

@@ -147,7 +147,72 @@ object Scale {
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
+    },
+    // x15: bucketed co-located join, end-to-end. Both sides are written
+    // bucketed+sorted on the join key, so the forced sort-merge join
+    // runs with ZERO exchange on either side (ScaleSpec pins the plan;
+    // this driver key pins the RESULT against the plain-join oracle).
+    // At 100 TB this is the one-time-write-cost / every-join-free
+    // trade: the fact table's dominant join key never shuffles again.
+    "x15_bucketed_join" -> { (s, dir) =>
+      import graft.Tables._
+      Seq("x15_li", "x15_ord").foreach(dropBucketedTable(s, _))
+      writeBucketed(
+        lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        "x15_li", Seq("l_orderkey"), 8)
+      writeBucketed(
+        orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "x15_ord", Seq("l_orderkey"), 8)
+      s.table("x15_li")
+        // merge hint: a broadcast of the small test-scale side would
+        // bypass the bucketed layout this key exists to exercise
+        .join(s.table("x15_ord").hint("merge"), Seq("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          d(sum(dec(col("l_extendedprice")))).as("revenue"),
+          d(sum(dec(col("l_quantity")))).as("volume"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    },
+    // x16: dynamic partition pruning, end-to-end. The fact copy is
+    // hive-partitioned on a derived month; the dim side arrives with a
+    // selective filter, and Spark injects a runtime pruning subquery so
+    // the fact scan reads ONLY the matching partitions (ScaleSpec pins
+    // the dynamicpruning expression in the plan). The 100 TB read that
+    // matters: a 3-month query against a 7-year fact table touches 3/84
+    // of the bytes without any static predicate on the fact side.
+    "x16_dpp" -> { (s, dir) =>
+      import graft.Tables._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x16_").toString
+      lineitem(s, dir)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(tmp)
+      val fact = s.read.parquet(tmp)
+      val dim = orders(s, dir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+        .filter(col("ship_month").isin("1996-01", "1996-02", "1996-03"))
+        .distinct()
+      fact.join(dim, Seq("ship_month"))
+        .groupBy("ship_month")
+        .agg(
+          d(sum(dec(col("l_extendedprice")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("ship_month")
     })
+
+  /** Drop a bucketed catalog table AND its managed location (a
+    * previously-failed run can leave the directory behind, which makes
+    * the next `saveAsTable` fail on a non-empty path). */
+  def dropBucketedTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(s"spark-warehouse/$table")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
 
   val oracle: Map[String, String] = Map(
     "x01_salted_join" ->
@@ -168,5 +233,31 @@ object Scale {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 3
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin)
+        |ORDER BY p_brand""".stripMargin,
+    // the bucketed layout must be invisible in the result: the oracle
+    // is the plain join over the original tables
+    "x15_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS volume,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // likewise: partition layout + runtime pruning must be invisible
+    "x16_dpp" ->
+      """WITH d AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m')
+        |             AS ship_month
+        |           FROM orders
+        |           WHERE strftime(o_orderdate, '%Y-%m')
+        |             IN ('1996-01','1996-02','1996-03'))
+        |SELECT ship_month,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |             l_extendedprice
+        |      FROM lineitem) f
+        |JOIN d USING (ship_month)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

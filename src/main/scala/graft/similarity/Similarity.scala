@@ -278,6 +278,44 @@ object Similarity {
       .select("vec_id", "v", "cid")
   }
 
+  /** Product-quantization (PQ) ANN: the vector splits into `subspaces`
+    * contiguous sub-vectors, each coded by its OWN `codebook`-entry
+    * spherical k-means quantizer (the shared deterministic Lloyd), and
+    * search scores full-precision queries against the RECONSTRUCTION
+    * (concatenated sub-centroids) — asymmetric distance, like
+    * [[sqTopK]] but with a trained codebook per subspace instead of
+    * per-dimension affine steps (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011).
+    *
+    * At 100 TB the point is resident footprint: a stored code is
+    * `subspaces × log2(codebook)` bits (4×4 = 16 bits here vs 64
+    * float64 dims = 4096 bits — 256×), and reconstruction is a
+    * broadcast join against `subspaces × codebook` tiny centroid rows,
+    * so the search scan keeps [[bruteTopK]]'s shape: narrow map +
+    * bounded local heaps, no corpus shuffle. Training cost is bounded
+    * by `maxTrainVectors` exactly as in [[kmeansCentroids]]. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      subspaces: Int = 4, codebook: Int = 16, iters: Int = 2,
+      dims: Int = 64, maxTrainVectors: Int = 100000): DataFrame = {
+    require(dims % subspaces == 0, "dims must divide evenly into subspaces")
+    val subLen = dims / subspaces
+    val e = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val coded = (0 until subspaces).map { m =>
+      val sub = e.select(col("vec_id"),
+        slice(col("v"), m * subLen + 1, subLen).as("embedding"))
+      val cents = kmeansCentroids(sub, codebook, iters, maxTrainVectors)
+      assign(sub.select(col("vec_id"), col("embedding").as("v")), cents)
+        .join(cents, "cid")
+        .select(col("vec_id"), lit(m).as("sub"), col("cv"))
+    }.reduce(_ union _)
+    val recon = coded.groupBy("vec_id")
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("sub"), col("cv")))),
+        s => s.getField("cv"))).as("embedding"))
+    bruteTopK(recon, queries, k)
+  }
+
   /** IVF ANN: corpus pre-assigned to centroids; each query probes its
     * `nProbe` nearest centroids and exact-ranks within those cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -345,6 +383,12 @@ object Similarity {
       // degenerate train==corpus case
       ivfTopK(corpusOf(s, dir), queriesOf(s, dir), 10, nCentroids = 10,
         nProbe = 4, maxTrainVectors = 256).orderBy("query_id", "rank")),
+    // product quantization: per-subspace trained codebooks, asymmetric
+    // scoring against the reconstruction (sampled training, as s03)
+    "s06_ann_pq" -> ((s, dir) =>
+      pqTopK(corpusOf(s, dir), queriesOf(s, dir), 10, subspaces = 4,
+        codebook = 16, iters = 2, maxTrainVectors = 256)
+        .orderBy("query_id", "rank")),
   )
 
   /** DuckDB SQL for the multi-table bucket computation: the hyperplanes
@@ -381,9 +425,12 @@ object Similarity {
        |    FROM $source CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
 
   /** The deterministic-Lloyd CTE chain (train sample, seed centroids,
-    * `iters` assign+means rounds) over a CTE named `corpus` — the SQL
-    * mirror of [[kmeansCentroids]]. Final centroids CTE: `c<iters>`. */
-  private[graft] def lloydCtesSql(k: Int, iters: Int, trainN: Int): String = {
+    * `iters` assign+means rounds) over the CTE named `corpusName` — the
+    * SQL mirror of [[kmeansCentroids]]. Final centroids CTE:
+    * `c<iters><sfx>`. `sfx` namespaces the chain so several quantizers
+    * (one per PQ subspace) can coexist in one statement. */
+  private[graft] def lloydCtesSql(k: Int, iters: Int, trainN: Int,
+      sfx: String = "", corpusName: String = "corpus"): String = {
     def meansSql(name: String, assigned: String): String =
       s"""$name AS (
          |  SELECT cid, list(m ORDER BY i) AS cv FROM (
@@ -393,14 +440,56 @@ object Similarity {
          |    GROUP BY cid, i)
          |  GROUP BY cid)""".stripMargin
     val iterations = (1 to iters).map { i =>
-      assignCteSql(s"a$i", if (i == 1) "c0" else s"c${i - 1}", "train") +
-        ",\n" + meansSql(s"c$i", s"a$i")
+      assignCteSql(s"a$i$sfx", if (i == 1) s"c0$sfx" else s"c${i - 1}$sfx",
+        s"train$sfx") +
+        ",\n" + meansSql(s"c$i$sfx", s"a$i$sfx")
     }.mkString(",\n")
-    s"""train AS (SELECT vec_id, v FROM corpus
+    s"""train$sfx AS (SELECT vec_id, v FROM $corpusName
        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $trainN),
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-       |       FROM train ORDER BY vec_id LIMIT $k),
+       |c0$sfx AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |       FROM train$sfx ORDER BY vec_id LIMIT $k),
        |$iterations""".stripMargin
+  }
+
+  /** DuckDB SQL for the s06 PQ pipeline: one namespaced Lloyd chain per
+    * subspace over the sliced sub-vectors, nearest-sub-centroid coding,
+    * reconstruction by sub-order concat, then exact asymmetric cosine
+    * ranking — each stage the SQL mirror of [[pqTopK]]'s. */
+  private def s06OracleSql(subspaces: Int, subLen: Int, codebook: Int,
+      iters: Int, topK: Int, trainN: Int): String = {
+    val subCtes = (0 until subspaces).map { m =>
+      val lo = m * subLen + 1
+      val hi = (m + 1) * subLen
+      s"""corpus_$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM corpus),
+         |${lloydCtesSql(codebook, iters, trainN, s"_$m", s"corpus_$m")},
+         |${assignCteSql(s"cells_$m", s"c${iters}_$m", s"corpus_$m")},
+         |coded_$m AS (SELECT a.vec_id, $m AS sub, c.cv
+         |             FROM cells_$m a JOIN c${iters}_$m c USING (cid))"""
+        .stripMargin
+    }.mkString(",\n")
+    val unionCoded = (0 until subspaces)
+      .map(m => s"SELECT vec_id, sub, cv FROM coded_$m")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+       |$subCtes,
+       |coded AS ($unionCoded),
+       |recon AS (SELECT vec_id, flatten(list(cv ORDER BY sub)) AS dv
+       |          FROM coded GROUP BY vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, recon.vec_id AS corpus_id,
+       |         list_cosine_similarity(q.v, recon.dv) AS cos_sim
+       |  FROM q CROSS JOIN recon WHERE recon.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, corpus_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, cos_sim
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB SQL for the s03 IVF pipeline: THREE unrolled Lloyd
@@ -444,6 +533,8 @@ object Similarity {
     * deterministic Lloyd SQL. */
   val oracle: Map[String, String] = Map(
     "s03_ann_ivf" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
+    "s06_ann_pq" -> s06OracleSql(subspaces = 4, subLen = 16, codebook = 16,
+      iters = 2, topK = 10, trainN = 256),
     // the same quantize/dequantize IEEE expression the engine ships,
     // restated over unnested dims; scoring via list_cosine_similarity
     // (bit-identical to the engine's sequential-fold cosine)

@@ -182,4 +182,36 @@ class PlanSpec extends SparkSpec {
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
     assert(pushed.contains("GreaterThan(_commit_ts"), p)
   }
+
+  test("q45: vwap partial-aggregates map-side; no extra shuffle for the ratio") {
+    val p = plan("q45_vwap")
+    // partial + final HashAggregate pair around ONE exchange; the vwap
+    // ratio is a post-aggregation projection, not a second aggregation
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(exchanges <= 2, p) // agg shuffle + output orderBy range only
+  }
+
+  test("q46: running basis and mark-to-last share ONE window shuffle") {
+    val p = plan("q46_cost_basis")
+    // both frames hash-partition by l_partkey with the same order: the
+    // planner must not re-shuffle between the two Window operators
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, p)
+  }
+
+  test("q47: the rolling frame sorts the DAILY aggregate, not the fact table") {
+    val df = SparkEntry.queries("q47_rolling")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // aggregate-then-window: the Window's input is the HashAggregate
+    // output; a Window directly over the orders scan would put the
+    // full fact cardinality into the sort at 100 TB
+    assert(p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val windowIdx = p.indexOf("Window")
+    assert(p.indexOf("HashAggregate", windowIdx) > windowIdx,
+      "expected the aggregate BELOW the window in the plan tree:\n" + p)
+  }
 }

@@ -90,6 +90,30 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic partition pruning fires on the month-partitioned fact") {
+    val tmp = tmpDir("graft_dpp_")
+    Tables.lineitem(spark, sfDir)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    val dim = Tables.orders(spark, sfDir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+      .filter(col("ship_month").isin("1996-01", "1996-02", "1996-03"))
+      .distinct()
+    val joined = fact.join(dim, Seq("ship_month"))
+      .groupBy("ship_month").agg(count(lit(1)).as("n"))
+    // the fact scan must carry a runtime pruning subquery — without it
+    // the scan reads all ~84 month partitions for a 3-month query
+    assert(joined.queryExecution.executedPlan.toString.toLowerCase
+      .contains("dynamicpruning"),
+      joined.queryExecution.executedPlan.toString)
+    // and the pruned result is the plain-filter result
+    val expect = fact
+      .filter(col("ship_month").isin("1996-01", "1996-02", "1996-03"))
+      .groupBy("ship_month").agg(count(lit(1)).as("n"))
+    assert(joined.exceptAll(expect).isEmpty && expect.exceptAll(joined).isEmpty)
+  }
+
   test("interleaveBits: known Morton values, round-trip ordering") {
     import spark.implicits._
     // x=3 (bits 1,1,0 -> positions 0,2), y=5 (bits 1,0,1 -> 1,5):

@@ -112,6 +112,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("pqTopK recall vs brute-force (8 subspaces × 64 codes)") {
+    val brute = neighborSets(Similarity.bruteTopK(corpus, queries, 10))
+    val ann = neighborSets(
+      Similarity.pqTopK(corpus, queries, 10, subspaces = 8, codebook = 64))
+    val recall = brute.keys.toSeq.map { q =>
+      (ann.getOrElse(q, Set.empty) & brute(q)).size.toDouble / 10
+    }.sum / brute.size
+    // the synthetic corpus is near-isotropic (no cluster structure), the
+    // worst case for PQ: neighbors differ by tiny margins that coarse
+    // reconstruction blurs. 0.38 measured at this config; the bar
+    // guards against regressions to chance-level (~0.1)
+    assert(recall > 0.3, s"recall=$recall")
+    // shape: k rows per query, contiguous ranks
+    val perQ = Similarity.pqTopK(corpus, queries, 3).collect()
+      .groupBy(_.getLong(0))
+    perQ.values.foreach { rows =>
+      assert(rows.length === 3)
+      assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+  }
+
   test("kmeans centroids: k rows, deterministic across runs") {
     val c1 = Similarity.kmeansCentroids(corpus, 4, 2).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
