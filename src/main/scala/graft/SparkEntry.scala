@@ -20,7 +20,7 @@ object SparkEntry {
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Relational.queries ++ analytics.Markets.queries ++
-      text.TextAnalysis.queries ++
+      analytics.Behavior.queries ++ text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++ merge.Merge.queries ++
       merge.MorTable.queries ++ pipeline.TrainingPipeline.queries ++
@@ -31,7 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     analytics.Relational.oracle ++ analytics.Markets.oracle ++
-      text.TextAnalysis.oracle ++
+      analytics.Behavior.oracle ++ text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++ similarity.Similarity.oracle ++
       multimodal.Multimodal.oracle ++ merge.Merge.oracle ++
       merge.MorTable.oracle ++ pipeline.TrainingPipeline.oracle ++
