@@ -25,7 +25,8 @@ object SparkEntry {
       multimodal.Multimodal.queries ++ merge.Merge.queries ++
       merge.MorTable.queries ++ pipeline.TrainingPipeline.queries ++
       pipeline.Expectations.queries ++ pipeline.Profile.queries ++
-      streaming.EventStreams.queries ++ scale.Scale.queries
+      streaming.EventStreams.queries ++ scale.Scale.queries ++
+      sources.GraftSourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       multimodal.Multimodal.oracle ++ merge.Merge.oracle ++
       merge.MorTable.oracle ++ pipeline.TrainingPipeline.oracle ++
       pipeline.Expectations.oracle ++ pipeline.Profile.oracle ++
-      streaming.EventStreams.oracle ++ scale.Scale.oracle
+      streaming.EventStreams.oracle ++ scale.Scale.oracle ++
+      sources.GraftSourceQueries.oracle
 }

@@ -1,0 +1,149 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.merge.Merge
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+class GraftSourceSpec extends SparkSpec {
+
+  private def fills(): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag")
+
+  test("format(graft): insert + read roundtrip equals the source") {
+    val t = tmpDir("graft_src_ins_")
+    val b = fills().filter(col("l_linenumber") === 1)
+    b.write.format("graft").option("partition", "l_returnflag")
+      .mode(SaveMode.Append).option("op", "insert").save(t)
+    val back = spark.read.format("graft").load(t)
+    assert(back.count() === b.count())
+    assert(back.select(b.columns.map(col).toIndexedSeq: _*)
+      .exceptAll(b).isEmpty)
+  }
+
+  test("format(graft): upsert replaces matched keys, keeps the rest") {
+    val t = tmpDir("graft_src_ups_")
+    val b1 = fills().filter(col("l_linenumber") <= 2)
+    val b2 = fills().filter(col("l_linenumber") === 2)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    def w(df: DataFrame) = df.write.format("graft")
+      .option("op", "upsert")
+      .option("keys", "l_orderkey,l_linenumber")
+      .option("precombine", "l_extendedprice")
+      .option("partition", "l_returnflag")
+      .mode(SaveMode.Append).save(t)
+    w(b1); w(b2)
+    val back = spark.read.format("graft").load(t)
+    // lineitem has duplicate (orderkey, linenumber) keys: upsert's
+    // precombine collapses them, so the table holds one row per key
+    // record identity = (key cols, partition tuple) — the composite-key
+    // partition-path semantics — so the dedup domain includes the flag
+    val dedup1 = Merge.precombineDedup(b1,
+      Seq("l_orderkey", "l_linenumber", "l_returnflag"), "l_extendedprice")
+    assert(back.count() === dedup1.count())
+    // every linenumber-2 row carries the +100 update
+    assert(back.filter(col("l_linenumber") === 2 && col("l_quantity") <= 100)
+      .isEmpty)
+    // linenumber-1 rows untouched (modulo the same precombine dedup)
+    assert(back.filter(col("l_linenumber") === 1)
+      .select(b1.columns.map(col).toIndexedSeq: _*)
+      .exceptAll(dedup1.filter(col("l_linenumber") === 1)).isEmpty)
+  }
+
+  test("format(graft): delete op removes exactly the keyed rows") {
+    val t = tmpDir("graft_src_del_")
+    val b = fills().filter(col("l_linenumber") <= 2)
+    b.write.format("graft").option("op", "insert")
+      .option("partition", "l_returnflag")
+      .mode(SaveMode.Append).save(t)
+    val doomed = b.filter(col("l_linenumber") === 2)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    doomed.write.format("graft").option("op", "delete")
+      .option("keys", "l_orderkey,l_linenumber")
+      .option("partition", "l_returnflag")
+      .mode(SaveMode.Append).save(t)
+    val back = spark.read.format("graft").load(t)
+    assert(back.filter(col("l_linenumber") === 2).isEmpty)
+    assert(back.count() === b.filter(col("l_linenumber") === 1).count())
+  }
+
+  test("format(graft): versioned upserts enable asOf time travel") {
+    val t = tmpDir("graft_src_tt_")
+    val b1 = fills().filter(col("l_linenumber") <= 2)
+    val b2 = fills().filter(col("l_linenumber") === 2)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    def w(df: DataFrame) = df.write.format("graft")
+      .option("op", "upsert").option("versioned", "true")
+      .option("keys", "l_orderkey,l_linenumber")
+      .option("precombine", "l_extendedprice")
+      .option("partition", "l_returnflag")
+      .mode(SaveMode.Append).save(t)
+    w(b1); w(b2)
+    val commits = Merge.commits(spark, t).select("commit_ts")
+      .orderBy("commit_ts").collect().map(_.getLong(0))
+    assert(commits.length === 2)
+    val snap1 = spark.read.format("graft")
+      .option("asOf", commits.head.toString).load(t)
+    // first snapshot: no +100 updates yet
+    assert(snap1.filter(col("l_quantity") > 100).isEmpty)
+    val dedup = (df: DataFrame) => Merge.precombineDedup(df,
+      Seq("l_orderkey", "l_linenumber", "l_returnflag"), "l_extendedprice")
+    assert(snap1.count() === dedup(b1).count())
+    // incremental pull: rows last written by commit 2 = the updates
+    val incr = spark.read.format("graft")
+      .option("sinceCommit", commits.head.toString).load(t)
+    assert(incr.count() === dedup(b2).count())
+    assert(incr.filter(col("l_linenumber") =!= 2).isEmpty)
+  }
+
+  test("format(graft): filters and pruning answer correctly through the relation") {
+    val t = tmpDir("graft_src_flt_")
+    fills().write.format("graft").option("op", "insert")
+      .option("partition", "l_returnflag")
+      .mode(SaveMode.Append).save(t)
+    val back = spark.read.format("graft").load(t)
+    val expect = fills()
+    // translatable predicate + projection
+    assert(back.filter(col("l_quantity") > 45).count() ===
+      expect.filter(col("l_quantity") > 45).count())
+    assert(back.filter(col("l_returnflag") === "R" &&
+        col("l_linenumber").isin(1, 2)).count() ===
+      expect.filter(col("l_returnflag") === "R" &&
+        col("l_linenumber").isin(1, 2)).count())
+    // projection-only (count through empty-schema rows)
+    assert(back.select("l_orderkey").distinct().count() ===
+      expect.select("l_orderkey").distinct().count())
+    // a non-translatable predicate still answers correctly (outer plan
+    // re-applies what the relation reported unhandled)
+    assert(back.filter(col("l_quantity") % 2 === 0).count() ===
+      expect.filter(col("l_quantity") % 2 === 0).count())
+  }
+
+  test("format(graft): SaveMode.Overwrite is partition-scoped insert-overwrite") {
+    val t = tmpDir("graft_src_ovr_")
+    val b1 = fills().filter(col("l_linenumber") <= 2)
+    b1.write.format("graft").option("op", "insert")
+      .option("partition", "l_returnflag")
+      .mode(SaveMode.Append).save(t)
+    // overwrite ONLY the 'R' partition with halved quantities
+    val b2 = fills().filter(col("l_linenumber") === 1 &&
+        col("l_returnflag") === "R")
+      .withColumn("l_quantity", col("l_quantity") * 0.5)
+    b2.write.format("graft")
+      .option("keys", "l_orderkey,l_linenumber")
+      .option("precombine", "l_extendedprice")
+      .option("partition", "l_returnflag")
+      .mode(SaveMode.Overwrite).save(t)
+    val back = spark.read.format("graft").load(t)
+    // untouched partitions keep both linenumbers; R holds only the new
+    // batch (one row per key after precombine)
+    assert(back.filter(col("l_returnflag") === "R").count() ===
+      Merge.precombineDedup(b2,
+        Seq("l_orderkey", "l_linenumber", "l_returnflag"),
+        "l_extendedprice").count())
+    assert(back.filter(col("l_returnflag") =!= "R").count() ===
+      b1.filter(col("l_returnflag") =!= "R").count())
+  }
+}
