@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -131,6 +131,40 @@ object EventStreams {
     l.join(r,
       expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
         s"r.ts <= l.ts + interval $within"))
+      .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"),
+        col("l.user_id").as("user_id"),
+        col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+  }
+
+  /** Stream-stream event-time interval LEFT OUTER join — attribution
+    * with explicit NON-conversion: a left row pairs with the same
+    * user's right rows within `within`, and a left row with NO
+    * qualifying match still emits (null right side) once the watermark
+    * proves no qualifying row can arrive — i.e. when it passes
+    * left.ts + within + lateness. That expiry-driven emission is the
+    * semantics the inner [[intervalJoin]] cannot express, and it is
+    * exactly how join state stays bounded: the unmatched-left buffer
+    * IS the join state, evicted (and emitted) by the same watermark.
+    *
+    * CAUTION — watermark vs filter pushdown: a side predicate that
+    * does not reference `ts` (e.g. `event_type = 'click'`) is pushed
+    * BELOW the EventTimeWatermark node by the optimizer, so each
+    * side's watermark then tracks only its own event type; rows of
+    * other types (and any drain sentinel) stop advancing it, and the
+    * final unmatched lefts never flush. Callers that need pass-through
+    * rows to drive the watermark must fold them into the predicate as
+    * an OR that references `ts` (a conjunct would be split and pushed;
+    * a ts-referencing OR is unsplittable and stays above the
+    * watermark), then drop those rows from the OUTPUT — their join
+    * artifacts carry recognizable ids — outside the streaming query. */
+  def intervalJoinOuter(events: DataFrame, leftPred: Column,
+      rightPred: Column, within: String = "2 hours",
+      lateness: String = "30 minutes"): DataFrame = {
+    val l = events.withWatermark("ts", lateness).filter(leftPred).alias("l")
+    val r = events.withWatermark("ts", lateness).filter(rightPred).alias("r")
+    l.join(r,
+      expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
+        s"r.ts <= l.ts + interval $within"), "left_outer")
       .select(col("l.event_id").as("l_id"), col("r.event_id").as("r_id"),
         col("l.user_id").as("user_id"),
         col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
@@ -356,7 +390,21 @@ object EventStreams {
         intervalJoin(
           src.filter(col("event_type") === "click"),
           src.filter(col("event_type") === "purchase"))
-      }.orderBy("l_id", "r_id")))
+      }.orderBy("l_id", "r_id")),
+    // e08: the left-outer variant — unmatched clicks surface with a
+    // null purchase side once the watermark expires their join window.
+    // The sentinel rides BOTH side predicates via the ts-referencing OR
+    // (see intervalJoinOuter's caution) so it advances the watermark
+    // past every real click's expiry; its one self-match artifact
+    // (l_id = -1) is dropped from the SINK table — a batch filter, so
+    // no pushdown can move it below the watermark
+    "e08_stream_outer_join" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e08_sink") { src =>
+        val carrier = col("ts") >= lit(sentinelTs)
+        intervalJoinOuter(src,
+          col("event_type") === "click" || carrier,
+          col("event_type") === "purchase" || carrier)
+      }.filter(col("l_id") =!= -1L).orderBy("l_id", "r_id")))
 
   /** DuckDB parity: e01 is a plain hourly bucket aggregate (every
     * window is flushed by the sentinel, so streamed == batch); e02 is
@@ -432,5 +480,15 @@ object EventStreams {
         |FROM events l JOIN events r ON l.user_id = r.user_id
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
-        |ORDER BY l_id, r_id""".stripMargin)
+        |ORDER BY l_id, r_id""".stripMargin,
+    // NULLS FIRST mirrors Spark's ascending null ordering on the
+    // unmatched rows' r_id
+    "e08_stream_outer_join" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id,
+        |       l.user_id AS user_id, l.ts AS l_ts, r.ts AS r_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+        |ORDER BY l_id, r_id NULLS FIRST""".stripMargin)
 }

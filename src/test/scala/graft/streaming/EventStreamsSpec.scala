@@ -100,6 +100,39 @@ class EventStreamsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq === Seq((1L, 3L)))
   }
 
+  test("e08: left-outer interval join emits EVERY unmatched click, incl. the last") {
+    // the full drain at smoke scale vs the batch left join — equality
+    // of the null-row id sets is the regression guard for the
+    // filter-below-watermark trap (a side predicate without ts pushes
+    // under EventTimeWatermark; each side's watermark then tracks only
+    // its own type and the FINAL unmatched lefts never flush)
+    val out = EventStreams.queries("e08_stream_outer_join")(spark, sfDir)
+      .cache()
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click").alias("l")
+    val purchases = ev.filter($"event_type" === "purchase").alias("r")
+    val batch = clicks.join(purchases,
+      expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
+        "r.ts <= l.ts + interval 2 hours"), "left_outer")
+      .select($"l.event_id".as("l_id"), $"r.event_id".as("r_id"))
+    assert(out.count() === batch.count())
+    val streamedNull = out.filter($"r_id".isNull).select("l_id")
+      .as[Long].collect().toSet
+    val batchNull = batch.filter($"r_id".isNull).select("l_id")
+      .as[Long].collect().toSet
+    assert(streamedNull === batchNull)
+    assert(streamedNull.nonEmpty) // non-converting clicks exist
+    // the globally LATEST unmatched click is the one the watermark trap
+    // strands — assert it specifically
+    val lastUnmatched = graft.Tables.events(spark, sfDir)
+      .filter($"event_type" === "click")
+      .join(batch.filter($"r_id".isNull),
+        $"event_id" === $"l_id")
+      .orderBy($"ts".desc).select("event_id").as[Long].head()
+    assert(streamedNull.contains(lastUnmatched))
+    out.unpersist()
+  }
+
   test("e07: enrichment joins the dimension, drops unmatched, sums per segment") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
     val ev = Seq(
