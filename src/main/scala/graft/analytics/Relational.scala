@@ -342,6 +342,22 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q50 — forward as-of with tolerance (conversion attribution): each
+    * click enriched with the same user's NEXT purchase, nulled when it
+    * comes more than 4 hours later. Same one-shuffle union+window shape
+    * as q20, mirrored; the tolerance is the state bound that makes the
+    * operator streamable (see [[AsofJoin.asofJoinForward]]). */
+  val asofForward: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    AsofJoin.asofJoinForward(clicks, purchases, Seq("user_id"), "ts",
+        tolerance = Some("4 hours"))
+      .orderBy("event_id")
+  }
+
   /** Q21 — range (interval) join, composed as a RANGE window: for each
     * purchase, how many views the same user made in the preceding hour
     * (inclusive of the same instant). The naive interval join is
@@ -564,6 +580,7 @@ object Relational {
     "q17_percentiles" -> percentiles,
     "q17b_approx_percentiles" -> approxPercentiles,
     "q20_asof_join" -> asofEnrich,
+    "q50_asof_forward" -> asofForward,
     "q21_range_join" -> rangeViews,
     "q01_filter_project" -> filterProject,
     "q02_cast_datefns" -> castDateFns,
@@ -758,6 +775,27 @@ object Relational {
         |FROM t ASOF LEFT JOIN q
         |  ON t.user_id = q.user_id AND t.ts >= q.ts
         |ORDER BY t.event_id""".stripMargin,
+    // forward asof: DuckDB's ASOF JOIN is backward-only, so the oracle
+    // is the bounded range join + rank-1 (rank order = the engine's
+    // smallest-(ts, event_id, value)-struct tie break)
+    "q50_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, event_id, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT l.event_id AS event_id,
+        |         r.ts AS asof_ts, r.event_id AS asof_event_id,
+        |         r.value AS asof_value,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |           ORDER BY r.ts, r.event_id, r.value) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |       c.asof_ts, c.asof_event_id, c.asof_value
+        |FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        |  USING (event_id)
+        |ORDER BY event_id""".stripMargin,
     "q16_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
