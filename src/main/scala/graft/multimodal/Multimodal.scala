@@ -106,6 +106,28 @@ object Multimodal {
       targetBytes: Int): org.apache.spark.sql.Column =
     substring(payload, 1, targetBytes)
 
+  /** Block-mean perceptual hash of a fixed-size text frame (the
+    * Blockhash algorithm's 1-D shape): the frame splits into `blocks`
+    * equal chunks, bit b = (chunk b's byte sum ≥ the frame-wide mean),
+    * packed little-endian. Two frames whose bytes differ slightly
+    * usually keep identical block/frame mean RELATIONS, so near-dup
+    * frames collide on the signature where exact sha256 fingerprints
+    * (m05) do not. INTEGER arithmetic only — `sum*blocks >= total`
+    * instead of a float mean — so the signature is bit-portable to any
+    * engine. Narrow codegen'd expression; no UDF, no shuffle. */
+  def blockMeanHash(frame: org.apache.spark.sql.Column, frameSize: Int,
+      blocks: Int): org.apache.spark.sql.Column = {
+    require(frameSize % blocks == 0, "frameSize must divide into blocks")
+    val chunk = frameSize / blocks
+    def blockSum(b: Int) = (1 to chunk).map(j =>
+      ascii(substring(frame, b * chunk + j, 1))).reduce(_ + _)
+    val sums = (0 until blocks).map(blockSum)
+    val total = sums.reduce(_ + _)
+    (0 until blocks).map(b =>
+      when(sums(b) * lit(blocks) >= total, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame
@@ -158,6 +180,28 @@ object Multimodal {
           octet_length(col("frame")).cast("long").as("frame_bytes"),
           sha2(resizeStub(col("frame"), 16), 256).as("frame_head_sha256"))
         .orderBy("media_id", "frame_idx")),
+    // m06: PERCEPTUAL near-dup — frames cluster by block-mean hash, so
+    // byte-different frames with the same luminance-relation profile
+    // land together (n_exact_fps > 1 rows are precisely the clusters
+    // sha256 dedup cannot see). Full frames only: the tail fragment's
+    // missing bytes would read as zeros and skew the block relations
+    "m06_frame_phash" -> ((s, dir) =>
+      syntheticMedia(s, dir)
+        .select(col("media_id"),
+          explode(frameSample(col("payload"), frameSize = 32, stride = 2))
+            .as("bframe"))
+        .select(col("media_id"), decode(col("bframe"), "UTF-8").as("frame"))
+        .filter(length(col("frame")) === 32)
+        .select(col("media_id"), col("frame"),
+          blockMeanHash(col("frame"), frameSize = 32, blocks = 8).as("sig"))
+        .groupBy("sig")
+        .agg(
+          countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_frames"),
+          countDistinct(sha2(col("frame"), 256)).as("n_exact_fps"),
+          min(col("media_id")).as("keeper_media"))
+        .filter(col("n_media") > 1)
+        .orderBy("sig")),
     // stub decode through the typed mapPartitions path; f0 is the first
     // feature widened float→double (exact), so the DuckDB oracle can
     // reproduce it bit-for-bit from the payload bytes
@@ -171,7 +215,41 @@ object Multimodal {
     }),
   )
 
+  /** SQL mirror of [[blockMeanHash]] over a string column — the same
+    * integer block/total comparison, term for term. */
+  private def blockMeanHashSql(f: String, frameSize: Int,
+      blocks: Int): String = {
+    val chunk = frameSize / blocks
+    def bs(b: Int) = (1 to chunk)
+      .map(j => s"ascii(substring($f, ${b * chunk + j}, 1))")
+      .mkString(" + ")
+    val sums = (0 until blocks).map(bs)
+    val total = sums.map(s => s"($s)").mkString(" + ")
+    (0 until blocks).map(b =>
+      s"(CASE WHEN (${sums(b)}) * $blocks >= ($total) " +
+        s"THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "m06_frame_phash" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS media_id,
+         |    substring(text, CAST(i * 64 + 1 AS INT), 32) AS frame
+         |  FROM documents,
+         |       unnest(generate_series(0, greatest((length(text) - 1) // 64, 0))) AS t(i)),
+         |ff AS (SELECT media_id, frame FROM f WHERE length(frame) = 32),
+         |sigs AS (SELECT media_id, frame,
+         |           CAST(${blockMeanHashSql("frame", 32, 8)} AS BIGINT)
+         |             AS sig
+         |         FROM ff)
+         |SELECT sig,
+         |  CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+         |  COUNT(*) AS n_frames,
+         |  CAST(COUNT(DISTINCT sha256(frame)) AS BIGINT) AS n_exact_fps,
+         |  MIN(media_id) AS keeper_media
+         |FROM sigs GROUP BY 1
+         |HAVING COUNT(DISTINCT media_id) > 1
+         |ORDER BY sig""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

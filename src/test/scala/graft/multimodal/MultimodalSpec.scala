@@ -42,6 +42,29 @@ class MultimodalSpec extends SparkSpec {
     assert(frames === 4 || frames === 5)
   }
 
+  test("blockMeanHash: perceptual — byte-different frames can share a signature") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two frames differing in ONE byte (block/mean relations keep their
+    // margin) collide; a frame with a different profile does not. The
+    // alternating heavy/light blocks give each relation a wide margin —
+    // a uniform frame would sit exactly ON the mean, where any single
+    // byte flips every bit
+    val a = "zzzzaaaa" * 4               // heavy/light alternating
+    val b = "yzzzaaaa" + "zzzzaaaa" * 3  // one byte lower: margins hold
+    val c = "zzzz" + "aaaa" * 7          // heavy first block only
+    val df = Seq(a, b, c).toDF("frame")
+      .select(col("frame"),
+        Multimodal.blockMeanHash(col("frame"), 32, 8).as("sig"))
+    val sigs = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sigs(a) === sigs(b))
+    assert(sigs(a) !== sigs(c))
+    // and on the corpus the m06 clusters really do merge frames sha256
+    // considers distinct (that is the operator's reason to exist)
+    val out = Multimodal.queries("m06_frame_phash")(spark, sfDir)
+    assert(out.filter(col("n_exact_fps") > 1).count() > 0)
+  }
+
   test("resizeStub truncates to target bytes") {
     val df = Seq(("abcdefgh")).toDF("text")
       .select(encode($"text", "UTF-8").as("payload"))
