@@ -399,6 +399,33 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** Per-document contamination REPORT — the thresholdable variant of
+    * [[contaminationFlags]]: distinct-shingle total, shared-with-eval
+    * count, and the overlap fraction. Pipelines threshold the fraction
+    * ("drop > 10% overlap, flag > 1%") rather than a fixed shared
+    * count, so the report is the operator the binary flag compiles
+    * down from. Same inverted-index semi-join shape: only shingle
+    * hashes shuffle, never text. */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val corpusSh = shingleRows(corpus, idCol, textCol)
+      .select(col(idCol).as("id"), col("sh")).distinct()
+    val evalSh = shingleRows(evalSet, idCol, textCol)
+      .select(col("sh")).distinct()
+    val totals = corpusSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val shared = corpusSh.join(evalSh, Seq("sh"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(shared, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L))
+            .cast("double")).as("overlap_frac"))
+  }
+
   // ---- deterministic hash sampling ----
 
   /** Stratified deterministic sample: the `n` docs per stratum with the
@@ -623,6 +650,12 @@ object Dedup {
         docs.filter(col("doc_id") < 10), "doc_id", "text", minShared = 3)
         .orderBy("id")
     }),
+    "d13_contamination_frac" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      contaminationReport(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), "doc_id", "text")
+        .orderBy("id")
+    }),
     "d08_hash_sample" -> ((s, dir) =>
       hashSampleByStratum(Tables.documents(s, dir), "doc_id", "lang", 5)
         .select("doc_id", "lang", "source", "n_chars")
@@ -740,6 +773,26 @@ object Dedup {
          |  COALESCE(s.n_shared, 0) AS n_shared,
          |  COALESCE(s.n_shared, 0) >= 3 AS contaminated
          |FROM documents d LEFT JOIN shared s ON d.doc_id = s.id
+         |WHERE d.doc_id >= 10
+         |ORDER BY id""".stripMargin,
+    // identical integer counts; the fraction is one double division of
+    // those counts — same IEEE result both engines
+    "d13_contamination_frac" ->
+      s"""WITH sh AS (SELECT * FROM $shinglesSql),
+         |corpus_sh AS (SELECT DISTINCT doc_id AS id, sh FROM sh WHERE doc_id >= 10),
+         |eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+         |totals AS (SELECT id, COUNT(*) AS n_shingles FROM corpus_sh GROUP BY id),
+         |shared AS (SELECT id, COUNT(*) AS n_shared
+         |           FROM corpus_sh JOIN eval_sh USING (sh) GROUP BY id)
+         |SELECT d.doc_id AS id,
+         |  COALESCE(t.n_shingles, 0) AS n_shingles,
+         |  COALESCE(s.n_shared, 0) AS n_shared,
+         |  CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+         |    / CAST(greatest(COALESCE(t.n_shingles, 0), 1) AS DOUBLE)
+         |    AS overlap_frac
+         |FROM documents d
+         |LEFT JOIN totals t ON d.doc_id = t.id
+         |LEFT JOIN shared s ON d.doc_id = s.id
          |WHERE d.doc_id >= 10
          |ORDER BY id""".stripMargin,
     "d10_mixture_sample" ->

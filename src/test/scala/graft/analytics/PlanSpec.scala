@@ -202,6 +202,24 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, p)
   }
 
+  test("q48: both sessionization windows ride ONE user_id shuffle") {
+    val p = plan("q48_sessions_batch")
+    // lag + running-sum share (user_id, order) partitioning: a second
+    // hashpartitioning exchange would mean the planner re-shuffled
+    // between the two window passes
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, p) // window shuffle + per-session aggregate
+  }
+
+  test("q49: the stats side broadcasts back; the fact table never shuffles") {
+    val p = plan("q49_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // map-side partial aggregation reduces the stats input to
+    // |event_type| rows before its (tiny) shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q47: the rolling frame sorts the DAILY aggregate, not the fact table") {
     val df = SparkEntry.queries("q47_rolling")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

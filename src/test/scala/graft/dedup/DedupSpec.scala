@@ -198,6 +198,29 @@ class DedupSpec extends SparkSpec {
     assert(flags(11L) === ((0L, false)))
   }
 
+  test("contaminationReport: fraction bounded, agrees with the binary flags") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely unrelated corpus content about databases")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "watch the quick brown fox jumps over something")
+    ).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, eval_, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // overlapping doc: a real fraction in (0, 1]; clean doc: exactly 0
+    assert(rep(10L)._3 > 0.0 && rep(10L)._3 <= 1.0)
+    assert(rep(11L) === ((rep(11L)._1, 0L, 0.0)))
+    // shared counts are the SAME statistic the binary flag thresholds
+    val flags = Dedup.contaminationFlags(corpus, eval_, "doc_id", "text",
+      minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.view.mapValues(_._2).toMap === flags)
+    // fraction denominator is the doc's own distinct shingle count
+    assert(rep(10L)._3 === rep(10L)._2.toDouble / rep(10L)._1)
+  }
+
   test("mixtureSample: per-stratum fractions, decisions stable under growth") {
     val base = (1L to 200L).map(i =>
       (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
