@@ -194,6 +194,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Directed containment near-dup — `|A∩B| / |A|` and `|A∩B| / |B|`
+    * per candidate pair, kept when EITHER direction clears `threshold`.
+    * Catches the subset relations symmetric Jaccard misses: a short
+    * document quoted whole inside a long one has high containment but
+    * low Jaccard (the union is dominated by the long side). Same
+    * inverted-index + df-cap shape and Σdf² candidate bound as
+    * [[jaccardPairs]]; the two fractions are double divisions of exact
+    * integer counts, bit-portable. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = distinctShingleRows(docs, idCol, textCol)
+    val filtered =
+      if (maxDf == Int.MaxValue) sh
+      else sh.withColumn("_df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("_df") <= maxDf)
+        .drop("_df")
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = filtered.select(col("id").as("id_a"), col("sh"))
+      .join(filtered.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("c_ab", col("inter").cast("double") / col("n_a"))
+      .withColumn("c_ba", col("inter").cast("double") / col("n_b"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id_a", "id_b", "c_ab", "c_ba")
+  }
+
   /** AllPairs/PPJoin prefix-filtered Jaccard join — same contract and
     * RESULTS as [[jaccardPairs]], different cost shape. Under a global
     * shingle order, a pair with Jaccard ≥ t shares its smallest common
@@ -625,6 +655,12 @@ object Dedup {
       jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.8,
         maxDf = 50)
         .orderBy("id_a", "id_b")),
+    // directed containment at a lower bar than d04's symmetric 0.8 —
+    // the subset-quote detector
+    "d14_containment" -> ((s, dir) =>
+      containmentPairs(Tables.documents(s, dir), "doc_id", "text", 0.6,
+        maxDf = 50)
+        .orderBy("id_a", "id_b")),
     "d05_simhash" -> ((s, dir) =>
       simhash32(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -749,6 +785,22 @@ object Dedup {
          |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
          |FROM i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
          |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "d14_containment" ->
+      s"""WITH d0 AS (SELECT DISTINCT doc_id, sh FROM $shinglesSql),
+         |kept AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM d0 GROUP BY sh)
+         |         WHERE df <= 50),
+         |d AS (SELECT d0.doc_id, d0.sh FROM d0 JOIN kept USING (sh)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |      FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / x.n AS c_ab,
+         |  CAST(inter AS DOUBLE) / y.n AS c_ba
+         |FROM i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+         |WHERE greatest(CAST(inter AS DOUBLE) / x.n,
+         |               CAST(inter AS DOUBLE) / y.n) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
     "d05_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

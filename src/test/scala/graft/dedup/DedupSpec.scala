@@ -221,6 +221,27 @@ class DedupSpec extends SparkSpec {
     assert(rep(10L)._3 === rep(10L)._2.toDouble / rep(10L)._1)
   }
 
+  test("containmentPairs: catches the subset-quote Jaccard misses") {
+    // a is quoted WHOLE inside the much longer b: containment(a→b) = 1,
+    // but the union is dominated by b so Jaccard stays low
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq(
+      (1L, quote),
+      (2L, quote + " " + ("filler words about databases and storage " * 8)),
+      (3L, "entirely different content with no shared phrases at all here")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(cont.contains((1L, 2L)))
+    assert(cont((1L, 2L))._1 === 1.0) // every shingle of 1 is in 2
+    assert(!cont.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // and symmetric Jaccard at the same bar does NOT pair them
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.9)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("mixtureSample: per-stratum fractions, decisions stable under growth") {
     val base = (1L to 200L).map(i =>
       (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")

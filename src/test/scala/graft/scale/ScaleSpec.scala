@@ -90,6 +90,28 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed-by-key table AGGREGATES with zero shuffle") {
+    // the write-once dividend extends beyond joins: a groupBy on the
+    // bucket key reads the hash distribution from the bucket layout,
+    // so the aggregation runs exchange-free too
+    spark.sql("DROP TABLE IF EXISTS b_agg")
+    val loc = new java.io.File("spark-warehouse/b_agg")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    Scale.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+      "b_agg", Seq("l_orderkey"), 4)
+    val agg = spark.table("b_agg").groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("q"))
+    agg.collect()
+    assert(Scale.isShuffleFree(agg),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.count() ===
+      Tables.lineitem(spark, sfDir).select("l_orderkey").distinct().count())
+  }
+
   test("dynamic partition pruning fires on the month-partitioned fact") {
     val tmp = tmpDir("graft_dpp_")
     Tables.lineitem(spark, sfDir)
