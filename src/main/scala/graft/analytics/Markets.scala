@@ -101,10 +101,36 @@ object Markets {
       .orderBy("priority", "day")
   }
 
+  /** q51 — period-over-period reporting: monthly totals per priority
+    * with month-over-month and year-over-year deltas and the MoM
+    * percentage. Lag offsets walk the OBSERVED month sequence (the
+    * series is dense over the order span); the window slides over the
+    * pre-aggregated ~84-row-per-priority series, never the fact table
+    * — the same aggregate-below-window discipline as q47. */
+  val periodOverPeriod: Q = (s, dir) => {
+    val monthly = orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(d(sum(dec(col("o_totalprice")))).as("total"))
+    val w = Window.partitionBy("priority").orderBy("month")
+    monthly
+      .withColumn("prev_month_total", lag(col("total"), 1).over(w))
+      .withColumn("prev_year_total", lag(col("total"), 12).over(w))
+      .withColumn("mom_delta", col("total") - col("prev_month_total"))
+      .withColumn("yoy_delta", col("total") - col("prev_year_total"))
+      .withColumn("mom_pct",
+        (col("total") - col("prev_month_total")) * lit(100.0) /
+          col("prev_month_total"))
+      .select("priority", "month", "total", "prev_month_total",
+        "prev_year_total", "mom_delta", "yoy_delta", "mom_pct")
+      .orderBy("priority", "month")
+  }
+
   val queries: Map[String, Q] = Map(
     "q45_vwap" -> vwap,
     "q46_cost_basis" -> costBasis,
-    "q47_rolling" -> rollingDaily)
+    "q47_rolling" -> rollingDaily,
+    "q51_period_over_period" -> periodOverPeriod)
 
   val oracle: Map[String, String] = Map(
     "q45_vwap" ->
@@ -146,6 +172,25 @@ object Markets {
         |  (last_price - cum_cost / cum_qty) * cum_qty AS unrealized
         |FROM c
         |ORDER BY l_partkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    // deltas/pct are scalar double ops on identical exact-decimal-
+    // derived operands; lag walks the same observed month order
+    "q51_period_over_period" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS priority,
+        |         strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |           AS total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT priority, month, total,
+        |  lag(total, 1) OVER w AS prev_month_total,
+        |  lag(total, 12) OVER w AS prev_year_total,
+        |  total - lag(total, 1) OVER w AS mom_delta,
+        |  total - lag(total, 12) OVER w AS yoy_delta,
+        |  (total - lag(total, 1) OVER w) * 100.0 / lag(total, 1) OVER w
+        |    AS mom_pct
+        |FROM m
+        |WINDOW w AS (PARTITION BY priority ORDER BY month)
+        |ORDER BY priority, month""".stripMargin,
     "q47_rolling" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS priority,

@@ -49,6 +49,26 @@ class MarketsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("periodOverPeriod: delta identities, first periods null") {
+    val out = Markets.periodOverPeriod(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // identity: mom_delta = total - prev_month_total wherever defined
+    assert(out.filter(col("prev_month_total").isNotNull &&
+      abs(col("mom_delta") - (col("total") - col("prev_month_total"))) > 1e-9)
+      .isEmpty)
+    // each priority's FIRST month has no prior period
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority").orderBy("month")
+    val first = out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(first.filter(col("prev_month_total").isNotNull).isEmpty)
+    assert(first.filter(col("mom_delta").isNotNull).isEmpty)
+    // yoy needs 12 prior observed months
+    assert(out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 12 && col("prev_year_total").isNotNull).isEmpty)
+    out.unpersist()
+  }
+
   test("rollingDaily: frame bounded at 7 observed days, window ⊇ current") {
     val out = Markets.rollingDaily(spark, sfDir).cache()
     assert(out.count() > 0)
