@@ -52,10 +52,24 @@ object Bench {
       k -> (if (v < 0 || r2(k) < 0) -1.0 else math.min(v, r2(k)))
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
+    // Durable record: the driver keeps only a bounded tail of stdout, so
+    // a growing registry silently loses head-of-line per-query figures.
+    // Persist the full record to the repo (committed per round) and print
+    // the summary with `value` (the total) LAST so it survives truncation.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT",
+      "/root/repo/bench_full_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")

@@ -45,7 +45,14 @@ object Tables {
     val raw = table(s, d, "events")
     val ts = raw.schema("ts").dataType match {
       case LongType         => expr("timestamp_micros(ts div 1000)") // ns→µs floor
-      case TimestampNTZType => col("ts").cast(TimestampType)         // UTC session pin
+      case TimestampNTZType =>
+        // the NTZ→TZ cast is a pure re-tag ONLY under a UTC session TZ;
+        // any other TZ would silently shift every event timestamp
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: the cast to TIMESTAMP requires " +
+            "spark.sql.session.timeZone=UTC (got '" +
+            s.conf.get("spark.sql.session.timeZone") + "')")
+        col("ts").cast(TimestampType)
       case TimestampType    => col("ts")
       case other => throw new IllegalStateException(
         s"events.ts: unexpected parquet-resolved type $other")

@@ -185,10 +185,13 @@ object Scale {
     // of the bytes without any static predicate on the fact side.
     "x16_dpp" -> { (s, dir) =>
       import graft.Tables._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_x16_").toString
-      lineitem(s, dir)
-        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-        .write.mode("overwrite").partitionBy("ship_month").parquet(tmp)
+      // partitioned fact copy is a pure function of the source dir:
+      // built once per JVM, reused across bench passes, swept on exit
+      val tmp = graft.util.Scratch.cached(s"x16#$dir", "graft_x16_") { t =>
+        lineitem(s, dir)
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("ship_month").parquet(t)
+      }
       val fact = s.read.parquet(tmp)
       val dim = orders(s, dir)
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
@@ -204,13 +207,23 @@ object Scale {
 
   /** Drop a bucketed catalog table AND its managed location (a
     * previously-failed run can leave the directory behind, which makes
-    * the next `saveAsTable` fail on a non-empty path). */
+    * the next `saveAsTable` fail on a non-empty path). The location is
+    * resolved from the catalog when the table exists, and residue from
+    * a crashed run (directory without a catalog entry) is resolved
+    * against the CONFIGURED warehouse dir — not a cwd-relative literal,
+    * which breaks under spark.sql.warehouse.dir or a different cwd. */
   def dropBucketedTable(s: SparkSession, table: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val catalogLoc =
+      if (s.catalog.tableExists(table))
+        Some(new Path(s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location))
+      else None
     s.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(s"spark-warehouse/$table")
-    if (loc.exists()) {
-      import scala.reflect.io.Directory
-      new Directory(loc).deleteRecursively()
+    val residue = new Path(new Path(s.sessionState.conf.warehousePath), table)
+    (catalogLoc.toSeq :+ residue).distinct.foreach { p =>
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
     }
   }
 

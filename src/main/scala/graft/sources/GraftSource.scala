@@ -77,10 +77,25 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         else Merge.readAsOf(spark, path, ts)
       case (None, Some(s0), _) =>
         opt(parameters, "untilCommit").map(_.toLong) match {
-          case Some(s1) => Merge.readBetween(spark, path, s0, s1)
-          case None => Merge.readSince(spark, path, s0)
+          case Some(s1) =>
+            // Bounded incremental replays base-file history only; on a
+            // MOR table rows whose winning version sits in unmerged
+            // deltas would silently vanish — refuse rather than lie.
+            if (mor) throw new IllegalArgumentException(
+              "untilCommit is not supported on MOR tables: bounded " +
+                "incremental reads replay base commits only and would " +
+                "miss rows in unmerged delta files (compact first, or " +
+                "use sinceCommit)")
+            Merge.readBetween(spark, path, s0, s1)
+          case None =>
+            if (mor) MorTable.readSince(spark, path, s0)
+            else Merge.readSince(spark, path, s0)
         }
       case (None, None, Some(a)) =>
+        if (mor) throw new IllegalArgumentException(
+          "changesAfter (CDC) is not supported on MOR tables: the CDC " +
+            "reader diffs base commits only and would miss changes in " +
+            "unmerged delta files (compact first)")
         val until = opt(parameters, "changesUntil").map(_.toLong).getOrElse(
           throw new IllegalArgumentException(
             "changesAfter requires changesUntil"))
@@ -138,8 +153,13 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           s"unknown graft op '$other' (insert|bulk_insert|upsert|delete)")
       }
       case SaveMode.ErrorIfExists | SaveMode.Ignore =>
+        // Hadoop FS resolved for the path, not java.io.File — the latter
+        // is always false for non-local URIs (hdfs://, s3a://), which
+        // would turn ErrorIfExists into a silent append at cluster scale.
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val hFs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val exists = Merge.recordedSchema(spark, path).isDefined ||
-          new java.io.File(path).exists()
+          hFs.exists(hPath)
         if (exists && mode == SaveMode.ErrorIfExists)
           throw new IllegalStateException(s"graft table already exists: $path")
         if (!exists)
@@ -167,8 +187,9 @@ object GraftSourceQueries {
     */
   val queries: Map[String, Q] = Map(
     "x17_datasource" -> { (s, dir) =>
-      val t = java.nio.file.Files.createTempDirectory("graft_x17_")
-        .toString + "/table"
+      // fresh per run (versioned writes mutate the table — the write
+      // path IS what this key measures), swept on JVM exit
+      val t = graft.util.Scratch.fresh("graft_x17_") + "/table"
       val base = lineitem(s, dir).select(col("l_orderkey"),
         col("l_linenumber"), col("l_extendedprice"), col("l_returnflag"))
       val b1 = base.filter(col("l_linenumber") <= 2)

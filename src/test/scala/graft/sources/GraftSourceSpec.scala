@@ -121,6 +121,39 @@ class GraftSourceSpec extends SparkSpec {
       expect.filter(col("l_quantity") % 2 === 0).count())
   }
 
+  test("format(graft): MOR incremental reads route through the delta merge") {
+    import graft.merge.MorTable
+    val t = tmpDir("graft_src_mor_")
+    val b1 = fills().filter(col("l_linenumber") <= 2)
+    val b2 = fills().filter(col("l_linenumber") === 2)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    val keys = Seq("l_orderkey", "l_linenumber")
+    // commit 1 creates the base; commit 2 lands in UNMERGED delta files
+    val c1 = MorTable.upsert(spark, b1, t, keys, "l_extendedprice",
+      Seq("l_returnflag"))
+    MorTable.upsert(spark, b2, t, keys, "l_extendedprice",
+      Seq("l_returnflag"))
+    // sinceCommit must surface the delta-resident commit-2 rows — the
+    // COW reader (base files only) would return zero here
+    val incr = spark.read.format("graft")
+      .option("sinceCommit", c1.toString).load(t)
+    val dedup2 = Merge.precombineDedup(b2,
+      Seq("l_orderkey", "l_linenumber", "l_returnflag"), "l_extendedprice")
+    assert(incr.count() === dedup2.count())
+    assert(incr.filter(col("l_quantity") <= 100).isEmpty)
+    // bounded incremental and CDC have no delta-aware reader: refuse
+    // loudly rather than return silently incomplete rows
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("sinceCommit", c1.toString)
+        .option("untilCommit", (c1 + 1).toString).load(t)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("changesAfter", c1.toString)
+        .option("changesUntil", (c1 + 1).toString)
+        .option("keys", keys.mkString(",")).load(t)
+    }
+  }
+
   test("format(graft): SaveMode.Overwrite is partition-scoped insert-overwrite") {
     val t = tmpDir("graft_src_ovr_")
     val b1 = fills().filter(col("l_linenumber") <= 2)
