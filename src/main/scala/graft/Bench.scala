@@ -10,6 +10,7 @@ object Bench {
       // UTC pin: q02/q13 timestamp formatting must not depend on host TZ
       // (the DuckDB oracle compares naive timestamps)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // no-op on current MICROS-annotated testdata — see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

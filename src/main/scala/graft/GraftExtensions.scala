@@ -14,6 +14,10 @@ import graft.functions.{BloomMaybe, DotProduct}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL mutation surface: MERGE INTO over catalog-registered graft
+    // tables (the write half of the Athena-shaped contract; reads are
+    // plain SELECT over the v1 relation)
+    ext.injectPostHocResolutionRule(graft.sql.ResolveGraftMerge.apply)
     ext.injectFunction((
       FunctionIdentifier(functions.VectorFunctions.dotName),
       new ExpressionInfo(classOf[DotProduct].getName,

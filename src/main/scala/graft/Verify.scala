@@ -15,6 +15,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // harmless on current (MICROS-annotated) testdata; lets the
       // LongType branch of Tables.events engage if a NANOS-annotated
       // generation ever comes back

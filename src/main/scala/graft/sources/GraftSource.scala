@@ -47,31 +47,24 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
 
   override def shortName(): String = "graft"
 
-  private def opt(parameters: Map[String, String], name: String)
-      : Option[String] =
-    parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase(name) => v
-    }
-
-  private def cols(parameters: Map[String, String], name: String)
-      : Seq[String] =
-    opt(parameters, name).toSeq.flatMap(_.split(",")).map(_.trim)
-      .filter(_.nonEmpty)
-
-  private def pathOf(parameters: Map[String, String]): String =
-    opt(parameters, "path").getOrElse(
-      throw new IllegalArgumentException(
-        "graft source requires a path (load(path) or option(\"path\", ...))"))
+  import GraftSource.{cols, opt, pathOf}
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    // Lazy snapshot resolution: the session catalog CACHES resolved
+    // relations per table identifier, so a relation that pinned its
+    // file list at creation would serve stale reads after any SQL
+    // write (INSERT INTO / MERGE INTO). Re-resolving per scan keeps
+    // every query on the current commit state; the cost is
+    // metadata-scale (commit listing), not data-scale.
+    def resolve(): DataFrame = {
     val mor = MorTable.isMor(spark, path)
     val asOf = opt(parameters, "asOf").map(_.toLong)
     val since = opt(parameters, "sinceCommit").map(_.toLong)
     val changesAfter = opt(parameters, "changesAfter").map(_.toLong)
-    val df = (asOf, since, changesAfter) match {
+    (asOf, since, changesAfter) match {
       case (Some(ts), _, _) =>
         if (mor) MorTable.readAsOf(spark, path, ts)
         else Merge.readAsOf(spark, path, ts)
@@ -107,11 +100,40 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           else MorTable.read(spark, path)
         } else Merge.readTable(spark, path)
     }
-    new GraftRelation(sqlContext, df)
+    }
+    new GraftRelation(sqlContext, resolve _, parameters)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    GraftSource.write(sqlContext, mode, parameters, data)
+    createRelation(sqlContext, parameters)
+  }
+}
+
+object GraftSource {
+  private def opt(parameters: Map[String, String], name: String)
+      : Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    }
+
+  private[sources] def cols(parameters: Map[String, String], name: String)
+      : Seq[String] =
+    opt(parameters, name).toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+
+  private[sources] def pathOf(parameters: Map[String, String]): String =
+    opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft source requires a path (load(path) or option(\"path\", ...))"))
+
+  /** The option-driven write dispatch, shared by the
+    * CreatableRelationProvider path (`df.write.format("graft")`) and
+    * the SQL surface ([[GraftRelation.insert]] for `INSERT INTO`,
+    * [[graft.sql.GraftMergeCommand]] for `MERGE INTO`). */
+  private[graft] def write(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): Unit = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val op = opt(parameters, "op").getOrElse("upsert").toLowerCase
@@ -166,7 +188,6 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           Merge.insert(data, path, parts, keys, precombine,
             dedup = keys.nonEmpty && precombine != null)
     }
-    createRelation(sqlContext, parameters)
   }
 }
 
@@ -217,6 +238,59 @@ object GraftSourceQueries {
         .unionAll(agg(s.read.format("graft")
           .option("sinceCommit", c1.toString).load(t), "incr"))
         .orderBy("snap", "l_returnflag")
+    },
+
+    /** x18: the SQL mutation surface end-to-end — `CREATE TABLE ...
+      * USING graft` (CTAS), `MERGE INTO` with conditional DELETE +
+      * UPDATE + INSERT clauses (executed by
+      * [[graft.sql.GraftMergeCommand]] via the session extensions),
+      * and `INSERT INTO` (the relation's upsert op) — then an
+      * aggregate read back through plain SQL. The write half of the
+      * reference's Athena-shaped contract (`README.md:203-204`,
+      * `terraform/glue.tf:119-122` hive-syncs Hudi tables for exactly
+      * this); the read half is q43. */
+    "x18_sql_merge" -> { (s, dir) =>
+      val t = graft.util.Scratch.fresh("graft_x18_") + "/table"
+      graft.Tables.lineitem(s, dir).createOrReplaceTempView("x18_lineitem")
+      s.sql("DROP TABLE IF EXISTS x18_target")
+      s.sql(
+        s"""CREATE TABLE x18_target USING graft OPTIONS (
+           |  path '$t',
+           |  op 'upsert',
+           |  keys 'l_orderkey,l_linenumber',
+           |  precombine 'l_extendedprice',
+           |  partition 'l_returnflag')
+           |AS SELECT l_orderkey, l_linenumber, l_extendedprice,
+           |          l_returnflag
+           |   FROM x18_lineitem WHERE l_linenumber <= 2""".stripMargin)
+      s.sql(
+        """CREATE OR REPLACE TEMP VIEW x18_src AS
+          |SELECT l_orderkey, l_linenumber,
+          |       max(l_extendedprice) AS src_price,
+          |       max(l_returnflag) AS src_flag
+          |FROM x18_lineitem WHERE l_linenumber IN (2, 3)
+          |GROUP BY 1, 2""".stripMargin)
+      s.sql(
+        """MERGE INTO x18_target t USING x18_src s
+          |ON t.l_orderkey = s.l_orderkey
+          |   AND t.l_linenumber = s.l_linenumber
+          |WHEN MATCHED AND s.src_price < 2000 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET l_extendedprice = s.src_price + 1.0
+          |WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linenumber,
+          |  l_extendedprice, l_returnflag)
+          |  VALUES (s.l_orderkey, s.l_linenumber, s.src_price, s.src_flag)
+          |""".stripMargin)
+      s.sql(
+        """INSERT INTO x18_target
+          |SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+          |FROM x18_lineitem WHERE l_linenumber = 4""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          |    AS total
+          |FROM x18_target
+          |GROUP BY l_returnflag, l_linenumber
+          |ORDER BY l_returnflag, l_linenumber""".stripMargin)
     })
 
   /** The oracle replays both upserts relationally: per-batch precombine
@@ -263,26 +337,103 @@ object GraftSourceQueries {
         |SELECT 'incr', l_returnflag, COUNT(*),
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |FROM d2 GROUP BY 1, 2
-        |ORDER BY snap, l_returnflag""".stripMargin)
+        |ORDER BY snap, l_returnflag""".stripMargin,
+
+    /** Replays CTAS (per-(keys,partition) precombine dedup), the MERGE
+      * (first-match-wins: delete when src_price<2000, else update
+      * +1.0; unmatched source keys insert), and the trailing INSERT
+      * INTO (upsert of the lnum=4 batch — pure inserts, deduped the
+      * same way), then the same aggregate. */
+    "x18_sql_merge" ->
+      """WITH tgt0 AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |  FROM (
+        |    SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |           l_returnflag,
+        |           row_number() OVER (
+        |             PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |             ORDER BY l_extendedprice DESC) AS rn
+        |    FROM lineitem WHERE l_linenumber <= 2) WHERE rn = 1),
+        |src AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         max(l_extendedprice) AS src_price,
+        |         max(l_returnflag) AS src_flag
+        |  FROM lineitem WHERE l_linenumber IN (2, 3) GROUP BY 1, 2),
+        |ins4 AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |  FROM (
+        |    SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |           l_returnflag,
+        |           row_number() OVER (
+        |             PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |             ORDER BY l_extendedprice DESC) AS rn
+        |    FROM lineitem WHERE l_linenumber = 4) WHERE rn = 1),
+        |merged AS (
+        |  SELECT t.l_orderkey, t.l_linenumber,
+        |         CASE WHEN s.l_orderkey IS NOT NULL
+        |              THEN s.src_price + 1.0
+        |              ELSE t.l_extendedprice END AS l_extendedprice,
+        |         t.l_returnflag
+        |  FROM tgt0 t LEFT JOIN src s
+        |    ON t.l_orderkey = s.l_orderkey
+        |   AND t.l_linenumber = s.l_linenumber
+        |  WHERE s.l_orderkey IS NULL OR s.src_price >= 2000
+        |  UNION ALL
+        |  SELECT s.l_orderkey, s.l_linenumber, s.src_price, s.src_flag
+        |  FROM src s WHERE NOT EXISTS (
+        |    SELECT 1 FROM tgt0 t
+        |    WHERE t.l_orderkey = s.l_orderkey
+        |      AND t.l_linenumber = s.l_linenumber)
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |  FROM ins4)
+        |SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total
+        |FROM merged
+        |GROUP BY l_returnflag, l_linenumber
+        |ORDER BY l_returnflag, l_linenumber""".stripMargin)
 }
 
 /** The read-side relation: wraps the resolved snapshot/incremental
   * DataFrame and replays Spark's column pruning + translatable filters
   * into that plan, where Catalyst pushes them down to the parquet scan.
   * Filters we can't translate are reported unhandled, so the outer plan
-  * re-applies them — correctness never depends on the translation. */
-class GraftRelation(override val sqlContext: SQLContext, df: DataFrame)
-    extends BaseRelation with PrunedFilteredScan {
+  * re-applies them — correctness never depends on the translation.
+  *
+  * `parameters` are the resolved data-source options (for a catalog
+  * table, `CREATE TABLE ... USING graft OPTIONS (...)` persists them
+  * and Spark hands them back on every resolution) — they carry the
+  * table's identity contract (path, keys, precombine, partition), which
+  * is what lets the SQL mutation surface (`INSERT INTO` via
+  * [[insert]], `MERGE INTO` via [[graft.sql.GraftMergeCommand]]) write
+  * through the same option-driven dispatch as the DataFrame API. */
+class GraftRelation(override val sqlContext: SQLContext,
+    resolve: () => DataFrame,
+    val parameters: Map[String, String] = Map.empty)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
-  override def schema: StructType = df.schema
+  // schema is stable across commits (additive evolution widens it only
+  // through writes, which refresh the catalog entry) — resolve once
+  override lazy val schema: StructType = resolve().schema
+
+  /** `INSERT INTO` (append) / `INSERT OVERWRITE` on a catalog-registered
+    * graft table: the append op is the table's recorded `op` option
+    * (upsert by default), so SQL inserts land exactly like
+    * `df.write.format("graft").mode(Append)` would. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    GraftSource.write(sqlContext,
+      if (overwrite) SaveMode.Overwrite else SaveMode.Append,
+      parameters, data)
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filterNot(f => translate(f).isDefined)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    // fresh snapshot per scan — see the lazy-resolution note above
     val filtered = filters.flatMap(translate)
-      .foldLeft(df)((d, c) => d.filter(c))
+      .foldLeft(resolve())((d, c) => d.filter(c))
     // projection AFTER filtering: a filter column need not be in
     // requiredColumns. Empty projection (count-only scans) yields
     // zero-field rows, which Spark counts without reading columns.

@@ -1,0 +1,145 @@
+package graft.sql
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SQL mutation surface: CREATE TABLE ... USING graft (CTAS), MERGE
+  * INTO (update / conditional delete / insert), INSERT INTO — all as
+  * SQL text through the session parser, verified against relational
+  * replays of the same mutations. */
+class GraftSqlSpec extends SparkSpec {
+
+  private def freshTable(name: String): String = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    graft.util.Scratch.fresh(s"graft_sql_${name}_") + "/table"
+  }
+
+  private def ctas(name: String, path: String): Unit = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("li_src")
+    spark.sql(
+      s"""CREATE TABLE $name USING graft OPTIONS (
+         |  path '$path',
+         |  op 'upsert',
+         |  keys 'l_orderkey,l_linenumber',
+         |  precombine 'l_extendedprice',
+         |  partition 'l_returnflag')
+         |AS SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+         |   FROM li_src WHERE l_linenumber <= 2""".stripMargin)
+  }
+
+  /** The CTAS initial state: per-(keys, partition) precombine dedup. */
+  private def tgt0: DataFrame = {
+    val b = Tables.lineitem(spark, sfDir)
+      .filter(col("l_linenumber") <= 2)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    graft.merge.Merge.precombineDedup(b,
+      Seq("l_orderkey", "l_linenumber", "l_returnflag"), "l_extendedprice")
+  }
+
+  test("CREATE TABLE USING graft (CTAS) registers a readable table") {
+    ctas("sql_ctas", freshTable("sql_ctas"))
+    val back = spark.sql("SELECT * FROM sql_ctas")
+    assert(back.count() === tgt0.count())
+    assert(back.exceptAll(tgt0).isEmpty)
+  }
+
+  test("MERGE INTO: conditional delete, update, insert — first-match-wins") {
+    ctas("sql_merge", freshTable("sql_merge"))
+    // source: key-deduped (cardinality rule) lnum ∈ {2, 3}: 2 matches
+    // (delete-or-update), 3 inserts
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW merge_src AS
+        |SELECT l_orderkey, l_linenumber,
+        |       max(l_extendedprice) AS src_price,
+        |       max(l_returnflag) AS src_flag
+        |FROM li_src WHERE l_linenumber IN (2, 3)
+        |GROUP BY 1, 2""".stripMargin)
+    val res = spark.sql(
+      """MERGE INTO sql_merge t USING merge_src s
+        |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+        |WHEN MATCHED AND s.src_price < 2000 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET l_extendedprice = s.src_price + 1.0
+        |WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linenumber,
+        |  l_extendedprice, l_returnflag)
+        |  VALUES (s.l_orderkey, s.l_linenumber, s.src_price, s.src_flag)
+        |""".stripMargin).collect()
+    assert(res.length === 1 && res(0).getLong(0) > 0 && res(0).getLong(1) > 0)
+
+    // relational replay of the same merge
+    val src = spark.table("merge_src")
+    val t0 = tgt0
+    val joined = t0.join(src, Seq("l_orderkey", "l_linenumber"), "left")
+    val kept = joined.filter(col("src_price").isNull ||
+        col("src_price") >= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("src_price").isNotNull, col("src_price") + 1.0)
+          .otherwise(col("l_extendedprice")).as("l_extendedprice"),
+        col("l_returnflag"))
+    val inserted = src.join(t0, Seq("l_orderkey", "l_linenumber"),
+        "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("src_price").as("l_extendedprice"),
+        col("src_flag").as("l_returnflag"))
+    val want = kept.unionAll(inserted)
+    val got = spark.sql("SELECT * FROM sql_merge")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("MERGE INTO: cardinality violation fails loudly") {
+    ctas("sql_card", freshTable("sql_card"))
+    // raw lnum=2 rows: duplicate (orderkey, linenumber) pairs exist
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW card_src AS
+        |SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM li_src WHERE l_linenumber = 2""".stripMargin)
+    val dups = spark.table("card_src")
+      .groupBy("l_orderkey", "l_linenumber").count()
+      .filter(col("count") > 1).count()
+    assume(dups > 0, "fixture needs duplicate keys in the source")
+    val e = intercept[IllegalStateException] {
+      spark.sql(
+        """MERGE INTO sql_card t USING card_src s
+          |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+          |WHEN MATCHED THEN UPDATE SET l_extendedprice = s.l_extendedprice
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("MERGE INTO: ON clause must equality-constrain every record key") {
+    ctas("sql_keys", freshTable("sql_keys"))
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW keys_src AS
+        |SELECT l_orderkey, max(l_extendedprice) AS src_price
+        |FROM li_src WHERE l_linenumber = 2 GROUP BY 1""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """MERGE INTO sql_keys t USING keys_src s
+          |ON t.l_orderkey = s.l_orderkey
+          |WHEN MATCHED THEN UPDATE SET l_extendedprice = s.src_price
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("l_linenumber"))
+  }
+
+  test("INSERT INTO routes through the table's recorded upsert op") {
+    val path = freshTable("sql_ins")
+    ctas("sql_ins", path)
+    val before = spark.sql("SELECT count(*) FROM sql_ins").head.getLong(0)
+    // new keys (lnum = 3): upsert op inserts them
+    spark.sql(
+      """INSERT INTO sql_ins
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |FROM li_src WHERE l_linenumber = 3""".stripMargin)
+    val added = graft.merge.Merge.precombineDedup(
+      Tables.lineitem(spark, sfDir).filter(col("l_linenumber") === 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_returnflag"),
+      Seq("l_orderkey", "l_linenumber", "l_returnflag"), "l_extendedprice")
+      .count()
+    val after = spark.sql("SELECT count(*) FROM sql_ins").head.getLong(0)
+    assert(after === before + added)
+  }
+}
