@@ -26,7 +26,7 @@ object SparkEntry {
       merge.MorTable.queries ++ pipeline.TrainingPipeline.queries ++
       pipeline.Expectations.queries ++ pipeline.Profile.queries ++
       streaming.EventStreams.queries ++ scale.Scale.queries ++
-      sources.GraftSourceQueries.queries
+      sources.GraftSourceQueries.queries ++ merge.Occ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +38,5 @@ object SparkEntry {
       merge.MorTable.oracle ++ pipeline.TrainingPipeline.oracle ++
       pipeline.Expectations.oracle ++ pipeline.Profile.oracle ++
       streaming.EventStreams.oracle ++ scale.Scale.oracle ++
-      sources.GraftSourceQueries.oracle
+      sources.GraftSourceQueries.oracle ++ merge.Occ.oracle
 }
