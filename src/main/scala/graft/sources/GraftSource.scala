@@ -291,6 +291,40 @@ object GraftSourceQueries {
           |FROM x18_target
           |GROUP BY l_returnflag, l_linenumber
           |ORDER BY l_returnflag, l_linenumber""".stripMargin)
+    },
+
+    /** x20: SQL `UPDATE` and `DELETE FROM` statements — the row-level
+      * commands an Athena-shaped analyst issues besides MERGE
+      * (reference `README.md:203-204`). Both execute key-scoped
+      * through [[graft.sql.GraftUpdateCommand]] /
+      * [[graft.sql.GraftDeleteCommand]]: only file groups holding
+      * matching rows rewrite. */
+    "x20_sql_update_delete" -> { (s, dir) =>
+      val t = graft.util.Scratch.fresh("graft_x20_") + "/table"
+      graft.Tables.lineitem(s, dir).createOrReplaceTempView("x20_lineitem")
+      s.sql("DROP TABLE IF EXISTS x20_target")
+      s.sql(
+        s"""CREATE TABLE x20_target USING graft OPTIONS (
+           |  path '$t',
+           |  op 'upsert',
+           |  keys 'l_orderkey,l_linenumber',
+           |  precombine 'l_extendedprice',
+           |  partition 'l_returnflag')
+           |AS SELECT l_orderkey, l_linenumber, l_extendedprice,
+           |          l_returnflag
+           |   FROM x20_lineitem WHERE l_linenumber <= 2""".stripMargin)
+      s.sql(
+        """UPDATE x20_target SET l_extendedprice = l_extendedprice * 2
+          |WHERE l_linenumber = 2 AND l_extendedprice < 3000""".stripMargin)
+      s.sql(
+        "DELETE FROM x20_target WHERE l_returnflag = 'N' AND l_linenumber = 1")
+      s.sql(
+        """SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          |    AS total
+          |FROM x20_target
+          |GROUP BY l_returnflag, l_linenumber
+          |ORDER BY l_returnflag, l_linenumber""".stripMargin)
     })
 
   /** The oracle replays both upserts relationally: per-batch precombine
@@ -391,6 +425,35 @@ object GraftSourceQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |    AS total
         |FROM merged
+        |GROUP BY l_returnflag, l_linenumber
+        |ORDER BY l_returnflag, l_linenumber""".stripMargin,
+
+    /** CTAS dedup, then the UPDATE's conditional doubling and the
+      * DELETE's partition+linenumber cut, then the same aggregate. */
+    "x20_sql_update_delete" ->
+      """WITH tgt0 AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |  FROM (
+        |    SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |           l_returnflag,
+        |           row_number() OVER (
+        |             PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |             ORDER BY l_extendedprice DESC) AS rn
+        |    FROM lineitem WHERE l_linenumber <= 2) WHERE rn = 1),
+        |updated AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_linenumber = 2 AND l_extendedprice < 3000
+        |              THEN l_extendedprice * 2
+        |              ELSE l_extendedprice END AS l_extendedprice,
+        |         l_returnflag
+        |  FROM tgt0),
+        |final AS (
+        |  SELECT * FROM updated
+        |  WHERE NOT (l_returnflag = 'N' AND l_linenumber = 1))
+        |SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total
+        |FROM final
         |GROUP BY l_returnflag, l_linenumber
         |ORDER BY l_returnflag, l_linenumber""".stripMargin)
 }

@@ -230,9 +230,135 @@ case class GraftMergeCommand(
   }
 }
 
-/** Analyzer post-hoc rule: swap a fully-resolved [[MergeIntoTable]]
-  * over a graft relation for [[GraftMergeCommand]] before Spark's
-  * planner rejects v1 MERGE. Injected by [[graft.GraftExtensions]]. */
+/** Shared helpers for the SQL row-level commands. */
+private[sql] object GraftSqlCommands {
+  def optCI(options: Map[String, String], name: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  def colsOf(options: Map[String, String], name: String): Seq[String] =
+    optCI(options, name).toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+
+  def pathOf(options: Map[String, String]): String =
+    optCI(options, "path").getOrElse(throw new IllegalArgumentException(
+      "graft SQL command: target has no recorded path option"))
+
+  def targetAttr(spark: SparkSession, tCols: Seq[Attribute], name: String)
+      : Attribute =
+    tCols.find(a => spark.sessionState.conf.resolver(a.name, name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft SQL command: option column '$name' is not in the " +
+          "target schema"))
+
+  /** Stage a payload to scratch parquet before any table mutation —
+    * its plan scans the target's current files, which the commit
+    * retires; see the MERGE staging note. None when empty. */
+  def staged(spark: SparkSession, df: Option[DataFrame], name: String)
+      : Option[DataFrame] =
+    df.flatMap { d =>
+      val dir = graft.util.Scratch.fresh("graft_sql_stage_") + s"/$name"
+      d.write.parquet(dir)
+      val back = spark.read.parquet(dir)
+      if (back.isEmpty) None else Some(back)
+    }
+}
+
+/** SQL `UPDATE t SET ... [WHERE ...]` on a graft table: the matching
+  * snapshot rows, re-projected through the assignments, become an
+  * upsert payload — a key-scoped file-group rewrite, not a table
+  * rewrite. Assignments may not touch key or partition columns (a
+  * changed identity would orphan the old record, turning UPDATE into
+  * insert — Hudi's record-key immutability rule). */
+case class GraftUpdateCommand(
+    table: LogicalPlan,
+    assignments: Seq[Assignment],
+    condition: Option[Expression],
+    options: Map[String, String]) extends LeafRunnableCommand {
+  import GraftSqlCommands._
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_updated", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = pathOf(options)
+    val keys = colsOf(options, "keys")
+    val parts = colsOf(options, "partition")
+    val precombine = optCI(options, "precombine").getOrElse(
+      throw new IllegalArgumentException(
+        "UPDATE on a graft table requires its precombine option"))
+    require(keys.nonEmpty && parts.nonEmpty,
+      "UPDATE on a graft table requires its keys + partition options")
+    val tCols = table.output
+    val immutable = (keys ++ parts)
+      .map(n => targetAttr(spark, tCols, n).exprId).toSet
+    assignments.foreach {
+      case Assignment(k: AttributeReference, _) =>
+        require(!immutable.contains(k.exprId),
+          s"UPDATE may not assign key/partition column '${k.name}' " +
+            "(record identity is immutable; use DELETE + INSERT)")
+      case other => throw new IllegalArgumentException(
+        s"unsupported UPDATE assignment target: ${other.sql}")
+    }
+    val byId = assignments.collect {
+      case Assignment(k: AttributeReference, v) => (k.exprId, v)
+    }.toMap
+    val targetDf = ofRows(spark, table)
+    val payload = condition.map(c => targetDf.filter(column(c)))
+      .getOrElse(targetDf)
+      .select(tCols.map { tc =>
+        byId.get(tc.exprId).map(v => column(v).cast(tc.dataType))
+          .getOrElse(column(tc)).as(tc.name)
+      }: _*)
+    val n = staged(spark, Some(payload), "updates").map { p =>
+      if (optCI(options, "versioned").exists(_.toBoolean))
+        Merge.upsertVersioned(spark, p, path, keys, precombine, parts)
+      else Merge.upsert(spark, p, path, keys, precombine, parts)
+      p.count()
+    }.getOrElse(0L)
+    Seq(Row(n))
+  }
+}
+
+/** SQL `DELETE FROM t [WHERE ...]` on a graft table: the matching
+  * snapshot rows' identities ((keys, partition) tuples) feed the
+  * engine's delete commit — again file-group-scoped, not a table
+  * rewrite. */
+case class GraftDeleteCommand(
+    table: LogicalPlan,
+    condition: Option[Expression],
+    options: Map[String, String]) extends LeafRunnableCommand {
+  import GraftSqlCommands._
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_deleted", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = pathOf(options)
+    val keys = colsOf(options, "keys")
+    val parts = colsOf(options, "partition")
+    require(keys.nonEmpty && parts.nonEmpty,
+      "DELETE on a graft table requires its keys + partition options")
+    val tCols = table.output
+    val idCols = (keys ++ parts).map(targetAttr(spark, tCols, _))
+    val targetDf = ofRows(spark, table)
+    val ks = condition.map(c => targetDf.filter(column(c)))
+      .getOrElse(targetDf)
+      .select(idCols.map(a => column(a).as(a.name)): _*)
+    val n = staged(spark, Some(ks), "deletes").map { p =>
+      if (optCI(options, "versioned").exists(_.toBoolean))
+        Merge.deleteVersioned(spark, p, path, keys, parts)
+      else Merge.delete(spark, p, path, keys, parts)
+      p.count()
+    }.getOrElse(0L)
+    Seq(Row(n))
+  }
+}
+
+/** Analyzer post-hoc rule: swap fully-resolved row-level SQL commands
+  * ([[MergeIntoTable]], [[UpdateTable]], [[DeleteFromTable]]) over a
+  * graft relation for the engine's runnable commands before Spark's
+  * planner rejects them on a v1 table. Injected by
+  * [[graft.GraftExtensions]]. */
 case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
@@ -243,6 +369,18 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
               m.mergeCondition, m.matchedActions, m.notMatchedActions,
               m.notMatchedBySourceActions, opts)
           case None => m
+        }
+      case u: UpdateTable if u.resolved =>
+        graftOptions(u.table) match {
+          case Some(opts) =>
+            GraftUpdateCommand(u.table, u.assignments, u.condition, opts)
+          case None => u
+        }
+      case d: DeleteFromTable if d.resolved =>
+        graftOptions(d.table) match {
+          case Some(opts) =>
+            GraftDeleteCommand(d.table, Some(d.condition), opts)
+          case None => d
         }
     }
 

@@ -124,6 +124,50 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("l_linenumber"))
   }
 
+  test("UPDATE rewrites matching rows key-scoped; DELETE FROM removes them") {
+    ctas("sql_upd", freshTable("sql_upd"))
+    val updated = spark.sql(
+      """UPDATE sql_upd SET l_extendedprice = l_extendedprice * 2
+        |WHERE l_linenumber = 2 AND l_extendedprice < 3000""".stripMargin)
+      .head.getLong(0)
+    val t0 = tgt0
+    val wantUpd = t0.filter(col("l_linenumber") === 2 &&
+      col("l_extendedprice") < 3000).count()
+    assert(updated === wantUpd && updated > 0)
+    val afterUpdate = spark.sql("SELECT * FROM sql_upd")
+    val wantAfter = t0.select(col("l_orderkey"), col("l_linenumber"),
+      when(col("l_linenumber") === 2 && col("l_extendedprice") < 3000,
+        col("l_extendedprice") * 2).otherwise(col("l_extendedprice"))
+        .as("l_extendedprice"),
+      col("l_returnflag"))
+    assert(afterUpdate.count() === wantAfter.count())
+    assert(afterUpdate.exceptAll(wantAfter).isEmpty)
+
+    val deleted = spark.sql(
+      "DELETE FROM sql_upd WHERE l_returnflag = 'N' AND l_linenumber = 1")
+      .head.getLong(0)
+    val wantDel = t0.filter(col("l_returnflag") === "N" &&
+      col("l_linenumber") === 1).count()
+    assert(deleted === wantDel && deleted > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM sql_upd WHERE l_returnflag = 'N' AND l_linenumber = 1")
+      .head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM sql_upd").head.getLong(0) ===
+      wantAfter.count() - wantDel)
+  }
+
+  test("UPDATE refuses to assign key or partition columns") {
+    ctas("sql_updkey", freshTable("sql_updkey"))
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE sql_updkey SET l_linenumber = 9")
+    }
+    assert(e.getMessage.contains("identity"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE sql_updkey SET l_returnflag = 'X'")
+    }
+    assert(e2.getMessage.contains("identity"))
+  }
+
   test("INSERT INTO routes through the table's recorded upsert op") {
     val path = freshTable("sql_ins")
     ctas("sql_ins", path)
