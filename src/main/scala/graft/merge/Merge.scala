@@ -298,6 +298,15 @@ object Merge {
   def recordedSchema(spark: SparkSession, path: String): Option[StructType] =
     readSchemaMeta(spark, path)
 
+  /** Create an EMPTY table: directory + recorded schema, no data files
+    * (the `CREATE TABLE (cols...) USING graft` DDL shape — reads
+    * resolve and return zero rows until the first write). */
+  def createEmptyTable(spark: SparkSession, path: String,
+      schema: StructType): Unit = {
+    fsFor(spark, path).mkdirs(new Path(path))
+    updateSchemaMeta(spark, path, schema)
+  }
+
   /** Read a merge-managed table. Prefers the recorded schema (exact
     * types + null-fill for files written before an additive evolution);
     * falls back to a parquet footer-merge for tables written by older

@@ -42,12 +42,32 @@ import graft.merge.{Merge, MorTable}
   * reader through Catalyst exactly as a direct `Merge.readTable` query
   * would; the relation boundary adds no extra materialization.
   */
-class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+class GraftSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
   import GraftSource.{cols, opt, pathOf}
+
+  /** User-specified schema = the empty-`CREATE TABLE (cols...) USING
+    * graft` DDL shape: record the schema so the table resolves (and
+    * reads as zero rows) before its first write. An existing table
+    * must agree on field names — a silent re-type would corrupt the
+    * read path. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    Merge.recordedSchema(spark, path) match {
+      case None => Merge.createEmptyTable(spark, path, schema)
+      case Some(rec) =>
+        require(schema.fieldNames.forall(rec.fieldNames.contains),
+          s"graft table at $path exists with schema ${rec.simpleString}; " +
+            s"the declared schema ${schema.simpleString} adds unknown " +
+            "columns (evolve via a write, not DDL)")
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -168,6 +168,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("identity"))
   }
 
+  test("empty CREATE TABLE (cols) USING graft, then INSERT INTO populates it") {
+    val path = freshTable("sql_empty")
+    spark.sql(
+      s"""CREATE TABLE sql_empty (
+         |  l_orderkey BIGINT, l_linenumber INT,
+         |  l_extendedprice DOUBLE, l_returnflag STRING)
+         |USING graft OPTIONS (
+         |  path '$path', op 'upsert',
+         |  keys 'l_orderkey,l_linenumber',
+         |  precombine 'l_extendedprice',
+         |  partition 'l_returnflag')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM sql_empty").head.getLong(0) === 0L)
+    spark.sql(
+      """INSERT INTO sql_empty
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |FROM li_src WHERE l_linenumber = 1""".stripMargin)
+    val want = graft.merge.Merge.precombineDedup(
+      Tables.lineitem(spark, sfDir).filter(col("l_linenumber") === 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_returnflag"),
+      Seq("l_orderkey", "l_linenumber", "l_returnflag"), "l_extendedprice")
+    assert(spark.sql("SELECT count(*) FROM sql_empty").head.getLong(0) ===
+      want.count())
+  }
+
   test("INSERT INTO routes through the table's recorded upsert op") {
     val path = freshTable("sql_ins")
     ctas("sql_ins", path)
