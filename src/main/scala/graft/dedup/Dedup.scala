@@ -655,6 +655,14 @@ object Dedup {
       jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.8,
         maxDf = 50)
         .orderBy("id_a", "id_b")),
+    // the AllPairs/PPJoin prefix-filtered variant shares d04's exact
+    // contract (same pairs, same jaccard values), so it shares d04's
+    // oracle — a driver-key guarantee that the prefix-filter cost
+    // optimization can never silently change results
+    "d15_jaccard_prefix" -> ((s, dir) =>
+      jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text", 0.8,
+        maxDf = 50)
+        .orderBy("id_a", "id_b")),
     // directed containment at a lower bar than d04's symmetric 0.8 —
     // the subset-quote detector
     "d14_containment" -> ((s, dir) =>
@@ -736,7 +744,7 @@ object Dedup {
     * DuckDB parity — including d06's cosine values, which are
     * bit-identical because both engines normalize per-row then run the
     * same sequential-order dot product. */
-  val oracle: Map[String, String] = Map(
+  private val oracle0: Map[String, String] = Map(
     "d01_exact_dedup" ->
       s"""WITH f AS (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
          |           FROM documents),
@@ -908,4 +916,10 @@ object Dedup {
          |ORDER BY cos_sim DESC, id_a, id_b
          |LIMIT 20""".stripMargin,
   )
+
+  /** d15 is result-identical to d04 by construction (the prefix filter
+    * is lossless — DedupSpec asserts set equality), so the two keys
+    * share one oracle string. */
+  val oracle: Map[String, String] =
+    oracle0 + ("d15_jaccard_prefix" -> oracle0("d04_jaccard_neardup"))
 }

@@ -203,6 +203,30 @@ object Scale {
           d(sum(dec(col("l_extendedprice")))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("ship_month")
+    },
+    // x20: bucketed SHUFFLE-FREE aggregation, end-to-end. The groupBy
+    // key is the bucket key, so the aggregation reads the hash
+    // distribution from the bucket layout and runs with zero exchange
+    // (ScaleSpec "bucketed-by-key table AGGREGATES with zero shuffle"
+    // pins the plan; this driver key pins the RESULT against the
+    // plain-aggregation oracle — the layout must be invisible in the
+    // values). At 100 TB this is the repeated-rollup dividend: every
+    // per-orderkey aggregate over the fact table after the one-time
+    // bucketed write is a pure map-side scan.
+    "x21_bucketed_agg" -> { (s, dir) =>
+      import graft.Tables._
+      dropBucketedTable(s, "x21_li")
+      writeBucketed(
+        lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        "x21_li", Seq("l_orderkey"), 8)
+      s.table("x21_li")
+        .groupBy("l_orderkey")
+        .agg(
+          d(sum(dec(col("l_quantity")))).as("volume"),
+          d(sum(dec(col("l_extendedprice")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_orderkey")
     })
 
   /** Drop a bucketed catalog table AND its managed location (a
@@ -272,5 +296,15 @@ object Scale {
         |             l_extendedprice
         |      FROM lineitem) f
         |JOIN d USING (ship_month)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bucketed layout must be invisible here too: the oracle is
+    // the plain per-orderkey rollup over the original table
+    "x21_bucketed_agg" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS volume,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

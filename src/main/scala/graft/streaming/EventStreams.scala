@@ -282,13 +282,26 @@ object EventStreams {
   /** `copies` > 1 feeds the SAME events through the stream that many
     * times as separate micro-batches — the at-least-once replay shape
     * the dedup drain (e05) must collapse back to exactly-once. */
+  /** `parts` (mutually exclusive with `copies` > 1) splits the events
+    * into ORDERED arrival batches: partition predicate i's rows arrive
+    * as micro-batch i. Rows matching no predicate never arrive; rows
+    * arriving after the watermark has passed them are LATE and subject
+    * to the operator's lateness semantics — this is the disorder knob
+    * the e09/e10 late-data keys turn. */
   private def drainAvailableNow(s: SparkSession, dir: String, name: String,
-      copies: Int = 1)(
+      copies: Int = 1, parts: Seq[Column] = Nil)(
       build: DataFrame => DataFrame): DataFrame = {
-    val in = drainInputs.getOrElseUpdate(s"$dir#$copies", {
+    require(copies == 1 || parts.isEmpty,
+      "copies and parts are alternative batch shapes")
+    val batches: Seq[DataFrame] = {
+      val ev = Tables.events(s, dir)
+      if (parts.nonEmpty) parts.map(ev.filter) else Seq.fill(copies)(ev)
+    }
+    val in = drainInputs.getOrElseUpdate(
+      s"$dir#$copies#${parts.mkString(";")}", {
       val base = java.nio.file.Files
         .createTempDirectory("graft_drain").toString
-      Tables.events(s, dir).coalesce(1).write.parquet(s"$base/in")
+      batches.head.coalesce(1).write.parquet(s"$base/in")
       val inPath = new org.apache.hadoop.fs.Path(s"$base/in")
       val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       val maxMtime = fs.listStatus(inPath).map(_.getModificationTime).max
@@ -305,13 +318,12 @@ object EventStreams {
           .foreach(st => fs.setTimes(st.getPath, maxMtime + step * 60000L, -1))
         known = fs.listStatus(inPath).map(_.getPath.getName).toSet
       }
-      (2 to copies).foreach { i =>
-        appendPinned(i - 1) {
-          Tables.events(s, dir).coalesce(1).write.mode("append")
-            .parquet(s"$base/in")
+      batches.drop(1).zipWithIndex.foreach { case (b, i) =>
+        appendPinned(i + 1) {
+          b.coalesce(1).write.mode("append").parquet(s"$base/in")
         }
       }
-      appendPinned(copies) {
+      appendPinned(batches.size) {
         s.range(1).select(
           lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
           lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
@@ -404,6 +416,49 @@ object EventStreams {
         intervalJoinOuter(src,
           col("event_type") === "click" || carrier,
           col("event_type") === "purchase" || carrier)
+      }.filter(col("l_id") =!= -1L).orderBy("l_id", "r_id")),
+    // e09: REAL late data against the windowed aggregation — even
+    // event_ids arrive first (advancing the watermark to the stream's
+    // end), odd event_ids arrive in a later micro-batch where almost
+    // all of them are late. Semantics pinned empirically on this Spark
+    // (SPARK-39931): a stateful operator filters LATE INPUT with the
+    // PREVIOUS batch's watermark and evicts state with the current one
+    // — so the split needs an empty micro-batch in the middle, or the
+    // late batch would be filtered against the pre-advance watermark
+    // (0) and nothing would drop. A late row whose hour window is
+    // still open (window end above the watermark) is absorbed; a row
+    // whose window the watermark already closed is dropped. The oracle
+    // replays exactly that predicate with the engine's ms-granularity
+    // watermark (max even-arrival ts − 30 min, truncated to ms).
+    // Windows are hour-aligned and the watermark is not, so predicate
+    // strictness can never matter here.
+    "e09_late_counts" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e09_sink",
+        parts = Seq(col("event_id") % 2 === 0, col("event_id") === -42L,
+          col("event_id") % 2 === 1))(
+        windowedCounts(_))
+        .filter(col("event_type") =!= "_sentinel")
+        .orderBy("window_start", "event_type")),
+    // e10: the same disorder against the stateful outer join — late
+    // clicks/purchases beyond the watermark are dropped at input, and
+    // an on-time click whose ONLY matching purchase arrived too late
+    // must surface as unmatched (null right side). The eviction
+    // algebra guarantees consistency: a left row expires only when the
+    // watermark passes l.ts + 2h, by which point any matching right is
+    // necessarily below the watermark, i.e. dropped — so the drained
+    // set is exactly the relational outer join over the KEPT rows.
+    // (same empty middle batch as e09 — the late-input filter uses the
+    // previous batch's watermark; here it drops on RAW ts, not window
+    // end, so e09 and e10 pin the two distinct late predicates)
+    "e10_late_outer_join" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e10_sink",
+        parts = Seq(col("event_id") % 2 === 0, col("event_id") === -42L,
+          col("event_id") % 2 === 1)) {
+        src =>
+          val carrier = col("ts") >= lit(sentinelTs)
+          intervalJoinOuter(src,
+            col("event_type") === "click" || carrier,
+            col("event_type") === "purchase" || carrier)
       }.filter(col("l_id") =!= -1L).orderBy("l_id", "r_id")))
 
   /** DuckDB parity: e01 is a plain hourly bucket aggregate (every
@@ -488,6 +543,37 @@ object EventStreams {
         |       l.user_id AS user_id, l.ts AS l_ts, r.ts AS r_ts
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+        |ORDER BY l_id, r_id NULLS FIRST""".stripMargin,
+    // the engine's watermark after the even-arrival batch, at Spark's
+    // ms granularity: floor-to-ms of the max even ts, minus 30 min. A
+    // late (odd-arrival) row survives iff its hour window is still
+    // open — window end strictly above the watermark
+    "e09_late_counts" ->
+      """WITH w AS (SELECT make_timestamp((epoch_ms(max(ts)) - 1800000)
+        |             * 1000) AS wm
+        |           FROM events WHERE event_id % 2 = 0)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events, w
+        |WHERE event_id % 2 = 0
+        |   OR date_trunc('hour', ts) + INTERVAL 1 HOUR > wm
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streamed late-data outer join == the relational outer join
+    // over the KEPT rows only: even arrivals plus odd arrivals still at
+    // or above the watermark when their batch ran
+    "e10_late_outer_join" ->
+      """WITH w AS (SELECT make_timestamp((epoch_ms(max(ts)) - 1800000)
+        |             * 1000) AS wm
+        |           FROM events WHERE event_id % 2 = 0),
+        |k AS (SELECT e.* FROM events e, w
+        |      WHERE event_id % 2 = 0 OR ts >= wm)
+        |SELECT l.event_id AS l_id, r.event_id AS r_id,
+        |       l.user_id AS user_id, l.ts AS l_ts, r.ts AS r_ts
+        |FROM (SELECT * FROM k WHERE event_type = 'click') l
+        |LEFT JOIN (SELECT * FROM k WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
         |ORDER BY l_id, r_id NULLS FIRST""".stripMargin)

@@ -160,4 +160,68 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("event_id")).distinct.length.toLong
       === expected)
   }
+
+  /** The engine watermark after the even-arrival batch, at Spark's ms
+    * granularity: floor-to-ms of max(even ts) − 30 min. */
+  private def evenWatermark: java.sql.Timestamp = {
+    val maxEven = Tables.events(spark, sfDir)
+      .filter($"event_id" % 2 === 0).agg(max($"ts")).head.getTimestamp(0)
+    new java.sql.Timestamp(maxEven.getTime - 30 * 60 * 1000L)
+  }
+
+  test("e09: late rows land in still-open windows, closed windows drop them") {
+    val out = EventStreams.queries("e09_late_counts")(spark, sfDir).cache()
+    val wm = evenWatermark
+    // expected: even arrivals always count; an odd (late) arrival
+    // counts iff its hour window end is still above the watermark
+    val expected = Tables.events(spark, sfDir)
+      .filter(($"event_id" % 2 === 0) ||
+        (date_trunc("hour", $"ts") + expr("interval 1 hour") > lit(wm)))
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val j = out.alias("s").join(expected.alias("b"),
+      Seq("window_start", "event_type"), "full_outer")
+    assert(j.filter($"s.n_events".isNull || $"b.n_events".isNull ||
+      $"s.n_events" =!= $"b.n_events").count() === 0)
+    // the disorder must actually bite: some late rows dropped, and at
+    // least one window must mix on-time and kept-late rows or the key
+    // degenerates to e01
+    val all = Tables.events(spark, sfDir).count()
+    val kept = out.agg(sum($"n_events")).head.getLong(0)
+    assert(kept < all, s"no late row was dropped (kept=$kept of $all)")
+    out.unpersist()
+  }
+
+  test("e10: late-data outer join == relational join over kept rows only") {
+    val out = EventStreams.queries("e10_late_outer_join")(spark, sfDir)
+      .cache()
+    val wm = evenWatermark
+    val kept = Tables.events(spark, sfDir)
+      .filter(($"event_id" % 2 === 0) || $"ts" >= lit(wm))
+    val clicks = kept.filter($"event_type" === "click").alias("l")
+    val purchases = kept.filter($"event_type" === "purchase").alias("r")
+    val batch = clicks.join(purchases,
+      expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
+        "r.ts <= l.ts + interval 2 hours"), "left_outer")
+      .select($"l.event_id".as("l_id"), $"r.event_id".as("r_id"))
+    assert(out.count() === batch.count())
+    val sPairs = out.select($"l_id", $"r_id").as[(Long, Option[Long])]
+      .collect().toSet
+    val bPairs = batch.as[(Long, Option[Long])].collect().toSet
+    assert(sPairs === bPairs)
+    // a dropped-late purchase must have turned at least one click that
+    // matches in e08 into an unmatched null here — the eviction
+    // semantics the key exists to pin
+    val fullMatched = Tables.events(spark, sfDir)
+      .filter($"event_type" === "click").alias("l")
+      .join(Tables.events(spark, sfDir)
+        .filter($"event_type" === "purchase").alias("r"),
+        expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
+          "r.ts <= l.ts + interval 2 hours"))
+      .select($"l.event_id").as[Long].collect().toSet
+    val nowNull = sPairs.collect { case (l, None) => l }
+    assert(nowNull.exists(fullMatched.contains),
+      "no click lost its only match to lateness — weaken the split?")
+    out.unpersist()
+  }
 }
