@@ -307,6 +307,27 @@ object Merge {
     updateSchemaMeta(spark, path, schema)
   }
 
+  /** Additive schema evolution as an explicit DDL operation (the
+    * `ALTER TABLE ... ADD COLUMNS` shape): appends `newCols` to the
+    * recorded schema. Pure metadata — no data file is touched; rows
+    * written before the evolution read the new columns as null.
+    * Duplicate names fail loudly (ALTER semantics), unlike the
+    * implicit write-side union which treats re-sent columns as
+    * already-evolved. */
+  def addColumns(spark: SparkSession, path: String,
+      newCols: StructType): Unit = {
+    val existing = recordedSchema(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE ADD COLUMNS: no graft table recorded at $path"))
+    val resolver = spark.sessionState.conf.resolver
+    newCols.fields.foreach { f =>
+      require(!existing.fields.exists(e => resolver(e.name, f.name)),
+        s"ALTER TABLE ADD COLUMNS: column '${f.name}' already exists " +
+          s"in ${existing.simpleString}")
+    }
+    updateSchemaMeta(spark, path, StructType(existing.fields ++ newCols.fields))
+  }
+
   /** Read a merge-managed table. Prefers the recorded schema (exact
     * types + null-fill for files written before an additive evolution);
     * falls back to a parquet footer-merge for tables written by older

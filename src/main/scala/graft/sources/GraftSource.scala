@@ -345,6 +345,50 @@ object GraftSourceQueries {
           |FROM x20_target
           |GROUP BY l_returnflag, l_linenumber
           |ORDER BY l_returnflag, l_linenumber""".stripMargin)
+    },
+
+    /** x22: `ALTER TABLE ... ADD COLUMNS` — additive schema evolution
+      * as SQL DDL ([[graft.sql.GraftAddColumnsCommand]]): O(1) metadata
+      * on both the recorded schema and the session catalog, never a
+      * rewrite. Pre-evolution rows read the new columns as null; the
+      * post-evolution INSERT carries them. The aggregate separates the
+      * two generations via the evolved marker column. */
+    "x22_sql_alter_add" -> { (s, dir) =>
+      val t = graft.util.Scratch.fresh("graft_x22_") + "/table"
+      graft.Tables.lineitem(s, dir).createOrReplaceTempView("x22_lineitem")
+      s.sql("DROP TABLE IF EXISTS x22_target")
+      s.sql(
+        s"""CREATE TABLE x22_target USING graft OPTIONS (
+           |  path '$t',
+           |  op 'upsert',
+           |  keys 'l_orderkey,l_linenumber',
+           |  precombine 'l_extendedprice',
+           |  partition 'l_returnflag')
+           |AS SELECT l_orderkey, l_linenumber, l_extendedprice,
+           |          l_returnflag
+           |   FROM x22_lineitem WHERE l_linenumber = 1""".stripMargin)
+      s.sql(
+        """ALTER TABLE x22_target
+          |ADD COLUMNS (l_discount DOUBLE, batch_src STRING)""".stripMargin)
+      // column order follows the evolved relation: data columns, the
+      // two new columns, then the partition column (which Spark's
+      // parquet read always resolves last)
+      s.sql(
+        """INSERT INTO x22_target
+          |SELECT l_orderkey, l_linenumber, l_extendedprice,
+          |       l_discount, 'evolved', l_returnflag
+          |FROM x22_lineitem WHERE l_linenumber = 2""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag,
+          |  coalesce(batch_src, 'original') AS src,
+          |  COUNT(*) AS n, COUNT(l_discount) AS n_disc,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          |    AS total,
+          |  CAST(SUM(CAST(coalesce(l_discount, 0) AS DECIMAL(4,2)))
+          |    AS DOUBLE) AS total_disc
+          |FROM x22_target
+          |GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin)
     })
 
   /** The oracle replays both upserts relationally: per-batch precombine
@@ -475,7 +519,46 @@ object GraftSourceQueries {
         |    AS total
         |FROM final
         |GROUP BY l_returnflag, l_linenumber
-        |ORDER BY l_returnflag, l_linenumber""".stripMargin)
+        |ORDER BY l_returnflag, l_linenumber""".stripMargin,
+
+    /** CTAS dedup of the lnum=1 generation (no discount/marker — they
+      * read as null after the ALTER), the evolved lnum=2 insert
+      * (deduped the same way, carrying both new columns), then the
+      * generation-splitting aggregate. Identities are disjoint across
+      * the two batches (l_linenumber is a key), so current state is the
+      * plain union. */
+    "x22_sql_alter_add" ->
+      """WITH g1 AS (
+        |  SELECT l_extendedprice, l_returnflag
+        |  FROM (
+        |    SELECT l_extendedprice, l_returnflag,
+        |           row_number() OVER (
+        |             PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |             ORDER BY l_extendedprice DESC) AS rn
+        |    FROM lineitem WHERE l_linenumber = 1) WHERE rn = 1),
+        |g2 AS (
+        |  SELECT l_extendedprice, l_returnflag, l_discount
+        |  FROM (
+        |    SELECT l_extendedprice, l_returnflag, l_discount,
+        |           row_number() OVER (
+        |             PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |             ORDER BY l_extendedprice DESC) AS rn
+        |    FROM lineitem WHERE l_linenumber = 2) WHERE rn = 1),
+        |cur AS (
+        |  SELECT l_returnflag, CAST(NULL AS DOUBLE) AS l_discount,
+        |         'original' AS src, l_extendedprice FROM g1
+        |  UNION ALL
+        |  SELECT l_returnflag, l_discount, 'evolved', l_extendedprice
+        |  FROM g2)
+        |SELECT l_returnflag, src, COUNT(*) AS n,
+        |  COUNT(l_discount) AS n_disc,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(SUM(CAST(coalesce(l_discount, 0) AS DECIMAL(4,2)))
+        |    AS DOUBLE) AS total_disc
+        |FROM cur
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
 }
 
 /** The read-side relation: wraps the resolved snapshot/incremental

@@ -382,7 +382,21 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
             GraftDeleteCommand(d.table, Some(d.condition), opts)
           case None => d
         }
+      // DDL: Spark's stock command verifies the provider is a file
+      // format and would reject graft; swap it for the engine's
+      // metadata-only evolution when the catalog says the table is ours
+      case a: org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand
+          if isGraftCatalogTable(a.table) =>
+        GraftAddColumnsCommand(a.table, a.colsToAdd)
     }
+
+  private def isGraftCatalogTable(
+      ident: org.apache.spark.sql.catalyst.TableIdentifier): Boolean =
+    try {
+      spark.sessionState.catalog.tableExists(ident) &&
+        spark.sessionState.catalog.getTableMetadata(ident)
+          .provider.exists(_.equalsIgnoreCase("graft"))
+    } catch { case _: Exception => false }
 
   private def graftOptions(p: LogicalPlan): Option[Map[String, String]] =
     p match {

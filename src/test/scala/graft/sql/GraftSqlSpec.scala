@@ -211,4 +211,46 @@ class GraftSqlSpec extends SparkSpec {
     val after = spark.sql("SELECT count(*) FROM sql_ins").head.getLong(0)
     assert(after === before + added)
   }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only evolution, nulls for old rows") {
+    val path = freshTable("sql_alter")
+    ctas("sql_alter", path)
+    val filesBefore = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName).toSet
+    spark.sql(
+      "ALTER TABLE sql_alter ADD COLUMNS (bonus DOUBLE, tag STRING)")
+    // catalog sees the new columns — slotted before the partition
+    // column, which Spark's parquet read always resolves last
+    val catCols = spark.table("sql_alter").columns.toSeq
+    assert(catCols.takeRight(3) === Seq("bonus", "tag", "l_returnflag"))
+    // pre-evolution rows read them as null; no data file was touched
+    assert(spark.sql(
+      "SELECT count(*) FROM sql_alter WHERE bonus IS NOT NULL OR tag IS NOT NULL")
+      .head.getLong(0) === 0)
+    val filesAfter = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName).toSet
+    assert(filesAfter === filesBefore, "ALTER must not rewrite data files")
+    // post-evolution insert carries values; old rows stay null
+    spark.sql(
+      """INSERT INTO sql_alter
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |       l_discount, 'v2', l_returnflag
+        |FROM li_src WHERE l_linenumber = 3""".stripMargin)
+    val withTag = spark.sql(
+      "SELECT count(*) FROM sql_alter WHERE tag = 'v2'").head.getLong(0)
+    assert(withTag > 0)
+    assert(spark.sql(
+      """SELECT count(*) FROM sql_alter
+        |WHERE l_linenumber <= 2 AND tag IS NOT NULL""".stripMargin)
+      .head.getLong(0) === 0)
+  }
+
+  test("ALTER TABLE ADD COLUMNS refuses a duplicate column") {
+    val path = freshTable("sql_alter_dup")
+    ctas("sql_alter_dup", path)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE sql_alter_dup ADD COLUMNS (l_returnflag STRING)")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+  }
 }
