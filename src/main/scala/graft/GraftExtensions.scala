@@ -18,6 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tables (the write half of the Athena-shaped contract; reads are
     // plain SELECT over the v1 relation)
     ext.injectPostHocResolutionRule(graft.sql.ResolveGraftMerge.apply)
+    // SQL time travel: VERSION AS OF over graft tables resolves to the
+    // engine's as-of snapshot. Injected into the HINTS batch (which
+    // runs before the resolution batch) because Spark's own
+    // ResolveRelations throws UNSUPPORTED_FEATURE.TIME_TRAVEL for v1
+    // relations eagerly — the swap must happen before that rule ever
+    // sees the node; ours needs nothing resolved (it reads the catalog
+    // directly off the unresolved identifier)
+    ext.injectHintResolutionRule(graft.sql.ResolveGraftTimeTravel.apply)
     ext.injectFunction((
       FunctionIdentifier(functions.VectorFunctions.dotName),
       new ExpressionInfo(classOf[DotProduct].getName,

@@ -389,6 +389,48 @@ object GraftSourceQueries {
           |FROM x22_target
           |GROUP BY 1, 2
           |ORDER BY 1, 2""".stripMargin)
+    },
+
+    /** x23: SQL time travel — `VERSION AS OF` against a versioned graft
+      * table ([[graft.sql.ResolveGraftTimeTravel]]): the commit-1
+      * snapshot and the current state aggregated side by side from one
+      * SQL statement. The versioned insert goes through the named-column
+      * INSERT (the `_commit_ts` meta column is engine-stamped). */
+    "x23_sql_time_travel" -> { (s, dir) =>
+      val t = graft.util.Scratch.fresh("graft_x23_") + "/table"
+      graft.Tables.lineitem(s, dir).createOrReplaceTempView("x23_lineitem")
+      s.sql("DROP TABLE IF EXISTS x23_target")
+      s.sql(
+        s"""CREATE TABLE x23_target USING graft OPTIONS (
+           |  path '$t',
+           |  op 'upsert',
+           |  keys 'l_orderkey,l_linenumber',
+           |  precombine 'l_extendedprice',
+           |  partition 'l_returnflag',
+           |  versioned 'true')
+           |AS SELECT l_orderkey, l_linenumber, l_extendedprice,
+           |          l_returnflag
+           |   FROM x23_lineitem WHERE l_linenumber = 1""".stripMargin)
+      val c1 = graft.merge.Merge.commits(s, t)
+        .agg(org.apache.spark.sql.functions.max(col("commit_ts")))
+        .head.getLong(0)
+      s.sql(
+        """INSERT INTO x23_target
+          |  (l_orderkey, l_linenumber, l_extendedprice, l_returnflag)
+          |SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+          |FROM x23_lineitem WHERE l_linenumber = 2""".stripMargin)
+      s.sql(
+        s"""SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |    AS total
+           |FROM x23_target VERSION AS OF $c1
+           |GROUP BY 1, 2
+           |UNION ALL
+           |SELECT 'current', l_returnflag, COUNT(*),
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |FROM x23_target
+           |GROUP BY 1, 2
+           |ORDER BY snap, l_returnflag""".stripMargin)
     })
 
   /** The oracle replays both upserts relationally: per-batch precombine
@@ -558,7 +600,39 @@ object GraftSourceQueries {
         |    AS DOUBLE) AS total_disc
         |FROM cur
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+
+    /** The c1 snapshot is the deduped lnum=1 generation; current is the
+      * union with the deduped lnum=2 insert (identities disjoint —
+      * l_linenumber is a record key). */
+    "x23_sql_time_travel" ->
+      """WITH g1 AS (
+        |  SELECT l_extendedprice, l_returnflag
+        |  FROM (
+        |    SELECT l_extendedprice, l_returnflag,
+        |           row_number() OVER (
+        |             PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |             ORDER BY l_extendedprice DESC) AS rn
+        |    FROM lineitem WHERE l_linenumber = 1) WHERE rn = 1),
+        |g2 AS (
+        |  SELECT l_extendedprice, l_returnflag
+        |  FROM (
+        |    SELECT l_extendedprice, l_returnflag,
+        |           row_number() OVER (
+        |             PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |             ORDER BY l_extendedprice DESC) AS rn
+        |    FROM lineitem WHERE l_linenumber = 2) WHERE rn = 1),
+        |cur AS (
+        |  SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+        |SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total
+        |FROM g1 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'current', l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |FROM cur GROUP BY 1, 2
+        |ORDER BY snap, l_returnflag""".stripMargin)
 }
 
 /** The read-side relation: wraps the resolved snapshot/incremental

@@ -245,6 +245,53 @@ class GraftSqlSpec extends SparkSpec {
       .head.getLong(0) === 0)
   }
 
+  test("VERSION AS OF resolves the graft as-of snapshot in SQL") {
+    val path = freshTable("sql_tt")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("li_src")
+    spark.sql(
+      s"""CREATE TABLE sql_tt USING graft OPTIONS (
+         |  path '$path',
+         |  op 'upsert',
+         |  keys 'l_orderkey,l_linenumber',
+         |  precombine 'l_extendedprice',
+         |  partition 'l_returnflag',
+         |  versioned 'true')
+         |AS SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+         |   FROM li_src WHERE l_linenumber = 1""".stripMargin)
+    val c1 = graft.merge.Merge.commits(spark, path)
+      .agg(max(col("commit_ts"))).head.getLong(0)
+    val n1 = spark.sql("SELECT count(*) FROM sql_tt").head.getLong(0)
+    // a versioned table exposes its _commit_ts meta column (Hudi's
+    // _hoodie_commit_time analogue), so the insert names its columns;
+    // the engine re-stamps _commit_ts with the real commit id
+    spark.sql(
+      """INSERT INTO sql_tt
+        |  (l_orderkey, l_linenumber, l_extendedprice, l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |FROM li_src WHERE l_linenumber = 2""".stripMargin)
+    // the stamp is the engine's, not the null placeholder
+    assert(spark.sql(
+      "SELECT count(*) FROM sql_tt WHERE _commit_ts IS NULL")
+      .head.getLong(0) === 0)
+    val nNow = spark.sql("SELECT count(*) FROM sql_tt").head.getLong(0)
+    assert(nNow > n1)
+    // the as-of read sees the pre-insert state; current sees both
+    assert(spark.sql(s"SELECT count(*) FROM sql_tt VERSION AS OF $c1")
+      .head.getLong(0) === n1)
+    // projections/filters still push through the time-travel relation
+    val flags = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n
+         |FROM sql_tt VERSION AS OF $c1
+         |WHERE l_linenumber = 1 GROUP BY 1""".stripMargin).count()
+    assert(flags > 0)
+    // TIMESTAMP AS OF: honest refusal (logical versions, no wall clock)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM sql_tt TIMESTAMP AS OF '2024-01-01'")
+        .collect()
+    }
+    assert(e.getMessage.contains("VERSION AS OF"))
+  }
+
   test("ALTER TABLE ADD COLUMNS refuses a duplicate column") {
     val path = freshTable("sql_alter_dup")
     ctas("sql_alter_dup", path)
