@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMaybe, DotProduct}
+import graft.functions.{BloomMaybe, DotProduct, NormalizeNfc}
 
 /** SparkSessionExtensions entry point: enables the engine's native
   * functions for any session via
@@ -36,5 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMaybe].getName,
         functions.BloomFunctions.maybeName),
       (children: Seq[Expression]) => BloomMaybe(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(functions.TextFunctions.nfcName),
+      new ExpressionInfo(classOf[NormalizeNfc].getName,
+        functions.TextFunctions.nfcName),
+      (children: Seq[Expression]) => NormalizeNfc(children.head)))
+    // timeline observability: SELECT * FROM graft_commits('<path>')
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.sql.GraftTableFunctions.commitsName),
+      new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
+        graft.sql.GraftTableFunctions.commitsName),
+      graft.sql.GraftTableFunctions.commitsBuilder))
   }
 }

@@ -712,6 +712,20 @@ object Dedup {
           lshBands(minhashSignatures(Tables.documents(s, dir),
             "doc_id", "text"), "doc_id"), "doc_id"))
         .orderBy("id")),
+    // d16: the end-to-end KEEP decision — the corpus that survives the
+    // whole MinHash → LSH → connected-components → min-id-keeper
+    // chain. d02/d03/d09 oracle the evidence stages; this key oracles
+    // the surviving corpus itself, so a change anywhere in the chain
+    // that alters WHICH documents ship to training breaks the hash.
+    "d16_neardup_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      dropNearDups(docs, "doc_id",
+        duplicateClusters(lshCandidatePairs(lshBands(
+          minhashSignatures(docs, "doc_id", "text"), "doc_id"),
+          "doc_id")))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     // target-mixture reweighting: keep en at 60%, de at 30%, the rest
     // at 10% — deterministic md5 coin per doc
     "d10_mixture_sample" -> ((s, dir) =>
@@ -780,6 +794,24 @@ object Dedup {
          |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
          |SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+    // d09's closure, then the keeper filter: a doc drops iff it is a
+    // cluster member that is NOT its cluster's min id
+    "d16_neardup_keep" ->
+      s"""WITH RECURSIVE $bandsCte,
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |      WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, lang, source, n_chars
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "d04_jaccard_neardup" ->
       s"""WITH d0 AS (SELECT DISTINCT doc_id, sh FROM $shinglesSql),
          |kept AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM d0 GROUP BY sh)

@@ -2664,6 +2664,25 @@ object Merge {
         keyCols, "pre", "part")
       commits(s, path).orderBy("commit_ts")
     }),
+    // x24: the same timeline read through the SESSION PARSER as a SQL
+    // table function — SELECT * FROM graft_commits('<path>') (Delta
+    // DESCRIBE HISTORY / Hudi show_commits shape, injected by
+    // GraftExtensions). Identical replay to q22, so it shares q22's
+    // oracle: the SQL surface must see exactly the API's timeline.
+    "x24_sql_commits" -> ((s, dir) => {
+      val path = scratchTable("graft_x24_")
+      val keyCols = Seq("okey")
+      val c1 = upsertVersioned(s, replayBatch(s, dir, 0), path,
+        keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      delete(s, readSince(s, path, c1).select("okey", "part"),
+        path, keyCols, "part")
+      upsertVersioned(s, replayBatch(s, dir, 2), path,
+        keyCols, "pre", "part")
+      s.sql(
+        s"SELECT * FROM graft_commits('$path') ORDER BY commit_ts")
+    }),
     // q25: time travel — the q18-style replay taken two commits PAST
     // the as-of point (a versioned delete, then a third upsert), then
     // read back as of commit 2. The reconstruction must restore the
@@ -2979,7 +2998,7 @@ object Merge {
       |WHERE d.okey IS NULL
       |ORDER BY t2.part, t2.okey""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracle0: Map[String, String] = Map(
     "q18_upsert_replay" -> replaySql,
     "q23_compact" -> replaySql,
     // a CDC-maintained replica IS the source's final state
@@ -3429,4 +3448,9 @@ object Merge {
         |    ORDER BY pre DESC) AS rn
         |  FROM raw) WHERE rn = 1
         |ORDER BY part, okey""".stripMargin)
+
+  /** x24 replays q22 exactly and reads the same timeline through SQL,
+    * so the two keys share one oracle string. */
+  val oracle: Map[String, String] =
+    oracle0 + ("x24_sql_commits" -> oracle0("q22_timeline"))
 }

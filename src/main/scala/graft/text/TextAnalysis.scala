@@ -483,6 +483,23 @@ object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // t15: Unicode NFC canonicalization via the native codegen'd
+    // graft_nfc expression — the testdata text is ASCII/NFC already
+    // (normalize(x) = x would prove nothing), so each doc is decorated
+    // with DECOMPOSED sequences ('e' + U+0301) that must compose to
+    // 'é' under NFC; n_raw > n_norm pins that composition actually
+    // happened. Oracle: DuckDB nfc_normalize over byte-identical input.
+    "t15_normalize" -> ((s, dir) => {
+      val raw = concat(lit("re\u0301sume\u0301 ["), col("lang"),
+        lit("] "), substring(col("text"), 1, 40))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(raw).cast("long").as("n_raw"),
+          graft.functions.TextFunctions.nfcNormalize(raw).as("norm"),
+          length(graft.functions.TextFunctions.nfcNormalize(raw))
+            .cast("long").as("n_norm"))
+        .orderBy("doc_id")
+    }),
     "t01_token_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -560,6 +577,18 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> t IN (${set.map("'" + _ + "'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    // the decomposed decoration is byte-identical on both sides (same
+    // U+0301 escapes); DuckDB's nfc_normalize applies the same Unicode
+    // canonical-composition tables as the JDK composer
+    "t15_normalize" ->
+      s"""SELECT doc_id,
+         |  length('re\u0301sume\u0301 [' || lang || '] '
+         |         || substr(text, 1, 40)) AS n_raw,
+         |  nfc_normalize('re\u0301sume\u0301 [' || lang || '] '
+         |                || substr(text, 1, 40)) AS norm,
+         |  length(nfc_normalize('re\u0301sume\u0301 [' || lang || '] '
+         |                       || substr(text, 1, 40))) AS n_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t01_token_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks,
          |  regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]') AS pieces

@@ -292,6 +292,37 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("VERSION AS OF"))
   }
 
+  test("graft_commits table function serves the timeline through SQL") {
+    val path = freshTable("sql_tvf")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("li_src")
+    spark.sql(
+      s"""CREATE TABLE sql_tvf USING graft OPTIONS (
+         |  path '$path',
+         |  op 'upsert',
+         |  keys 'l_orderkey,l_linenumber',
+         |  precombine 'l_extendedprice',
+         |  partition 'l_returnflag',
+         |  versioned 'true')
+         |AS SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+         |   FROM li_src WHERE l_linenumber = 1""".stripMargin)
+    spark.sql(
+      """INSERT INTO sql_tvf
+        |  (l_orderkey, l_linenumber, l_extendedprice, l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |FROM li_src WHERE l_linenumber = 2""".stripMargin)
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_commits('$path') ORDER BY commit_ts").collect()
+    val viaApi = graft.merge.Merge.commits(spark, path)
+      .orderBy("commit_ts").collect()
+    assert(viaSql.toSeq === viaApi.toSeq)
+    assert(viaSql.length === 2)
+    // a non-literal argument fails loudly, not silently
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_commits(1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
   test("ALTER TABLE ADD COLUMNS refuses a duplicate column") {
     val path = freshTable("sql_alter_dup")
     ctas("sql_alter_dup", path)
