@@ -447,6 +447,22 @@ object EventStreams {
     // watermark passes l.ts + 2h, by which point any matching right is
     // necessarily below the watermark, i.e. dropped — so the drained
     // set is exactly the relational outer join over the KEPT rows.
+    // e11: the same disorder against NATIVE SESSION WINDOWS — the
+    // subtlest of the three late predicates (pinned empirically): a
+    // late row survives iff its PROVISIONAL session end (ts + gap) is
+    // above the previous batch's watermark, and append-mode emission
+    // is FINAL — a kept late row that relationally belongs to an
+    // already-emitted session cannot reopen it and starts a fresh one
+    // instead. The oracle is therefore emission-aware: islands over
+    // the on-time arrivals first, sessions the watermark closed are
+    // frozen, and the kept late rows re-sessionize only with the rows
+    // of still-open sessions.
+    "e11_late_sessions" -> ((s, dir) =>
+      drainAvailableNow(s, dir, "e11_sink",
+        parts = Seq(col("event_id") % 2 === 0, col("event_id") === -42L,
+          col("event_id") % 2 === 1))(sessionCounts(_))
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")),
     // (same empty middle batch as e09 — the late-input filter uses the
     // previous batch's watermark; here it drops on RAW ts, not window
     // end, so e09 and e10 pin the two distinct late predicates)
@@ -561,6 +577,65 @@ object EventStreams {
         |WHERE event_id % 2 = 0
         |   OR date_trunc('hour', ts) + INTERVAL 1 HOUR > wm
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // emission-aware session replay: stage 1 sessionizes the even
+    // arrivals (e04's islands); sessions whose end (last + 30 min gap)
+    // the watermark passed are FROZEN — append mode emitted them and
+    // they can never change. Stage 2 re-sessionizes the still-open
+    // rows together with the surviving late rows (kept iff their
+    // provisional session end ts + gap clears the watermark). The
+    // final inventory is frozen ∪ stage-2 — including the split case
+    // where a late row relationally inside a frozen session must
+    // start a fresh one instead.
+    "e11_late_sessions" ->
+      """WITH w AS (SELECT make_timestamp((epoch_ms(max(ts)) - 1800000)
+        |             * 1000) AS wm
+        |           FROM events WHERE event_id % 2 = 0),
+        |ev AS (SELECT user_id, ts, value FROM events
+        |       WHERE event_id % 2 = 0),
+        |m1 AS (SELECT user_id, ts, value,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                   (PARTITION BY user_id ORDER BY ts)
+        |                   >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |       FROM ev),
+        |g1 AS (SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS grp
+        |       FROM m1),
+        |s1 AS (SELECT user_id, grp, MIN(ts) AS session_start,
+        |         MAX(ts) AS last_ts, COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |           AS total_value
+        |       FROM g1 GROUP BY user_id, grp),
+        |frozen AS (SELECT s1.session_start, s1.user_id, s1.n_events,
+        |             s1.total_value
+        |           FROM s1 CROSS JOIN w
+        |           WHERE s1.last_ts + INTERVAL 30 MINUTE < w.wm),
+        |openev AS (SELECT g1.user_id, g1.ts, g1.value
+        |           FROM g1 JOIN s1 USING (user_id, grp) CROSS JOIN w
+        |           WHERE s1.last_ts + INTERVAL 30 MINUTE >= w.wm),
+        |keptodd AS (SELECT e.user_id, e.ts, e.value
+        |            FROM events e CROSS JOIN w
+        |            WHERE e.event_id % 2 = 1
+        |              AND e.ts + INTERVAL 30 MINUTE > w.wm),
+        |u AS (SELECT * FROM openev UNION ALL SELECT * FROM keptodd),
+        |m2 AS (SELECT user_id, ts, value,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                   (PARTITION BY user_id ORDER BY ts)
+        |                   >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |       FROM u),
+        |g2 AS (SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS grp
+        |       FROM m2),
+        |s2 AS (SELECT MIN(ts) AS session_start, user_id,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |           AS total_value
+        |       FROM g2 GROUP BY user_id, grp)
+        |SELECT session_start, user_id, n_events, total_value FROM frozen
+        |UNION ALL
+        |SELECT session_start, user_id, n_events, total_value FROM s2
+        |ORDER BY user_id, session_start""".stripMargin,
     // the streamed late-data outer join == the relational outer join
     // over the KEPT rows only: even arrivals plus odd arrivals still at
     // or above the watermark when their batch ran

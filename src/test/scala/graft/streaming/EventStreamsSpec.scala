@@ -192,6 +192,52 @@ class EventStreamsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("e11: session windows under late data — frozen sessions stay final") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val out = EventStreams.queries("e11_late_sessions")(spark, sfDir).cache()
+    val wm = evenWatermark
+    val ev = Tables.events(spark, sfDir)
+    val gap = expr("interval 30 minutes")
+    def islands(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      df.withColumn("brk",
+        when(unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)
+          >= 30L * 60 * 1000 * 1000, 1).otherwise(0))
+        .withColumn("grp", sum($"brk")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    }
+    val evens = ev.filter($"event_id" % 2 === 0)
+      .select("user_id", "ts", "value")
+    val g1 = islands(evens)
+    val s1 = g1.groupBy("user_id", "grp").agg(
+      min("ts").as("session_start"), max("ts").as("last_ts"),
+      count(lit(1)).as("n_events"),
+      Tables.d(sum(Tables.dec($"value"))).as("total_value"))
+    val frozen = s1.filter($"last_ts" + gap < lit(wm))
+      .select("session_start", "user_id", "n_events", "total_value")
+    val openev = g1
+      .join(s1.select("user_id", "grp", "last_ts"), Seq("user_id", "grp"))
+      .filter($"last_ts" + gap >= lit(wm))
+      .select("user_id", "ts", "value")
+    val keptodd = ev.filter($"event_id" % 2 === 1)
+      .filter($"ts" + gap > lit(wm))
+      .select("user_id", "ts", "value")
+    val s2 = islands(openev.unionAll(keptodd))
+      .groupBy("user_id", "grp").agg(
+        min("ts").as("session_start"), count(lit(1)).as("n_events"),
+        Tables.d(sum(Tables.dec($"value"))).as("total_value"))
+      .select("session_start", "user_id", "n_events", "total_value")
+    val expected = frozen.unionAll(s2).collect().toSet
+    val got = out.select("session_start", "user_id", "n_events",
+      "total_value").collect().toSet
+    assert(got === expected)
+    // the disorder must bite: most odd rows dropped
+    val keptEvents = out.agg(sum($"n_events")).head.getLong(0)
+    assert(keptEvents < ev.count())
+    out.unpersist()
+  }
+
   test("e10: late-data outer join == relational join over kept rows only") {
     val out = EventStreams.queries("e10_late_outer_join")(spark, sfDir)
       .cache()
