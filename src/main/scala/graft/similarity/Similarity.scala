@@ -350,6 +350,45 @@ object Similarity {
         col("corpus_id"), col("cos_sim"))
   }
 
+  /** Embedding-space retrieval EVAL: leave-one-out kNN label agreement
+    * over a labeled corpus — the standard harness for judging whether
+    * an embedding column is good enough to drive semantic dedup /
+    * clustering / mixture decisions before committing a 100 TB pass to
+    * it. For each query vector (a deterministic sample — evaluating
+    * every vector would be the n² nobody runs), its k exact nearest
+    * neighbors (self excluded) vote: per label the report carries
+    * query count, top-1 accuracy, and the mean fraction of neighbors
+    * sharing the query's label. Same narrow-scan + bounded-heap shape
+    * as [[bruteTopK]]; the report is |labels| rows. Accuracy fractions
+    * are single integer-sum divisions — bit-portable. */
+  def knnLabelEval(emb: DataFrame, querySample: Column, k: Int,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val queries = emb.filter(querySample)
+    val nn = bruteTopK(emb, queries, k)
+    val ql = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"))
+    val cl = emb.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("c_label"))
+    val perQ = nn
+      .join(broadcast(ql), Seq("query_id"))
+      .join(broadcast(cl), Seq("corpus_id"))
+      .groupBy("query_id", "q_label")
+      .agg(
+        max(when(col("rank") === 1 && col("c_label") === col("q_label"), 1)
+          .otherwise(0)).as("top1_hit"),
+        sum(when(col("c_label") === col("q_label"), 1).otherwise(0))
+          .as("n_match"),
+        count(lit(1)).as("n_nn"))
+    perQ.groupBy("q_label")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (sum(col("top1_hit")).cast("double") / count(lit(1)))
+          .as("top1_acc"),
+        (sum(col("n_match")).cast("double") / sum(col("n_nn")))
+          .as("knn_agreement"))
+      .orderBy("q_label")
+  }
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame
@@ -363,6 +402,11 @@ object Similarity {
     "s01_knn_brute" -> ((s, dir) =>
       bruteTopK(corpusOf(s, dir), queriesOf(s, dir), 10)
         .orderBy("query_id", "rank")),
+    // s07: leave-one-out kNN label eval on a deterministic ~1% query
+    // sample (vec_id % 97 — a prime stride, label-blind)
+    "s07_knn_label_eval" -> ((s, dir) =>
+      knnLabelEval(Tables.embeddings(s, dir),
+        col("vec_id") % 97 === 0, k = 10)),
     // filtered search: top-k within label=1 only — the metadata-filter
     // + vector-search composition, filter pushed to the corpus scan
     "s04_ann_filtered" -> ((s, dir) =>
@@ -624,5 +668,34 @@ object Similarity {
         |SELECT query_id, rank, corpus_id, cos_sim
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // cosine only ranks (s01 pins its values bit-exact); the reported
+    // fractions are single integer-sum divisions
+    "s07_knn_label_eval" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+        |      FROM e WHERE vec_id % 97 = 0),
+        |scored AS (
+        |  SELECT query_id, q_label, c.vec_id AS corpus_id,
+        |         c.label AS c_label,
+        |         list_cosine_similarity(qv, c.v) AS cos_sim
+        |  FROM q CROSS JOIN e c WHERE c.vec_id <> query_id),
+        |nn AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, corpus_id) AS rank
+        |    FROM scored) WHERE rank <= 10),
+        |perq AS (
+        |  SELECT query_id, q_label,
+        |    MAX(CASE WHEN rank = 1 AND c_label = q_label
+        |             THEN 1 ELSE 0 END) AS top1_hit,
+        |    SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS n_match,
+        |    COUNT(*) AS n_nn
+        |  FROM nn GROUP BY 1, 2)
+        |SELECT q_label, COUNT(*) AS n_queries,
+        |  CAST(SUM(top1_hit) AS DOUBLE) / COUNT(*) AS top1_acc,
+        |  CAST(SUM(n_match) AS DOUBLE) / SUM(n_nn) AS knn_agreement
+        |FROM perq GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -133,6 +133,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabelEval: well-formed per-label report, self never votes") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val out = Similarity.knnLabelEval(emb, col("vec_id") % 97 === 0, 10)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (acc, agr) = (r.getDouble(2), r.getDouble(3))
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(agr >= 0.0 && agr <= 1.0)
+    }
+    // every sampled query is accounted for exactly once
+    val sampled = emb.filter(col("vec_id") % 97 === 0).count()
+    assert(out.map(_.getLong(1)).sum === sampled)
+    // k neighbors per query and never the query itself: perfect
+    // agreement would need k same-label OTHER vectors — pin the
+    // self-exclusion by checking a singleton label can't self-match
+    // (structural property of bruteTopK's corpus_id =!= query_id)
+    val nn = Similarity.bruteTopK(emb, emb.filter(col("vec_id") % 97 === 0), 10)
+    assert(nn.filter(col("corpus_id") === col("query_id")).count() === 0)
+  }
+
   test("kmeans centroids: k rows, deterministic across runs") {
     val c1 = Similarity.kmeansCentroids(corpus, 4, 2).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
