@@ -161,6 +161,34 @@ class EventStreamsSpec extends SparkSpec {
       === expected)
   }
 
+  test("streaming state runs on the RocksDB store (disk-backed, heap-independent)") {
+    // at 100 TB/day the watermark-bounded state of windows/sessions/
+    // joins outgrows executor heap; the RocksDB provider spills it to
+    // local disk with the same semantics. The operators must run
+    // UNMODIFIED under the swapped provider and produce the exact
+    // batch-parity results the default HDFS-backed store does.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val base = tmpDir("rocksstate")
+      Tables.events(spark, sfDir).write.parquet(s"$base/in")
+      val q = EventStreams.runWindowedAvailableNow(spark, s"$base/in",
+        s"$base/ckpt", "rocks_counts")
+      q.awaitTermination()
+      val streamed = spark.table("rocks_counts")
+      val batch = EventStreams.windowedCounts(Tables.events(spark, sfDir))
+      val joined = streamed.alias("s").join(batch.alias("b"),
+        Seq("window_start", "event_type"))
+      assert(streamed.count() > 0)
+      assert(joined.filter($"s.n_events" =!= $"b.n_events").count() === 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The engine watermark after the even-arrival batch, at Spark's ms
     * granularity: floor-to-ms of max(even ts) − 30 min. */
   private def evenWatermark: java.sql.Timestamp = {
