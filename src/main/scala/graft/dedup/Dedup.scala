@@ -737,17 +737,17 @@ object Dedup {
 
   private val toksSql =
     "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     s"""(SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
        | THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' '))
        | ELSE [] END) AS sh
        | FROM (SELECT doc_id, $toksSql AS toks FROM documents))""".stripMargin.replace("\n", "")
-  private def minhashSql: String =
+  private[graft] def minhashSql: String =
     (0 until numHashes).map(j =>
       s"min(substr(md5(sh) || md5('x' || sh), ${1 + 8 * j}, 8)) AS h$j")
       .mkString(", ")
   /** Shared CTE chain producing the LSH band keys (d03/d09). */
-  private def bandsCte: String =
+  private[graft] def bandsCte: String =
     s"""m AS (SELECT doc_id, $minhashSql FROM $shinglesSql GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, 0 AS band, md5(h0||'|'||h1||'|'||h2||'|'||h3) AS bkey FROM m

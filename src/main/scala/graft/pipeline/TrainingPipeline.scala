@@ -54,6 +54,26 @@ object TrainingPipeline {
     curate(scrubbed, idCol, textCol, strataCol, budgetTokens)
   }
 
+  /** [[curate]] with NEAR-duplicate removal in the dedup slot: the
+    * MinHash → LSH → connected-components keeper chain (d16's algebra)
+    * instead of exact fingerprints. Cluster evidence is computed over
+    * the FULL corpus, deliberately: keeper decisions must not depend on
+    * the quality filter, so near-dup identities stay stable as filter
+    * thresholds evolve (and a near-duplicate of a LOW-quality document
+    * is still recognized as a duplicate). Still one lazy plan. */
+  def curateNearDup(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budgetTokens: Long): DataFrame = {
+    val keep = TextAnalysis.gopherRules(docs, idCol, textCol)
+      .filter(col("keep")).select(col(idCol))
+    val filtered = docs.join(keep, Seq(idCol), "left_semi")
+    val clusters = Dedup.duplicateClusters(Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(docs, idCol, textCol),
+        idCol), idCol))
+    val deduped = Dedup.dropNearDups(filtered, idCol, clusters)
+    Dedup.tokenBudgetSample(deduped, idCol, textCol, strataCol,
+      budgetTokens)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -74,9 +94,60 @@ object TrainingPipeline {
       curateScrubbed(Tables.documents(s, dir), "doc_id", "text", "lang",
         budgetTokens = 1500)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("lang", "doc_id")),
+    // p05: the near-dup variant — the realistic production chain
+    // (filter → LSH keeper → budget); the oracle chains t12's filter,
+    // d16's recursive closure, and d12's budget walk, so any
+    // interaction bug between the three breaks the hash
+    "p05_curation_neardup" -> ((s, dir) =>
+      curateNearDup(Tables.documents(s, dir), "doc_id", "text", "lang",
+        budgetTokens = 1500)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("lang", "doc_id")))
 
   val oracle: Map[String, String] = Map(
+    // t12's filter, d16's recursive LSH closure (over the FULL corpus,
+    // matching the engine's cluster-evidence design), d12's budget walk
+    "p05_curation_neardup" -> {
+      val toksSql = TextAnalysis.toksSql
+      s"""WITH RECURSIVE ${Dedup.bandsCte},
+         |pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM bands a JOIN bands b
+         |        ON a.band = b.band AND a.bkey = b.bkey
+         |      WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS alpha_word_frac,
+         |  CAST(${TextAnalysis.stopEnSql} AS BIGINT) AS n_stop_hits
+         |  FROM t),
+         |g AS (SELECT doc_id FROM f
+         |      WHERE n_words >= 30 AND n_words <= 80
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND alpha_word_frac >= 0.8
+         |        AND n_stop_hits >= 2),
+         |dd AS (SELECT t.doc_id, t.lang, t.toks
+         |       FROM t JOIN g USING (doc_id)
+         |       WHERE t.doc_id NOT IN
+         |         (SELECT id FROM cl WHERE id <> cluster_id)),
+         |c AS (SELECT doc_id, lang,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM dd)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 1500
+         |ORDER BY lang, doc_id""".stripMargin
+    },
     "p02_curation_scrub" -> {
       val toksSql = TextAnalysis.toksSql
       s"""WITH t0 AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),

@@ -42,6 +42,30 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!wide.contains(2L))
   }
 
+  test("curateNearDup: near-duplicates collapse, full-corpus evidence decides") {
+    // B is a NEAR (not exact) dup of A — one occurrence of one word
+    // changed, so exact fingerprints differ but the md5 minhash bands
+    // still collide (verified against an out-of-band replay of the
+    // engine's exact md5 banding — band 1 collides for this pair)
+    val nearA = proseA
+    val nearB = proseA.replaceFirst("warm", "cold")
+    val docs = Seq(
+      (1L, "en", nearA),
+      (2L, "en", nearB),    // near-dup of 1 → keeper is min id 1
+      (3L, "en", "x y z"),  // fails Gopher
+      (4L, "en", proseB)
+    ).toDF("doc_id", "lang", "text")
+    val out = TrainingPipeline
+      .curateNearDup(docs, "doc_id", "text", "lang", 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 4L), s"got $out")
+    // exact dedup would NOT have collapsed the near-pair — the stage
+    // genuinely differs from curate's
+    val exact = TrainingPipeline.curate(docs, "doc_id", "text", "lang", 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact === Set(1L, 2L, 4L))
+  }
+
   test("curateScrubbed: a doc passing Gopher on raw text drops after scrub") {
     // two docs share a 26-word boilerplate block with unique 5-word
     // tails: raw word count 31 passes Gopher, but the scrub removes the
