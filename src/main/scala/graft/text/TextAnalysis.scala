@@ -349,6 +349,62 @@ object TextAnalysis {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** BM25 document ranking for a term query (Robertson/Spärck Jones'
+    * Okapi weighting — the lexical-retrieval baseline every RAG /
+    * eval-set pipeline needs next to the vector path). This variant is
+    * TRANSCENDENTAL-FREE: the idf factor is the ln's argument
+    * `(N − df + 0.5) / (df + 0.5)` used directly (declared contract —
+    * per-term monotone in classic idf, and bit-portable across
+    * engines, where libm `ln` is not), with the standard tf saturation
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, k1 = 1.2, b = 0.75.
+    *
+    * Determinism: per-term scores are one fixed IEEE expression tree;
+    * the per-doc sum folds term scores in TERM ORDER (sorted array +
+    * sequential `aggregate`), matching the oracle's ordered list_sum —
+    * never the partial-aggregation arrival order, which would make the
+    * double sum run-dependent.
+    *
+    * Scale shape: one tokenize scan; rows exploding into the (doc,
+    * term) exchange are pre-filtered to the query terms (narrow);
+    * corpus stats (N, avgdl, per-term df) are 1-row/|query| broadcast
+    * carriers; the final top-N is a TakeOrdered, not a global sort. */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topN: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopDocs needs at least one term")
+    val dls = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        size(col("_toks")).cast("long").as("dl"))
+    val stats = dls.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = dls
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfw = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+          col("avgdl")))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", idf * tfw)
+    val perDoc = scored.groupBy(col(idCol), col("dl"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        aggregate(array_sort(collect_list(struct(col("term"),
+          col("tscore")))), lit(0.0),
+          (acc, x) => acc + x.getField("tscore")).as("score"))
+    val top = perDoc.orderBy(col("score").desc, col(idCol)).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(idCol), col("dl"), col("n_terms_hit"),
+        col("score"))
+  }
+
   /** Cross-document duplicated-span scrub (the RefinedWeb /
     * "Deduplicating Training Data Makes Language Models Better"
     * exact-substring step, arXiv:2306.01116 / 2107.06499, at token-span
@@ -507,6 +563,13 @@ object TextAnalysis {
           tokenEstimate(col("text")).as("bpe_estimate"),
           length(col("text")).cast("long").as("n_chars_calc"))
         .orderBy("doc_id")),
+    // t16: BM25 lexical retrieval for a fixed 4-term query over the
+    // corpus vocabulary (top-20 so ties in the tail are cut by the
+    // deterministic doc_id tiebreak)
+    "t16_bm25" -> ((s, dir) =>
+      bm25TopDocs(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "merge", "window", "data"), topN = 20)
+        .orderBy("rank")),
     "t02_quality" -> ((s, dir) =>
       qualityFeatures(Tables.documents(s, dir), "text")
         .select("doc_id", "n_tokens", "alpha_ratio", "digit_ratio",
@@ -577,6 +640,38 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> t IN (${set.map("'" + _ + "'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    // per-term BM25 factors are one fixed IEEE expression tree with
+    // identical decimal literals on both sides; the per-doc sum folds
+    // in term order (ordered list_sum == sorted-array aggregate)
+    "t16_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+         |      FROM t),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+         |       FROM d),
+         |tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN ('spark', 'merge', 'window', 'data')
+         |       GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, dl, tf.term,
+         |         ((st.n_docs - CAST(df AS DOUBLE) + 0.5)
+         |          / (CAST(df AS DOUBLE) + 0.5))
+         |         * ((CAST(tf AS DOUBLE) * 2.2)
+         |            / (CAST(tf AS DOUBLE)
+         |               + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |                        / st.avgdl))) AS tscore
+         |       FROM tf JOIN dfq USING (term) CROSS JOIN st),
+         |pd AS (SELECT doc_id, dl, COUNT(*) AS n_terms_hit,
+         |         list_sum(list(tscore ORDER BY term)) AS score
+         |       FROM sc GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id)
+         |           AS rank,
+         |         doc_id, dl, n_terms_hit, score
+         |  FROM pd ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY rank""".stripMargin,
     // the decomposed decoration is byte-identical on both sides (same
     // U+0301 escapes); DuckDB's nfc_normalize applies the same Unicode
     // canonical-composition tables as the JDK composer
