@@ -132,6 +132,30 @@ object Dedup {
     bands.reduce(_ unionByName _)
   }
 
+  /** Incremental near-dup screening: flag each NEW-BATCH document that
+    * LSH-collides with the EXISTING corpus — the "dedup the new crawl
+    * against what we already have" pass that runs on every ingest,
+    * where re-clustering the whole corpus would be absurd. MinHash
+    * signatures are per-document (independent of the set), so the
+    * corpus side's bands are computed once and reused across batches
+    * in production; cost per ingest is the batch's banding plus a
+    * band-keyed join. Returns one row per batch doc: the minimum
+    * colliding corpus id (null when clean), the distinct corpus-match
+    * count, and the boolean verdict. */
+  def incrementalNearDupFlags(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val cb = lshBands(minhashSignatures(corpus, idCol, textCol), idCol)
+      .select(col("band"), col("bkey"), col(idCol).as("_cid"))
+    val bb = lshBands(minhashSignatures(batch, idCol, textCol), idCol)
+      .select(col("band"), col("bkey"), col(idCol).as("id"))
+    bb.join(cb, Seq("band", "bkey"), "left_outer")
+      .groupBy("id")
+      .agg(
+        min(col("_cid")).as("dup_of"),
+        countDistinct(col("_cid")).as("n_corpus_matches"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
+
   /** Candidate pairs from LSH band collisions (id_a < id_b). */
   def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col("band"), col("bkey"), col(idCol).as("id_a"))
@@ -717,6 +741,16 @@ object Dedup {
     // chain. d02/d03/d09 oracle the evidence stages; this key oracles
     // the surviving corpus itself, so a change anywhere in the chain
     // that alters WHICH documents ship to training breaks the hash.
+    // d17: the per-ingest screening pass — every 5th doc plays the
+    // "new crawl", the rest the standing corpus
+    "d17_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      incrementalNearDupFlags(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+        .orderBy("id")
+    }),
     "d16_neardup_keep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       dropNearDups(docs, "doc_id",
@@ -794,6 +828,20 @@ object Dedup {
          |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
          |SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+    // signatures are per-doc, so banding all documents then splitting
+    // equals the engine's separate corpus/batch banding
+    "d17_incremental_neardup" ->
+      s"""WITH $bandsCte,
+         |cb AS (SELECT doc_id AS cid, band, bkey FROM bands
+         |       WHERE doc_id % 5 <> 0),
+         |bb AS (SELECT doc_id AS id, band, bkey FROM bands
+         |       WHERE doc_id % 5 = 0),
+         |j AS (SELECT bb.id, cb.cid
+         |      FROM bb LEFT JOIN cb USING (band, bkey))
+         |SELECT id, MIN(cid) AS dup_of,
+         |  COUNT(DISTINCT cid) AS n_corpus_matches,
+         |  MIN(cid) IS NOT NULL AS is_dup
+         |FROM j GROUP BY id ORDER BY id""".stripMargin,
     // d09's closure, then the keeper filter: a doc drops iff it is a
     // cluster member that is NOT its cluster's min id
     "d16_neardup_keep" ->

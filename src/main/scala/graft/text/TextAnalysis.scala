@@ -349,6 +349,30 @@ object TextAnalysis {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Per-stratum quality selection: keep the top `keepFrac` of each
+    * stratum by [[qualityFeatures]]' composite score — the
+    * quality-weighted corpus cut (the "keep the best 30% per language"
+    * decision) that complements the hard Gopher gates. Rank-based, not
+    * threshold-based, so every stratum contributes its declared
+    * fraction regardless of score-distribution shifts between strata.
+    * One window shuffle on the stratum; ceil(frac × n) is integer
+    * arithmetic on a fixed double literal — deterministic keep set with
+    * the id tiebreak. */
+  def qualitySelect(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, "keepFrac must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(col("quality_score").desc, col(idCol))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+    qualityFeatures(docs, textCol)
+      .select(col(idCol), col(strataCol), col("quality_score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wc))
+      .filter(col("rn") <= ceil(lit(keepFrac) * col("_n")))
+      .drop("_n")
+  }
+
   /** BM25 document ranking for a term query (Robertson/Spärck Jones'
     * Okapi weighting — the lexical-retrieval baseline every RAG /
     * eval-set pipeline needs next to the vector path). This variant is
@@ -563,6 +587,11 @@ object TextAnalysis {
           tokenEstimate(col("text")).as("bpe_estimate"),
           length(col("text")).cast("long").as("n_chars_calc"))
         .orderBy("doc_id")),
+    // t17: rank-based quality cut — the best 30% per language
+    "t17_quality_select" -> ((s, dir) =>
+      qualitySelect(Tables.documents(s, dir), "doc_id", "text", "lang",
+        keepFrac = 0.3)
+        .orderBy("lang", "rn")),
     // t16: BM25 lexical retrieval for a fixed 4-term query over the
     // corpus vocabulary (top-20 so ties in the tail are cut by the
     // deterministic doc_id tiebreak)
@@ -640,6 +669,29 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> t IN (${set.map("'" + _ + "'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    // t02's score expression, then a rank window per stratum; the keep
+    // bound is CEIL(0.3 * n) with the same literal on both sides
+    "t17_quality_select" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks
+         |           FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  len(toks) AS n_tokens,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN len(toks) > 0 THEN CAST(${stopEnSql} AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio
+         |  FROM t),
+         |q AS (SELECT doc_id, lang,
+         |  alpha_ratio * 0.5 + stopword_ratio * 0.3 +
+         |    CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+         |         THEN 0.2 ELSE 0.0 END AS quality_score
+         |  FROM f),
+         |r AS (SELECT doc_id, lang, quality_score,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY quality_score DESC, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+         |      FROM q)
+         |SELECT doc_id, lang, quality_score, rn FROM r
+         |WHERE rn <= CEIL(0.3 * n_stratum)
+         |ORDER BY lang, rn""".stripMargin,
     // per-term BM25 factors are one fixed IEEE expression tree with
     // identical decimal literals on both sides; the per-doc sum folds
     // in term order (ordered list_sum == sorted-array aggregate)
