@@ -232,4 +232,51 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("HashAggregate", windowIdx) > windowIdx,
       "expected the aggregate BELOW the window in the plan tree:\n" + p)
   }
+
+  test("t16: query-term filter sits below the (doc, term) exchange") {
+    val p = plan("t16_bm25")
+    // only query-term rows may enter the tf exchange — at 100 TB the
+    // corpus explodes into trillions of (doc, term) rows and the
+    // pre-exchange IN-filter is what keeps the shuffle at query-hit
+    // size; corpus stats + per-term df ride broadcasts
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    val filterIdx = p.indexOf("IN (spark")
+    assert(exchangeIdx >= 0 && filterIdx >= 0, p)
+    assert(filterIdx > exchangeIdx,
+      "expected the term filter BELOW the first exchange:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // top-N is a distributed TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("t16: graft_nfc stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.documents(spark, sfDir)
+      .select(graft.functions.TextFunctions.nfcNormalize(col("text")))
+    val p = df.queryExecution.executedPlan.toString
+    // the starred stage marker is the compact codegen notation — an
+    // interpreted fallback would print an unstarred Project
+    assert("""\*\(\d+\) Project \[graft_nfc""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("d17: incremental screening joins on band keys, aggregates partial") {
+    val p = plan("d17_incremental_neardup")
+    // the batch-vs-corpus probe is a band-keyed join (never a text or
+    // all-pairs comparison), and the per-batch-doc rollup combines
+    // map-side
+    assert(p.contains("bkey"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t17: quality cut is one stratum window over a narrow projection") {
+    val p = plan("t17_quality_select")
+    // score computation is codegen'd projection; the only row shuffle
+    // is the stratum window partitioning (plus the presentation sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
