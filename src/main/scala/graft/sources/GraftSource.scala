@@ -391,6 +391,45 @@ object GraftSourceQueries {
           |ORDER BY 1, 2""".stripMargin)
     },
 
+    /** x25: SQL `INSERT OVERWRITE` — the backfill statement: every
+      * partition the incoming batch touches is replaced WHOLESALE
+      * through the relation's insert-overwrite op (no key scan, no
+      * merge join), untouched partitions keep their files. The
+      * Athena-shaped analyst's partition-refresh verb, completing the
+      * INSERT INTO / MERGE / UPDATE / DELETE statement family. */
+    "x25_sql_insert_overwrite" -> { (s, dir) =>
+      val t = graft.util.Scratch.fresh("graft_x25_") + "/table"
+      graft.Tables.lineitem(s, dir).createOrReplaceTempView("x25_lineitem")
+      s.sql("DROP TABLE IF EXISTS x25_target")
+      s.sql(
+        s"""CREATE TABLE x25_target USING graft OPTIONS (
+           |  path '$t',
+           |  op 'upsert',
+           |  keys 'l_orderkey,l_linenumber',
+           |  precombine 'l_extendedprice',
+           |  partition 'l_returnflag')
+           |AS SELECT l_orderkey, l_linenumber, l_extendedprice,
+           |          l_returnflag
+           |   FROM x25_lineitem WHERE l_linenumber <= 2""".stripMargin)
+      // backfill ONE partition ('A') with corrected lnum=1 rows: the
+      // A-partition drops its lnum=2 rows wholesale; N/R keep both.
+      // +1000.0 keeps two-decimal exactness (a fractional multiplier
+      // could land between cents and split on rounding mode)
+      s.sql(
+        """INSERT OVERWRITE x25_target
+          |SELECT l_orderkey, l_linenumber, l_extendedprice + 1000.0,
+          |       l_returnflag
+          |FROM x25_lineitem
+          |WHERE l_returnflag = 'A' AND l_linenumber = 1""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          |    AS total
+          |FROM x25_target
+          |GROUP BY l_returnflag, l_linenumber
+          |ORDER BY l_returnflag, l_linenumber""".stripMargin)
+    },
+
     /** x23: SQL time travel — `VERSION AS OF` against a versioned graft
       * table ([[graft.sql.ResolveGraftTimeTravel]]): the commit-1
       * snapshot and the current state aggregated side by side from one
@@ -601,6 +640,41 @@ object GraftSourceQueries {
         |FROM cur
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    /** CTAS dedup, then the A-partition replaced wholesale by the
+      * deduped backfill batch; N/R partitions untouched. */
+    "x25_sql_insert_overwrite" ->
+      """WITH tgt0 AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |  FROM (
+        |    SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |           l_returnflag,
+        |           row_number() OVER (
+        |             PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |             ORDER BY l_extendedprice DESC) AS rn
+        |    FROM lineitem WHERE l_linenumber <= 2) WHERE rn = 1),
+        |bf AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_extendedprice + 1000.0 AS l_extendedprice,
+        |         l_returnflag
+        |  FROM (
+        |    SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |           l_returnflag,
+        |           row_number() OVER (
+        |             PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |             ORDER BY l_extendedprice DESC) AS rn
+        |    FROM lineitem
+        |    WHERE l_returnflag = 'A' AND l_linenumber = 1) WHERE rn = 1),
+        |final AS (
+        |  SELECT * FROM tgt0 WHERE l_returnflag <> 'A'
+        |  UNION ALL
+        |  SELECT * FROM bf)
+        |SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total
+        |FROM final
+        |GROUP BY l_returnflag, l_linenumber
+        |ORDER BY l_returnflag, l_linenumber""".stripMargin,
 
     /** The c1 snapshot is the deduped lnum=1 generation; current is the
       * union with the deduped lnum=2 insert (identities disjoint —
