@@ -282,15 +282,16 @@ object EventStreams {
   /** `copies` > 1 feeds the SAME events through the stream that many
     * times as separate micro-batches — the at-least-once replay shape
     * the dedup drain (e05) must collapse back to exactly-once. */
-  /** `parts` (mutually exclusive with `copies` > 1) splits the events
-    * into ORDERED arrival batches: partition predicate i's rows arrive
-    * as micro-batch i. Rows matching no predicate never arrive; rows
+  /** Prepare (and cache per shape) a drain-input directory: each batch
+    * lands as one mtime-pinned file, the sentinel last. `parts`
+    * (mutually exclusive with `copies` > 1) splits the events into
+    * ORDERED arrival batches: partition predicate i's rows arrive as
+    * micro-batch i. Rows matching no predicate never arrive; rows
     * arriving after the watermark has passed them are LATE and subject
     * to the operator's lateness semantics — this is the disorder knob
-    * the e09/e10 late-data keys turn. */
-  private def drainAvailableNow(s: SparkSession, dir: String, name: String,
-      copies: Int = 1, parts: Seq[Column] = Nil)(
-      build: DataFrame => DataFrame): DataFrame = {
+    * the e09/e10/e11 late-data keys turn. */
+  private def prepareDrainInput(s: SparkSession, dir: String,
+      copies: Int, parts: Seq[Column]): String = {
     require(copies == 1 || parts.isEmpty,
       "copies and parts are alternative batch shapes")
     val batches: Seq[DataFrame] = {
@@ -333,6 +334,13 @@ object EventStreams {
       s"$base/in"
     })
     sweepDrainInputsOnExit
+    in
+  }
+
+  private def drainAvailableNow(s: SparkSession, dir: String, name: String,
+      copies: Int = 1, parts: Seq[Column] = Nil)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val in = prepareDrainInput(s, dir, copies, parts)
     val run = java.nio.file.Files
       .createTempDirectory(s"graft_$name").toString
     val src = s.readStream.schema(eventSchema)
@@ -353,9 +361,77 @@ object EventStreams {
     s.table(name)
   }
 
+  /** e12 machinery: the even/odd split drained through a foreachBatch
+    * enrichment against a GRAFT dimension table that is UPSERTED after
+    * the first micro-batch — the slowly-changing-dimension reality
+    * (reference data mutates while the firehose runs). Each batch
+    * re-resolves the dimension snapshot ([[graft.sources.GraftRelation]]'s
+    * lazy per-scan resolution is exactly what makes this correct — a
+    * relation that pinned its file list at stream start would serve v1
+    * forever), so batch 0 joins dim v1 and batch 1 joins dim v2;
+    * determinism comes from the ordered arrival split plus the
+    * engine's own commit atomicity. */
+  private def drainEnrichedDimUpdate(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.merge.Merge
+    val in = prepareDrainInput(s, dir, 1,
+      Seq(col("event_id") % 2 === 0, col("event_id") % 2 === 1))
+    val run = java.nio.file.Files.createTempDirectory("graft_e12").toString
+    val dimPath = s"$run/dim"
+    val cust = Tables.customer(s, dir)
+    Merge.upsert(s,
+      cust.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"), lit(1L).as("ver"),
+        lit("all").as("pt")),
+      dimPath, Seq("user_id"), "ver", Seq("pt"))
+    val outDir = s"$run/out"
+    val src = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dim = Merge.readTable(s, dimPath)
+          .select(col("user_id"), col("segment"))
+        batch.join(broadcast(dim), Seq("user_id"))
+          .select("event_id", "user_id", "value", "segment")
+          .write.mode("append").parquet(outDir)
+        if (batchId == 0) {
+          // the SCD update lands BETWEEN micro-batches: a third of the
+          // users move to a new segment
+          Merge.upsert(s,
+            cust.filter(col("c_custkey") % 3 === 0)
+              .select(col("c_custkey").as("user_id"),
+                lit("UPDATED").as("segment"), lit(2L).as("ver"),
+                lit("all").as("pt")),
+            dimPath, Seq("user_id"), "ver", Seq("pt"))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val out = s.read.parquet(outDir)
+      .filter(col("event_id") =!= -1L)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        Tables.d(sum(Tables.dec(col("value")))).as("total_value"))
+      .orderBy("segment")
+    // the report is |segments| rows — materialize it, then sweep the
+    // run tree (dim table, checkpoint, batch outputs)
+    val rows = out.collect()
+    val schema = out.schema
+    val runPath = new org.apache.hadoop.fs.Path(run)
+    runPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(runPath, true)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "e12_stream_dim_update" -> ((s, dir) =>
+      drainEnrichedDimUpdate(s, dir)),
     "e01_windowed_counts" -> ((s, dir) =>
       drainAvailableNow(s, dir, "e01_sink")(windowedCounts(_))
         .filter(col("event_type") =!= "_sentinel")
@@ -483,6 +559,27 @@ object EventStreams {
     * times like the engine state, value sum as an ORDER BY ts sequential
     * fold matching the engine's in-order accumulation. */
   val oracle: Map[String, String] = Map(
+    // even arrivals join dim v1, odd arrivals join the post-update v2
+    // (the CASE is exactly the upsert's effect on the keyed state)
+    "e12_stream_dim_update" ->
+      """WITH dim1 AS (SELECT c_custkey AS user_id,
+        |                     c_mktsegment AS seg FROM customer),
+        |dim2 AS (SELECT c_custkey AS user_id,
+        |           CASE WHEN c_custkey % 3 = 0 THEN 'UPDATED'
+        |                ELSE c_mktsegment END AS seg
+        |         FROM customer),
+        |enr AS (
+        |  SELECT e.value, d.seg FROM events e
+        |  JOIN dim1 d ON e.user_id = d.user_id
+        |  WHERE e.event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT e.value, d.seg FROM events e
+        |  JOIN dim2 d ON e.user_id = d.user_id
+        |  WHERE e.event_id % 2 = 1)
+        |SELECT seg AS segment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM enr GROUP BY 1 ORDER BY 1""".stripMargin,
     "e07_stream_enrich" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |  c_mktsegment AS segment,
