@@ -88,10 +88,63 @@ object Expectations {
   /** p03: the expectation report over lineitem — a mixed rule set (two
     * that hold, two with real violation mass, one NULL-guard) so the
     * hash pins counts, pass flags, AND the NULL semantics. */
+  /** Streaming quality monitoring: the [[report]] gate run PER
+    * MICRO-BATCH inside a foreachBatch drain — the DLT-expectations-
+    * on-a-stream shape (every ingestion batch gets its own report row
+    * set before publishing; an alerting sink reads them live). The
+    * per-rule counts are ADDITIVE, so the batch reports must sum to
+    * exactly the whole-corpus report — the invariant the p06 oracle
+    * pins. Rules here watch the event firehose: a value cap, an
+    * error-type alarm, and a user-id sanity gate. */
+  private def eventRules = Seq(
+    Expectation("no_errors", col("event_type") =!= "error"),
+    Expectation("user_known", col("user_id") >= 0),
+    Expectation("value_cap", col("value") <= 100.0))
+
+  private def drainStreamReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = graft.streaming.EventStreams.prepareDrainInput(s, dir, 1,
+      Seq(col("event_id") % 2 === 0, col("event_id") % 2 === 1))
+    val run = java.nio.file.Files.createTempDirectory("graft_p06").toString
+    val outDir = s"$run/out"
+    val src = s.readStream
+      .schema(graft.streaming.EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val real = batch.filter(col("event_id") =!= -1L)
+        if (!real.isEmpty)
+          report(real, eventRules).withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val out = s.read.parquet(outDir)
+      .groupBy("rule")
+      .agg(
+        count(lit(1)).as("n_batches"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_violations")).as("n_violations"),
+        (sum(col("n_violations")) === 0).as("pass"))
+      .orderBy("rule")
+    val rows = out.collect()
+    val schema = out.schema
+    val runPath = new org.apache.hadoop.fs.Path(run)
+    runPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(runPath, true)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
   val queries: Map[String, Q] = Map(
     "p03_expectations" -> ((s, dir) =>
       report(Tables.lineitem(s, dir), lineitemRules)
-        .orderBy("rule")))
+        .orderBy("rule")),
+    "p06_stream_expectations" -> ((s, dir) =>
+      drainStreamReport(s, dir)))
 
   val oracle: Map[String, String] = Map(
     // violation = NOT COALESCE(pred, FALSE): the engine's three-valued
@@ -108,6 +161,23 @@ object Expectations {
            |  COUNT(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 END) AS n_violations,
            |  COUNT(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 END) = 0 AS pass
            |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+    },
+    // additive-report invariant: the summed per-batch reports equal
+    // the whole-corpus report; the even/odd split always yields
+    // exactly 2 non-empty batches (the sentinel batch filters empty
+    // and writes nothing)
+    "p06_stream_expectations" -> {
+      val rules = Seq(
+        "no_errors" -> "event_type <> 'error'",
+        "user_known" -> "user_id >= 0",
+        "value_cap" -> "value <= 100.0")
+      rules.map { case (n, p) =>
+        s"""SELECT '$n' AS rule, CAST(2 AS BIGINT) AS n_batches,
+           |  COUNT(*) AS n_rows,
+           |  COUNT(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 END) AS n_violations,
+           |  COUNT(CASE WHEN NOT COALESCE($p, FALSE) THEN 1 END) = 0 AS pass
+           |FROM events""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
     })
 }

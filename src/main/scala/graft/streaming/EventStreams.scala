@@ -290,7 +290,7 @@ object EventStreams {
     * arriving after the watermark has passed them are LATE and subject
     * to the operator's lateness semantics — this is the disorder knob
     * the e09/e10/e11 late-data keys turn. */
-  private def prepareDrainInput(s: SparkSession, dir: String,
+  private[graft] def prepareDrainInput(s: SparkSession, dir: String,
       copies: Int, parts: Seq[Column]): String = {
     require(copies == 1 || parts.isEmpty,
       "copies and parts are alternative batch shapes")
