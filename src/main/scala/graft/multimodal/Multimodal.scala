@@ -132,7 +132,35 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Media-text PAIRING manifest — the contrastive-training assembly
+    * step (LAION-style): each media item joined to its caption
+    * document, kept only when both sides clear their cleanliness gates
+    * (caption length inside the training window, media duration above
+    * the junk floor). Payload bytes never move — the join carries
+    * metadata and the caption token count only; at 100 TB the manifest
+    * is what ships to the loader, which fetches blobs by id. */
+  def pairedSamples(spark: SparkSession, dir: String,
+      minCaptionTokens: Int = 25, maxCaptionTokens: Int = 80,
+      minDurationMs: Long = 1000L): DataFrame = {
+    val media = syntheticMedia(spark, dir).select(
+      col("media_id"), col("kind"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      col("width"), col("height"), col("duration_ms"))
+    val caps = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")
+        .as("n_caption_tokens"))
+    media.join(caps, col("media_id") === col("doc_id"))
+      .filter(col("n_caption_tokens")
+        .between(minCaptionTokens, maxCaptionTokens) &&
+        col("duration_ms") >= minDurationMs)
+      .select("media_id", "kind", "lang", "n_caption_tokens",
+        "n_bytes", "width", "height")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m07_paired_samples" -> ((s, dir) =>
+      pairedSamples(s, dir).orderBy("media_id")),
     // metadata + content addressing over binary payloads (oracle: DuckDB
     // computes identical sha256/octet_length over the same utf-8 bytes)
     "m01_media_meta" -> ((s, dir) =>
@@ -231,6 +259,27 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // both gate expressions replayed verbatim; kind/width/height are
+    // m01's derivations
+    "m07_paired_samples" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)]
+         |      AS kind,
+         |    octet_length(encode(text)) AS n_bytes,
+         |    CAST(n_chars % 64 + 1 AS INT) AS width,
+         |    CAST(n_chars % 48 + 1 AS INT) AS height,
+         |    n_chars * 10 AS duration_ms
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |    CAST(len(${graft.text.TextAnalysis.toksSql}) AS BIGINT)
+         |      AS n_caption_tokens
+         |  FROM documents)
+         |SELECT media_id, kind, lang, n_caption_tokens, n_bytes,
+         |       width, height
+         |FROM m JOIN c ON media_id = c.doc_id
+         |WHERE n_caption_tokens BETWEEN 25 AND 80
+         |  AND duration_ms >= 1000
+         |ORDER BY media_id""".stripMargin,
     "m06_frame_phash" ->
       s"""WITH f AS (
          |  SELECT doc_id AS media_id,
