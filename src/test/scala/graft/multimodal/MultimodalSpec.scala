@@ -65,6 +65,15 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(col("n_exact_fps") > 1).count() > 0)
   }
 
+  test("m07: pairing gates genuinely select — neither empty nor vacuous") {
+    val all = graft.Tables.documents(spark, sfDir).count()
+    val kept = Multimodal.pairedSamples(spark, sfDir).count()
+    assert(kept > 0 && kept < all, s"kept $kept of $all")
+    // every kind survives (the gates are modality-blind)
+    assert(Multimodal.pairedSamples(spark, sfDir)
+      .select("kind").distinct().count() === 3)
+  }
+
   test("resizeStub truncates to target bytes") {
     val df = Seq(("abcdefgh")).toDF("text")
       .select(encode($"text", "UTF-8").as("payload"))

@@ -51,4 +51,19 @@ class ExpectationsSpec extends SparkSpec {
       Expectations.report(df, Seq(rules.head, rules.head))
     }
   }
+
+  test("p06: summed per-batch stream reports equal the whole-corpus report") {
+    val out = Expectations.queries("p06_stream_expectations")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val whole = graft.Tables.events(spark, sfDir)
+    out.foreach { case (_, (nBatches, nRows, _)) =>
+      assert(nBatches === 2L)
+      assert(nRows === whole.count())
+    }
+    // the rules genuinely discriminate on this corpus
+    assert(out("no_errors")._3 > 0)
+    assert(out("value_cap")._3 > 0)
+    assert(out("user_known")._3 === 0)
+  }
 }
