@@ -517,6 +517,36 @@ object Dedup {
     * is a frame-less cumulative aggregate, so each stratum streams
     * through its reducer once. Emits n_tokens + the running total as
     * evidence. */
+  /** Mixture PLANNING report — the step before [[tokenBudgetSample]]
+    * executes a cut: for each stratum, how many tokens exist, how many
+    * the target mixture wants (weight × total budget, floor), how many
+    * can actually be allocated, and the shortfall when the corpus
+    * cannot fill its share. The report is what a curation run reviews
+    * BEFORE burning a 100 TB pass — an under-resourced language
+    * surfaces here as a shortfall row, not as a silently skewed
+    * training mix afterwards. One groupBy shuffle; the arithmetic is
+    * literal double products floored to longs, bit-portable. */
+  def mixturePlan(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budgetTokens: Long, weights: Map[String, Double],
+      default: Double): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val share = weights.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("available_tokens"))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * share).cast("long"))
+      .withColumn("allocated_tokens",
+        least(col("available_tokens"), col("target_tokens")))
+      .withColumn("shortfall",
+        col("target_tokens") - col("allocated_tokens"))
+  }
+
   def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be >= 0")
@@ -741,6 +771,14 @@ object Dedup {
     // chain. d02/d03/d09 oracle the evidence stages; this key oracles
     // the surviving corpus itself, so a change anywhere in the chain
     // that alters WHICH documents ship to training breaks the hash.
+    // d18: the pre-cut mixture audit — budget 60000 tokens against the
+    // per-language availability (shortfalls surface at small SFs where
+    // the corpus can't fill its share; larger corpora fill it)
+    "d18_mixture_plan" -> ((s, dir) =>
+      mixturePlan(Tables.documents(s, dir), "doc_id", "text", "lang",
+        budgetTokens = 60000, Map("en" -> 0.5, "de" -> 0.2),
+        default = 0.1)
+        .orderBy("lang")),
     // d17: the per-ingest screening pass — every 5th doc plays the
     // "new crawl", the rest the standing corpus
     "d17_incremental_neardup" -> ((s, dir) => {
@@ -828,6 +866,25 @@ object Dedup {
          |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
          |SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+    // same literal share CASE and floor arithmetic as the engine
+    "d18_mixture_plan" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             CAST(len($toksSql) AS BIGINT) AS n
+         |           FROM documents),
+         |a AS (SELECT lang, COUNT(*) AS n_docs,
+         |        CAST(SUM(n) AS BIGINT) AS available_tokens
+         |      FROM t GROUP BY 1),
+         |p AS (SELECT lang, n_docs, available_tokens,
+         |        CAST(FLOOR(60000.0 *
+         |          (CASE WHEN lang = 'en' THEN 0.5
+         |                WHEN lang = 'de' THEN 0.2
+         |                ELSE 0.1 END)) AS BIGINT) AS target_tokens
+         |      FROM a)
+         |SELECT lang, n_docs, available_tokens, target_tokens,
+         |  LEAST(available_tokens, target_tokens) AS allocated_tokens,
+         |  target_tokens - LEAST(available_tokens, target_tokens)
+         |    AS shortfall
+         |FROM p ORDER BY lang""".stripMargin,
     // signatures are per-doc, so banding all documents then splitting
     // equals the engine's separate corpus/batch banding
     "d17_incremental_neardup" ->

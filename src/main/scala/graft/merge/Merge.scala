@@ -2669,6 +2669,23 @@ object Merge {
     // DESCRIBE HISTORY / Hudi show_commits shape, injected by
     // GraftExtensions). Identical replay to q22, so it shares q22's
     // oracle: the SQL surface must see exactly the API's timeline.
+    // x26: the CLEANER exercised end-to-end — three versioned upserts,
+    // then clean(retainLast = 1) sweeps the older commits' history.
+    // Contract under oracle: cleaning reclaims HISTORY bytes only; the
+    // current state must be bit-identical to the uncleaned replay (the
+    // refusal semantics for as-of reads below the floor stay pinned in
+    // TimeTravelSpec).
+    "x26_clean_retention" -> ((s, dir) => {
+      val path = scratchTable("graft_x26_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
+      clean(s, path, retainLast = 1)
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     "x24_sql_commits" -> ((s, dir) => {
       val path = scratchTable("graft_x24_")
       val keyCols = Seq("okey")
@@ -3452,5 +3469,24 @@ object Merge {
   /** x24 replays q22 exactly and reads the same timeline through SQL,
     * so the two keys share one oracle string. */
   val oracle: Map[String, String] =
-    oracle0 + ("x24_sql_commits" -> oracle0("q22_timeline"))
+    oracle0 +
+      ("x24_sql_commits" -> oracle0("q22_timeline")) +
+      // cleaning must be invisible in the current state: the oracle is
+      // the plain 3-batch batch-wins replay (per-batch precombine
+      // dedup, later commit replaces per key identity)
+      ("x26_clean_retention" ->
+        """WITH raw AS (SELECT o_orderkey % 7 AS b, o_orderkey % 500 AS okey,
+          |               o_orderstatus AS part, o_totalprice AS price,
+          |               o_orderkey AS pre
+          |             FROM orders WHERE o_orderkey % 7 IN (0, 1, 2)),
+          |d AS (SELECT b, okey, part, price, pre FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY b, okey, part
+          |     ORDER BY pre DESC) AS rn
+          |   FROM raw) WHERE rn = 1),
+          |cur AS (SELECT okey, part, price, pre FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY okey, part
+          |     ORDER BY b DESC) AS rn
+          |   FROM d) WHERE rn = 1)
+          |SELECT okey, part, price, pre FROM cur
+          |ORDER BY part, okey""".stripMargin)
 }
