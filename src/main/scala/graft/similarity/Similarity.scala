@@ -402,6 +402,28 @@ object Similarity {
     "s01_knn_brute" -> ((s, dir) =>
       bruteTopK(corpusOf(s, dir), queriesOf(s, dir), 10)
         .orderBy("query_id", "rank")),
+    // s08: ANN RECALL as a driver artifact — the approximate path's
+    // quality number (|LSH top-10 ∩ brute top-10| / 10 per query)
+    // under the same oracle discipline as the results themselves;
+    // the spec-level recall contracts bound it, this key pins the
+    // exact value
+    "s08_ann_recall" -> ((s, dir) => {
+      val c = corpusOf(s, dir)
+      val q = queriesOf(s, dir)
+      val brute = bruteTopK(c, q, 10).select("query_id", "corpus_id")
+      val approx = lshTopK(c, q, 10, bits = 4, tables = 8)
+        .select("query_id", "corpus_id")
+      val hits = brute.join(approx, Seq("query_id", "corpus_id"),
+        "left_semi")
+      brute.groupBy("query_id").agg(count(lit(1)).as("n_brute"))
+        .join(hits.groupBy("query_id").agg(count(lit(1)).as("n_hit")),
+          Seq("query_id"), "left_outer")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_brute"))
+        .select("query_id", "n_brute", "n_hit", "recall")
+        .orderBy("query_id")
+    }),
     // s07: leave-one-out kNN label eval on a deterministic ~1% query
     // sample (vec_id % 97 — a prime stride, label-blind)
     "s07_knn_label_eval" -> ((s, dir) =>
@@ -668,6 +690,52 @@ object Similarity {
         |SELECT query_id, rank, corpus_id, cos_sim
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // the two top-10 chains are s01's and s02's oracles verbatim (each
+    // bit-matches its engine side, and only the ID SETS meet here);
+    // recall is one integer division
+    "s08_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, v AS cv FROM e WHERE vec_id >= 5),
+         |bscored AS (
+         |  SELECT query_id, corpus_id,
+         |         list_cosine_similarity(qv, cv) AS cos_sim
+         |  FROM q CROSS JOIN c WHERE corpus_id <> query_id),
+         |brute AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, corpus_id) AS rank
+         |    FROM bscored) WHERE rank <= 10),
+         |c2 AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |q2 AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+         |cb AS (${bucketSql("c2", 4, 8, 64)}),
+         |qb AS (${bucketSql("q2", 4, 8, 64)}),
+         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+         |         FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+         |         WHERE cb.vec_id <> qb.vec_id),
+         |n AS (SELECT vec_id,
+         |             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+         |      FROM e),
+         |approx AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY list_dot_product(a.vn, b.vn) DESC, corpus_id)
+         |             AS rank
+         |    FROM cand JOIN n a ON a.vec_id = query_id
+         |              JOIN n b ON b.vec_id = corpus_id) WHERE rank <= 10),
+         |perq AS (
+         |  SELECT b.query_id, COUNT(*) AS n_brute,
+         |    CAST(SUM(CASE WHEN a.corpus_id IS NOT NULL
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM brute b LEFT JOIN approx a
+         |    ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+         |  GROUP BY 1)
+         |SELECT query_id, n_brute, n_hit,
+         |  CAST(n_hit AS DOUBLE) / n_brute AS recall
+         |FROM perq ORDER BY query_id""".stripMargin,
     // cosine only ranks (s01 pins its values bit-exact); the reported
     // fractions are single integer-sum divisions
     "s07_knn_label_eval" ->
