@@ -99,6 +99,21 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Exact-dup groups over NFC-CANONICALIZED text: composed and
+    * decomposed encodings of the same characters are one byte sequence
+    * after `graft_nfc`, so duplicates that differ only in Unicode
+    * encoding form collapse — the fracture plain byte fingerprints
+    * can't see on a multilingual corpus (the same page crawled from a
+    * CMS emitting NFC and an editor emitting NFD). Same single-shuffle
+    * shape as [[exactGroups]]; the normalization is the codegen'd
+    * expression, not a UDF. */
+  def exactGroupsNfc(docs: DataFrame, idCol: String, textCol: String,
+      maxMembers: Int = 100): DataFrame =
+    exactGroups(
+      docs.withColumn(textCol,
+        graft.functions.TextFunctions.nfcNormalize(col(textCol))),
+      idCol, textCol, maxMembers)
+
   // ---- MinHash + LSH ----
 
   val numHashes = 8
@@ -771,6 +786,23 @@ object Dedup {
     // chain. d02/d03/d09 oracle the evidence stages; this key oracles
     // the surviving corpus itself, so a change anywhere in the chain
     // that alters WHICH documents ship to training breaks the hash.
+    // d19: NFC-invariant exact dedup — the corpus doubled into a
+    // composed-accents variant and a decomposed-accents variant (same
+    // characters, different bytes); after graft_nfc canonicalization
+    // every pair must land in ONE group. Without the normalization the
+    // two encodings even TOKENIZE differently (the combining mark
+    // splits from its base letter), so this pins the real multilingual
+    // fracture, not a byte-identity tautology.
+    "d19_nfc_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val composed = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "a", "\u00e1").as("text"))
+      val decomposed = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "a", "a\u0301").as("text"))
+      exactGroupsNfc(composed.unionByName(decomposed), "doc_id", "text")
+        .orderBy("fp")
+    }),
     // d18: the pre-cut mixture audit — budget 60000 tokens against the
     // per-language availability (shortfalls surface at small SFs where
     // the corpus can't fill its share; larger corpora fill it)
@@ -866,6 +898,26 @@ object Dedup {
          |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
          |SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
          |ORDER BY id""".stripMargin,
+    // both decoration regexes replayed byte-identically; after
+    // nfc_normalize the pair fingerprints collide and the group shape
+    // is d01's
+    "d19_nfc_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, regexp_replace(text, 'a', '\u00e1', 'g') AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, regexp_replace(text, 'a', 'a\u0301', 'g')
+         |  FROM documents),
+         |nn AS (SELECT doc_id, nfc_normalize(text) AS text FROM u),
+         |f AS (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
+         |      FROM nn),
+         |r AS (SELECT doc_id, fp, row_number() OVER (
+         |        PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+         |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper,
+         |  string_agg(CASE WHEN rn <= 100 THEN doc_id END, ','
+         |    ORDER BY doc_id) AS doc_ids,
+         |  greatest(COUNT(*) - 100, 0) AS n_overflow
+         |FROM r GROUP BY fp ORDER BY fp""".stripMargin,
     // same literal share CASE and floor arithmetic as the engine
     "d18_mixture_plan" ->
       s"""WITH t AS (SELECT doc_id, lang,

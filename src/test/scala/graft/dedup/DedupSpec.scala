@@ -38,6 +38,20 @@ class DedupSpec extends SparkSpec {
     assert(g.getAs[Long]("n_overflow") === 45L)
   }
 
+  test("exactGroupsNfc collapses encoding-form duplicates plain dedup splits") {
+    val mixed = Seq(
+      (1L, "caf\u00e9 r\u00e9sum\u00e9 words here"), // composed
+      (2L, "cafe\u0301 re\u0301sume\u0301 words here") // decomposed twin
+    ).toDF("doc_id", "text")
+    // plain byte fingerprints fracture on the encoding form...
+    assert(Dedup.exactGroups(mixed, "doc_id", "text").count() === 2)
+    // ...NFC canonicalization heals the fracture: one group, min keeper
+    val g = Dedup.exactGroupsNfc(mixed, "doc_id", "text").collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("n_docs") === 2L)
+    assert(g.head.getAs[Long]("keeper") === 1L)
+  }
+
   test("dropExactDups keeps one representative per content") {
     val out = Dedup.dropExactDups(docs, "doc_id", "text")
     assert(out.count() === 3)
