@@ -277,6 +277,27 @@ object Relational {
         col("quartile"))
   }
 
+  /** Q52 — distribution window functions: percent_rank / cume_dist
+    * position every order inside its priority class, nth_value pins
+    * the class's third-cheapest price — the "where does this row sit
+    * in its cohort" analytics family, one window shuffle. The frame
+    * order carries the unique key, so ranks are tie-free and the
+    * rank fractions are single integer divisions (bit-portable). */
+  val windowDist: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"),
+        nth_value(col("o_totalprice"), 3).over(wAll)
+          .as("third_cheapest"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+  }
+
   /** Q34 — unpivot (wide→long melt, pivot's inverse): each metric
     * column becomes a (metric, value) row. Pure narrow Generate — no
     * shuffle; row count = rows × metrics by construction. */
@@ -602,9 +623,25 @@ object Relational {
     "q32_grouping_sets" -> groupingSetsAgg,
     "q33_window_shift" -> windowShift,
     "q34_unpivot" -> unpivotMetrics,
+    "q52_window_dist" -> windowDist,
   )
 
   val oracle: Map[String, String] = Map(
+    // tie-free compound order makes both rank fractions single integer
+    // divisions; the explicit full frame pins nth_value
+    "q52_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist,
+        |  nth_value(o_totalprice, 3) OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS third_cheapest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
     // the same resample: dense calendar over the observed span, last
     // observation per day (ts DESC, event_id DESC = Spark's struct
     // max), IGNORE NULLS fill — values are copied, never computed, so

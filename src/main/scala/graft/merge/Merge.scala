@@ -2669,6 +2669,20 @@ object Merge {
     // DESCRIBE HISTORY / Hudi show_commits shape, injected by
     // GraftExtensions). Identical replay to q22, so it shares q22's
     // oracle: the SQL surface must see exactly the API's timeline.
+    // x27: BULK INSERT end-to-end — the initial-load op (Hudi
+    // bulk_insert): range-laid target-size files, NO precombine dedup
+    // (the batch lands verbatim, duplicates included — the documented
+    // contract difference from upsert), read back identical to the
+    // input relation. The file-size layout itself stays pinned in
+    // MergeSpec; this driver key pins the CONTENT contract.
+    "x27_bulk_insert" -> ((s, dir) => {
+      val path = scratchTable("graft_x27_")
+      bulkInsert(replayBatch(s, dir, 0), path, Seq("part"), Seq("okey"),
+        targetFileBytes = 64L * 1024, maxFiles = 64)
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey", "pre")
+    }),
     // x26: the CLEANER exercised end-to-end — three versioned upserts,
     // then clean(retainLast = 1) sweeps the older commits' history.
     // Contract under oracle: cleaning reclaims HISTORY bytes only; the
@@ -3471,6 +3485,13 @@ object Merge {
   val oracle: Map[String, String] =
     oracle0 +
       ("x24_sql_commits" -> oracle0("q22_timeline")) +
+      // bulk insert lands the batch VERBATIM — no dedup, duplicates
+      // preserved; the oracle is the raw batch selection
+      ("x27_bulk_insert" ->
+        """SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+          |       o_totalprice AS price, o_orderkey AS pre
+          |FROM orders WHERE o_orderkey % 7 = 0
+          |ORDER BY part, okey, pre""".stripMargin) +
       // cleaning must be invisible in the current state: the oracle is
       // the plain 3-batch batch-wins replay (per-batch precombine
       // dedup, later commit replaces per key identity)
