@@ -699,6 +699,52 @@ object Dedup {
         (!coalesce(col("_d"), lit(false))).as("keep"))
   }
 
+  /** Fuzzy vocabulary matching: every pair of DISTINCT corpus tokens
+    * within `maxDist` Levenshtein edits, with a canonical-form vote
+    * (the higher-df spelling wins, ties to the lexically-smaller) —
+    * the spelling-variant / OCR-noise normalization step that runs
+    * before shingle dedup on scraped corpora (a corpus where "recieve"
+    * and "receive" count as different tokens fractures every
+    * token-level statistic downstream).
+    *
+    * Scale shape: the pair search runs over the VOCABULARY (distinct
+    * tokens + df — one map-side-combined aggregate over the corpus),
+    * never the corpus itself. Candidate generation is a LENGTH-BAND
+    * self-join: each term emits `maxDist+1` anchor lengths
+    * [len−maxDist, len], and two terms share an anchor iff their
+    * lengths differ by ≤ maxDist — a necessary condition for edit
+    * distance ≤ maxDist, so the blocking is COMPLETE (no qualifying
+    * pair is missed; the all-pairs oracle is exact, not approximate).
+    * Candidates per anchor are |band|² over the vocabulary — bounded
+    * by type counts (Heaps' law: ~√corpus), not token counts; the
+    * codegen'd `levenshtein` verify then discards non-matches. */
+  def fuzzyVocabPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val vocab = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("term"))
+      .groupBy("term")
+      .agg(countDistinct(col(idCol)).as("df"))
+    val anchored = vocab
+      .withColumn("len", length(col("term")))
+      .withColumn("anchor", explode(sequence(
+        greatest(col("len") - maxDist, lit(1)), col("len"))))
+      .select(col("anchor"), col("term"), col("df"))
+    val cand = anchored.as("a").join(anchored.as("b"),
+        col("a.anchor") === col("b.anchor") &&
+          col("a.term") < col("b.term"))
+      .select(col("a.term").as("term_a"), col("b.term").as("term_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .distinct() // adjacent bands share anchors: each pair once
+    cand
+      .withColumn("dist",
+        levenshtein(col("term_a"), col("term_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .withColumn("canon", when(col("df_b") > col("df_a"), col("term_b"))
+        .otherwise(col("term_a")))
+  }
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame
@@ -707,6 +753,11 @@ object Dedup {
     "d01_exact_dedup" -> ((s, dir) =>
       exactGroups(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("fp")),
+    // d20: the length-band blocking is complete for lev <= 2, so the
+    // engine must reproduce the oracle's ALL-PAIRS answer exactly
+    "d20_fuzzy_vocab" -> ((s, dir) =>
+      fuzzyVocabPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("term_a", "term_b")),
     "d02_minhash_sig" -> ((s, dir) =>
       lshBands(minhashSignatures(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id").orderBy("doc_id", "band")),
@@ -877,6 +928,22 @@ object Dedup {
       s"""WITH $bandsCte
          |SELECT doc_id, band, bkey FROM bands
          |ORDER BY doc_id, band""".stripMargin,
+    // d20: all-pairs over the vocabulary — small enough for the oracle
+    // to brute-force what the engine length-band-blocks
+    "d20_fuzzy_vocab" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.toksSql} AS toks
+         |           FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |v AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+         |      GROUP BY 1),
+         |p AS (SELECT a.term AS term_a, b.term AS term_b,
+         |        a.df AS df_a, b.df AS df_b,
+         |        levenshtein(a.term, b.term) AS dist
+         |      FROM v a JOIN v b ON a.term < b.term)
+         |SELECT term_a, term_b, df_a, df_b, dist,
+         |  CASE WHEN df_b > df_a THEN term_b ELSE term_a END AS canon
+         |FROM p WHERE dist <= 2
+         |ORDER BY term_a, term_b""".stripMargin,
     "d03_lsh_pairs" ->
       s"""WITH $bandsCte
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

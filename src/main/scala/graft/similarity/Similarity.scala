@@ -99,6 +99,51 @@ object Similarity {
       predicate: Column): DataFrame =
     bruteTopK(corpus.filter(predicate), queries, k)
 
+  /** Hybrid lexical + vector retrieval fused by Reciprocal Rank Fusion
+    * (Cormack/Clarke/Büttcher SIGIR'09): each query runs BOTH a BM25
+    * more-like-this ranking over the document corpus
+    * ([[graft.text.TextAnalysis.bm25MoreLikeThis]]) and an exact cosine
+    * top-k over the aligned embedding corpus ([[bruteTopK]]); the two
+    * top-`topN` lists meet in a full-outer join on (query, doc) and
+    * fuse as `Σ 1/(rrfK + rank)` — rank-based, so the incomparable
+    * score scales (BM25 mass vs cosine) never need calibration, the
+    * property that made RRF the default fusion in RAG stacks. Missing
+    * ranks contribute 0 (the standard convention).
+    *
+    * Determinism: both input ranks are integers with id tiebreaks; the
+    * fused score is one fixed IEEE expression (lex term + vec term, in
+    * that order), so it is bit-identical across engines. Final ties
+    * break by corpus id.
+    *
+    * Scale shape: both branches end in per-query top-`topN` lists —
+    * the fusion join and final window touch at most
+    * 2 × topN × |queries| rows regardless of corpus size; the corpus
+    * is scanned once per branch (each branch's own bounded-heap /
+    * semi-join shape), never by the fusion. */
+  def hybridRrf(corpusDocs: DataFrame, queryDocs: DataFrame,
+      corpusVecs: DataFrame, queryVecs: DataFrame, topN: Int = 20,
+      finalK: Int = 10, rrfK: Int = 60): DataFrame = {
+    val lex = graft.text.TextAnalysis
+      .bm25MoreLikeThis(corpusDocs, queryDocs, "doc_id", "text", topN)
+      .select(col("query_id"), col("corpus_id"),
+        col("rank").as("lex_rank"))
+    val vec = bruteTopK(corpusVecs, queryVecs, topN)
+      .select(col("query_id"), col("corpus_id"),
+        col("rank").as("vec_rank"))
+    val fused = lex.join(vec, Seq("query_id", "corpus_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) +
+          col("lex_rank").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) +
+          col("vec_rank").cast("double")), lit(0.0)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("corpus_id"))
+    fused.withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .filter(col("rrf_rank") <= finalK)
+      .select(col("query_id"), col("rrf_rank"), col("corpus_id"),
+        col("lex_rank"), col("vec_rank"), col("rrf_score"))
+  }
+
   /** SQ8-style scalar quantization top-k (the FAISS scalar-quantizer
     * baseline): each corpus dimension is affinely coded onto
     * `levels` + 1 integer steps between its corpus-wide [min, max],
@@ -402,6 +447,17 @@ object Similarity {
     "s01_knn_brute" -> ((s, dir) =>
       bruteTopK(corpusOf(s, dir), queriesOf(s, dir), 10)
         .orderBy("query_id", "rank")),
+    // s09: hybrid retrieval — docs 0–4 are the queries on BOTH paths
+    // (doc_id and vec_id are the generator's shared identity), fused
+    // by RRF; the oracle chains the BM25-MLT and s01 fragments and
+    // fuses them with the same fixed expression
+    "s09_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      hybridRrf(
+        docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5),
+        corpusOf(s, dir), queriesOf(s, dir))
+        .orderBy("query_id", "rrf_rank")
+    }),
     // s08: ANN RECALL as a driver artifact — the approximate path's
     // quality number (|LSH top-10 ∩ brute top-10| / 10 per query)
     // under the same oracle discipline as the results themselves;
@@ -598,6 +654,67 @@ object Similarity {
     * are portable constants, s03's k-means is reproduced by unrolled
     * deterministic Lloyd SQL. */
   val oracle: Map[String, String] = Map(
+    // s09: the BM25 more-like-this chain (t16's per-term algebra with
+    // doc-as-query term sets) + s01's cosine chain, fused by the same
+    // fixed RRF expression (lex term + vec term, ranks as integers)
+    "s09_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, ${graft.text.TextAnalysis.toksSql} AS toks
+         |           FROM documents),
+         |d AS (SELECT doc_id AS corpus_id, CAST(len(toks) AS BIGINT) AS dl,
+         |        toks
+         |      FROM t WHERE doc_id >= 5),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+         |       FROM t WHERE doc_id < 5),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+         |tok AS (SELECT corpus_id, dl, unnest(toks) AS term FROM d),
+         |tf AS (SELECT corpus_id, dl, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN (SELECT DISTINCT term FROM qt)
+         |       GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT query_id, corpus_id, qt.term,
+         |         ((st.n_docs - CAST(df AS DOUBLE) + 0.5)
+         |          / (CAST(df AS DOUBLE) + 0.5))
+         |         * ((CAST(tf AS DOUBLE) * 2.2)
+         |            / (CAST(tf AS DOUBLE)
+         |               + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |                        / st.avgdl))) AS tscore
+         |       FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+         |       CROSS JOIN st),
+         |lexpd AS (SELECT query_id, corpus_id,
+         |            list_sum(list(tscore ORDER BY term)) AS score
+         |          FROM sc GROUP BY 1, 2),
+         |lexr AS (SELECT query_id, corpus_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY score DESC, corpus_id) AS lex_rank
+         |         FROM lexpd),
+         |lex AS (SELECT * FROM lexr WHERE lex_rank <= 20),
+         |e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, v AS cv FROM e WHERE vec_id >= 5),
+         |scored AS (SELECT query_id, corpus_id,
+         |             list_cosine_similarity(qv, cv) AS cos_sim
+         |           FROM q CROSS JOIN c WHERE corpus_id <> query_id),
+         |vecr AS (SELECT query_id, corpus_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, corpus_id) AS vec_rank
+         |         FROM scored),
+         |vec AS (SELECT * FROM vecr WHERE vec_rank <= 20),
+         |f AS (SELECT query_id, corpus_id, lex_rank, vec_rank,
+         |        COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+         |        + COALESCE(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0)
+         |          AS rrf_score
+         |      FROM lex FULL JOIN vec USING (query_id, corpus_id)),
+         |fr AS (SELECT query_id, corpus_id, lex_rank, vec_rank, rrf_score,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf_score DESC, corpus_id) AS rrf_rank
+         |       FROM f)
+         |SELECT query_id, rrf_rank, corpus_id, lex_rank, vec_rank,
+         |  rrf_score
+         |FROM fr WHERE rrf_rank <= 10
+         |ORDER BY query_id, rrf_rank""".stripMargin,
     "s03_ann_ivf" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
     "s06_ann_pq" -> s06OracleSql(subspaces = 4, subLen = 16, codebook = 16,
       iters = 2, topK = 10, trainN = 256),

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import graft.Tables
 
@@ -228,6 +228,31 @@ object EventStreams {
       .toDF()
   }
 
+  /** Sessionization re-expressed on Spark 4's `transformWithState` —
+    * the arbitrary-stateful-processing API that supersedes
+    * `flatMapGroupsWithState`: a `ValueState[SessionState]` per user
+    * plus an explicit EVENT-TIME TIMER at `last + gap` replace the
+    * `GroupStateTimeout` machinery, and `handleExpiredTimer` IS the
+    * session close. Semantics are pinned to [[sessionize]] exactly —
+    * same in-batch fold order, same gap algebra — and the e13 driver
+    * key shares e02's oracle verbatim, so the legacy and modern state
+    * APIs can never silently drift apart. `transformWithState` runs
+    * only on the RocksDB state-store provider (the disk-backed state
+    * path the provider-swap spec proves for the classic operators —
+    * at 100 TB the per-key state lives on executor-local SSD either
+    * way, so standardizing on the newer API costs nothing). */
+  def sessionizeTws(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L,
+      lateness: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("value")).as[SessionIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Drain a parquet events directory through the windowed aggregation
     * into an in-memory table (deterministic test/batch-parity runs). */
   def runWindowedAvailableNow(spark: SparkSession, inputDir: String,
@@ -298,8 +323,22 @@ object EventStreams {
       val ev = Tables.events(s, dir)
       if (parts.nonEmpty) parts.map(ev.filter) else Seq.fill(copies)(ev)
     }
-    val in = drainInputs.getOrElseUpdate(
-      s"$dir#$copies#${parts.mkString(";")}", {
+    prepareBatches(s, s"$dir#$copies#${parts.mkString(";")}", batches)
+  }
+
+  /** Arbitrary-batch drain input: `mkBatches` derives each ordered
+    * arrival batch from the events table (filtered, transformed,
+    * re-stamped — the at-least-once-with-jitter shapes `parts` can't
+    * express). `label` keys the per-JVM cache, so it must uniquely
+    * describe the derivation. */
+  private[graft] def prepareDrainInputCustom(s: SparkSession, dir: String,
+      label: String, mkBatches: DataFrame => Seq[DataFrame]): String =
+    prepareBatches(s, s"$dir#custom#$label",
+      mkBatches(Tables.events(s, dir)))
+
+  private def prepareBatches(s: SparkSession, cacheKey: String,
+      batches: Seq[DataFrame]): String = {
+    val in = drainInputs.getOrElseUpdate(cacheKey, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_drain").toString
       batches.head.coalesce(1).write.parquet(s"$base/in")
@@ -427,9 +466,35 @@ object EventStreams {
     s.createDataFrame(rows.toSeq.asJava, schema)
   }
 
+  /** Run `body` with the RocksDB state-store provider active
+    * (required by `transformWithState`), restoring the prior provider
+    * after. The provider is captured at query START, so restoring it
+    * once the drain has terminated cannot affect the result. */
+  private[graft] def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // e13: the SAME session inventory as e02, computed by the modern
+    // transformWithState processor (timers + ValueState on RocksDB)
+    // instead of flatMapGroupsWithState — one oracle, two state APIs
+    "e13_tws_sessions" -> ((s, dir) => withRocksDb(s) {
+      drainAvailableNow(s, dir, "e13_sink")(sessionizeTws(s, _))
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_ts"), col("end_ts"),
+          col("n_events").cast("long").as("n_events"), col("total_value"))
+        .orderBy("user_id", "start_ts")
+    }),
     "e12_stream_dim_update" -> ((s, dir) =>
       drainEnrichedDimUpdate(s, dir)),
     "e01_windowed_counts" -> ((s, dir) =>
@@ -559,6 +624,23 @@ object EventStreams {
     * times like the engine state, value sum as an ORDER BY ts sequential
     * fold matching the engine's in-order accumulation. */
   val oracle: Map[String, String] = Map(
+    // e13 must equal e02 row-for-row: same gaps-and-islands rewrite,
+    // same ms epochs, same in-order value fold
+    "e13_tws_sessions" ->
+      """WITH e AS (SELECT user_id, ts, epoch_ms(ts) AS t, value FROM events),
+        |m AS (SELECT user_id, ts, t, value,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  > 1800000 THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, ts, t, value,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM m)
+        |SELECT user_id, MIN(t) AS start_ts, MAX(t) AS end_ts,
+        |  COUNT(*) AS n_events,
+        |  list_sum(list(value ORDER BY ts, value)) AS total_value
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_ts""".stripMargin,
     // even arrivals join dim v1, odd arrivals join the post-update v2
     // (the CASE is exactly the upsert's effect on the keyed state)
     "e12_stream_dim_update" ->
@@ -749,4 +831,63 @@ object EventStreams {
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
         |ORDER BY l_id, r_id NULLS FIRST""".stripMargin)
+}
+
+/** The [[EventStreams.sessionizeTws]] state machine: one
+  * `ValueState[SessionState]` per user, one live event-time timer at
+  * the open session's `last + gap`. `handleInputRows` folds the batch
+  * in the SAME (ts µs, value) order as the legacy sessionizer — two
+  * events on one microsecond must sum their values in a specified
+  * order or the double total is partition-arrival-dependent — and
+  * closes past sessions inline when a gap lands inside one batch.
+  * `handleExpiredTimer` closes a session exactly when the watermark
+  * passes its last event + gap (the timer is re-registered on every
+  * extension, so an expiry always refers to the CURRENT session). */
+class SessionProcessor(gapMs: Long) extends StatefulProcessor[
+    Long, EventStreams.SessionIn, EventStreams.SessionOut] {
+  import EventStreams.{SessionIn, SessionOut, SessionState}
+
+  @transient private var state: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessionState]("session",
+      Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[SessionIn],
+      timers: TimerValues): Iterator[SessionOut] = {
+    val sorted = rows.toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.value))
+    var out = List.empty[SessionOut]
+    var cur = if (state.exists()) Option(state.get()) else None
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last <= gapMs =>
+          cur = Some(SessionState(s.start, math.max(s.last, t),
+            s.n + 1, s.total + e.value))
+        case Some(s) => // gap exceeded inside the batch: emit, restart
+          out ::= SessionOut(user, s.start, s.last, s.n, s.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // exactly one live timer per key: a stale timer from before an
+      // extension would fire mid-session and close it early
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(s.last + gapMs)
+    }
+    out.reverseIterator
+  }
+
+  override def handleExpiredTimer(user: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+    if (state.exists()) {
+      val s = state.get()
+      state.clear()
+      Iterator.single(SessionOut(user, s.start, s.last, s.n, s.total))
+    } else Iterator.empty
+  }
 }

@@ -429,6 +429,62 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Multi-query "more-like-this" BM25: each QUERY DOCUMENT's distinct
+    * tokens score every corpus document with [[bm25TopDocs]]' exact
+    * per-term algebra (same transcendental-free idf, same tf
+    * saturation, same ordered per-doc fold), ranked top-N per query —
+    * the lexical half of hybrid retrieval, where the query is itself a
+    * document rather than a hand-typed term list. Query-term tf is
+    * deliberately ignored (terms enter as a SET — the standard
+    * treatment; BM25's query-side saturation is flat for the short
+    * queries it was fit to, and a doc-as-query would otherwise drown
+    * rare terms under its own stopwords).
+    *
+    * Scale shape: corpus stats (N, avgdl) are a 1-row broadcast; the
+    * (corpus doc, term) exchange is pre-filtered to the UNION of query
+    * terms via a semi-join (narrow — never the full posting explosion);
+    * per-term df and the query-term list broadcast back. Candidate
+    * rows are Σ_t df(t) × |queries containing t| — bounded by the
+    * query fan-in, not the corpus, which is what keeps a 5-query probe
+    * over a 100 TB corpus from shuffling the corpus five times. */
+  def bm25MoreLikeThis(corpus: DataFrame, queryDocs: DataFrame,
+      idCol: String, textCol: String, topN: Int = 20): DataFrame = {
+    val cdl = corpus.select(col(idCol).as("corpus_id"),
+        tokens(col(textCol)).as("_toks"))
+      .select(col("corpus_id"), col("_toks"),
+        size(col("_toks")).cast("long").as("dl"))
+    val stats = cdl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queryDocs.select(col(idCol).as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val tf = cdl
+      .select(col("corpus_id"), col("dl"), explode(col("_toks")).as("term"))
+      .join(qterms.select("term").distinct(), Seq("term"), "left_semi")
+      .groupBy(col("corpus_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfw = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+          col("avgdl")))
+    val scored = broadcast(qterms).join(tf, "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", idf * tfw)
+    val perDoc = scored.groupBy(col("query_id"), col("corpus_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("term"),
+        col("tscore")))), lit(0.0),
+        (acc, x) => acc + x.getField("tscore")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("corpus_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** Cross-document duplicated-span scrub (the RefinedWeb /
     * "Deduplicating Training Data Makes Language Models Better"
     * exact-substring step, arXiv:2306.01116 / 2107.06499, at token-span

@@ -336,4 +336,39 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.shingles($"text").as("sh")).as[Seq[String]].head()
     assert(s2 === Seq("a b c", "b c d"))
   }
+
+  test("fuzzy vocab: finds spelling variants, canon votes by df") {
+    // "recieve" (1 doc) is a 2-edit variant of "receive" (3 docs) —
+    // the canonical form must be the frequent spelling
+    val fx = Seq(
+      (1L, "we receive data"), (2L, "they receive mail"),
+      (3L, "you receive word"), (4L, "we recieve data"),
+      (5L, "unrelated words entirely")).toDF("doc_id", "text")
+    val out = Dedup.fuzzyVocabPairs(fx, "doc_id", "text", maxDist = 2)
+      .collect().map(r => (r.getAs[String]("term_a"),
+        r.getAs[String]("term_b"), r.getAs[Long]("df_a"),
+        r.getAs[Long]("df_b"), r.getAs[Long]("dist"),
+        r.getAs[String]("canon")))
+    val hit = out.filter(p => p._1 == "receive" && p._2 == "recieve")
+    assert(hit.length === 1)
+    assert(hit.head._5 === 2) // transposition = 2 plain-Levenshtein edits
+    assert(hit.head._6 === "receive") // df 3 beats df 1
+  }
+
+  test("fuzzy vocab: length-band blocking is complete vs brute force") {
+    // the blocked engine answer must equal the all-pairs answer on the
+    // real corpus vocabulary — the completeness law the oracle relies on
+    val docs = graft.Tables.documents(spark, sfDir)
+    val blocked = Dedup.fuzzyVocabPairs(docs, "doc_id", "text", 2)
+      .select("term_a", "term_b").as[(String, String)].collect().toSet
+    val vocab = docs.select(explode(
+        graft.text.TextAnalysis.tokens($"text")).as("term"))
+      .distinct()
+    val brute = vocab.as("a").join(vocab.as("b"),
+        $"a.term" < $"b.term" &&
+          levenshtein($"a.term", $"b.term") <= 2)
+      .select($"a.term", $"b.term").as[(String, String)].collect().toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty, "corpus vocab has no fuzzy pairs — dead key")
+  }
 }

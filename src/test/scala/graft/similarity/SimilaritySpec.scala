@@ -163,4 +163,58 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.size === 4)
     assert(c1 === c2)
   }
+
+  test("hybrid RRF: fused ranks are dense, scores recompute from ranks") {
+    val out = Similarity.queries("s09_hybrid_rrf")(spark, sfDir).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 5)
+    byQuery.foreach { case (_, rows) =>
+      // exactly finalK fused results per query, ranks 1..10 dense
+      assert(rows.map(_.getAs[Long]("rrf_rank")).sorted.toSeq
+        === (1L to 10L))
+      rows.foreach { r =>
+        val lex = Option(r.getAs[java.lang.Long]("lex_rank"))
+        val vec = Option(r.getAs[java.lang.Long]("vec_rank"))
+        // a fused row must come from at least one branch
+        assert(lex.nonEmpty || vec.nonEmpty)
+        val expected =
+          lex.map(l => 1.0 / (60.0 + l.toDouble)).getOrElse(0.0) +
+          vec.map(v => 1.0 / (60.0 + v.toDouble)).getOrElse(0.0)
+        assert(r.getAs[Double]("rrf_score") === expected)
+      }
+      // both-branch consensus beats the best single-branch rank-20 row:
+      // 1/61×2 worst-case dual > 1/(60+1) single — so any doc in BOTH
+      // top-20s outranks every single-branch doc
+      val dual = rows.filter(r => r.getAs[java.lang.Long]("lex_rank") != null
+        && r.getAs[java.lang.Long]("vec_rank") != null)
+      val single = rows.filter(r =>
+        r.getAs[java.lang.Long]("lex_rank") == null
+          || r.getAs[java.lang.Long]("vec_rank") == null)
+      if (dual.nonEmpty && single.nonEmpty) {
+        assert(dual.map(_.getAs[Long]("rrf_rank")).max
+          < single.map(_.getAs[Long]("rrf_rank")).min)
+      }
+    }
+  }
+
+  test("bm25MoreLikeThis: single query doc == bm25TopDocs on its terms") {
+    // the multi-query MLT path must reduce to the t16 single-query
+    // ranking when given one query doc whose distinct tokens are the
+    // term list (same corpus stats, same fold, same tiebreaks)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val queryDoc = docs.filter(col("doc_id") === 2)
+    val terms = queryDoc.select(explode(array_distinct(
+        graft.text.TextAnalysis.tokens(col("text")))).as("t"))
+      .as[String].collect().toSeq
+    val mlt = graft.text.TextAnalysis
+      .bm25MoreLikeThis(corpus, queryDoc, "doc_id", "text", topN = 15)
+      .select("rank", "corpus_id", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val direct = graft.text.TextAnalysis
+      .bm25TopDocs(corpus, "doc_id", "text", terms, topN = 15)
+      .select("rank", "doc_id", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(mlt === direct)
+  }
 }

@@ -298,4 +298,56 @@ class EventStreamsSpec extends SparkSpec {
       "no click lost its only match to lateness — weaken the split?")
     out.unpersist()
   }
+
+  test("e13: transformWithState sessionizer == flatMapGroupsWithState") {
+    // the modern and legacy state APIs must produce the IDENTICAL
+    // session inventory over the full corpus drain — same starts, same
+    // ends, same counts, same in-order double sums
+    val tws = EventStreams.queries("e13_tws_sessions")(spark, sfDir)
+      .collect().toSeq
+    val legacy = EventStreams.queries("e02_sessions")(spark, sfDir)
+      .collect().toSeq
+    assert(tws.nonEmpty)
+    assert(tws === legacy)
+  }
+
+  test("e13: TWS timers close sessions on gap AND on watermark expiry") {
+    val gapMs = 60000L
+    def ts(s: Long) = new java.sql.Timestamp((86400 + s) * 1000)
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(30), 2.0), // session A: in-batch pair
+      (1L, ts(300), 4.0),                  // session B after 270s gap
+      (2L, ts(10), 8.0),
+      (999L, ts(100000), 0.0)              // sentinel: watermark driver
+    ).toDF("user_id", "ts", "value")
+    val base = tmpDir("twssess")
+    events.coalesce(1).write.parquet(s"$base/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    EventStreams.withRocksDb(spark) {
+      val df = spark.readStream.schema(schema).parquet(s"$base/in")
+      val out = EventStreams.sessionizeTws(spark, df, gapMs,
+        lateness = "1 second")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("tws_sessions")
+        .option("checkpointLocation", tmpDir("twsckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val sessions = spark.table("tws_sessions")
+      .filter($"user_id" =!= 999L)
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Int, Double)].collect().toSet
+    // session A closes INLINE when B's first event exceeds the gap;
+    // B and user 2's session close via the event-time timer once the
+    // sentinel advances the watermark past last + gap
+    assert(sessions === Set(
+      (1L, 2, 3.0), (1L, 1, 4.0), (2L, 1, 8.0)))
+  }
 }
