@@ -376,10 +376,40 @@ object EventStreams {
     in
   }
 
+  /** Watermark-window streaming dedup for at-least-once sources that
+    * RE-STAMP event time on redelivery (a retried producer stamps send
+    * time, not occurrence time): `dropDuplicatesWithinWatermark` keys
+    * state on the ID ALONE and drops any duplicate arriving within the
+    * watermark delay of the first sighting, even at a different
+    * timestamp — the case [[dedupStream]] (whose dedup key includes
+    * `ts`) structurally cannot catch. State is still watermark-bounded:
+    * an entry is evicted once the watermark passes its latest sighting
+    * + delay, so memory is (arrival rate × delay), stream-length
+    * independent. The contract weakens symmetrically: a duplicate
+    * redelivered LATER than the delay window is out of contract (it
+    * would re-emit), which is exactly the at-least-once SLA line. */
+  def dedupWithinWatermark(events: DataFrame,
+      keys: Seq[String] = Seq("event_id"),
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   private def drainAvailableNow(s: SparkSession, dir: String, name: String,
       copies: Int = 1, parts: Seq[Column] = Nil)(
+      build: DataFrame => DataFrame): DataFrame =
+    runDrain(s, prepareDrainInput(s, dir, copies, parts), name)(build)
+
+  /** [[drainAvailableNow]] with caller-derived arrival batches (see
+    * [[prepareDrainInputCustom]]). */
+  private[graft] def drainCustomBatches(s: SparkSession, dir: String,
+      name: String, mkBatches: DataFrame => Seq[DataFrame])(
+      build: DataFrame => DataFrame): DataFrame =
+    runDrain(s, prepareDrainInputCustom(s, dir, name, mkBatches),
+      name)(build)
+
+  private def runDrain(s: SparkSession, in: String, name: String)(
       build: DataFrame => DataFrame): DataFrame = {
-    val in = prepareDrainInput(s, dir, copies, parts)
     val run = java.nio.file.Files
       .createTempDirectory(s"graft_$name").toString
     val src = s.readStream.schema(eventSchema)
@@ -520,6 +550,20 @@ object EventStreams {
     // exactly once — the oracle is simply the events table itself
     "e05_stream_dedup" -> ((s, dir) =>
       drainAvailableNow(s, dir, "e05_sink", copies = 2)(dedupStream(_))
+        .filter(col("event_type") =!= "_sentinel")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+    // e14: the corpus is replayed with every redelivery RE-STAMPED one
+    // minute later (at-least-once with producer-side jitter). The
+    // ts-keyed e05 dedup would pass every jittered copy through;
+    // dropDuplicatesWithinWatermark keys on event_id alone and must
+    // still collapse to exactly the events table — first stamp wins,
+    // each surviving jittered copy is inside its original's
+    // 30-minute state window by construction (spec pins the contrast)
+    "e14_jittered_dedup" -> ((s, dir) =>
+      drainCustomBatches(s, dir, "e14_sink", ev => Seq(ev,
+        ev.withColumn("ts", col("ts") + expr("interval 1 minute"))))(
+        dedupWithinWatermark(_))
         .filter(col("event_type") =!= "_sentinel")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")),
@@ -721,6 +765,12 @@ object EventStreams {
         |ORDER BY user_id, start_ts""".stripMargin,
     // a doubled stream deduped back to exactly-once == the table itself
     "e05_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // a jitter-redelivered stream deduped on id alone == the table
+    // (first stamp wins; every jittered copy lands inside its
+    // original's state window)
+    "e14_jittered_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     // the streamed interval join == the same join done relationally

@@ -299,6 +299,30 @@ class EventStreamsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("e14: id-keyed watermark dedup collapses re-stamped redeliveries") {
+    // the jittered replay collapses back to exactly the events table...
+    val out = EventStreams.queries("e14_jittered_dedup")(spark, sfDir)
+    val n = Tables.events(spark, sfDir).count()
+    assert(out.count() === n)
+    assert(out.select("event_id").distinct().count() === n)
+    // ...and emitted timestamps are the ORIGINAL stamps (first wins),
+    // never the +1-minute redelivery stamps
+    val orig = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts".as("ts0"))
+    assert(out.join(orig, "event_id")
+      .filter($"ts" =!= $"ts0").count() === 0)
+    // CONTRAST: e05's ts-keyed dedup structurally cannot catch a
+    // re-stamped duplicate — the same jittered drain passes the
+    // surviving redeliveries through as distinct rows
+    val tsKeyed = EventStreams.drainCustomBatches(spark, sfDir,
+      "e14_contrast", ev => Seq(ev,
+        ev.withColumn("ts", $"ts" + expr("interval 1 minute"))))(
+      EventStreams.dedupStream(_))
+      .filter($"event_type" =!= "_sentinel")
+    assert(tsKeyed.count() > n,
+      "ts-keyed dedup unexpectedly caught re-stamped duplicates")
+  }
+
   test("e13: transformWithState sessionizer == flatMapGroupsWithState") {
     // the modern and legacy state APIs must produce the IDENTICAL
     // session inventory over the full corpus drain — same starts, same
