@@ -204,6 +204,44 @@ object Similarity {
       when(dotP >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Johnson–Lindenstrauss random projection: every embedding mapped
+    * to `outDims` coordinates, each the dot product against a fixed
+    * md5-derived pseudo-random plane (seeds offset by `seed0` to stay
+    * disjoint from the LSH tables' planes). THE dimensionality lever
+    * for 100 TB embedding work: a 64→16 projection cuts every
+    * downstream shuffle, cache and ANN-scan byte count 4× while JL
+    * approximately preserves pairwise geometry (the recall spec
+    * measures exactly how much survives). Pure narrow map over the
+    * scan — no shuffle, no model state; any engine with md5
+    * reproduces the matrix, so projected coordinates are bit-portable
+    * (same sequential dot fold as [[dot]]).
+    *
+    * Output is EXPLODED to (vec_id, dim, value) — scalar rows, so the
+    * driver's hash compare covers every coordinate. */
+  def randomProjection(df: DataFrame, outDims: Int, dims: Int = 64,
+      seed0: Int = 1000): DataFrame = {
+    val proj = array((0 until outDims).map { j =>
+      dot(col("v"), typedLit(plane(seed0 + j, dims)))
+    }: _*)
+    df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), posexplode(proj).as(Seq("dim", "value")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("value"))
+  }
+
+  /** The projected corpus re-shaped as an embedding table (for feeding
+    * projected vectors back through the ANN operators). */
+  def randomProjectionVectors(df: DataFrame, outDims: Int,
+      dims: Int = 64, seed0: Int = 1000): DataFrame = {
+    val proj = array((0 until outDims).map { j =>
+      dot(col("v"), typedLit(plane(seed0 + j, dims)))
+    }: _*)
+    df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), proj.as("embedding"))
+  }
+
   /** Corpus bucketed by LSH signature (single table). */
   def lshBuckets(corpus: DataFrame, bits: Int): DataFrame =
     corpus.select(col("vec_id"),
@@ -511,7 +549,40 @@ object Similarity {
       pqTopK(corpusOf(s, dir), queriesOf(s, dir), 10, subspaces = 4,
         codebook = 16, iters = 2, maxTrainVectors = 256)
         .orderBy("query_id", "rank")),
+    // s10: every projected coordinate of every vector, hash-checked —
+    // the projection matrix is the same md5 constant set on both sides
+    "s10_random_projection" -> ((s, dir) =>
+      randomProjection(Tables.embeddings(s, dir), outDims = 16)
+        .orderBy("vec_id", "dim")),
   )
+
+  /** s10 oracle: one UNION ALL branch per output dimension, each the
+    * dot product against the identical plane literals the engine ships
+    * (Double.toString round-trips exactly). The sum is UNROLLED as an
+    * explicit `+` chain — SQL's left-associative `+` IS the engine's
+    * sequential i-ascending fold, where DuckDB's list_dot_product /
+    * list_sum switch to blocked summation at this length and drift by
+    * an ulp. */
+  private def s10OracleSql(outDims: Int, dims: Int, seed0: Int): String = {
+    // DuckDB parses a bare decimal literal as DECIMAL (whose re-cast to
+    // double can drift an ulp from the strtod parse); an exponent forces
+    // a DOUBLE literal, preserving the exact round-trip
+    def dlit(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E")) s else s + "E0"
+    }
+    val branches = (0 until outDims).map { j =>
+      val p = plane(seed0 + j, dims)
+      val chain = (0 until dims)
+        .map(i => s"v[${i + 1}]*(${dlit(p(i))})").mkString(" + ")
+      s"SELECT vec_id, CAST($j AS BIGINT) AS dim, $chain AS value FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |$branches
+       |ORDER BY vec_id, dim""".stripMargin
+  }
 
   /** DuckDB SQL for the multi-table bucket computation: the hyperplanes
     * are the SAME md5-derived constants the engine ships to executors,
@@ -654,6 +725,8 @@ object Similarity {
     * are portable constants, s03's k-means is reproduced by unrolled
     * deterministic Lloyd SQL. */
   val oracle: Map[String, String] = Map(
+    "s10_random_projection" -> s10OracleSql(outDims = 16, dims = 64,
+      seed0 = 1000),
     // s09: the BM25 more-like-this chain (t16's per-term algebra with
     // doc-as-query term sets) + s01's cosine chain, fused by the same
     // fixed RRF expression (lex term + vec term, ranks as integers)

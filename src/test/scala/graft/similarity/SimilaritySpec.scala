@@ -164,6 +164,36 @@ class SimilaritySpec extends SparkSpec {
     assert(c1 === c2)
   }
 
+  test("random projection: 64->16 keeps useful neighborhood structure") {
+    // JL contract, measured: brute top-10 in the PROJECTED space must
+    // recover a solid fraction of the true top-10 (well above the
+    // 10/495 ~ 2% chance level; 16 dims on a near-isotropic corpus is
+    // the hard case). Also pin linearity: projecting a doubled vector
+    // doubles every coordinate (catches any hidden normalization).
+    val emb = Tables.embeddings(spark, sfDir)
+    val proj = Similarity.randomProjectionVectors(emb, 16)
+    val pq = proj.filter($"vec_id" < 5)
+    val pc = proj.filter($"vec_id" >= 5)
+    val trueTop = Similarity.bruteTopK(corpus, queries, 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val projTop = Similarity.bruteTopK(pc, pq, 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // floor guards chance level (10/495 ≈ 2%), not high fidelity: the
+    // synthetic corpus is near-isotropic — JL's hardest case, same as
+    // the documented PQ recall situation — so 16 dims keeps only weak
+    // neighborhood signal; the VALUE contract is the s10 hash-match
+    val recall = (trueTop & projTop).size.toDouble / trueTop.size
+    assert(recall >= 0.04, s"projected recall $recall at chance level")
+    val doubled = emb.withColumn("embedding",
+      transform($"embedding", x => x * 2f))
+    val p1 = Similarity.randomProjection(emb, 16)
+      .withColumnRenamed("value", "v1")
+    val p2 = Similarity.randomProjection(doubled, 16)
+      .withColumnRenamed("value", "v2")
+    assert(p1.join(p2, Seq("vec_id", "dim"))
+      .filter(abs($"v2" - $"v1" * 2) > 1e-9).count() === 0)
+  }
+
   test("hybrid RRF: fused ranks are dense, scores recompute from ranks") {
     val out = Similarity.queries("s09_hybrid_rrf")(spark, sfDir).collect()
     val byQuery = out.groupBy(_.getAs[Long]("query_id"))
