@@ -699,6 +699,54 @@ object Dedup {
         (!coalesce(col("_d"), lit(false))).as("keep"))
   }
 
+  /** Cluster-topic report: k-means clusters over the embedding corpus
+    * (the shared deterministic Lloyd quantizer) joined back to the
+    * paired documents, with each cluster described by its `topTerms`
+    * most DISTINCTIVE terms by lift — (in-cluster doc frequency /
+    * cluster size) ÷ (corpus doc frequency / corpus size) — the
+    * "what is actually in my training data" audit every curation
+    * decision should start from (raw frequency would crown stopwords;
+    * lift surfaces what makes a cluster a topic).
+    *
+    * Determinism: integer counts everywhere; lift is ONE fixed double
+    * division of two exact integer products (long-safe: n·N ≤ 2⁶³ far
+    * beyond any corpus), ties broken by term.
+    *
+    * Scale shape: the only corpus-sized exchanges are the Lloyd
+    * assignment (capped-sample training, broadcast centroids) and the
+    * (doc, term) df aggregate — both map-side combined. The
+    * cluster×term candidate set is |vocab|·k rows; df, sizes and the
+    * corpus count ride broadcasts. */
+  def clusterTopics(emb: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, iters: Int = 2,
+      maxTrainVectors: Int = 256, topTerms: Int = 5): DataFrame = {
+    import graft.similarity.Similarity
+    val cents = Similarity.kmeansCentroids(emb, k, iters, maxTrainVectors)
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cells = Similarity.assign(e, cents).select(col("vec_id"), col("cid"))
+    val sizes = cells.groupBy("cid").agg(count(lit(1)).as("cluster_size"))
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    val terms = docs.select(col(idCol).as("vec_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+        .as("term"))
+    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val ct = cells.join(terms, "vec_id")
+      .groupBy("cid", "term").agg(count(lit(1)).as("n_docs"))
+    val scored = ct.join(broadcast(dfreq), "term")
+      .join(broadcast(sizes), "cid")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("lift",
+        (col("n_docs") * col("n_total")).cast("double") /
+          (col("cluster_size") * col("df")).cast("double"))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("lift").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topTerms)
+      .select(col("cid"), col("cluster_size"), col("rank"), col("term"),
+        col("n_docs"), col("df"), col("lift"))
+  }
+
   /** Fuzzy vocabulary matching: every pair of DISTINCT corpus tokens
     * within `maxDist` Levenshtein edits, with a canonical-form vote
     * (the higher-df spelling wins, ties to the lexically-smaller) —
@@ -758,6 +806,13 @@ object Dedup {
     "d20_fuzzy_vocab" -> ((s, dir) =>
       fuzzyVocabPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("term_a", "term_b")),
+    // d21: embeddings cluster (doc_id == vec_id pairing), documents
+    // label — the oracle replays the d11 Lloyd chain at this key's
+    // (k, iters, trainN) and the lift ranking relationally
+    "d21_cluster_topics" -> ((s, dir) =>
+      clusterTopics(Tables.embeddings(s, dir), Tables.documents(s, dir),
+        "doc_id", "text")
+        .orderBy("cid", "rank")),
     "d02_minhash_sig" -> ((s, dir) =>
       lshBands(minhashSignatures(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id").orderBy("doc_id", "band")),
@@ -1156,6 +1211,37 @@ object Dedup {
          |         AS keep
          |FROM cells c
          |ORDER BY vec_id""".stripMargin
+    },
+    "d21_cluster_topics" -> {
+      import graft.similarity.Similarity.{assignCteSql, lloydCtesSql}
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM e),
+         |${lloydCtesSql(8, 2, 256)},
+         |${assignCteSql("cells", "c2", "corpus")},
+         |sizes AS (SELECT cid, COUNT(*) AS cluster_size FROM cells
+         |          GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS n_total FROM documents),
+         |t AS (SELECT doc_id, ${TextAnalysis.toksSql} AS toks
+         |      FROM documents),
+         |terms AS (SELECT doc_id, unnest(list_distinct(toks)) AS term
+         |          FROM t),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY 1),
+         |ct AS (SELECT cid, term, COUNT(*) AS n_docs
+         |       FROM cells JOIN terms ON cells.vec_id = terms.doc_id
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT cid, cluster_size, term, n_docs, df,
+         |         CAST(n_docs * n_total AS DOUBLE)
+         |           / CAST(cluster_size * df AS DOUBLE) AS lift
+         |       FROM ct JOIN dfq USING (term) JOIN sizes USING (cid)
+         |       CROSS JOIN nt),
+         |r AS (SELECT cid, cluster_size, term, n_docs, df, lift,
+         |        row_number() OVER (PARTITION BY cid
+         |          ORDER BY lift DESC, term) AS rank
+         |      FROM sc)
+         |SELECT cid, cluster_size, rank, term, n_docs, df, lift
+         |FROM r WHERE rank <= 5
+         |ORDER BY cid, rank""".stripMargin
     },
     "d06_embedding_topsim" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

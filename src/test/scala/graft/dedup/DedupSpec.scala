@@ -337,6 +337,32 @@ class DedupSpec extends SparkSpec {
     assert(s2 === Seq("a b c", "b c d"))
   }
 
+  test("cluster topics: every cluster reported, lift recomputes exactly") {
+    val out = Dedup.clusterTopics(
+      graft.Tables.embeddings(spark, sfDir),
+      graft.Tables.documents(spark, sfDir), "doc_id", "text")
+      .collect()
+    val n = graft.Tables.documents(spark, sfDir).count()
+    val byCluster = out.groupBy(_.getAs[Long]("cid"))
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (_, rows) =>
+      // dense 1..topTerms ranks per cluster (vocab >= 5 terms here)
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rows.length).toSeq)
+      rows.foreach { r =>
+        val lift = r.getAs[Double]("lift")
+        assert(lift ===
+          (r.getAs[Long]("n_docs") * n).toDouble /
+            (r.getAs[Long]("cluster_size") * r.getAs[Long]("df")).toDouble)
+        // a term can't hit more docs than the cluster holds
+        assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("cluster_size"))
+      }
+    }
+    // cluster sizes cover the corpus exactly once
+    assert(byCluster.values.map(_.head.getAs[Long]("cluster_size")).sum
+      === graft.Tables.embeddings(spark, sfDir).count())
+  }
+
   test("fuzzy vocab: finds spelling variants, canon votes by df") {
     // "recieve" (1 doc) is a 2-edit variant of "receive" (3 docs) —
     // the canonical form must be the frequent spelling
