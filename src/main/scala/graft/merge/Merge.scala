@@ -2689,6 +2689,35 @@ object Merge {
     // current state must be bit-identical to the uncleaned replay (the
     // refusal semantics for as-of reads below the floor stay pinned in
     // TimeTravelSpec).
+    // x28: write-audit-publish — the clean batches publish, the
+    // poisoned batch stages, fails its snapshot audit and is rolled
+    // back; the final table must equal the relational replay of ONLY
+    // the published batches, and the post-rollback publish proves the
+    // restored timeline keeps accepting commits
+    "x28_wap" -> ((s, dir) => {
+      import graft.pipeline.{Expectations, Wap}
+      import Expectations.Expectation
+      val path = scratchTable("graft_x28_")
+      val keyCols = Seq("okey")
+      val rules = Seq(
+        Expectation("price_nonneg", col("price") >= 0),
+        Expectation("key_present", col("okey").isNotNull))
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      val r1 = Wap.writeAuditPublish(s, replayBatch(s, dir, 1), path,
+        keyCols, "pre", Seq("part"), rules)
+      require(r1.published, "clean batch 1 must publish")
+      val dirty = replayBatch(s, dir, 2)
+        .withColumn("price", -abs(col("price")))
+      val r2 = Wap.writeAuditPublish(s, dirty, path,
+        keyCols, "pre", Seq("part"), rules)
+      require(!r2.published, "poisoned batch must be rolled back")
+      val r3 = Wap.writeAuditPublish(s, replayBatch(s, dir, 3), path,
+        keyCols, "pre", Seq("part"), rules)
+      require(r3.published, "post-rollback clean batch must publish")
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     "x26_clean_retention" -> ((s, dir) => {
       val path = scratchTable("graft_x26_")
       val keyCols = Seq("okey")
@@ -3032,6 +3061,37 @@ object Merge {
   private val oracle0: Map[String, String] = Map(
     "q18_upsert_replay" -> replaySql,
     "q23_compact" -> replaySql,
+    // WAP replay: ONLY the published batches (0, 1, 3) fold through
+    // the overwrite-latest chain — the audited-out batch 2 must leave
+    // no trace
+    "x28_wap" ->
+      """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+        |               o_totalprice AS price, o_orderkey AS pre
+        |             FROM orders),
+        |b0 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+        |b1 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1),
+        |b3 AS (SELECT okey, part, price, pre FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY okey, part
+        |           ORDER BY pre DESC) AS rn
+        |         FROM raw WHERE pre % 7 = 3) WHERE rn = 1),
+        |t2 AS (SELECT * FROM b1
+        |       UNION ALL
+        |       SELECT b0.okey, b0.part, b0.price, b0.pre FROM b0
+        |       LEFT JOIN b1 ON b0.okey = b1.okey AND b0.part = b1.part
+        |       WHERE b1.pre IS NULL),
+        |t3 AS (SELECT * FROM b3
+        |       UNION ALL
+        |       SELECT t2.okey, t2.part, t2.price, t2.pre FROM t2
+        |       LEFT JOIN b3 ON t2.okey = b3.okey AND t2.part = b3.part
+        |       WHERE b3.pre IS NULL)
+        |SELECT okey, part, price, pre FROM t3
+        |ORDER BY part, okey""".stripMargin,
     // a CDC-maintained replica IS the source's final state
     "x07_cdc_replica" -> replaySql,
     // the row-local feature transform applied to the replay's final
