@@ -85,11 +85,63 @@ object Behavior {
       .orderBy("event_id")
   }
 
+  /** q53 — cohort retention: users grouped by FIRST-ACTIVE day, each
+    * cohort tracked by how many members are active again `offset` days
+    * later — the product-analytics staple (and, for a training-data
+    * lake, the "is this source still producing" freshness audit).
+    *
+    * Scale shape: the only corpus-sized exchange is the distinct
+    * (user, day) reduction — map-side combined, then every later stage
+    * operates on ≤ users × days rows. The per-user first-day aggregate
+    * groups on the SAME key the distinct shuffled on (Catalyst reuses
+    * the exchange), cohort sizes are a ≤|days| broadcast, and the
+    * rate is one fixed integer→double division. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val um = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohort = um.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    um.join(cohort, "user_id")
+      .withColumn("offset", datediff(col("d"), col("cohort_day"))
+        .cast("long"))
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn("retention_rate",
+        col("n_active").cast("double") / col("cohort_size"))
+      .select("cohort_day", "cohort_size", "offset", "n_active",
+        "retention_rate")
+      .orderBy("cohort_day", "offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q48_sessions_batch" -> ((s, dir) => sessionsBatch(s, dir)),
-    "q49_anomaly" -> ((s, dir) => anomalies(s, dir)))
+    "q49_anomaly" -> ((s, dir) => anomalies(s, dir)),
+    "q53_retention" -> ((s, dir) => retention(s, dir)))
 
   val oracle: Map[String, String] = Map(
+    // distinct active days per user, first day = cohort, integer day
+    // offsets, one double division for the rate
+    "q53_retention" ->
+      """WITH um AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |            FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort_day FROM um GROUP BY 1),
+        |sz AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM c
+        |       GROUP BY 1),
+        |act AS (SELECT c.cohort_day,
+        |          CAST(date_diff('day', c.cohort_day, um.d) AS BIGINT)
+        |            AS "offset",
+        |          COUNT(*) AS n_active
+        |        FROM um JOIN c USING (user_id)
+        |        GROUP BY 1, 2)
+        |SELECT act.cohort_day, sz.cohort_size, act."offset",
+        |  act.n_active,
+        |  CAST(act.n_active AS DOUBLE) / sz.cohort_size
+        |    AS retention_rate
+        |FROM act JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, "offset"""".stripMargin,
     "q48_sessions_batch" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id, value

@@ -233,6 +233,33 @@ class PlanSpec extends SparkSpec {
       "expected the aggregate BELOW the window in the plan tree:\n" + p)
   }
 
+  test("q53: cohort sizes broadcast back; reduced rows feed every stage") {
+    val p = plan("q53_retention")
+    // the distinct (user, day) reduction is the only corpus-sized
+    // exchange; cohort sizes (≤ |days| rows) must ride a broadcast,
+    // never a shuffled join against the activity stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the per-user min-day aggregate partial-aggregates map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("s09: fusion ranks meet in a hash join over bounded top-N lists") {
+    val p = plan("s09_hybrid_rrf")
+    // both branches end in per-query top-N windows; the RRF fusion
+    // must be a key join of those bounded lists — a nested-loop fusion
+    // would re-pair corpus-sized intermediates at 100 TB. (Broadcast
+    // nested-loop appears only in the branches' 1-row stats carriers.)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d20: fuzzy vocab pairs verify with codegen'd levenshtein, no cartesian") {
+    val p = plan("d20_fuzzy_vocab")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("levenshtein"), p)
+  }
+
   test("t16: query-term filter sits below the (doc, term) exchange") {
     val p = plan("t16_bm25")
     // only query-term rows may enter the tf exchange — at 100 TB the
