@@ -430,6 +430,56 @@ object EventStreams {
     s.table(name)
   }
 
+  /** e15 machinery: the windowed aggregation drained in UPDATE output
+    * mode into a keyed GRAFT table — the "streaming silver table"
+    * pattern: each micro-batch emits the windows it UPDATED, and a
+    * keyed ordered-upsert (precombine = batch id) makes the serving
+    * table always hold each window's latest total. Update mode is what
+    * makes the sink a TABLE rather than a log: append mode would emit
+    * each window once, only after the watermark closes it (no serving
+    * of in-flight windows), while update+upsert serves every window's
+    * running value and converges to the batch aggregate. Idempotent
+    * replay comes from the upsert key, ordered precombine, and the
+    * engine's commit atomicity — the same triple x04 proves for raw
+    * payloads, here proven for AGGREGATE state. */
+  private def drainAggToTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.merge.Merge
+    val in = prepareDrainInput(s, dir, 1, Nil)
+    val run = java.nio.file.Files.createTempDirectory("graft_e15").toString
+    val tablePath = s"$run/table"
+    val src = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = windowedCounts(src).writeStream
+      .option("checkpointLocation", s"$run/ckpt")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Merge.upsertOrdered(s,
+            batch.withColumn("ver", lit(batchId))
+              .withColumn("pt", lit("all")),
+            tablePath, Seq("window_start", "event_type"), "ver",
+            Seq("pt"))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val out = Merge.readTable(s, tablePath)
+      .filter(col("event_type") =!= "_sentinel")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .orderBy("window_start", "event_type")
+    // the report is |windows × types| rows — materialize, then sweep
+    // the run tree (table, checkpoint)
+    val rows = out.collect()
+    val schema = out.schema
+    val runPath = new org.apache.hadoop.fs.Path(run)
+    runPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(runPath, true)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
   /** e12 machinery: the even/odd split drained through a foreachBatch
     * enrichment against a GRAFT dimension table that is UPSERTED after
     * the first micro-batch — the slowly-changing-dimension reality
@@ -527,6 +577,9 @@ object EventStreams {
     }),
     "e12_stream_dim_update" -> ((s, dir) =>
       drainEnrichedDimUpdate(s, dir)),
+    // e15: update-mode agg → keyed upsert = a serving table that must
+    // converge to e01's batch aggregate (shared oracle shape)
+    "e15_stream_agg_table" -> ((s, dir) => drainAggToTable(s, dir)),
     "e01_windowed_counts" -> ((s, dir) =>
       drainAvailableNow(s, dir, "e01_sink")(windowedCounts(_))
         .filter(col("event_type") =!= "_sentinel")
@@ -714,6 +767,14 @@ object EventStreams {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e01_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the upsert-maintained serving table converges to the same batch
+    // aggregate e01 flushes
+    "e15_stream_agg_table" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

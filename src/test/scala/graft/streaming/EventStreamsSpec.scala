@@ -299,6 +299,15 @@ class EventStreamsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("e15: the upsert-maintained serving table == the batch aggregate") {
+    val served = EventStreams.queries("e15_stream_agg_table")(spark, sfDir)
+      .collect().toSeq
+    val batch = EventStreams.windowedCounts(Tables.events(spark, sfDir))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(served.nonEmpty)
+    assert(served === batch)
+  }
+
   test("e14: id-keyed watermark dedup collapses re-stamped redeliveries") {
     // the jittered replay collapses back to exactly the events table...
     val out = EventStreams.queries("e14_jittered_dedup")(spark, sfDir)
