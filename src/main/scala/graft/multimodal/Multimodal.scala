@@ -158,7 +158,58 @@ object Multimodal {
         "n_bytes", "width", "height")
   }
 
+  /** Partial-content overlap across media payloads: SLIDING byte
+    * windows (size `windowBytes`, stride `stride` ≪ window) fingerprint
+    * each payload densely, and media sharing ≥ `minShared` windows
+    * surface as overlap pairs — the embedded/partial-duplicate
+    * detector (the same clip inside two different containers, an
+    * intro spliced into many videos) that m05's disjoint fixed frames
+    * under-sample. Offset contract, stated exactly: a shared region
+    * is caught iff its offset DELTA between the two payloads is a
+    * multiple of `stride` (both sides sample at stride-aligned
+    * positions) — stride 8 catches 8× more offsets than m05's
+    * frame-aligned dedup at 8× the window rows; stride 1 is full
+    * shift-invariance at len× cost, and content-defined chunking is
+    * the constant-factor alternative when arbitrary deltas matter.
+    *
+    * Same Σdf² candidate law as the text near-dup family: windows in
+    * more than `maxDf` media are boilerplate (codec headers, silence,
+    * black frames) and are excluded BEFORE the pair join — the df cap
+    * is what keeps the operator alive at corpus scale. Only windows
+    * shuffle, never whole payloads. */
+  def contentOverlap(media: DataFrame, idCol: String, payloadCol: String,
+      windowBytes: Int = 32, stride: Int = 8, maxDf: Int = 20,
+      minShared: Int = 2): DataFrame = {
+    require(stride >= 1 && windowBytes > stride,
+      "need overlapping windows: 1 <= stride < windowBytes")
+    val wins = media.select(col(idCol).as("id"),
+        explode(transform(
+          sequence(lit(0), greatest(
+            floor((octet_length(col(payloadCol)) - windowBytes)
+              .cast("double") / stride).cast("int"), lit(0))),
+          p => col(payloadCol).substr(p * stride + 1, lit(windowBytes))))
+          .as("win"))
+      .filter(octet_length(col("win")) === windowBytes)
+      .distinct()
+    val keep = wins.groupBy("win")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+    val shared = wins.join(keep.select("win"), Seq("win"), "left_semi")
+    shared.as("a").join(shared.as("b"),
+        col("a.win") === col("b.win") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   val queries: Map[String, Q] = Map(
+    // m08: overlap pairs over the synthetic payloads — the oracle
+    // replays the identical window/df/pair algebra on the text bytes
+    // (the corpus is pure ASCII, so character windows ARE the utf-8
+    // byte windows)
+    "m08_content_overlap" -> ((s, dir) =>
+      contentOverlap(syntheticMedia(s, dir), "media_id", "payload")
+        .orderBy("id_a", "id_b")),
     "m07_paired_samples" -> ((s, dir) =>
       pairedSamples(s, dir).orderBy("media_id")),
     // metadata + content addressing over binary payloads (oracle: DuckDB
@@ -259,6 +310,22 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // ASCII corpus: substr over text == the engine's byte windows
+    "m08_content_overlap" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id AS id, substr(text, p * 8 + 1, 32) AS win
+        |  FROM documents,
+        |       unnest(range(0, greatest((length(text) - 32) // 8, 0) + 1))
+        |         AS t(p)
+        |  WHERE length(substr(text, p * 8 + 1, 32)) = 32),
+        |keep AS (SELECT win FROM w GROUP BY win
+        |         HAVING COUNT(*) > 1 AND COUNT(*) <= 20),
+        |sh AS (SELECT id, win FROM w SEMI JOIN keep USING (win))
+        |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.win = b.win AND a.id < b.id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // both gate expressions replayed verbatim; kind/width/height are
     // m01's derivations
     "m07_paired_samples" ->

@@ -81,4 +81,34 @@ class MultimodalSpec extends SparkSpec {
       .as[Int].head()
     assert(n === 4)
   }
+
+  test("m08: embedded content found at stride-aligned deltas — and only those") {
+    // payload B embeds a 200-byte region of A at delta 16 (≡ 0 mod 8):
+    // every aligned window of the region matches → a strong pair.
+    // payload C embeds the same region at delta 3: per the documented
+    // offset contract the aligned windows never line up — no pair.
+    // D is unrelated and must pair with nothing.
+    def bytes(s: String) = s.getBytes("UTF-8")
+    val region = (0 until 200).map(i => ('a' + (i * 7 % 26)).toChar)
+      .mkString
+    val junk1 = (0 until 16).map(i => ('0' + (i % 10)).toChar).mkString
+    val junk2 = (0 until 3).map(_ => 'z').mkString
+    val rows = Seq(
+      (1L, bytes(region + "tailtailtail")),
+      (2L, bytes(junk1 + region)),          // delta 16: caught
+      (3L, bytes(junk2 + region)),          // delta 3: structurally missed
+      (4L, bytes("completely unrelated payload body with no overlap at all"))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.contentOverlap(rows, "media_id", "payload",
+      windowBytes = 32, stride = 8, maxDf = 20, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.contains((1L, 3L)))
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+    // stride 1 = full shift-invariance: now the delta-3 embed is found
+    val dense = Multimodal.contentOverlap(rows, "media_id", "payload",
+      windowBytes = 32, stride = 1, maxDf = 20, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dense.contains((1L, 3L)))
+  }
 }
