@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NormalizeNfc].getName,
         functions.TextFunctions.nfcName),
       (children: Seq[Expression]) => NormalizeNfc(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier(functions.ChunkFunctions.cdcName),
+      new ExpressionInfo(classOf[functions.CdcBounds].getName,
+        functions.ChunkFunctions.cdcName),
+      functions.ChunkFunctions.builder _))
     // timeline observability: SELECT * FROM graft_commits('<path>')
     ext.injectTableFunction((
       FunctionIdentifier(graft.sql.GraftTableFunctions.commitsName),

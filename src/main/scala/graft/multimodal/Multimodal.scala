@@ -202,7 +202,56 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Content-defined chunks per payload: the
+    * [[graft.functions.CdcBounds]] boundary expression sliced into
+    * (chunk_idx, start, len, sha256 fingerprint) rows — boundaries
+    * move with the content, so identical regions at ANY offset delta
+    * produce identical chunk fingerprints (the shift-invariant dedup
+    * primitive [[contentOverlap]]'s aligned windows structurally
+    * miss). Narrow and codegen'd end to end; only fingerprints need
+    * ever shuffle downstream. */
+  def cdcChunks(media: DataFrame, idCol: String, payloadCol: String,
+      k: Int = 8, base: Int = 31, modulus: Int = 1 << 20,
+      divisor: Int = 16): DataFrame = {
+    val bnds = graft.functions.ChunkFunctions
+      .cdcBounds(col(payloadCol), k, base, modulus, divisor)
+    media
+      .select(col(idCol).as("id"), col(payloadCol).as("p"),
+        bnds.as("bnds"))
+      .select(col("id"), col("p"),
+        posexplode(transform(col("bnds"), (e, i) =>
+          struct(
+            when(i === 0, lit(1))
+              .otherwise(element_at(col("bnds"), i) + 1).as("start"),
+            e.as("end")))).as(Seq("chunk_idx", "c")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start").cast("long").as("start"),
+        (col("c.end") - col("c.start") + 1).cast("long").as("len"),
+        sha2(col("p").substr(col("c.start"),
+          col("c.end") - col("c.start") + 1), 256).as("fp"))
+  }
+
+  /** Cross-media shared content-defined chunks — m05's exact-dedup
+    * algebra over [[cdcChunks]] fingerprints: shift-invariant partial
+    * duplication, the report m08 can only produce for stride-aligned
+    * deltas. */
+  def cdcSharedChunks(media: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    cdcChunks(media, idCol, payloadCol)
+      .groupBy("fp")
+      .agg(countDistinct(col("id")).as("n_media"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("id")).as("keeper_media"),
+        min(col("len")).as("chunk_len"))
+      .filter(col("n_media") > 1)
+
   val queries: Map[String, Q] = Map(
+    // m09: shift-invariant shared chunks; the oracle restates the
+    // rolling hash directly (O(len·k) — affordable relationally) over
+    // the same ASCII bytes and replays the dedup aggregate
+    "m09_cdc_chunks" -> ((s, dir) =>
+      cdcSharedChunks(syntheticMedia(s, dir), "media_id", "payload")
+        .orderBy("fp")),
     // m08: overlap pairs over the synthetic payloads — the oracle
     // replays the identical window/df/pair algebra on the text bytes
     // (the corpus is pure ASCII, so character windows ARE the utf-8
@@ -309,7 +358,38 @@ object Multimodal {
         s"THEN ${1L << b} ELSE 0 END)").mkString(" + ")
   }
 
+  /** m09 oracle: the rolling hash restated directly (weight B^j on the
+    * j-th byte back from each end position — identical mod-M algebra),
+    * boundaries ∪ the final position, chunks sliced by lag, sha256
+    * over the same ASCII bytes. */
+  private def m09OracleSql(k: Int, base: Int, modulus: Int,
+      divisor: Int): String = {
+    val pows = (0 until k).map(j => BigInt(base).pow(j))
+      .mkString("[", ",", "]")
+    s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+       |h AS (SELECT id, p,
+       |        list_sum(list_transform(range(0, $k),
+       |          j -> ord(substr(text, p - j, 1)) * ($pows)[j + 1]))
+       |          % $modulus AS hv
+       |      FROM d, unnest(range($k, length(text) + 1)) AS t(p)),
+       |bnd AS (SELECT DISTINCT id, p FROM h WHERE hv % $divisor = 0
+       |        UNION SELECT id, length(text) FROM d),
+       |o AS (SELECT id, p AS e,
+       |        lag(p, 1, 0) OVER (PARTITION BY id ORDER BY p) AS prev
+       |      FROM bnd),
+       |ch AS (SELECT o.id, sha256(substr(d.text, prev + 1, e - prev))
+       |         AS fp, e - prev AS len
+       |       FROM o JOIN d USING (id))
+       |SELECT fp, COUNT(DISTINCT id) AS n_media,
+       |  COUNT(*) AS n_occurrences, MIN(id) AS keeper_media,
+       |  MIN(len) AS chunk_len
+       |FROM ch GROUP BY fp HAVING COUNT(DISTINCT id) > 1
+       |ORDER BY fp""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "m09_cdc_chunks" -> m09OracleSql(k = 8, base = 31,
+      modulus = 1 << 20, divisor = 16),
     // ASCII corpus: substr over text == the engine's byte windows
     "m08_content_overlap" ->
       """WITH w AS (

@@ -111,4 +111,46 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(dense.contains((1L, 3L)))
   }
+
+  test("m09: content-defined chunks are shift-invariant — delta 3 caught") {
+    // the SAME region embedded at deltas 16 AND 3: CDC boundaries move
+    // with the content, so both embeds share interior chunk
+    // fingerprints with the original — including the delta-3 case the
+    // stride-8 window detector (m08 spec above) structurally misses
+    def bytes(s: String) = s.getBytes("UTF-8")
+    // aperiodic region: a short-period pattern can dodge every
+    // boundary condition (hash sequence inherits the period), leaving
+    // zero interior chunks to share — seeded Random is deterministic
+    // (JDK-specified LCG) and boundary-dense
+    val rnd = new scala.util.Random(42)
+    val region = (0 until 200).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .mkString
+    val rows = Seq(
+      (1L, bytes(region + "tailtailtail")),
+      (2L, bytes("0123456789012345" + region)), // delta 16
+      (3L, bytes("zzz" + region)),              // delta 3
+      (4L, bytes("completely unrelated payload body with no overlap"))
+    ).toDF("media_id", "payload")
+    val chunks = Multimodal.cdcChunks(rows, "media_id", "payload")
+    // chunk slicing is exact: per payload, chunks tile [1, len]
+    val tiles = chunks.groupBy("id")
+      .agg(min($"start").as("mn"), max($"start" + $"len" - 1).as("mx"),
+        sum($"len").as("total"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("total")))
+      .toMap
+    rows.select($"media_id", octet_length($"payload").cast("long"))
+      .as[(Long, Long)].collect().foreach { case (id, len) =>
+        assert(tiles(id) === ((1L, len, len)), s"media $id mis-tiled")
+      }
+    val shared = Multimodal.cdcSharedChunks(rows, "media_id", "payload")
+    val byFp = chunks.select($"id", $"fp").as[(Long, String)]
+      .collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    def pairShares(a: Long, b: Long) =
+      byFp.values.count(s => s.contains(a) && s.contains(b))
+    assert(pairShares(1L, 2L) >= 2, "delta-16 embed must share chunks")
+    assert(pairShares(1L, 3L) >= 2, "delta-3 embed must share chunks")
+    assert(pairShares(1L, 4L) === 0)
+    assert(shared.count() > 0)
+  }
 }
