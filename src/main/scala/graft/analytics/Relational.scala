@@ -434,6 +434,39 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Q54 — EXISTS + NOT EXISTS double correlation (the TPC-H Q21
+    * shape, on the columns this lake carries): suppliers who were the
+    * SOLE supplier with a returned item inside a multi-supplier order
+    * — "who alone is to blame", the classic two-correlated-subquery
+    * query. The correlated form re-scans lineitem TWICE per candidate
+    * row (once per EXISTS); decorrelated it is two chained aggregates
+    * over ONE lineitem scan — per-(order, supplier) return flags, then
+    * per-order supplier/return counts — and the two EXISTS become
+    * integer predicates on the reduced rows (n_supp > 1 catches "some
+    * other supplier exists", n_ret = 1 catches "no OTHER supplier
+    * returned", given this supplier did). Supplier names join on the
+    * already-supplier-sized count table (AQE picks the strategy — the
+    * dim is SF-scaled, q38's broadcast argument applies); the top-20
+    * is a TakeOrdered, not a global sort. */
+  val soleBlame: Q = (s, dir) => {
+    val li = lineitem(s, dir).select(
+      col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
+      (col("l_returnflag") === "R").cast("int").as("ret"))
+    val perOS = li.groupBy("okey", "skey")
+      .agg(max(col("ret")).as("returned"))
+    val perO = perOS.groupBy("okey")
+      .agg(count(lit(1)).as("n_supp"), sum(col("returned")).as("n_ret"))
+    perOS.join(perO, "okey")
+      .filter(col("returned") === 1 && col("n_supp") > 1 &&
+        col("n_ret") === 1)
+      .groupBy("skey").agg(count(lit(1)).as("numwait"))
+      .join(supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        col("skey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** Q39 — correlated subquery, decorrelated: for each order, how many
     * of its lineitems exceed the order's own average quantity. The
     * naive form is a correlated scalar subquery per row (re-aggregating
@@ -590,6 +623,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "q54_blame_exists" -> soleBlame,
     "q44_retention" -> retention,
     "q40_gapfill" -> gapfillLocf,
     "q41_funnel" -> funnel,
@@ -723,6 +757,24 @@ object Relational {
         |ORDER BY s1.user_id""".stripMargin,
     // the correlated subquery stated as the self-join DuckDB's
     // decorrelator would produce; the engine's window form must agree
+    // the CORRELATED form is the oracle (the engine ships the
+    // decorrelated two-aggregate plan; both must name the same
+    // suppliers with the same counts)
+    "q54_blame_exists" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |            FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "q39_correlated" ->
       """WITH agg AS (SELECT l_orderkey, COUNT(*) AS n_items,
         |                    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
