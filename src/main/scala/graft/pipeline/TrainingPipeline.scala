@@ -74,6 +74,36 @@ object TrainingPipeline {
       budgetTokens)
   }
 
+  /** Per-stage curation lineage: the funnel report (docs and tokens
+    * surviving each stage of the [[curate]] chain) every production
+    * curation run logs next to its output — the number that makes a
+    * silent over-aggressive filter VISIBLE before a training run
+    * consumes the corpus. Stage frames are the same lazy fragments
+    * [[curate]] composes (so the report can never disagree with the
+    * pipeline), reduced by four 1-row aggregates; each stage re-derives
+    * its chain prefix, the price of exact per-stage evidence — still
+    * metadata-sized output from one action, and the stage reductions
+    * are all map-side combined. */
+  def curationLineage(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budgetTokens: Long): DataFrame = {
+    val nTok = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    def stat(stage: String, df: DataFrame, tokens: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tokens), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    val keep = TextAnalysis.gopherRules(docs, idCol, textCol)
+      .filter(col("keep")).select(col(idCol))
+    val filtered = docs.join(keep, Seq(idCol), "left_semi")
+    val deduped = Dedup.dropExactDups(filtered, idCol, textCol)
+    val budgeted = Dedup.tokenBudgetSample(deduped, idCol, textCol,
+      strataCol, budgetTokens)
+    stat("0_raw", docs, nTok)
+      .unionByName(stat("1_gopher", filtered, nTok))
+      .unionByName(stat("2_dedup", deduped, nTok))
+      .unionByName(stat("3_budget", budgeted, col("n_tokens")))
+      .orderBy("stage")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -95,6 +125,11 @@ object TrainingPipeline {
         budgetTokens = 1500)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("lang", "doc_id")),
+    // p07: the funnel report over p01's exact chain — stage counts
+    // that can never disagree with the pipeline they describe
+    "p07_curation_lineage" -> ((s, dir) =>
+      curationLineage(Tables.documents(s, dir), "doc_id", "text",
+        "lang", budgetTokens = 1500)),
     // p05: the near-dup variant — the realistic production chain
     // (filter → LSH keeper → budget); the oracle chains t12's filter,
     // d16's recursive closure, and d12's budget walk, so any
@@ -106,6 +141,47 @@ object TrainingPipeline {
         .orderBy("lang", "doc_id")))
 
   val oracle: Map[String, String] = Map(
+    // the p01 chain's CTEs with four per-stage aggregates unioned
+    "p07_curation_lineage" -> {
+      val toksSql = TextAnalysis.toksSql
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS alpha_word_frac,
+         |  CAST(${TextAnalysis.stopEnSql} AS BIGINT) AS n_stop_hits
+         |  FROM t),
+         |g AS (SELECT doc_id FROM f
+         |      WHERE n_words >= 30 AND n_words <= 80
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND alpha_word_frac >= 0.8
+         |        AND n_stop_hits >= 2),
+         |dd AS (SELECT doc_id, lang, toks FROM (
+         |         SELECT t.*, row_number() OVER (
+         |           PARTITION BY md5(array_to_string(toks, ' '))
+         |           ORDER BY doc_id) AS rn
+         |         FROM t JOIN g USING (doc_id)) WHERE rn = 1),
+         |c AS (SELECT doc_id, lang,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM dd),
+         |sel AS (SELECT * FROM c WHERE cum_tokens <= 1500),
+         |s0 AS (SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+         |         CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS n_tokens
+         |       FROM t),
+         |s1 AS (SELECT '1_gopher', COUNT(*),
+         |         CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT)
+         |       FROM t JOIN g USING (doc_id)),
+         |s2 AS (SELECT '2_dedup', COUNT(*),
+         |         CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) FROM dd),
+         |s3 AS (SELECT '3_budget', COUNT(*),
+         |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM sel)
+         |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         |ORDER BY stage""".stripMargin
+    },
     // t12's filter, d16's recursive LSH closure (over the FULL corpus,
     // matching the engine's cluster-evidence design), d12's budget walk
     "p05_curation_neardup" -> {

@@ -94,4 +94,29 @@ class TrainingPipelineSpec extends SparkSpec {
     val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(after === before, "building the pipeline must run no Spark job")
   }
+
+  test("p07 lineage: monotone funnel, final stage agrees with p01") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val rows = TrainingPipeline
+      .curationLineage(docs, "doc_id", "text", "lang", 1500L)
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(rows.keySet ===
+      Set("0_raw", "1_gopher", "2_dedup", "3_budget"))
+    // each stage can only shrink the corpus
+    val order = Seq("0_raw", "1_gopher", "2_dedup", "3_budget")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._1 <= rows(a)._1, s"$b grew docs vs $a")
+      assert(rows(b)._2 <= rows(a)._2, s"$b grew tokens vs $a")
+    }
+    assert(rows("0_raw")._1 === docs.count())
+    // the funnel genuinely narrows on this corpus (no vacuous stages)
+    assert(rows("3_budget")._1 < rows("0_raw")._1)
+    // the report's final stage IS the pipeline's output
+    val p01 = TrainingPipeline.curate(docs, "doc_id", "text", "lang",
+      1500L)
+    assert(rows("3_budget")._1 === p01.count())
+    assert(rows("3_budget")._2 ===
+      p01.agg(sum($"n_tokens")).head().getLong(0))
+  }
 }
