@@ -194,6 +194,25 @@ class SimilaritySpec extends SparkSpec {
       .filter(abs($"v2" - $"v1" * 2) > 1e-9).count() === 0)
   }
 
+  test("s11 rerank: recall never below the quantized scan's") {
+    val brute = Similarity.bruteTopK(corpus, queries, 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sqTopK(corpus, queries, 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val rr = Similarity.rerankTopK(corpus, queries, 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long)]) =
+      (s & brute).size.toDouble / brute.size
+    assert(rr.size === brute.size) // k filled per query
+    assert(recall(rr) >= recall(sq),
+      s"refinement lowered recall: ${recall(rr)} < ${recall(sq)}")
+    // the exact pass re-scores CANDIDATES only — every reranked hit
+    // must come from the quantized over-fetch
+    val cand = Similarity.sqTopK(corpus, queries, 40)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(rr.subsetOf(cand))
+  }
+
   test("hybrid RRF: fused ranks are dense, scores recompute from ranks") {
     val out = Similarity.queries("s09_hybrid_rrf")(spark, sfDir).collect()
     val byQuery = out.groupBy(_.getAs[Long]("query_id"))

@@ -332,6 +332,34 @@ class EventStreamsSpec extends SparkSpec {
       "ts-keyed dedup unexpectedly caught re-stamped duplicates")
   }
 
+  test("tws == fmgws under REAL late data (same input filter, same algebra)") {
+    // the e09/e10/e11 disorder split: even arrivals first, an empty
+    // middle batch, then mostly-late odds. Both state APIs sit behind
+    // the SAME late-input watermark filter (SPARK-39931 semantics),
+    // so their session inventories must be identical row-for-row —
+    // pins that migrating e02-style state machines to the modern API
+    // changes nothing under disorder, not just on ordered input
+    def split(ev: org.apache.spark.sql.DataFrame) = Seq(
+      ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" === -42L),
+      ev.filter($"event_id" % 2 === 1))
+    val legacy = EventStreams.drainCustomBatches(spark, sfDir,
+      "late_fmgws", split)(EventStreams.sessionize(spark, _))
+      .filter($"user_id" >= 0)
+      .select("user_id", "start_ts", "end_ts", "n_events", "total_value")
+      .collect().toSeq
+    val tws = EventStreams.withRocksDb(spark) {
+      EventStreams.drainCustomBatches(spark, sfDir,
+        "late_tws", split)(EventStreams.sessionizeTws(spark, _))
+        .filter($"user_id" >= 0)
+        .select("user_id", "start_ts", "end_ts", "n_events",
+          "total_value")
+        .collect().toSeq
+    }
+    assert(legacy.nonEmpty)
+    assert(tws.sortBy(r => (r.getLong(0), r.getLong(1)))
+      === legacy.sortBy(r => (r.getLong(0), r.getLong(1))))
+  }
+
   test("e13: transformWithState sessionizer == flatMapGroupsWithState") {
     // the modern and legacy state APIs must produce the IDENTICAL
     // session inventory over the full corpus drain — same starts, same
