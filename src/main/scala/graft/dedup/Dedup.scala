@@ -747,6 +747,33 @@ object Dedup {
         col("n_docs"), col("df"), col("lift"))
   }
 
+  /** Cluster-balanced token budget: [[tokenBudgetSample]] with the
+    * stratum being each document's SEMANTIC CLUSTER (the shared
+    * deterministic Lloyd assignment over the paired embeddings)
+    * instead of a metadata column — every topical region of the
+    * corpus contributes up to `budgetTokens`, so a dominant topic
+    * cannot crowd the mixture however the metadata is labeled (the
+    * cluster-balanced selection move of SemDeDup-era curation:
+    * metadata strata balance what you RECORDED, semantic strata
+    * balance what the data actually IS).
+    *
+    * Scale shape: Lloyd assignment is capped-sample training +
+    * broadcast centroids (s03's machinery); the budget walk is one
+    * window shuffle on cluster id. Deterministic: md5-ordered walk,
+    * integer token counts. */
+  def clusterBudgetSample(emb: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, budgetTokens: Long, k: Int = 8, iters: Int = 2,
+      maxTrainVectors: Int = 256): DataFrame = {
+    import graft.similarity.Similarity
+    val cents = Similarity.kmeansCentroids(emb, k, iters, maxTrainVectors)
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cells = Similarity.assign(e, cents)
+      .select(col("vec_id").as(idCol), col("cid"))
+    tokenBudgetSample(docs.join(cells, idCol), idCol, textCol, "cid",
+      budgetTokens)
+  }
+
   /** Fuzzy vocabulary matching: every pair of DISTINCT corpus tokens
     * within `maxDist` Levenshtein edits, with a canonical-form vote
     * (the higher-df spelling wins, ties to the lexically-smaller) —
@@ -813,6 +840,12 @@ object Dedup {
       clusterTopics(Tables.embeddings(s, dir), Tables.documents(s, dir),
         "doc_id", "text")
         .orderBy("cid", "rank")),
+    // d22: the d12 budget walk with SEMANTIC strata (d21's cells)
+    "d22_cluster_budget" -> ((s, dir) =>
+      clusterBudgetSample(Tables.embeddings(s, dir),
+        Tables.documents(s, dir), "doc_id", "text", budgetTokens = 1500)
+        .select("doc_id", "cid", "n_tokens", "cum_tokens")
+        .orderBy("cid", "doc_id")),
     "d02_minhash_sig" -> ((s, dir) =>
       lshBands(minhashSignatures(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id").orderBy("doc_id", "band")),
@@ -1211,6 +1244,27 @@ object Dedup {
          |         AS keep
          |FROM cells c
          |ORDER BY vec_id""".stripMargin
+    },
+    // the same Lloyd chain as d21, then d12's md5-ordered budget walk
+    // partitioned by cluster id
+    "d22_cluster_budget" -> {
+      import graft.similarity.Similarity.{assignCteSql, lloydCtesSql}
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM e),
+         |${lloydCtesSql(8, 2, 256)},
+         |${assignCteSql("cells", "c2", "corpus")},
+         |t AS (SELECT d.doc_id, cells.cid,
+         |        CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n_tokens
+         |      FROM documents d JOIN cells ON d.doc_id = cells.vec_id),
+         |c AS (SELECT doc_id, cid, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY cid
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, cid, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 1500
+         |ORDER BY cid, doc_id""".stripMargin
     },
     "d21_cluster_topics" -> {
       import graft.similarity.Similarity.{assignCteSql, lloydCtesSql}

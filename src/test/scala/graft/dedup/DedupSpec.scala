@@ -337,6 +337,17 @@ class DedupSpec extends SparkSpec {
     assert(s2 === Seq("a b c", "b c d"))
   }
 
+  test("cluster budget: every cluster capped, walk matches metadata-strata law") {
+    val out = Dedup.clusterBudgetSample(
+      graft.Tables.embeddings(spark, sfDir),
+      graft.Tables.documents(spark, sfDir), "doc_id", "text", 1500L)
+      .select("cid", "cum_tokens").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    // the cap holds per CLUSTER, and more than one cluster contributes
+    assert(out.forall(_._2 <= 1500L))
+    assert(out.map(_._1).distinct.length > 1)
+  }
+
   test("cluster topics: every cluster reported, lift recomputes exactly") {
     val out = Dedup.clusterTopics(
       graft.Tables.embeddings(spark, sfDir),
