@@ -81,6 +81,37 @@ object OrderPipeline {
         col("direction").as("type"))).as("result"),
       col("exchange"), col("pair"), col("validate"))
 
+  /** S3 production seam: order placement through an [[ExchangeClient]]
+    * inside `mapPartitions` — one client per partition (amortized
+    * connection setup), closed after the partition drains, each order
+    * one `placeOrder` call. Column contract identical to
+    * [[fakeFulfill]]; with [[FakeExchangeClient]] the OUTPUT is
+    * identical too (spec-pinned), so a real client swap changes
+    * transport only. `mkClient` must be serializable (it ships to
+    * executors); the returned client must not. */
+  def clientFulfill(orders: DataFrame,
+      mkClient: () => ExchangeClient): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders
+      .select(col("pair"), col("direction"), col("ordertype"),
+        col("volume"), col("validate"), col("exchange"))
+      .as[(String, String, String, String, Boolean, String)]
+      .mapPartitions { it =>
+        val client = mkClient() // per-partition init, not per-record
+        val rows = it.map { case (pair, dir, otype, vol, validate, exch) =>
+          val p = client.placeOrder(pair, dir, otype, vol, validate)
+          (p.transactionId.orNull, p.timestamp, p.result, exch, pair,
+            validate)
+        }
+        // close AFTER the iterator drains (appending a lazily-evaluated
+        // empty suffix — mapPartitions must never materialize the rows)
+        rows ++ { client.close(); Iterator.empty }
+      }
+      .toDF("transaction_id", "timestamp", "result", "exchange", "pair",
+        "validate")
+  }
+
   /** Execute stage: returns (fulfilled orders ready for the pending
     * sink, pending control records for the queue). Fails fast on
     * unregistered exchanges, mirroring the reference's error path. */

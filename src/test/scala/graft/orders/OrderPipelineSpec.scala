@@ -58,6 +58,36 @@ class OrderPipelineSpec extends SparkSpec {
     assert(raw.isNullAt(raw.fieldIndex("transaction_id")))
   }
 
+  test("S3 seam: mapPartitions client == the fakeFulfill expression") {
+    // the production seam with the deterministic fake client must
+    // reproduce the expression path byte-for-byte — swapping in a real
+    // client changes transport, never pipeline semantics
+    val cfg = config(goodRow,
+      ("kraken", "sell", "limit", "5", "BTCGBP", false, true),
+      ("kraken", "buy", "market", "10", "ETHGBP", true, true),
+      ("coinbase", "buy", "market", "2", "SOLUSD", false, true))
+    val viaExpr = OrderPipeline.fakeFulfill(cfg).collect().toSet
+    val viaClient = OrderPipeline
+      .clientFulfill(cfg, () => new FakeExchangeClient).collect().toSet
+    assert(viaClient === viaExpr)
+  }
+
+  test("S3 seam: one client per partition, closed after the drain") {
+    OrderPipelineSpec.inits.set(0)
+    OrderPipelineSpec.closes.set(0)
+    val cfg = config(goodRow,
+      ("kraken", "sell", "limit", "5", "BTCGBP", false, true),
+      ("coinbase", "buy", "market", "2", "SOLUSD", false, true))
+      .repartition(2)
+    val n = OrderPipeline
+      .clientFulfill(cfg, () => new CountingFakeClient).count()
+    assert(n === 3)
+    // lifecycle contract: exactly one init and one close per partition
+    // (per-record construction is what kills a real HTTP client)
+    assert(OrderPipelineSpec.inits.get() === 2)
+    assert(OrderPipelineSpec.closes.get() === 2)
+  }
+
   test("executeOrders fails on unregistered exchange (P4)") {
     val e = intercept[IllegalArgumentException] {
       OrderPipeline.executeOrders(spark,
@@ -130,5 +160,21 @@ class OrderPipelineSpec extends SparkSpec {
     assert(loaded.select("transaction_id").as[String].head() === txid)
     assert(loaded.schema("close_time").dataType ===
       org.apache.spark.sql.types.TimestampType)
+  }
+}
+
+/** JVM-static lifecycle counters for the seam spec (local[*] executors
+  * share the JVM, so statics observe executor-side events). */
+object OrderPipelineSpec {
+  val inits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** [[FakeExchangeClient]] instrumented with lifecycle counters. */
+class CountingFakeClient extends FakeExchangeClient {
+  OrderPipelineSpec.inits.incrementAndGet()
+  override def close(): Unit = {
+    OrderPipelineSpec.closes.incrementAndGet()
+    ()
   }
 }
