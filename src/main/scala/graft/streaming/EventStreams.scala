@@ -172,6 +172,15 @@ object EventStreams {
 
   final case class SessionIn(user_id: Long, ts: java.sql.Timestamp,
       value: Double)
+  final case class TypedIn(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+  /** Exact-decimal accumulator (the [[graft.Tables]] numeric policy in
+    * state form): per-type totals can span hundreds of events, past
+    * the length where a double fold's order stops being replayable —
+    * decimal sums are order-free by construction. */
+  final case class TypeAcc(n: Long, total: BigDecimal, last: Long)
+  final case class ProfileOut(user_id: Long, event_type: String,
+      n_events: Long, total_value: Double)
   final case class SessionState(start: Long, last: Long, n: Int,
       total: Double)
   final case class SessionOut(user_id: Long, start_ts: Long, end_ts: Long,
@@ -249,6 +258,34 @@ object EventStreams {
       .select(col("user_id"), col("ts"), col("value")).as[SessionIn]
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Dormant-user profile flush on `transformWithState` MAP state: a
+    * per-user MapState accumulates (event_type → count, value total),
+    * and the profile is emitted — and the state EVICTED — whenever the
+    * user goes dormant past `retentionMs`: by event-time timer when
+    * the dormancy spans micro-batches, by an inline walk when a gap
+    * falls inside one batch (Spark processes a batch's input before
+    * its expired timers, so a returning user would otherwise merge
+    * into state the timer has not flushed yet — the same in-batch
+    * split the sessionizer does for gaps). This is the "flush and
+    * forget dormant users" pattern that keeps per-entity state bounded
+    * by the ACTIVE population, not the all-time one. Exercises the API
+    * surface e13's ValueState machine doesn't: keyed sub-state (one
+    * map entry per event type) mutated in place, iterated at flush.
+    * Totals are exact decimals (the Tables numeric policy in state
+    * form — order-free sums, replayable at any profile length). */
+  def profileTws(spark: SparkSession, events: DataFrame,
+      retentionMs: Long = 24 * 3600 * 1000L,
+      lateness: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[TypedIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor(retentionMs),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
@@ -565,6 +602,15 @@ object EventStreams {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // e16: transformWithState MAP state — per-user per-type profiles
+    // flushed at every 24h dormancy boundary (timer between batches,
+    // inline walk within one); the inventory equals the 24h-gap
+    // islands aggregated per type, exact decimals
+    "e16_tws_profile" -> ((s, dir) => withRocksDb(s) {
+      drainAvailableNow(s, dir, "e16_sink")(profileTws(s, _))
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "event_type", "n_events", "total_value")
+    }),
     // e13: the SAME session inventory as e02, computed by the modern
     // transformWithState processor (timers + ValueState on RocksDB)
     // instead of flatMapGroupsWithState — one oracle, two state APIs
@@ -721,6 +767,23 @@ object EventStreams {
     * times like the engine state, value sum as an ORDER BY ts sequential
     * fold matching the engine's in-order accumulation. */
   val oracle: Map[String, String] = Map(
+    // dormancy-bounded profiles == 24h-gap islands per user, each
+    // island aggregated per event type (exact decimals; the output
+    // carries no island id, so rows order by ALL columns)
+    "e16_tws_profile" ->
+      """WITH e AS (SELECT user_id, ts, event_type, value,
+        |             epoch_ms(ts) AS t FROM events),
+        |m AS (SELECT *, CASE WHEN t - lag(t) OVER (
+        |        PARTITION BY user_id ORDER BY ts, value)
+        |        > 86400000 THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |        ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM m)
+        |SELECT user_id, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM g GROUP BY user_id, grp, event_type
+        |ORDER BY user_id, event_type, n_events, total_value""".stripMargin,
     // e13 must equal e02 row-for-row: same gaps-and-islands rewrite,
     // same ms epochs, same in-order value fold
     "e13_tws_sessions" ->
@@ -954,6 +1017,71 @@ object EventStreams {
   * `handleExpiredTimer` closes a session exactly when the watermark
   * passes its last event + gap (the timer is re-registered on every
   * extension, so an expiry always refers to the CURRENT session). */
+/** The [[EventStreams.profileTws]] state machine: MapState keyed by
+  * event type, one live timer per user at `last activity + retention`.
+  * `handleExpiredTimer` iterates the map, emits one row per type, and
+  * clears everything — emission order is irrelevant (the profile is a
+  * set; the query canonicalizes with ORDER BY). */
+class ProfileProcessor(retentionMs: Long) extends StatefulProcessor[
+    Long, EventStreams.TypedIn, EventStreams.ProfileOut] {
+  import EventStreams.{ProfileOut, TypeAcc, TypedIn}
+
+  @transient private var state: org.apache.spark.sql.streaming
+    .MapState[String, TypeAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getMapState[String, TypeAcc]("profile",
+      Encoders.STRING, Encoders.product[TypeAcc], TTLConfig.NONE)
+
+  private def flush(user: Long): Vector[ProfileOut] = {
+    val out = state.iterator().map { case (tpe, acc) =>
+      ProfileOut(user, tpe, acc.n, acc.total.toDouble)
+    }.toVector
+    state.clear()
+    out
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[TypedIn],
+      timers: TimerValues): Iterator[ProfileOut] = {
+    // Spark processes a batch's INPUT before its expired timers, so a
+    // user returning after dormancy would merge into state the timer
+    // has not flushed yet — the retention boundary must therefore be
+    // handled INLINE, exactly like the sessionizer's in-batch gap
+    // split: sort by event time, flush whenever a gap exceeds the
+    // retention window. Totals are exact decimals (the Tables numeric
+    // policy in state form — order-free sums, replayable at any list
+    // length where a double fold would drift).
+    val sorted = rows.toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.value))
+    var out = Vector.empty[ProfileOut]
+    var last =
+      if (state.exists()) state.values().map(_.last).foldLeft(0L)(math.max)
+      else 0L
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      if (last > 0 && t - last > retentionMs && state.exists())
+        out ++= flush(user)
+      val cur =
+        if (state.containsKey(e.event_type)) state.getValue(e.event_type)
+        else TypeAcc(0L, BigDecimal(0), 0L)
+      val v = BigDecimal(e.value)
+        .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      state.updateValue(e.event_type,
+        TypeAcc(cur.n + 1, cur.total + v, math.max(cur.last, t)))
+      last = math.max(last, t)
+    }
+    if (last > 0) {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last + retentionMs)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(user: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[ProfileOut] =
+    if (state.exists()) flush(user).iterator else Iterator.empty
+}
+
 class SessionProcessor(gapMs: Long) extends StatefulProcessor[
     Long, EventStreams.SessionIn, EventStreams.SessionOut] {
   import EventStreams.{SessionIn, SessionOut, SessionState}

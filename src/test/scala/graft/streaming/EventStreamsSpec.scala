@@ -372,6 +372,69 @@ class EventStreamsSpec extends SparkSpec {
     assert(tws === legacy)
   }
 
+  test("e16: dormancy flush emits, evicts, and a returning user restarts") {
+    // user 1 is active, goes dormant past the retention window (their
+    // profile flushes and state evicts), then returns: the second
+    // activity burst must produce a SECOND, fresh profile row — the
+    // emission IS the retention boundary
+    val retentionMs = 60000L // 1 minute
+    def ts(s: Long) = new java.sql.Timestamp((86400 + s) * 1000)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val base = tmpDir("twsprof")
+    // batch 0: user 1 early activity; batch 1: watermark far past the
+    // retention window (flush fires); batch 2: user 1 returns
+    Seq((1L, ts(0), "click", 1.0), (1L, ts(10), "click", 2.0),
+      (1L, ts(5), "view", 4.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$base/in")
+    val fs = new org.apache.hadoop.fs.Path(s"$base/in")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/in"))
+      .map(_.getModificationTime).max
+    var known = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/in"))
+      .map(_.getPath.getName).toSet
+    def append(step: Int)(rows: Seq[(Long, java.sql.Timestamp, String, Double)]): Unit = {
+      rows.toDF("user_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/in"))
+        .filterNot(st => known.contains(st.getPath.getName))
+        .foreach(st => fs.setTimes(st.getPath, t0 + step * 60000L, -1))
+      known = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/in"))
+        .map(_.getPath.getName).toSet
+    }
+    append(1)(Seq((999L, ts(1000), "click", 0.0))) // watermark driver
+    append(2)(Seq((1L, ts(2000), "click", 8.0)))
+    append(3)(Seq((999L, ts(100000), "click", 0.0))) // final flush
+    EventStreams.withRocksDb(spark) {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = EventStreams.profileTws(spark, src, retentionMs,
+        lateness = "1 second")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_profiles")
+        .option("checkpointLocation", tmpDir("twsprofckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val rows = spark.table("tws_profiles")
+      .filter($"user_id" === 1L)
+      .select("event_type", "n_events", "total_value")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    // first flush: clicks (2 events, 3.0) + views (1 event, 4.0);
+    // second flush after the return: a FRESH click profile (1, 8.0)
+    assert(rows === Seq(("click", 1L, 8.0), ("click", 2L, 3.0),
+      ("view", 1L, 4.0)))
+  }
+
   test("e13: TWS timers close sessions on gap AND on watermark expiry") {
     val gapMs = 60000L
     def ts(s: Long) = new java.sql.Timestamp((86400 + s) * 1000)
