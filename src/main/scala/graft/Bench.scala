@@ -57,8 +57,26 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // Provenance header: BASELINE.md's r1/r2 lesson is that driver-run
+    // and builder-run figures disagree by up to 2x (box load); comparing
+    // across producers silently mixes regimes. Stamp the producing sha
+    // (read from .git, no subprocess), the producer flag (builder runs
+    // export SPARK_GRAFT_BENCH_PRODUCER=builder; the driver never sets
+    // it), and the start wall-clock — tools/bench_compare.py refuses
+    // cross-producer comparisons without an explicit override.
+    val sha = try {
+      val head = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/.git/HEAD")), "UTF-8").trim
+      if (head.startsWith("ref: "))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/.git/" + head.drop(5))),
+          "UTF-8").trim.take(12)
+      else head.take(12)
+    } catch { case _: Throwable => "unknown" }
+    val producer = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRODUCER", "driver")
+    val startedAt = java.time.Instant.now().toString
     val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sha":"$sha","producer":"$producer","started_at":"$startedAt","sf":"$sfDir","queries":$qs,"value":$total}"""
     // Durable record: the driver keeps only a bounded tail of stdout, so
     // a growing registry silently loses head-of-line per-query figures.
     // Persist the full record to the repo (committed per round) and print

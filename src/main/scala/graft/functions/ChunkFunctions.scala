@@ -79,7 +79,12 @@ object CdcBounds {
         i += 1
       }
     }
-    if (n > 0 && (out.isEmpty || out.last != n)) out += n
+    // ALWAYS terminate with a boundary at len — including len=0, where
+    // the single boundary yields one zero-length chunk (fp=sha256("")).
+    // This matches the oracle's `UNION SELECT id, length(text)` exactly;
+    // dropping it made two empty payloads invisible to chunk dedup
+    // while the oracle reported their shared empty chunk.
+    if (out.isEmpty || out.last != n) out += n
     new GenericArrayData(out.toArray)
   }
 }

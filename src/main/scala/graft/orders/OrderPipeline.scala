@@ -99,14 +99,17 @@ object OrderPipeline {
       .as[(String, String, String, String, Boolean, String)]
       .mapPartitions { it =>
         val client = mkClient() // per-partition init, not per-record
-        val rows = it.map { case (pair, dir, otype, vol, validate, exch) =>
+        // Close via the task-completion listener: it fires on normal
+        // drain, on early termination (limit/take stops pulling the
+        // iterator), AND on task failure — a lazy `++ {close}` suffix
+        // only covers the first, leaking a real HTTP client otherwise.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => client.close()))
+        it.map { case (pair, dir, otype, vol, validate, exch) =>
           val p = client.placeOrder(pair, dir, otype, vol, validate)
           (p.transactionId.orNull, p.timestamp, p.result, exch, pair,
             validate)
         }
-        // close AFTER the iterator drains (appending a lazily-evaluated
-        // empty suffix — mapPartitions must never materialize the rows)
-        rows ++ { client.close(); Iterator.empty }
       }
       .toDF("transaction_id", "timestamp", "result", "exchange", "pair",
         "validate")

@@ -49,9 +49,21 @@ object Wap {
     val before = beforeRow.getLong(0)
     val staged = Merge.upsertVersioned(s, batch, path, keyCols,
       precombine, partitionCols)
-    // materialize the verdict ONCE; the report rows double as evidence
-    val rep = Expectations.report(Merge.readTable(s, path), rules)
-    val rows = rep.collect()
+    // An audit that THROWS (bad rule, transient job failure) must not
+    // leave the staged — possibly poisoned — commit durable: the
+    // contract is "a bad batch can never become durable state", and
+    // that includes the error path, not just the rules-fail path.
+    // plan-building throws too (a rule naming a missing column fails at
+    // analysis, before any job runs) — it must be inside the guard
+    val (rep, rows) =
+      try {
+        val r = Expectations.report(Merge.readTable(s, path), rules)
+        (r, r.collect()) // materialize the verdict ONCE; rows = evidence
+      } catch {
+        case e: Throwable =>
+          Merge.restoreTo(s, path, before)
+          throw e
+      }
     val ok = rows.forall(_.getAs[Boolean]("pass"))
     if (!ok) Merge.restoreTo(s, path, before)
     import scala.jdk.CollectionConverters._

@@ -153,4 +153,28 @@ class MultimodalSpec extends SparkSpec {
     assert(pairShares(1L, 4L) === 0)
     assert(shared.count() > 0)
   }
+
+  test("m09: empty payloads chunk as one zero-length chunk (oracle contract)") {
+    // The m09 oracle's `UNION SELECT id, length(text)` emits a boundary
+    // even for len=0 — one zero-length chunk fp=sha256(''). The engine
+    // must agree, or two empty payloads are invisible to chunk dedup
+    // while the oracle reports their shared empty chunk.
+    val rows = Seq(
+      (1L, Array.empty[Byte]),
+      (2L, Array.empty[Byte]),
+      (3L, "some actual content here".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val chunks = Multimodal.cdcChunks(rows, "media_id", "payload")
+      .filter($"id" <= 2L)
+      .select($"id", $"chunk_idx", $"start", $"len", $"fp")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    val shaEmpty =
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    assert(chunks.toSeq === Seq(
+      (1L, 0L, 1L, 0L, shaEmpty), (2L, 0L, 1L, 0L, shaEmpty)))
+    val shared = Multimodal.cdcSharedChunks(rows, "media_id", "payload")
+      .select($"fp", $"n_media", $"keeper_media")
+      .as[(String, Long, Long)].collect()
+    assert(shared.toSeq === Seq((shaEmpty, 2L, 1L)))
+  }
 }

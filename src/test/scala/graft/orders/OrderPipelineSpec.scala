@@ -88,6 +88,23 @@ class OrderPipelineSpec extends SparkSpec {
     assert(OrderPipelineSpec.closes.get() === 2)
   }
 
+  test("S3 seam: client closes even when the consumer stops early") {
+    // limit(1) on a single partition means the iterator never drains;
+    // the task-completion listener must still close the client — a
+    // lazily-appended `++ {close}` suffix would leak a real HTTP client
+    OrderPipelineSpec.inits.set(0)
+    OrderPipelineSpec.closes.set(0)
+    val cfg = config(goodRow,
+      ("kraken", "sell", "limit", "5", "BTCGBP", false, true),
+      ("coinbase", "buy", "market", "2", "SOLUSD", false, true))
+      .coalesce(1)
+    val n = OrderPipeline
+      .clientFulfill(cfg, () => new CountingFakeClient).limit(1).count()
+    assert(n === 1)
+    assert(OrderPipelineSpec.inits.get() === OrderPipelineSpec.closes.get(),
+      "every constructed client must be closed on early termination")
+  }
+
   test("executeOrders fails on unregistered exchange (P4)") {
     val e = intercept[IllegalArgumentException] {
       OrderPipeline.executeOrders(spark,

@@ -71,6 +71,30 @@ class WapSpec extends SparkSpec {
       .collect().toSet === Set(1L, 2L, 3L))
   }
 
+  test("audit that THROWS also rolls the staged commit back") {
+    // A rule referencing a missing column makes the audit job itself
+    // fail — the error path must restore just like the rules-fail path,
+    // or a poisoned batch becomes durable state.
+    val path = freshTable()
+    Merge.upsertVersioned(spark,
+      Seq((1L, "a", 10.0, 1L)).toDF("k", "part", "v", "pre"),
+      path, Seq("k"), "pre", Seq("part"))
+    val beforeRows = Merge.readTable(spark, path)
+      .select("k", "part", "v", "pre").collect().toSet
+    val beforeCommits = Merge.commits(spark, path)
+      .select("commit_ts").as[Long].collect().toSet
+    val boom = Seq(Expectation("bad_rule", col("no_such_column") >= 0))
+    intercept[Throwable] {
+      Wap.writeAuditPublish(spark,
+        Seq((2L, "a", 20.0, 2L)).toDF("k", "part", "v", "pre"),
+        path, Seq("k"), "pre", Seq("part"), boom)
+    }
+    assert(Merge.readTable(spark, path)
+      .select("k", "part", "v", "pre").collect().toSet === beforeRows)
+    assert(Merge.commits(spark, path)
+      .select("commit_ts").as[Long].collect().toSet === beforeCommits)
+  }
+
   test("WAP refuses to stage onto a table with no restore anchor") {
     val path = freshTable()
     intercept[IllegalArgumentException] {

@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
 """Per-query bench regression check.
 
-Usage: tools/bench_compare.py NEW.json [OLD.json] [--ratio 1.5]
+Usage: tools/bench_compare.py NEW.json [OLD.json] [--ratio 1.5 | --ratio=1.5]
+                              [--allow-cross-producer]
 
 Compares two bench_full_*.json records (the durable per-query artifact
 graft.Bench writes) key by key, prints keys slower than --ratio times
 the old figure, new keys, and dropped keys.  Exit 1 if any regression
 crosses the bar (absolute floor 0.5 s — sub-second keys jitter with
 the JVM, not the plan).
+
+Records carry a provenance header {sha, producer, started_at}; mixing
+driver-run and builder-run figures disagreed by up to 2x in rounds 1-2
+(box load), so cross-producer comparisons are refused unless
+--allow-cross-producer is passed.  Headerless legacy records compare
+with a warning.
 """
 import json
 import sys
@@ -15,17 +22,45 @@ import sys
 
 def load(p):
     with open(p) as f:
-        return json.load(f)["queries"]
+        d = json.load(f)
+    return d["queries"], d.get("producer"), d.get("sha")
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args = []
     ratio = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--ratio"):
+    allow_cross = False
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--allow-cross-producer":
+            allow_cross = True
+        elif a.startswith("--ratio="):
             ratio = float(a.split("=", 1)[1])
-    new = load(args[0])
-    old = load(args[1] if len(args) > 1 else "bench_full_r8c.json")
+        elif a == "--ratio":
+            if i + 1 >= len(argv):
+                sys.exit("--ratio needs a value (e.g. --ratio 1.5)")
+            i += 1
+            ratio = float(argv[i])
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a}")
+        else:
+            args.append(a)
+        i += 1
+    if not args:
+        sys.exit(__doc__)
+    new, new_prod, new_sha = load(args[0])
+    old_path = args[1] if len(args) > 1 else "bench_full_r8c.json"
+    old, old_prod, old_sha = load(old_path)
+    if new_prod is None or old_prod is None:
+        print("warning: comparing a legacy record without a provenance "
+              "header — producer unknown", file=sys.stderr)
+    elif new_prod != old_prod and not allow_cross:
+        sys.exit(f"refusing cross-producer comparison ({new_prod} "
+                 f"sha={new_sha} vs {old_prod} sha={old_sha}): figures "
+                 "from different producers disagree by up to 2x (box "
+                 "load). Pass --allow-cross-producer to override.")
     added = sorted(set(new) - set(old))
     dropped = sorted(set(old) - set(new))
     bad = []
