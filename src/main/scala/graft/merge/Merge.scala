@@ -1679,7 +1679,12 @@ object Merge {
     val fs = fsFor(spark, path)
     fs.mkdirs(commitsDir(path))
     val parts = stats.partitions.sorted.mkString(",")
+    // wall_ms: the commit's RECORD wall-clock, written once here and
+    // never rewritten — what `TIMESTAMP AS OF` resolves against
+    // ([[commitAtWallClock]]). Subject to writer clock skew (documented
+    // there); commit ids stay the only ordering the engine trusts.
     val body = s"""{"commit_ts":$cts,"n_rows":${stats.nRows},""" +
+      s""""wall_ms":${System.currentTimeMillis()},""" +
       s""""partitions":${jsonQuote(parts)},""" +
       s""""files_added":${jsonArray(files.map(_.added).getOrElse(Nil))},""" +
       s""""files_removed":${jsonArray(files.map(_.removed).getOrElse(Nil))}}"""
@@ -1906,6 +1911,59 @@ object Merge {
       spark.read.schema(schema).json(spark.emptyDataset(
         org.apache.spark.sql.Encoders.STRING))
     else spark.read.schema(schema).json(recorded.map(_.toString): _*)
+  }
+
+  /** Resolve a wall-clock instant to a commit id: the LATEST recorded
+    * commit whose recorded `wall_ms` is ≤ `epochMs` — Hudi's
+    * `as.of.instant` semantics (`glue/interactive.sh:12` pins the
+    * release that accepts timestamps) on this timeline. Driver-side
+    * metadata read (one tiny JSON per commit), no Spark job.
+    *
+    * Honesty notes, matching the [[recordCommit]] caveat: `wall_ms` is
+    * the RECORDING writer's clock — multi-writer clock skew can make
+    * wall-clock order disagree with commit-id order, in which case the
+    * resolution still returns the max commit ID among those recorded
+    * at-or-before the instant (ids are the order the engine trusts).
+    * Commits recorded before this field existed carry no `wall_ms` and
+    * are treated as predating every instant (they did predate the
+    * feature); a table with ONLY such commits resolves to its latest
+    * legacy commit rather than refusing. */
+  def commitAtWallClock(spark: SparkSession, path: String,
+      epochMs: Long): Long = {
+    val fs = fsFor(spark, path)
+    val entries =
+      if (!fs.exists(commitsDir(path))) Nil
+      else fs.listStatus(commitsDir(path)).toSeq.map(_.getPath)
+        .filter(_.getName match {
+          case commitEntryRe(_, "json") => true
+          case _ => false
+        })
+    require(entries.nonEmpty, s"no commit timeline at $path")
+    val wallRe = """"wall_ms"\s*:\s*(\d+)""".r
+    val ctsRe = """"commit_ts"\s*:\s*(\d+)""".r
+    val eligible = entries.flatMap { p =>
+      val body = readSmallFile(fs, p)
+      val cts = ctsRe.findFirstMatchIn(body).map(_.group(1).toLong)
+      val wall = wallRe.findFirstMatchIn(body).map(_.group(1).toLong)
+      cts.filter(_ => wall.forall(_ <= epochMs))
+    }
+    require(eligible.nonEmpty,
+      s"no commit at $path recorded at or before epoch ms $epochMs " +
+        s"(earliest recorded commit is later) — use VERSION AS OF, or a " +
+        "later instant")
+    eligible.max
+  }
+
+  /** Recorded wall clock (`wall_ms`) of commit `cts`, if the record
+    * carries one (commits predating the field don't). Metadata read of
+    * one tiny file. */
+  def commitWallClock(spark: SparkSession, path: String,
+      cts: Long): Option[Long] = {
+    val fs = fsFor(spark, path)
+    val p = new Path(commitsDir(path), f"$cts%020d.json")
+    if (!fs.exists(p)) None
+    else """"wall_ms"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readSmallFile(fs, p)).map(_.group(1).toLong)
   }
 
   /** Incremental pull: rows last written by a commit AFTER `sinceTs`

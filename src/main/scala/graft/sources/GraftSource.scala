@@ -470,6 +470,60 @@ object GraftSourceQueries {
            |FROM x23_target
            |GROUP BY 1, 2
            |ORDER BY snap, l_returnflag""".stripMargin)
+    },
+
+    /** x29: `TIMESTAMP AS OF` — x23's exact shape, but the commit-1
+      * snapshot is addressed by its RECORDED WALL CLOCK instead of its
+      * id ([[graft.merge.Merge.commitAtWallClock]] resolves the
+      * instant; Hudi's `as.of.instant`). Shares x23's oracle verbatim:
+      * resolving an instant must be indistinguishable from naming the
+      * version. */
+    "x29_sql_time_travel_ts" -> { (s, dir) =>
+      val t = graft.util.Scratch.fresh("graft_x29_") + "/table"
+      graft.Tables.lineitem(s, dir).createOrReplaceTempView("x29_lineitem")
+      s.sql("DROP TABLE IF EXISTS x29_target")
+      s.sql(
+        s"""CREATE TABLE x29_target USING graft OPTIONS (
+           |  path '$t',
+           |  op 'upsert',
+           |  keys 'l_orderkey,l_linenumber',
+           |  precombine 'l_extendedprice',
+           |  partition 'l_returnflag',
+           |  versioned 'true')
+           |AS SELECT l_orderkey, l_linenumber, l_extendedprice,
+           |          l_returnflag
+           |   FROM x29_lineitem WHERE l_linenumber = 1""".stripMargin)
+      val c1 = graft.merge.Merge.commits(s, t)
+        .agg(org.apache.spark.sql.functions.max(col("commit_ts")))
+        .head.getLong(0)
+      val w1 = graft.merge.Merge.commitWallClock(s, t, c1)
+        .getOrElse(sys.error(s"commit $c1 carries no wall clock"))
+      // the instant addresses c1 INCLUSIVELY — make sure the next
+      // commit cannot record within the same millisecond (metadata
+      // wait, bounded by ~2 ms; real commits are seconds apart)
+      while (System.currentTimeMillis() <= w1 + 1) Thread.sleep(1)
+      s.sql(
+        """INSERT INTO x29_target
+          |  (l_orderkey, l_linenumber, l_extendedprice, l_returnflag)
+          |SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+          |FROM x29_lineitem WHERE l_linenumber = 2""".stripMargin)
+      // session TZ is UTC in every entrypoint; format the instant there
+      val lit = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(w1))
+      s.sql(
+        s"""SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |    AS total
+           |FROM x29_target TIMESTAMP AS OF '$lit'
+           |GROUP BY 1, 2
+           |UNION ALL
+           |SELECT 'current', l_returnflag, COUNT(*),
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |FROM x29_target
+           |GROUP BY 1, 2
+           |ORDER BY snap, l_returnflag""".stripMargin)
     })
 
   /** The oracle replays both upserts relationally: per-batch precombine
@@ -679,7 +733,15 @@ object GraftSourceQueries {
     /** The c1 snapshot is the deduped lnum=1 generation; current is the
       * union with the deduped lnum=2 insert (identities disjoint —
       * l_linenumber is a record key). */
-    "x23_sql_time_travel" ->
+    "x23_sql_time_travel" -> timeTravelOracle,
+
+    /** x29 shares x23's oracle VERBATIM: `TIMESTAMP AS OF` resolving
+      * the recorded instant must be indistinguishable from `VERSION AS
+      * OF` naming the commit — a drift between the two paths breaks
+      * the hash. */
+    "x29_sql_time_travel_ts" -> timeTravelOracle)
+
+  private lazy val timeTravelOracle: String =
       """WITH g1 AS (
         |  SELECT l_extendedprice, l_returnflag
         |  FROM (
@@ -706,7 +768,7 @@ object GraftSourceQueries {
         |SELECT 'current', l_returnflag, COUNT(*),
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |FROM cur GROUP BY 1, 2
-        |ORDER BY snap, l_returnflag""".stripMargin)
+        |ORDER BY snap, l_returnflag""".stripMargin
 }
 
 /** The read-side relation: wraps the resolved snapshot/incremental

@@ -50,6 +50,52 @@ class TimeTravelSpec extends SparkSpec {
     assert(maxStamp <= c2)
   }
 
+  test("commitAtWallClock: instant → latest commit recorded ≤ instant") {
+    val path = tmpDir("ttw") + "/table"
+    val (c1, c2, c3) = build3(path)
+    val w = Seq(c1, c2, c3).map(c =>
+      c -> Merge.commitWallClock(spark, path, c).get).toMap
+    // recording order is monotone on one writer
+    assert(w(c1) <= w(c2) && w(c2) <= w(c3))
+    // each commit's own instant resolves to it (inclusive ≤)... when
+    // the next commit recorded in a LATER millisecond; commits here are
+    // full Spark jobs, so the guard below documents the assumption
+    // rather than papering over a real tie
+    if (w(c1) < w(c2)) assert(Merge.commitAtWallClock(spark, path, w(c1)) === c1)
+    if (w(c2) < w(c3)) assert(Merge.commitAtWallClock(spark, path, w(c2)) === c2)
+    // far future → latest; before the first record → loud refusal
+    assert(Merge.commitAtWallClock(spark, path, w(c3) + 1000000L) === c3)
+    val e = intercept[IllegalArgumentException] {
+      Merge.commitAtWallClock(spark, path, w(c1) - 1000000L)
+    }
+    assert(e.getMessage.contains("no commit"))
+  }
+
+  test("commitAtWallClock: legacy records without wall_ms stay resolvable") {
+    val path = tmpDir("ttl") + "/table"
+    val (c1, _, c3) = build3(path)
+    // strip wall_ms from c1's record, simulating a commit written
+    // before the field existed — it must count as predating any instant
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_commits",
+      f"$c1%020d.json")
+    val body = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val stripped = body.replaceAll(""""wall_ms"\s*:\s*\d+,""", "")
+    assert(stripped != body, "fixture must actually strip the field")
+    val out = fs.create(p, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    // an instant before every RECORDED wall clock now resolves to the
+    // legacy commit (assumed to predate the feature), not a refusal
+    val wLater = Merge.commitWallClock(spark, path, c3).get
+    assert(Merge.commitAtWallClock(spark, path, 1L) === c1)
+    assert(Merge.commitAtWallClock(spark, path, wLater + 1000L) === c3)
+  }
+
   test("readAsOf before the first commit is the empty table") {
     val path = tmpDir("tt0") + "/table"
     build3(path)

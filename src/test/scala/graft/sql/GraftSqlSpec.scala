@@ -284,12 +284,38 @@ class GraftSqlSpec extends SparkSpec {
          |FROM sql_tt VERSION AS OF $c1
          |WHERE l_linenumber = 1 GROUP BY 1""".stripMargin).count()
     assert(flags > 0)
-    // TIMESTAMP AS OF: honest refusal (logical versions, no wall clock)
+    // TIMESTAMP AS OF: c1's recorded instant sees the pre-insert
+    // state; now() sees everything; pre-history instants refuse loudly
+    val w1 = graft.merge.Merge.commitWallClock(spark, path, c1).get
+    val w2 = graft.merge.Merge.commitWallClock(spark, path,
+      graft.merge.Merge.commits(spark, path)
+        .agg(max(col("commit_ts"))).head.getLong(0)).get
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    if (w1 < w2) { // distinct-ms guard, same honesty as the x29 key
+      assert(spark.sql(
+        s"SELECT count(*) FROM sql_tt TIMESTAMP AS OF " +
+          s"'${fmt.format(java.time.Instant.ofEpochMilli(w1))}'")
+        .head.getLong(0) === n1)
+    }
+    assert(spark.sql(
+      s"SELECT count(*) FROM sql_tt TIMESTAMP AS OF " +
+        s"'${fmt.format(java.time.Instant.ofEpochMilli(w2 + 60000L))}'")
+      .head.getLong(0) === nNow)
     val e = intercept[Exception] {
-      spark.sql("SELECT * FROM sql_tt TIMESTAMP AS OF '2024-01-01'")
+      spark.sql("SELECT * FROM sql_tt TIMESTAMP AS OF '1999-01-01'")
         .collect()
     }
-    assert(e.getMessage.contains("VERSION AS OF"))
+    assert(e.getMessage.contains("no commit"))
+    // an unreadable instant refuses with a clear message (the ANSI
+    // cast's own CAST_INVALID_INPUT — raised at resolution, not midway
+    // through a job)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM sql_tt TIMESTAMP AS OF 'not a time'")
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("timestamp"))
   }
 
   test("graft_commits table function serves the timeline through SQL") {
