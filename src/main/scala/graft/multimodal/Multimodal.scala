@@ -10,11 +10,12 @@ import graft.Tables
   *
   * The Spark-side plumbing is real — schema, partition-preserving
   * narrow transforms, typed mapPartitions batching — but the actual
-  * codec work is STUBBED (no image/audio libraries in this
-  * environment): [[stubDecode]] derives deterministic fake pixels from
-  * the payload bytes. Swapping in a real decoder is a one-function
-  * change; everything around it (batching, schema, partitioning) is
-  * production-shaped.
+  * codec work is stubbed (no image/audio libraries in this
+  * environment): the [[MediaCodec]] trait is the production seam, and
+  * its shipped [[StubMediaCodec]] derives deterministic fake pixels
+  * from the payload bytes. Swapping in a real decoder implements one
+  * trait; everything around it (batching, schema, partitioning) is
+  * production-shaped and spec-pinned unchanged.
   *
   * Scale notes: payloads never shuffle — all stages are narrow maps
   * over the scan partitioning. Feature extraction happens before any
@@ -59,33 +60,35 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       (col("n_chars") * 10).as("duration_ms"))
 
-  /** STUB decode ??? — replace with a real codec. Deterministic fake:
-    * "pixels" are a rolling byte-mix of the payload, folded into
-    * `featureDim` float features. Runs per-partition with explicit
-    * batched iteration — the exact shape a JNI/py-codec integration
-    * needs (amortized per-batch init, bounded memory).
+  /** Stub decode (deterministic fake — the container ships no codec
+    * libraries): "pixels" are a rolling byte-mix of the payload, folded
+    * into `featureDim` float features. The production integration point
+    * is the [[MediaCodec]] seam ([[codecDecode]]), spec-pinned
+    * byte-equal to this path; this inline form stays as the zero-setup
+    * default the driver keys run.
     *
     * Accumulation is DOUBLE precision with a single float narrowing at
     * the end: a float-accumulated fold would drift from any relational
     * restatement, while double-fold-then-narrow is reproducible in the
     * driver's DuckDB oracle (position-ordered SUM, then CAST(REAL)). */
-  def stubDecode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def stubDecode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    codecDecode(media, () => new StubMediaCodec)
+
+  /** Decode through the [[MediaCodec]] production seam: one codec per
+    * partition (amortized library/JNI/py-worker init — per-record
+    * construction is what kills a real codec), closed via the
+    * task-completion listener so early-terminating consumers and task
+    * failures release it too (the [[graft.orders.ExchangeClient]]
+    * lifecycle, applied to decoding). `mkCodec` must be serializable
+    * (it ships to executors); the constructed codec must not. */
+  def codecDecode(media: Dataset[MediaRecord],
+      mkCodec: () => MediaCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init happens HERE (real codecs: load the library
-      // once per partition, not per record)
-      it.map { m =>
-        val acc = new Array[Double](featureDim)
-        var i = 0
-        while (i < m.payload.length) {
-          // deterministic fake of pixel/sample decoding: byte mix
-          acc(i % featureDim) += (m.payload(i) & 0xFF) / 255.0
-          i += 1
-        }
-        val n = math.max(1, m.payload.length / featureDim)
-        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-          acc.map(v => (v / n).toFloat))
-      }
+      val codec = mkCodec() // per-partition init, not per-record
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => codec.close()))
+      it.map(codec.decode)
     }
   }
 

@@ -28,6 +28,39 @@ class MultimodalSpec extends SparkSpec {
       again.map(r => r.media_id -> r.features.toSeq).toMap)
   }
 
+  test("MediaCodec seam: trait path == the inline stub, byte-equal") {
+    // the production seam with the shipped stub codec must reproduce
+    // the inline path exactly — a real codec swap changes decode
+    // arithmetic only, never pipeline semantics (the ExchangeClient
+    // discipline applied to decoding)
+    val viaSeam = Multimodal.codecDecode(
+      media.as[Multimodal.MediaRecord], () => new StubMediaCodec)
+      .collect().map(r => r.media_id ->
+        (r.kind, r.n_bytes, r.features.toSeq)).toMap
+    val inline = Multimodal.stubDecode(media.as[Multimodal.MediaRecord])
+      .collect().map(r => r.media_id ->
+        (r.kind, r.n_bytes, r.features.toSeq)).toMap
+    assert(viaSeam === inline)
+  }
+
+  test("MediaCodec lifecycle: one codec per partition, closed even on " +
+      "early termination") {
+    MultimodalSpec.codecInits.set(0)
+    MultimodalSpec.codecCloses.set(0)
+    val two = media.as[Multimodal.MediaRecord].repartition(2)
+    Multimodal.codecDecode(two, () => new CountingStubCodec).count()
+    assert(MultimodalSpec.codecInits.get() === 2)
+    assert(MultimodalSpec.codecCloses.get() === 2)
+    MultimodalSpec.codecInits.set(0)
+    MultimodalSpec.codecCloses.set(0)
+    val one = media.as[Multimodal.MediaRecord].coalesce(1)
+    Multimodal.codecDecode(one, () => new CountingStubCodec)
+      .limit(1).count()
+    assert(MultimodalSpec.codecInits.get() ===
+      MultimodalSpec.codecCloses.get(),
+      "every constructed codec must close when the consumer stops early")
+  }
+
   test("stubDecode feature values bounded by construction (bytes/255)") {
     val feats = Multimodal.stubDecode(media.as[Multimodal.MediaRecord])
     assert(feats.collect().forall(_.features.forall(f => f >= 0f && f <= 2f)))
@@ -176,5 +209,20 @@ class MultimodalSpec extends SparkSpec {
       .select($"fp", $"n_media", $"keeper_media")
       .as[(String, Long, Long)].collect()
     assert(shared.toSeq === Seq((shaEmpty, 2L, 1L)))
+  }
+}
+
+/** JVM-global lifecycle counters — executor threads share this JVM in
+  * local mode (the OrderPipelineSpec counting pattern). */
+object MultimodalSpec {
+  val codecInits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val codecCloses = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+class CountingStubCodec extends StubMediaCodec {
+  MultimodalSpec.codecInits.incrementAndGet()
+  override def close(): Unit = {
+    MultimodalSpec.codecCloses.incrementAndGet()
+    super.close()
   }
 }
