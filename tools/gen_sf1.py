@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Generate an sf1-scale stress copy (~10x sf0.1) of the testdata.
+
+The driver ships sf{0.001,0.01,0.1} only; every scale claim so far is
+validated at sf0.1 (~600k lineitem rows), below the regime where
+shuffle partitioning and AQE decisions actually change. This tool
+synthesizes a 10x scale-up INTO THE REPO (sf1data/, git-ignored) for
+BENCH use only — correctness stays pinned to the driver's data + DuckDB
+oracles; nothing here feeds an oracle.
+
+Scaling rules (replica i in 0..9):
+  - lineitem / orders: key-shifted replicas (l_orderkey/o_orderkey +=
+    i*K with one shared K), so the order join keys stay consistent
+    across both tables and fact/fact joins scale honestly; dimension
+    FKs (custkey/partkey/suppkey) stay as-is — 10x fact rows per
+    dimension row, which is exactly how real facts grow.
+  - events: event_id and user_id shifted — 10x USERS with the original
+    per-user history, so sessionization/window state grows with
+    entities (the dimension that matters for state stores), while the
+    time range stays fixed (10x rows per hour window).
+  - documents: doc_id shifted; replicas i>0 get a distinct "r{i} "
+    token prefix (n_chars adjusted), so the corpus does NOT become a
+    degenerate 10-way exact-dup blowup — near-dup structure within
+    each replica is preserved, cross-replica shingles mostly differ.
+  - embeddings: vec_id shifted, vectors as-is (top-k over 10x
+    candidates; duplicate vectors are harmless to cost shape).
+  - dims (region/nation/customer/supplier/part): copied once.
+
+Usage: python3 tools/gen_sf1.py [/root/testdata/sf0.1 [sf1data]]
+"""
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REPLICAS = 10
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(root, "sf1data")
+    os.makedirs(dst, exist_ok=True)
+
+    def read(name):
+        return pq.read_table(f"{src}/{name}.parquet")
+
+    def write(name, table):
+        pq.write_table(table.replace_schema_metadata(None),
+                       f"{dst}/{name}.parquet", compression="snappy")
+        print(f"{name}: {table.num_rows} rows")
+
+    # dims: single copy
+    for dim in ["region", "nation", "customer", "supplier", "part"]:
+        write(dim, read(dim))
+
+    li, od = read("lineitem"), read("orders")
+    K = pc.max(od["o_orderkey"]).as_py() + 1
+
+    def shifted(table, col, step, i):
+        if i == 0:
+            return table
+        idx = table.schema.get_field_index(col)
+        return table.set_column(
+            idx, col, pc.add(table[col], pa.scalar(i * step,
+                                                   table[col].type)))
+
+    write("lineitem", pa.concat_tables(
+        [shifted(li, "l_orderkey", K, i) for i in range(REPLICAS)]))
+    write("orders", pa.concat_tables(
+        [shifted(od, "o_orderkey", K, i) for i in range(REPLICAS)]))
+
+    ev = read("events")
+    E = pc.max(ev["event_id"]).as_py() + 1
+    U = pc.max(ev["user_id"]).as_py() + 1
+    write("events", pa.concat_tables(
+        [shifted(shifted(ev, "event_id", E, i), "user_id", U, i)
+         for i in range(REPLICAS)]))
+
+    docs = read("documents")
+    D = pc.max(docs["doc_id"]).as_py() + 1
+    reps = []
+    for i in range(REPLICAS):
+        t = shifted(docs, "doc_id", D, i)
+        if i > 0:
+            prefix = f"r{i} "
+            ti = t.schema.get_field_index("text")
+            t = t.set_column(ti, "text",
+                             pc.binary_join_element_wise(
+                                 pa.scalar(prefix), t["text"], ""))
+            ni = t.schema.get_field_index("n_chars")
+            t = t.set_column(ni, "n_chars",
+                             pc.add(t["n_chars"],
+                                    pa.scalar(len(prefix), pa.int64())))
+        reps.append(t)
+    write("documents", pa.concat_tables(reps))
+
+    emb = read("embeddings")
+    V = pc.max(emb["vec_id"]).as_py() + 1
+    write("embeddings", pa.concat_tables(
+        [shifted(emb, "vec_id", V, i) for i in range(REPLICAS)]))
+    print(f"done -> {dst}")
+
+
+if __name__ == "__main__":
+    main()
