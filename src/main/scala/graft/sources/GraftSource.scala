@@ -81,7 +81,28 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     // metadata-scale (commit listing), not data-scale.
     def resolve(): DataFrame = {
     val mor = MorTable.isMor(spark, path)
-    val asOf = opt(parameters, "asOf").map(_.toLong)
+    // `asOfTimestamp` (epoch millis OR an ISO-8601 instant) is the
+    // API twin of SQL `TIMESTAMP AS OF`: resolved here to a commit id
+    // via the recorded per-commit wall clock, then served by the same
+    // snapshot read as `asOf` (Hudi's `as.of.instant` accepts both
+    // forms too). Mutually exclusive with `asOf` — two different
+    // answers to "which snapshot" must not silently pick one.
+    val asOfTs = opt(parameters, "asOfTimestamp").map { raw =>
+      val ms =
+        try raw.trim.toLong
+        catch {
+          case _: NumberFormatException =>
+            java.time.Instant.parse(raw.trim).toEpochMilli
+        }
+      Merge.commitAtWallClock(spark, path, ms)
+    }
+    val asOf = opt(parameters, "asOf").map(_.toLong) match {
+      case Some(c) if asOfTs.isDefined =>
+        throw new IllegalArgumentException(
+          "asOf and asOfTimestamp are mutually exclusive " +
+            s"(got asOf=$c and asOfTimestamp->commit ${asOfTs.get})")
+      case other => other.orElse(asOfTs)
+    }
     val since = opt(parameters, "sinceCommit").map(_.toLong)
     val changesAfter = opt(parameters, "changesAfter").map(_.toLong)
     (asOf, since, changesAfter) match {

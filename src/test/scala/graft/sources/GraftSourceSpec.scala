@@ -96,6 +96,34 @@ class GraftSourceSpec extends SparkSpec {
       .option("sinceCommit", commits.head.toString).load(t)
     assert(incr.count() === dedup(b2).count())
     assert(incr.filter(col("l_linenumber") =!= 2).isEmpty)
+    // asOfTimestamp (the API twin of SQL TIMESTAMP AS OF): commit 1's
+    // recorded instant serves the same snapshot, in both accepted
+    // forms — epoch millis and ISO-8601
+    val w1 = Merge.commitWallClock(spark, t, commits.head).get
+    val w2 = Merge.commitWallClock(spark, t, commits.last).get
+    if (w1 < w2) { // distinct-ms guard (commits are full Spark jobs)
+      val viaMs = spark.read.format("graft")
+        .option("asOfTimestamp", w1.toString).load(t)
+      assert(viaMs.count() === snap1.count())
+      assert(viaMs.filter(col("l_quantity") > 100).isEmpty)
+      val viaIso = spark.read.format("graft")
+        .option("asOfTimestamp",
+          java.time.Instant.ofEpochMilli(w1).toString).load(t)
+      assert(viaIso.count() === snap1.count())
+    }
+    // both options together must refuse, not silently pick one
+    val e = intercept[Exception] {
+      spark.read.format("graft")
+        .option("asOf", commits.head.toString)
+        .option("asOfTimestamp", w1.toString).load(t).count()
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+    // an instant before the first commit refuses loudly
+    val e2 = intercept[Exception] {
+      spark.read.format("graft")
+        .option("asOfTimestamp", (w1 - 1000000L).toString).load(t).count()
+    }
+    assert(e2.getMessage.contains("no commit"))
   }
 
   test("format(graft): filters and pruning answer correctly through the relation") {
