@@ -72,14 +72,48 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val path = pathOf(parameters)
     // Lazy snapshot resolution: the session catalog CACHES resolved
     // relations per table identifier, so a relation that pinned its
     // file list at creation would serve stale reads after any SQL
     // write (INSERT INTO / MERGE INTO). Re-resolving per scan keeps
     // every query on the current commit state; the cost is
     // metadata-scale (commit listing), not data-scale.
-    def resolve(): DataFrame = {
+    new GraftRelation(sqlContext,
+      () => GraftSource.resolveView(spark, parameters), parameters)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    GraftSource.write(sqlContext, mode, parameters, data)
+    createRelation(sqlContext, parameters)
+  }
+}
+
+object GraftSource {
+  private def opt(parameters: Map[String, String], name: String)
+      : Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    }
+
+  private[sources] def cols(parameters: Map[String, String], name: String)
+      : Seq[String] =
+    opt(parameters, name).toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+
+  private[sources] def pathOf(parameters: Map[String, String]): String =
+    opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft source requires a path (load(path) or option(\"path\", ...))"))
+
+  /** Resolve the DataFrame view the read options ask for — the shared
+    * option→snapshot dispatch behind BOTH read surfaces: the v1
+    * relation above and the DSv2 catalog tables
+    * ([[GraftTable.newScanBuilder]]); one dispatch, so the two
+    * surfaces can never disagree on what an option means. */
+  private[sources] def resolveView(spark: org.apache.spark.sql
+      .SparkSession, parameters: Map[String, String]): DataFrame = {
+    val path = pathOf(parameters)
     val mor = MorTable.isMor(spark, path)
     // `asOfTimestamp` (epoch millis OR an ISO-8601 instant) is the
     // API twin of SQL `TIMESTAMP AS OF`: resolved here to a commit id
@@ -141,33 +175,8 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
           else MorTable.read(spark, path)
         } else Merge.readTable(spark, path)
     }
-    }
-    new GraftRelation(sqlContext, resolve _, parameters)
   }
 
-  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
-      parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    GraftSource.write(sqlContext, mode, parameters, data)
-    createRelation(sqlContext, parameters)
-  }
-}
-
-object GraftSource {
-  private def opt(parameters: Map[String, String], name: String)
-      : Option[String] =
-    parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase(name) => v
-    }
-
-  private[sources] def cols(parameters: Map[String, String], name: String)
-      : Seq[String] =
-    opt(parameters, name).toSeq.flatMap(_.split(",")).map(_.trim)
-      .filter(_.nonEmpty)
-
-  private[sources] def pathOf(parameters: Map[String, String]): String =
-    opt(parameters, "path").getOrElse(
-      throw new IllegalArgumentException(
-        "graft source requires a path (load(path) or option(\"path\", ...))"))
 
   /** The option-driven write dispatch, shared by the
     * CreatableRelationProvider path (`df.write.format("graft")`) and
@@ -545,6 +554,61 @@ object GraftSourceQueries {
            |FROM x29_target
            |GROUP BY 1, 2
            |ORDER BY snap, l_returnflag""".stripMargin)
+    },
+
+    /** x31: the DSv2 catalog front door ([[GraftCatalog]]) end-to-end —
+      * `CREATE NAMESPACE` / `CREATE TABLE ... PARTITIONED BY` through
+      * the registered [[org.apache.spark.sql.connector.catalog
+      * .TableCatalog]], two `INSERT INTO` upsert commits, then the
+      * commit-1 snapshot via NATIVE `VERSION AS OF` resolution
+      * (Spark's `loadTable(ident, version)`, no hint-batch rewrite)
+      * unioned with the current snapshot. x17's replay semantics minus
+      * the incremental arm, so the oracle re-derives the same algebra.
+      * The catalog + warehouse are session/JVM-pinned (catalog plugins
+      * are cached by name); the key drops and recreates its table so
+      * bench re-runs in one JVM stay deterministic. */
+    "x31_catalog_table" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        graft.util.Scratch.cached("graft_cat_warehouse",
+          "graft_cat_wh_")(_ => ()))
+      graft.Tables.lineitem(s, dir).createOrReplaceTempView("x31_lineitem")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.bench")
+      s.sql("DROP TABLE IF EXISTS graft_cat.bench.li")
+      s.sql(
+        """CREATE TABLE graft_cat.bench.li (
+          |  l_orderkey BIGINT, l_linenumber INT,
+          |  l_extendedprice DOUBLE, l_returnflag STRING)
+          |USING graft
+          |PARTITIONED BY (l_returnflag)
+          |OPTIONS (keys 'l_orderkey,l_linenumber',
+          |         precombine 'l_extendedprice')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_cat.bench.li
+          |SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+          |FROM x31_lineitem WHERE l_linenumber <= 2""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_cat.bench.li
+          |SELECT l_orderkey, l_linenumber, l_extendedprice + 0.25,
+          |       l_returnflag
+          |FROM x31_lineitem WHERE l_linenumber = 2""".stripMargin)
+      val warehouse = s.conf.get("spark.sql.catalog.graft_cat.warehouse")
+      val c1 = graft.merge.Merge.commits(s, s"$warehouse/bench/li")
+        .agg(org.apache.spark.sql.functions.min(col("commit_ts")))
+        .head.getLong(0)
+      s.sql(
+        s"""SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |    AS total
+           |FROM graft_cat.bench.li VERSION AS OF $c1
+           |GROUP BY 1, 2
+           |UNION ALL
+           |SELECT 'current', l_returnflag, COUNT(*),
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |FROM graft_cat.bench.li
+           |GROUP BY 1, 2
+           |ORDER BY snap, l_returnflag""".stripMargin)
     })
 
   /** The oracle replays both upserts relationally: per-batch precombine
@@ -760,7 +824,47 @@ object GraftSourceQueries {
       * the recorded instant must be indistinguishable from `VERSION AS
       * OF` naming the commit — a drift between the two paths breaks
       * the hash. */
-    "x29_sql_time_travel_ts" -> timeTravelOracle)
+    "x29_sql_time_travel_ts" -> timeTravelOracle,
+
+    /** x17's replay algebra without the incremental arm: d1 = commit-1
+      * state (per-(keys,partition) precombine dedup of batch 1), cur =
+      * after the batch-2 upsert (batch-2-wins key replacement). */
+    "x31_catalog_table" ->
+      """WITH b1 AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_linenumber <= 2),
+        |d1 AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |    ORDER BY l_extendedprice DESC) AS rn FROM b1) WHERE rn = 1),
+        |b2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_extendedprice + 0.25 AS l_extendedprice, l_returnflag
+        |  FROM lineitem WHERE l_linenumber = 2),
+        |d2 AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_orderkey, l_linenumber, l_returnflag
+        |    ORDER BY l_extendedprice DESC) AS rn FROM b2) WHERE rn = 1),
+        |cur AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |  FROM d2
+        |  UNION ALL
+        |  SELECT d1.l_orderkey, d1.l_linenumber, d1.l_extendedprice,
+        |         d1.l_returnflag
+        |  FROM d1 WHERE NOT EXISTS (
+        |    SELECT 1 FROM d2
+        |    WHERE d2.l_orderkey = d1.l_orderkey
+        |      AND d2.l_linenumber = d1.l_linenumber
+        |      AND d2.l_returnflag = d1.l_returnflag))
+        |SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total
+        |FROM d1 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'current', l_returnflag, COUNT(*),
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |FROM cur GROUP BY 1, 2
+        |ORDER BY snap, l_returnflag""".stripMargin)
 
   private lazy val timeTravelOracle: String =
       """WITH g1 AS (
@@ -837,9 +941,16 @@ class GraftRelation(override val sqlContext: SQLContext,
     filtered.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
   }
 
-  /** sources.Filter → Column for the standard predicate algebra; None
-    * for anything unknown (stays with the outer plan). */
-  private def translate(f: Filter): Option[Column] = f match {
+  private def translate(f: Filter): Option[Column] =
+    GraftFilters.translate(f)
+}
+
+/** sources.Filter → Column for the standard predicate algebra; None
+  * for anything unknown (stays with the outer plan). Shared by the v1
+  * relation's buildScan and the DSv2 scan builder so both surfaces
+  * push exactly the same predicate set into the wrapped plan. */
+private[sources] object GraftFilters {
+  def translate(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))

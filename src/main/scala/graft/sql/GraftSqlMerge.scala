@@ -405,6 +405,13 @@ case class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
         case g: GraftRelation => Some(g.parameters)
         case _ => None
       }
+      // catalog-resolved (DSv2) graft tables take the SAME mutation
+      // commands — one MERGE/UPDATE/DELETE code path for both surfaces
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r.table match {
+        case t: graft.sources.GraftTable => Some(t.parameters)
+        case _ => None
+      }
       case _ => None
     }
 }

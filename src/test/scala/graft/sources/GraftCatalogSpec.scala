@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The DSv2 catalog front door ([[GraftCatalog]]): native resolution,
+  * native time travel, pushdown through the V1Scan shim, and the shared
+  * mutation path (MERGE/UPDATE/DELETE route to the same engine commands
+  * as the v1 surface).
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val dir = tmpDir("graft_catspec_wh_")
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    dir
+  }
+
+  private def freshTable(name: String): String = {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS gcat.ns.$name")
+    spark.sql(
+      s"""CREATE TABLE gcat.ns.$name (
+         |  id BIGINT, v DOUBLE, part STRING)
+         |USING graft
+         |PARTITIONED BY (part)
+         |OPTIONS (keys 'id', precombine 'v')""".stripMargin)
+    s"gcat.ns.$name"
+  }
+
+  test("create, list, exists, drop through the catalog") {
+    val t = freshTable("t_ddl")
+    assert(spark.sql("SHOW TABLES IN gcat.ns").collect()
+      .map(_.getString(1)).contains("t_ddl"))
+    assert(spark.catalog.tableExists(t))
+    spark.sql(s"DROP TABLE $t")
+    assert(!spark.catalog.tableExists(t))
+  }
+
+  test("INSERT INTO is the table's upsert op; SELECT sees each commit") {
+    val t = freshTable("t_ins")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a'), (2, 20.0, 'b')")
+    spark.sql(s"INSERT INTO $t VALUES (2, 25.0, 'b'), (3, 30.0, 'a')")
+    val rows = spark.sql(s"SELECT id, v, part FROM $t ORDER BY id")
+      .collect().toSeq
+    assert(rows == Seq(Row(1L, 10.0, "a"), Row(2L, 25.0, "b"),
+      Row(3L, 30.0, "a")))
+  }
+
+  test("native VERSION AS OF resolves through loadTable(ident, version)") {
+    val t = freshTable("t_ver")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a')")
+    val c1 = graft.merge.Merge.commits(spark, s"$warehouse/ns/t_ver")
+      .agg(min("commit_ts")).head.getLong(0)
+    spark.sql(s"INSERT INTO $t VALUES (1, 99.0, 'a'), (2, 20.0, 'b')")
+    assert(spark.sql(s"SELECT id, v FROM $t VERSION AS OF $c1").collect()
+      .toSeq == Seq(Row(1L, 10.0)))
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 2L)
+  }
+
+  test("native TIMESTAMP AS OF resolves epoch-micros via the wall clock") {
+    val t = freshTable("t_ts")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a')")
+    val path = s"$warehouse/ns/t_ts"
+    val c1 = graft.merge.Merge.commits(spark, path)
+      .agg(min("commit_ts")).head.getLong(0)
+    val w1 = graft.merge.Merge.commitWallClock(spark, path, c1)
+      .getOrElse(sys.error("commit carries no wall clock"))
+    // inclusive addressing: the second commit must not share c1's ms
+    while (System.currentTimeMillis() <= w1 + 1) Thread.sleep(1)
+    spark.sql(s"INSERT INTO $t VALUES (2, 20.0, 'b')")
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(w1))
+    assert(spark.sql(s"SELECT id FROM $t TIMESTAMP AS OF '$lit'")
+      .collect().toSeq == Seq(Row(1L)))
+  }
+
+  test("filters and column pruning are pushed into the v2 scan") {
+    val t = freshTable("t_push")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a'), (2, 20.0, 'b'), " +
+      "(3, 30.0, 'a')")
+    val q = spark.sql(s"SELECT id FROM $t WHERE part = 'a' AND v > 15.0")
+    val scan = q.queryExecution.executedPlan.toString()
+    // RowDataSourceScanExec surfaces the recorded pushdown
+    assert(scan.contains("PushedFilters"), scan)
+    assert(scan.contains("EqualTo(part,a)"), scan)
+    assert(scan.contains("GreaterThan(v,15.0)"), scan)
+    assert(q.collect().toSeq == Seq(Row(3L)))
+  }
+
+  test("MERGE INTO a catalog table routes to the shared merge command") {
+    val t = freshTable("t_merge")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a'), (2, 20.0, 'b')")
+    spark.sql(
+      s"""MERGE INTO $t tgt
+         |USING (SELECT * FROM VALUES (2, 25.0, 'b'), (3, 30.0, 'a')
+         |       AS s(id, v, part)) src
+         |ON tgt.id = src.id
+         |WHEN MATCHED AND src.v > 100 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, part)
+         |  VALUES (src.id, src.v, src.part)""".stripMargin)
+    assert(spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+      .toSeq == Seq(Row(1L, 10.0), Row(2L, 25.0), Row(3L, 30.0)))
+  }
+
+  test("UPDATE and DELETE FROM work on catalog tables") {
+    val t = freshTable("t_upd")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a'), (2, 20.0, 'b')")
+    spark.sql(s"UPDATE $t SET v = v + 1.0 WHERE id = 1")
+    spark.sql(s"DELETE FROM $t WHERE id = 2")
+    assert(spark.sql(s"SELECT id, v FROM $t").collect().toSeq ==
+      Seq(Row(1L, 11.0)))
+  }
+
+  test("INSERT OVERWRITE replaces exactly the partitions in the batch") {
+    val t = freshTable("t_ovw")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a'), (2, 20.0, 'b')")
+    spark.sql(s"INSERT OVERWRITE $t VALUES (9, 90.0, 'a')")
+    // partition 'a' replaced, partition 'b' untouched (the engine's
+    // insert_overwrite contract, same as the v1 SaveMode.Overwrite)
+    assert(spark.sql(s"SELECT id, part FROM $t ORDER BY id").collect()
+      .toSeq == Seq(Row(2L, "b"), Row(9L, "a")))
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the recorded schema") {
+    val t = freshTable("t_alter")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a')")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
+    assert(spark.sql(s"SELECT id, note FROM $t").collect().toSeq ==
+      Seq(Row(1L, null)))
+  }
+
+  test("a time-travel snapshot refuses writes") {
+    val t = freshTable("t_ro")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a')")
+    val c1 = graft.merge.Merge.commits(spark, s"$warehouse/ns/t_ro")
+      .agg(min("commit_ts")).head.getLong(0)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VERSION AS OF $c1 VALUES (2, 2.0, 'b')")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("catalog state is plain files: the v1 reader sees the same table") {
+    val t = freshTable("t_share")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a'), (2, 20.0, 'b')")
+    val viaV1 = spark.read.format("graft").load(s"$warehouse/ns/t_share")
+      .orderBy("id").select("id", "v").collect().toSeq
+    assert(viaV1 == Seq(Row(1L, 10.0), Row(2L, 20.0)))
+  }
+
+  test("_commit_ts is a metadata column: hidden from *, served on request") {
+    val t = freshTable("t_meta")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a')")
+    spark.sql(s"INSERT INTO $t VALUES (2, 20.0, 'b')")
+    // SELECT * shows user columns only
+    assert(spark.sql(s"SELECT * FROM $t").schema.fieldNames.toSeq ==
+      Seq("id", "v", "_commit_ts", "part").filterNot(_ == "_commit_ts"))
+    // explicitly requested, the commit stamp rides along — and is the
+    // per-row commit id the timeline recorded
+    val stamped = spark.sql(s"SELECT id, _commit_ts FROM $t ORDER BY id")
+      .collect().toSeq
+    val commits = graft.merge.Merge.commits(spark, s"$warehouse/ns/t_meta")
+      .select("commit_ts").collect().map(_.getLong(0)).sorted.toSeq
+    assert(stamped.map(_.getLong(0)) == Seq(1L, 2L))
+    assert(stamped.map(_.getLong(1)) == commits)
+  }
+
+  test("partition columns must be declared last") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.t_bad")
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE gcat.ns.t_bad (part STRING, id BIGINT, v DOUBLE)
+          |USING graft PARTITIONED BY (part)
+          |OPTIONS (keys 'id', precombine 'v')""".stripMargin)
+    }
+    assert(e.getMessage.contains("declare partition columns last"),
+      e.getMessage)
+  }
+}
