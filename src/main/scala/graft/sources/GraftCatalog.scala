@@ -122,6 +122,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"declare partition columns last: schema ends with " +
         s"(${trailing.mkString(", ")}) but partitioning is " +
         s"(${partCols.mkString(", ")})")
+    // the engine's per-row commit stamp is served as a metadata column
+    // ([[GraftTable.metadataColumns]]); a user column by the same name
+    // would silently vanish from the logical schema — refuse instead
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(Merge.commitCol)),
+      s"'${Merge.commitCol}' is a reserved graft metadata column")
     val dir = tableDir(ident)
     // versioned-by-default: catalog tables are the managed-table
     // experience — the timeline (time travel, incremental, CDC) is on
@@ -130,9 +135,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "partition" -> partCols.mkString(","),
       "op" -> opts.getOrElse("op", "upsert"),
       "versioned" -> opts.getOrElse("versioned", "true"))
-    fs(dir).mkdirs(dir)
-    writeMarker(fs(dir).create(markerOf(dir), true), persisted)
-    Merge.createEmptyTable(spark, dir.toString, schema)
+    val f = fs(dir)
+    f.mkdirs(dir)
+    try {
+      Merge.createEmptyTable(spark, dir.toString, schema)
+      // marker LAST: tableExists keys off it, so a create that dies
+      // mid-way leaves no half-table the catalog would serve
+      writeMarker(f.create(markerOf(dir), true), persisted)
+    } catch {
+      case e: Throwable =>
+        try f.delete(dir, true) catch { case _: Throwable => () }
+        throw e
+    }
     loadTable(ident)
   }
 

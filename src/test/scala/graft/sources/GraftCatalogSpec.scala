@@ -174,6 +174,40 @@ class GraftCatalogSpec extends SparkSpec {
     assert(stamped.map(_.getLong(1)) == commits)
   }
 
+  test("CTAS through the catalog (CREATE TABLE ... AS SELECT)") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.t_ctas")
+    spark.sql(
+      """CREATE TABLE gcat.ns.t_ctas
+        |USING graft
+        |PARTITIONED BY (part)
+        |OPTIONS (keys 'id', precombine 'v')
+        |AS SELECT id, CAST(v AS DOUBLE) AS v, part
+        |   FROM VALUES (1L, 10.0, 'a'), (2L, 20.0, 'b')
+        |   AS src(id, v, part)""".stripMargin)
+    assert(spark.sql("SELECT id, v, part FROM gcat.ns.t_ctas ORDER BY id")
+      .collect().toSeq == Seq(Row(1L, 10.0, "a"), Row(2L, 20.0, "b")))
+    // CTAS is commit 1 of a versioned table like any other write
+    spark.sql("INSERT INTO gcat.ns.t_ctas VALUES (1, 11.0, 'a')")
+    assert(spark.sql("SELECT v FROM gcat.ns.t_ctas WHERE id = 1")
+      .head.getDouble(0) == 11.0)
+  }
+
+  test("_commit_ts is refused as a user column name") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.t_resv")
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE gcat.ns.t_resv (id BIGINT, _commit_ts LONG,
+          |  part STRING)
+          |USING graft PARTITIONED BY (part)
+          |OPTIONS (keys 'id', precombine 'id')""".stripMargin)
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // the failed create left nothing behind
+    assert(!spark.catalog.tableExists("gcat.ns.t_resv"))
+  }
+
   test("partition columns must be declared last") {
     warehouse
     spark.sql("DROP TABLE IF EXISTS gcat.ns.t_bad")
