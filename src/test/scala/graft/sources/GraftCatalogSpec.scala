@@ -208,6 +208,57 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("gcat.ns.t_resv"))
   }
 
+  test("DataFrameWriterV2: df.writeTo(catalog table).append()") {
+    val t = freshTable("t_dfw")
+    import spark.implicits._
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "v", "part")
+      .writeTo(t).append()
+    Seq((2L, 25.0, "b")).toDF("id", "v", "part").writeTo(t).append()
+    assert(spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+      .toSeq == Seq(Row(1L, 10.0), Row(2L, 25.0)))
+  }
+
+  test("two graft catalogs with separate warehouses join across") {
+    val t1 = freshTable("t_x1")
+    spark.sql(s"INSERT INTO $t1 VALUES (1, 10.0, 'a'), (2, 20.0, 'b')")
+    val wh2 = tmpDir("graft_catspec_wh2_")
+    spark.conf.set("spark.sql.catalog.gcat2",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat2.warehouse", wh2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat2.dim")
+    spark.sql(
+      """CREATE TABLE gcat2.dim.names (id BIGINT, nm STRING, grp STRING)
+        |USING graft PARTITIONED BY (grp)
+        |OPTIONS (keys 'id', precombine 'id')""".stripMargin)
+    spark.sql("INSERT INTO gcat2.dim.names VALUES (1, 'one', 'g'), " +
+      "(2, 'two', 'g')")
+    val joined = spark.sql(
+      s"""SELECT f.id, f.v, d.nm
+         |FROM $t1 f JOIN gcat2.dim.names d ON f.id = d.id
+         |ORDER BY f.id""".stripMargin).collect().toSeq
+    assert(joined == Seq(Row(1L, 10.0, "one"), Row(2L, 20.0, "two")))
+  }
+
+  test("streaming foreachBatch upserts into a catalog table") {
+    val t = freshTable("t_stream")
+    import spark.implicits._
+    val src = tmpDir("graft_catspec_stream_") + "/in"
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (2L, 25.0, "b"))
+      .toDF("id", "v", "part").write.parquet(src)
+    val q = spark.readStream
+      .schema("id BIGINT, v DOUBLE, part STRING").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          _: Long) => batch.writeTo(t).append() }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft_catspec_ck_"))
+      .start()
+    q.awaitTermination(120000)
+    // the table's upsert op deduped the in-batch tie by precombine
+    assert(spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+      .toSeq == Seq(Row(1L, 10.0), Row(2L, 25.0)))
+  }
+
   test("partition columns must be declared last") {
     warehouse
     spark.sql("DROP TABLE IF EXISTS gcat.ns.t_bad")
