@@ -180,6 +180,43 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** LSH-dedup recall measured against exact Jaccard ground truth,
+    * bucketed by true similarity — the banding scheme's empirical
+    * S-curve (theory: P(candidate | j) = 1 − (1 − j^rows)^bands) as a
+    * DATA ARTIFACT rather than a formula, under the same oracle
+    * discipline as the results themselves (the d-family analog of
+    * s08's ANN recall). One row per 0.1-wide similarity bin in
+    * [threshold, 1]: how many true near-dup pairs exist there, how
+    * many the band join surfaced, and the recall ratio. At
+    * threshold 0 every co-shingled pair enters, so the artifact pins
+    * BOTH ends of the curve: the j<0.1 noise floor (recall there is
+    * the banding's false-positive rate on non-dups — precision
+    * evidence) and the high bins (the recall dedup actually relies
+    * on). A banding change (numHashes/numBands) that silently
+    * degrades either end now breaks a hash, not just a spec bound.
+    *
+    * Plan: [[jaccardPairs]]'s exact pass (df-capped inverted index) +
+    * [[lshCandidatePairs]]'s band self-join, met by a left-semi on the
+    * pair key, then one tiny per-bin aggregation (≤ 6 rows). At corpus
+    * scale both sides derive from the same shingle explode — the
+    * dominant cost is the two passes already priced in d03/d04; the
+    * recall join touches only true-pair rows. */
+  def lshRecallByBin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val exact = jaccardPairs(docs, idCol, textCol, threshold, maxDf)
+      .withColumn("sim_bin", floor(col("jaccard") * 10) / 10)
+    val cand = lshCandidatePairs(
+      lshBands(minhashSignatures(docs, idCol, textCol), idCol), idCol)
+    val hits = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+    exact.groupBy("sim_bin").agg(count(lit(1)).as("n_pairs"))
+      .join(hits.groupBy("sim_bin").agg(count(lit(1)).as("n_hit")),
+        Seq("sim_bin"), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_pairs"))
+      .select("sim_bin", "n_pairs", "n_hit", "recall")
+      .orderBy("sim_bin")
+  }
+
   // ---- n-gram Jaccard ----
 
   /** Distinct (id, 64-bit shingle hash) rows with NO shuffle: within-doc
@@ -854,6 +891,14 @@ object Dedup {
         lshBands(minhashSignatures(Tables.documents(s, dir), "doc_id", "text"),
           "doc_id"), "doc_id")
         .orderBy("id_a", "id_b")),
+    // d23: the banding's measured selectivity curve — ALL co-shingled
+    // exact-Jaccard pairs (d04's machinery, threshold 0) binned by
+    // true similarity, scored against d03's candidate set; the 0.0
+    // bin is the false-positive floor, the top bins the recall dedup
+    // relies on
+    "d23_lsh_recall" -> ((s, dir) =>
+      lshRecallByBin(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.0, maxDf = 50)),
     // maxDf=50: shingles in more docs than that are evidence-free
     // boilerplate whose inverted-index fan-out is quadratic per shingle
     // — the df cap is what keeps this operator alive at corpus scale
@@ -1124,6 +1169,39 @@ object Dedup {
          |FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // d04's exact chain with NO threshold (every co-shingled pair; a
+    // pair in `i` always has j > 0) + d03's band-collision set, met on
+    // the pair key; counts via COUNT (BIGINT, matching Spark) and the
+    // same floor(j*10)/10 bin arithmetic on bit-identical jaccard
+    // doubles
+    "d23_lsh_recall" ->
+      s"""WITH $bandsCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |         WHERE a.doc_id < b.doc_id),
+         |d0 AS (SELECT DISTINCT doc_id, sh FROM $shinglesSql),
+         |kept AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM d0 GROUP BY sh)
+         |         WHERE df <= 50),
+         |d AS (SELECT d0.doc_id, d0.sh FROM d0 JOIN kept USING (sh)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |      FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT id_a, id_b,
+         |    CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS j
+         |  FROM i JOIN sz x ON i.id_a = x.doc_id
+         |         JOIN sz y ON i.id_b = y.doc_id),
+         |b AS (SELECT floor(e.j * 10) / 10 AS sim_bin,
+         |        c.id_a IS NOT NULL AS hit
+         |      FROM exact e LEFT JOIN cand c
+         |        ON e.id_a = c.id_a AND e.id_b = c.id_b)
+         |SELECT sim_bin, COUNT(*) AS n_pairs,
+         |  COUNT(CASE WHEN hit THEN 1 END) AS n_hit,
+         |  CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE) / COUNT(*)
+         |    AS recall
+         |FROM b GROUP BY sim_bin ORDER BY sim_bin""".stripMargin,
     "d04_jaccard_neardup" ->
       s"""WITH d0 AS (SELECT DISTINCT doc_id, sh FROM $shinglesSql),
          |kept AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM d0 GROUP BY sh)

@@ -103,6 +103,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("lshRecallByBin: bins partition the exact pairs; exact dups are " +
+      "always recalled; recall recomputes from the counts") {
+    val r = Dedup.lshRecallByBin(docs, "doc_id", "text", threshold = 0.0)
+      .collect()
+    // every exact pair lands in exactly one bin: totals must reconcile
+    val totalPairs = r.map(_.getAs[Long]("n_pairs")).sum
+    assert(totalPairs ===
+      Dedup.jaccardPairs(docs, "doc_id", "text", 0.0).count())
+    r.foreach { row =>
+      val bin = row.getAs[Double]("sim_bin")
+      val n = row.getAs[Long]("n_pairs")
+      val hit = row.getAs[Long]("n_hit")
+      assert(bin >= 0.0 && bin <= 1.0)
+      assert(hit >= 0L && hit <= n)
+      assert(row.getAs[Double]("recall") === hit.toDouble / n)
+    }
+    // j = 1.0 pairs share every band key — the 1.0 bin cannot miss
+    val top = r.find(_.getAs[Double]("sim_bin") === 1.0).get
+    assert(top.getAs[Double]("recall") === 1.0)
+    assert(top.getAs[Long]("n_pairs") === 3L) // (1,2),(1,10),(2,10)
+  }
+
   test("jaccardPairsPrefix returns exactly jaccardPairs (lossless prefix filter)") {
     val d = graft.Tables.documents(spark, sfDir)
     def norm(df: org.apache.spark.sql.DataFrame) =

@@ -4,14 +4,14 @@
 The driver's correctness gate hash-compares the engine against DuckDB
 SQL oracles (tools/check.py). That catches engine bugs but not a
 CORRELATED misreading — both the Spark query and its SQL oracle
-encoding the same wrong contract. This tool re-derives four
-representative keys (one per family: scan-agg, dedup, streaming-batch
-parity, merge replay) in plain pandas / pure Python — no SQL engine at
-all — and compares against the engine's Verify dumps.
+encoding the same wrong contract. This tool re-derives five
+representative keys (scan-agg, dedup, streaming-batch parity, merge
+replay, MinHash/LSH recall) in plain pandas / pure Python — no SQL
+engine at all — and compares against the engine's Verify dumps.
 
 Usage:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/so_out \
-      q03_agg_pricing,d01_exact_dedup,e01_windowed_counts,q18_upsert_replay"
+      q03_agg_pricing,d01_exact_dedup,e01_windowed_counts,q18_upsert_replay,d23_lsh_recall"
   python3 tools/second_opinion.py /root/testdata/sf0.001 /tmp/so_out
 
 Exit 0 with "N ok, 0 fail" on agreement.  Decimal arithmetic mirrors
@@ -82,6 +82,72 @@ def d01(sf):
     return pd.DataFrame(rows).sort_values("fp").reset_index(drop=True)
 
 
+def d23(sf):
+    """MinHash/LSH recall vs exact Jaccard, re-derived from the spec:
+    8 min-hashes = min over shingles of 8-hex-char slices of
+    md5(sh)||md5('x'+sh), 2 bands of 4; exact side = distinct 3-token
+    shingles, df cap 50, ALL co-shingled pairs (threshold 0), binned
+    floor(j*10)/10. Pure dict/set Python — no SQL, no Spark."""
+    import math
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    sh_of = {}
+    for i, t in zip(docs.doc_id, docs.text):
+        toks = [w for w in TOK.sub(" ", t.lower()).strip().split(" ") if w]
+        if len(toks) >= 3:
+            s = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+            if s:
+                sh_of[int(i)] = s
+    # --- LSH candidate pairs (d03's contract) ---
+    buckets = {}
+    for i, shs in sh_of.items():
+        sig = None
+        for s in shs:
+            hx = hashlib.md5(s.encode()).hexdigest() + \
+                hashlib.md5(b"x" + s.encode()).hexdigest()
+            hs = [hx[8 * j:8 * j + 8] for j in range(8)]
+            sig = hs if sig is None else [min(a, b)
+                                          for a, b in zip(sig, hs)]
+        for b in (0, 1):
+            key = (b, hashlib.md5(
+                "|".join(sig[4 * b:4 * b + 4]).encode()).hexdigest())
+            buckets.setdefault(key, []).append(i)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                cand.add((ids[a], ids[b]))
+    # --- exact Jaccard pairs at 0.5 with the df<=50 cap ---
+    df_cnt = {}
+    for shs in sh_of.values():
+        for s in shs:
+            df_cnt[s] = df_cnt.get(s, 0) + 1
+    kept = {i: {s for s in shs if df_cnt[s] <= 50}
+            for i, shs in sh_of.items()}
+    inv = {}
+    for i, shs in kept.items():
+        for s in shs:
+            inv.setdefault(s, []).append(i)
+    inter = {}
+    for ids in inv.values():
+        ids = sorted(ids)
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                p = (ids[a], ids[b])
+                inter[p] = inter.get(p, 0) + 1
+    bins = {}
+    for (a, b), n in inter.items():
+        j = n / (len(kept[a]) + len(kept[b]) - n)
+        sb = math.floor(j * 10) / 10
+        np_, nh = bins.get(sb, (0, 0))
+        bins[sb] = (np_ + 1, nh + (1 if (a, b) in cand else 0))
+    rows = [{"sim_bin": sb, "n_pairs": np_, "n_hit": nh,
+             "recall": nh / np_}
+            for sb, (np_, nh) in sorted(bins.items())]
+    return pd.DataFrame(rows)
+
+
 def e01(sf):
     ev = pd.read_parquet(f"{sf}/events.parquet",
                          columns=["ts", "event_type", "value"])
@@ -127,7 +193,8 @@ def q18(sf):
 
 
 CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
-          "e01_windowed_counts": e01, "q18_upsert_replay": q18}
+          "e01_windowed_counts": e01, "q18_upsert_replay": q18,
+          "d23_lsh_recall": d23}
 
 
 def compare(name, mine, engine):
