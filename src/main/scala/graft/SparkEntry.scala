@@ -25,6 +25,7 @@ object SparkEntry {
       multimodal.Multimodal.queries ++ merge.Merge.queries ++
       merge.MorTable.queries ++ pipeline.TrainingPipeline.queries ++
       pipeline.Expectations.queries ++ pipeline.Profile.queries ++
+      pipeline.IngestDedup.queries ++
       streaming.EventStreams.queries ++ scale.Scale.queries ++
       sources.GraftSourceQueries.queries ++ merge.Occ.queries
 
@@ -37,6 +38,7 @@ object SparkEntry {
       multimodal.Multimodal.oracle ++ merge.Merge.oracle ++
       merge.MorTable.oracle ++ pipeline.TrainingPipeline.oracle ++
       pipeline.Expectations.oracle ++ pipeline.Profile.oracle ++
+      pipeline.IngestDedup.oracle ++
       streaming.EventStreams.oracle ++ scale.Scale.oracle ++
       sources.GraftSourceQueries.oracle ++ merge.Occ.oracle
 }

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.merge.Merge
+
+/** The production crawl-ingestion dedup loop: successive ingest batches
+  * screened for near-duplicates against a DURABLE band-state table that
+  * accumulates one append commit per ingest.
+  *
+  * [[graft.dedup.Dedup.incrementalNearDupFlags]] (d17) proves the
+  * per-batch shape — signatures are per-document, so the corpus side's
+  * bands are reusable across ingests. This module closes the loop that
+  * claim implies: the bands ARE reused, from a merge-managed table that
+  * each ingest appends to (never recomputes), across a CHAIN of
+  * ingests. Per-ingest cost is O(batch) banding + one band-keyed join
+  * against the state table + one append commit — independent of how
+  * many ingests came before, which is the property that makes
+  * continuous crawl dedup viable at 100 TB (re-banding the corpus per
+  * crawl would be quadratic in corpus lifetime).
+  *
+  * Scale notes: the state join shuffles on (band, bkey) — at real
+  * corpus size the state table would be bucketed by bkey
+  * ([[graft.scale.Scale]]'s x15 bucketed-join machinery) so each
+  * ingest shuffles only the batch side; the flags materialization per
+  * batch is a narrow parquet write (no driver collect anywhere). The
+  * chain is sequential BY CONTRACT (ingest b must see state 0..b-1) —
+  * parallelism lives inside each batch's jobs, exactly like the
+  * streaming upsert keys (x04).
+  */
+object IngestDedup {
+
+  /** Replay `nBatches` ingests (batch = `idCol % nBatches`, a
+    * deterministic stand-in for arrival order) through a fresh band
+    * state table; returns one row per banded document:
+    * (doc_id, ingest_batch, dup_of, n_matches, is_dup) where dup_of is
+    * the minimum colliding doc id from STRICTLY EARLIER ingests (null
+    * when clean — same-batch collisions deliberately don't count:
+    * "screen the new crawl against what we already have", d17's
+    * contract, chained). */
+  def ingestDedupChain(docs: DataFrame, idCol: String, textCol: String,
+      nBatches: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val root = graft.util.Scratch.fresh("graft_p08_")
+    val statePath = root + "/bands"
+    val flagsPath = root + "/flags"
+    (0 until nBatches).foreach { b =>
+      val batch = docs.filter(col(idCol) % nBatches === b)
+      val bands = Dedup.lshBands(
+        Dedup.minhashSignatures(batch, idCol, textCol), idCol)
+      val flagged =
+        if (b == 0)
+          bands.select(col(idCol)).distinct()
+            .withColumn("dup_of", lit(null).cast("long"))
+            .withColumn("n_matches", lit(0L))
+        else {
+          val state = Merge.readTable(spark, statePath)
+            .select(col("band"), col("bkey"), col(idCol).as("_cid"))
+          bands.select(col("band"), col("bkey"), col(idCol))
+            .join(state, Seq("band", "bkey"), "left_outer")
+            .groupBy(idCol)
+            .agg(min(col("_cid")).as("dup_of"),
+              countDistinct(col("_cid")).as("n_matches"))
+        }
+      // materialize THIS ingest's verdicts before the state mutates:
+      // the append below must not be visible to batch b's own screen
+      flagged.withColumn("ingest_batch", lit(b))
+        .write.mode(SaveMode.Overwrite).parquet(s"$flagsPath/b=$b")
+      // one append commit per ingest — the durable-state accretion
+      Merge.insert(bands.withColumn("ingest_batch", lit(b)),
+        statePath, "band")
+    }
+    spark.read.parquet((0 until nBatches).map(b => s"$flagsPath/b=$b"): _*)
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .select(col(idCol), col("ingest_batch"), col("dup_of"),
+        col("n_matches"), col("is_dup"))
+      .orderBy(idCol)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "p08_ingest_dedup" -> ((s, dir) =>
+      ingestDedupChain(Tables.documents(s, dir), "doc_id", "text",
+        nBatches = 4))
+  )
+
+  /** The chained screens collapse relationally: doc X (ingest b) is
+    * flagged iff some Y with an LSH band collision arrived in an
+    * earlier ingest — the bands CTE self-joined on a strict
+    * batch-order predicate. */
+  val oracle: Map[String, String] = Map(
+    "p08_ingest_dedup" ->
+      s"""WITH ${Dedup.bandsCte},
+         |a AS (SELECT doc_id, doc_id % 4 AS ib, band, bkey FROM bands),
+         |ids AS (SELECT DISTINCT doc_id, CAST(doc_id % 4 AS INT) AS ib
+         |        FROM a),
+         |j AS (SELECT DISTINCT x.doc_id AS id, y.doc_id AS cid
+         |      FROM a x JOIN a y
+         |        ON x.band = y.band AND x.bkey = y.bkey
+         |      WHERE y.ib < x.ib)
+         |SELECT i.doc_id, i.ib AS ingest_batch, MIN(j.cid) AS dup_of,
+         |  COUNT(DISTINCT j.cid) AS n_matches,
+         |  MIN(j.cid) IS NOT NULL AS is_dup
+         |FROM ids i LEFT JOIN j ON j.id = i.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+  )
+}
