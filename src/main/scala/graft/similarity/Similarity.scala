@@ -465,6 +465,73 @@ object Similarity {
         col("corpus_id"), col("cos_sim"))
   }
 
+  /** Build-once half of the IVF index LIFECYCLE: the trained coarse
+    * quantizer and the assigned, pre-normalized cells persisted as a
+    * table PARTITIONED BY LIST ID — so the serve path reads only the
+    * probed cells' files, via static partition pruning, instead of
+    * scanning the corpus per query batch. [[ivfTopK]] prices
+    * build+search fused (one-shot analytics); this pair prices the
+    * production serving shape: train/assign/write once per corpus
+    * version, answer many query batches against the stored cells.
+    * Same deterministic training as [[ivfTopK]] — served results are
+    * IDENTICAL (parquet round-trips doubles exactly), so s12 shares
+    * s03's oracle verbatim, the d15↔d04 guarantee: the lifecycle
+    * split can never silently change answers. */
+  def buildIvfIndex(corpus: DataFrame, path: String, nCentroids: Int,
+      iters: Int = 3, maxTrainVectors: Int = 100000): Unit = {
+    val cents = kmeansCentroids(corpus, nCentroids, iters, maxTrainVectors)
+    val e = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    assign(e, cents)
+      .select(col("cid"), col("vec_id").as("corpus_id"),
+        normalized(col("v")).as("cv"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path + "/cells")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+  }
+
+  /** Serve-many half: probe selection against the tiny stored centroid
+    * relation, then exact ranking over ONLY the probed cells. The
+    * probed list ids are collected to the driver (metadata-scale:
+    * ≤ |queries|×nProbe ints, same class as Merge's partition-value
+    * collects) and pushed as a STATIC `cid IN (...)` partition filter —
+    * the cells scan reads nProbe/nCentroids of the index files, which
+    * is the entire point of IVF at 100 TB (spec-asserted on the
+    * physical plan). Scoring is [[ivfTopK]]'s expression verbatim. */
+  def ivfTopKServed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val cents = spark.read.parquet(path + "/centroids")
+    val q = queries.select(col("vec_id").as("query_id"),
+      normalized(col("embedding").cast("array<double>")).as("qv"))
+    val cn = cents.select(col("cid"), normalized(col("cv")).as("cvn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cn))
+      .select(col("query_id"), col("qv"), col("cid"),
+        dot(col("qv"), col("cvn")).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qv", "cid")
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // explicit schema pins the hive partition column back to LONG (dir
+    // inference would narrow it to int), so the IN lands directly on
+    // the partition column and prunes at the file index
+    val cells = spark.read
+      .schema("corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG")
+      .parquet(path + "/cells")
+      .filter(col("cid").isin(probedCids: _*))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        dot(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+  }
+
   /** Embedding-space retrieval EVAL: leave-one-out kNN label agreement
     * over a labeled corpus — the standard harness for judging whether
     * an embedding column is good enough to drive semantic dedup /
@@ -581,6 +648,19 @@ object Similarity {
       // degenerate train==corpus case
       ivfTopK(corpusOf(s, dir), queriesOf(s, dir), 10, nCentroids = 10,
         nProbe = 4, maxTrainVectors = 256).orderBy("query_id", "rank")),
+    // s12: the SAME index split into its production lifecycle — built
+    // once into a cid-partitioned cells table (Scratch-cached: the
+    // corpus version's index), served via partition-pruned probes;
+    // shares s03's oracle verbatim, so the lifecycle split can never
+    // silently change answers
+    "s12_ivf_persisted" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s12:" + dir, "graft_s12_") {
+        p => buildIvfIndex(corpusOf(s, dir), p, nCentroids = 10,
+          maxTrainVectors = 256)
+      }
+      ivfTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // product quantization: per-subspace trained codebooks, asymmetric
     // scoring against the reconstruction (sampled training, as s03)
     "s06_ann_pq" -> ((s, dir) =>
@@ -827,6 +907,8 @@ object Similarity {
          |FROM fr WHERE rrf_rank <= 10
          |ORDER BY query_id, rrf_rank""".stripMargin,
     "s03_ann_ivf" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
+    // the persisted-index serve path returns s03's results verbatim
+    "s12_ivf_persisted" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
     "s06_ann_pq" -> s06OracleSql(subspaces = 4, subLen = 16, codebook = 16,
       iters = 2, topK = 10, trainN = 256),
     // the same quantize/dequantize IEEE expression the engine ships,

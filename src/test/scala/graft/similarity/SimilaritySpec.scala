@@ -112,6 +112,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("persisted IVF index: served results EQUAL the fused ivfTopK; " +
+      "the cells scan is partition-pruned to the probed lists") {
+    val idx = tmpDir("graft_s12_spec_")
+    Similarity.buildIvfIndex(corpus, idx, nCentroids = 10)
+    val served = Similarity.ivfTopKServed(spark, idx, queries, 10,
+      nProbe = 4)
+    val fused = Similarity.ivfTopK(corpus, queries, 10, 10, 4)
+    // identical rows INCLUDING the float sims: the lifecycle split
+    // (train/assign/write, then read/probe/rank) must not change a bit
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(served.collect().map(key).sortBy(t => (t._1, t._2)).toSeq ===
+      fused.collect().map(key).sortBy(t => (t._1, t._2)).toSeq)
+    // and the serve plan reads only probed cells: the file scan must
+    // carry a cid partition filter (4 probes/query over 10 lists —
+    // without pruning the scan reads every cell file)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid#") ||
+      plan.toLowerCase.matches("(?s).*partitionfilters: \\[.*cid.*"),
+      plan)
+  }
+
   test("pqTopK recall vs brute-force (8 subspaces × 64 codes)") {
     val brute = neighborSets(Similarity.bruteTopK(corpus, queries, 10))
     val ann = neighborSets(
