@@ -80,21 +80,109 @@ object IngestDedup {
       .orderBy(idCol)
   }
 
+  /** Structured-Streaming form of [[ingestDedupChain]] — the shape
+    * production actually runs: document drops land as files, consumed
+    * with `Trigger.AvailableNow` + `maxFilesPerTrigger=1` (one ingest
+    * per micro-batch, arrival order pinned by strictly-increasing file
+    * mtimes, the event-drain discipline), and each micro-batch runs
+    * the identical screen-then-append loop in `foreachBatch` against
+    * the same durable band table. The screen reads state BEFORE the
+    * batch's own append inside the callback, so the strictly-earlier
+    * contract holds per micro-batch exactly as in the batch chain —
+    * e17 shares p08's oracle verbatim (streaming/batch parity, the
+    * e15 discipline). Retry note: the per-batch flags write is
+    * Overwrite (idempotent); the band append is not — a production
+    * deployment stamps the ingest id into the commit and skips
+    * already-landed batches, the x04 stream-upsert recipe. */
+  def streamIngestDedup(s: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, dir)
+    // ordered drop dir, JVM-cached per shape (deterministic content —
+    // the same reuse contract as the event-drain inputs)
+    val in = graft.util.Scratch.cached(s"e17:$dir:$nBatches",
+      "graft_e17_in_") { base =>
+      val inDir = base + "/in"
+      docs.filter(col("doc_id") % nBatches === 0)
+        .coalesce(1).write.parquet(inDir)
+      val p = new org.apache.hadoop.fs.Path(inDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val maxM = fs.listStatus(p).map(_.getModificationTime).max
+      var known = fs.listStatus(p).map(_.getPath.getName).toSet
+      (1 until nBatches).foreach { b =>
+        docs.filter(col("doc_id") % nBatches === b)
+          .coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+        // pin each later drop STRICTLY after the previous: mtime is
+        // the file source's arrival order, clock granularity can tie
+        fs.listStatus(p)
+          .filterNot(st => known.contains(st.getPath.getName))
+          .foreach(st => fs.setTimes(st.getPath, maxM + b * 60000L, -1))
+        known = fs.listStatus(p).map(_.getPath.getName).toSet
+      }
+    } + "/in"
+    val root = graft.util.Scratch.fresh("graft_e17_")
+    val statePath = root + "/bands"
+    val flagsPath = root + "/flags"
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = src.writeStream
+      .option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bands = Dedup.lshBands(
+          Dedup.minhashSignatures(batch, "doc_id", "text"), "doc_id")
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val flagged =
+          if (!sp.getFileSystem(conf).exists(sp))
+            bands.select(col("doc_id")).distinct()
+              .withColumn("dup_of", lit(null).cast("long"))
+              .withColumn("n_matches", lit(0L))
+          else {
+            val state = Merge.readTable(s, statePath)
+              .select(col("band"), col("bkey"), col("doc_id").as("_cid"))
+            bands.select(col("band"), col("bkey"), col("doc_id"))
+              .join(state, Seq("band", "bkey"), "left_outer")
+              .groupBy("doc_id")
+              .agg(min(col("_cid")).as("dup_of"),
+                countDistinct(col("_cid")).as("n_matches"))
+          }
+        flagged.withColumn("ingest_batch", lit(batchId).cast("int"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$flagsPath/b=$batchId")
+        Merge.insert(bands.withColumn("ingest_batch",
+          lit(batchId).cast("int")), statePath, "band")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet((0 until nBatches).map(b => s"$flagsPath/b=$b"): _*)
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .select(col("doc_id"), col("ingest_batch"), col("dup_of"),
+        col("n_matches"), col("is_dup"))
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "p08_ingest_dedup" -> ((s, dir) =>
       ingestDedupChain(Tables.documents(s, dir), "doc_id", "text",
-        nBatches = 4))
+        nBatches = 4)),
+    // e17: the SAME chain under Structured Streaming — micro-batch b
+    // is exactly p08's ingest b (ordered mtime-pinned drops of
+    // doc_id % 4), so the streaming run must reproduce the batch
+    // chain's verdicts bit for bit; shares p08's oracle
+    "e17_stream_ingest_dedup" -> ((s, dir) =>
+      streamIngestDedup(s, dir, nBatches = 4))
   )
 
   /** The chained screens collapse relationally: doc X (ingest b) is
     * flagged iff some Y with an LSH band collision arrived in an
     * earlier ingest — the bands CTE self-joined on a strict
-    * batch-order predicate. */
-  val oracle: Map[String, String] = Map(
-    "p08_ingest_dedup" ->
-      s"""WITH ${Dedup.bandsCte},
+    * batch-order predicate. e17 shares it verbatim: its micro-batches
+    * ARE p08's ingests (streaming/batch parity). */
+  private val chainSql: String =
+    s"""WITH ${Dedup.bandsCte},
          |a AS (SELECT doc_id, doc_id % 4 AS ib, band, bkey FROM bands),
          |ids AS (SELECT DISTINCT doc_id, CAST(doc_id % 4 AS INT) AS ib
          |        FROM a),
@@ -107,5 +195,8 @@ object IngestDedup {
          |  MIN(j.cid) IS NOT NULL AS is_dup
          |FROM ids i LEFT JOIN j ON j.id = i.doc_id
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
-  )
+
+  val oracle: Map[String, String] = Map(
+    "p08_ingest_dedup" -> chainSql,
+    "e17_stream_ingest_dedup" -> chainSql)
 }

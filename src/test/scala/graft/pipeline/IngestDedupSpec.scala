@@ -41,6 +41,17 @@ class IngestDedupSpec extends SparkSpec {
     assert(d1.getAs[Long]("n_matches") === 2L)
   }
 
+  test("streamIngestDedup reproduces the batch chain bit for bit " +
+      "(streaming/batch parity on real testdata)") {
+    val streamed = IngestDedup.streamIngestDedup(spark, sfDir, 4)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = IngestDedup.ingestDedupChain(
+      graft.Tables.documents(spark, sfDir), "doc_id", "text", 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("ingestDedupChain: a doc's verdict is stable under MORE batches " +
       "(state order, not batch geometry, decides)") {
     // with 5 batches every doc is alone in its batch (10 % 5 = 0, so
