@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -532,6 +532,29 @@ object Similarity {
         col("corpus_id"), col("cos_sim"))
   }
 
+  /** Update-many half of the index lifecycle: append a NEW embedding
+    * batch to a persisted IVF index WITHOUT retraining — assign the
+    * batch against the STORED centroids (a broadcast of k tiny rows)
+    * and append the normalized cells into the partitioned layout.
+    * O(batch) work, no existing index file touched (spec-asserted), no
+    * quantizer drift: the streaming-embeddings reality where vectors
+    * arrive continuously but retraining is a scheduled, rarer event.
+    * Assignment is per-vector, so build(base) + append(batch) equals
+    * assigning base∪batch at once against the same centroids — appends
+    * commute (spec-asserted), and the served results stay exactly the
+    * relational collapse the s13 oracle states. */
+  def appendToIvfIndex(spark: SparkSession, path: String,
+      batch: DataFrame): Unit = {
+    val cents = spark.read.parquet(path + "/centroids")
+    val e = batch.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    assign(e, cents)
+      .select(col("cid"), col("vec_id").as("corpus_id"),
+        normalized(col("v")).as("cv"))
+      .write.mode(SaveMode.Append).partitionBy("cid")
+      .parquet(path + "/cells")
+  }
+
   /** Embedding-space retrieval EVAL: leave-one-out kNN label agreement
     * over a labeled corpus — the standard harness for judging whether
     * an embedding column is good enough to drive semantic dedup /
@@ -657,6 +680,21 @@ object Similarity {
       val idx = graft.util.Scratch.cached("s12:" + dir, "graft_s12_") {
         p => buildIvfIndex(corpusOf(s, dir), p, nCentroids = 10,
           maxTrainVectors = 256)
+      }
+      ivfTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    // s13: the index UPDATE path — build on the base (vec_id%10<>9),
+    // append the held-out batch against the frozen stored centroids,
+    // serve over the union; the oracle trains on corpus0 and assigns
+    // the full corpus, the exact no-retrain contract
+    "s13_ivf_append" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s13:" + dir, "graft_s13_") {
+        p =>
+          val all = corpusOf(s, dir)
+          buildIvfIndex(all.filter(col("vec_id") % 10 =!= 9), p,
+            nCentroids = 10, maxTrainVectors = 256)
+          appendToIvfIndex(s, p, all.filter(col("vec_id") % 10 === 9))
       }
       ivfTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")
@@ -809,13 +847,18 @@ object Similarity {
     * vec_id order (`list_sum(list(val ORDER BY vec_id))` is a sequential
     * fold, matching our sorted collect_list fold) — then cell
     * assignment, nProbe centroid probing, and in-cell exact ranking. */
+  /** `trainOn` names the CTE the quantizer trains on: "corpus" (s03 —
+    * train and assign the same set) or "corpus0" (s13 — train on the
+    * base only, assign the base PLUS the appended batch against those
+    * frozen centroids: the no-retrain index-update contract). */
   private def s03OracleSql(k: Int, iters: Int, nProbe: Int,
-      topK: Int, trainN: Int): String = {
+      topK: Int, trainN: Int, trainOn: String = "corpus"): String = {
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+       |corpus0 AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 9),
        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-       |${lloydCtesSql(k, iters, trainN)},
+       |${lloydCtesSql(k, iters, trainN, "", trainOn)},
        |${assignCteSql("cells", s"c$iters", "corpus")},
        |probes AS (
        |  SELECT query_id, qvn, cid FROM (
@@ -909,6 +952,9 @@ object Similarity {
     "s03_ann_ivf" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
     // the persisted-index serve path returns s03's results verbatim
     "s12_ivf_persisted" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
+    // quantizer trained on the base only, full corpus assigned against
+    // those frozen centroids — the relational collapse of build+append
+    "s13_ivf_append" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256, trainOn = "corpus0"),
     "s06_ann_pq" -> s06OracleSql(subspaces = 4, subLen = 16, codebook = 16,
       iters = 2, topK = 10, trainN = 256),
     // the same quantize/dequantize IEEE expression the engine ships,

@@ -134,6 +134,42 @@ class SimilaritySpec extends SparkSpec {
       plan)
   }
 
+  test("appendToIvfIndex: O(batch) update — no existing index file " +
+      "touched; appends commute (split == one-shot)") {
+    import java.io.File
+    def cellFiles(p: String): Set[String] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new File(p + "/cells")).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val base = corpus.filter($"vec_id" % 3 =!= 0)
+    val batch = corpus.filter($"vec_id" % 3 === 0)
+    val one = tmpDir("graft_s13_one_")
+    Similarity.buildIvfIndex(base, one, nCentroids = 10)
+    val before = cellFiles(one)
+    Similarity.appendToIvfIndex(spark, one, batch)
+    // the base's files are all still there, untouched — the update
+    // added files, never rewrote (the O(batch) contract)
+    assert(before.subsetOf(cellFiles(one)))
+    assert(cellFiles(one).size > before.size)
+    // appends commute: two half-batches == the one-shot append
+    val two = tmpDir("graft_s13_two_")
+    Similarity.buildIvfIndex(base, two, nCentroids = 10)
+    Similarity.appendToIvfIndex(spark, two,
+      batch.filter($"vec_id" % 2 === 0))
+    Similarity.appendToIvfIndex(spark, two,
+      batch.filter($"vec_id" % 2 =!= 0))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(
+      Similarity.ivfTopKServed(spark, one, queries, 10, nProbe = 4)
+        .collect().map(key).sortBy(t => (t._1, t._2)).toSeq ===
+      Similarity.ivfTopKServed(spark, two, queries, 10, nProbe = 4)
+        .collect().map(key).sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("pqTopK recall vs brute-force (8 subspaces × 64 codes)") {
     val brute = neighborSets(Similarity.bruteTopK(corpus, queries, 10))
     val ann = neighborSets(
