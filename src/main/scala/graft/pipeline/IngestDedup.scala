@@ -5,33 +5,141 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.merge.Merge
+import graft.scale.Scale
 
 /** The production crawl-ingestion dedup loop: successive ingest batches
   * screened for near-duplicates against a DURABLE band-state table that
-  * accumulates one append commit per ingest.
+  * accumulates one append per ingest.
   *
   * [[graft.dedup.Dedup.incrementalNearDupFlags]] (d17) proves the
   * per-batch shape — signatures are per-document, so the corpus side's
   * bands are reusable across ingests. This module closes the loop that
-  * claim implies: the bands ARE reused, from a merge-managed table that
-  * each ingest appends to (never recomputes), across a CHAIN of
-  * ingests. Per-ingest cost is O(batch) banding + one band-keyed join
-  * against the state table + one append commit — independent of how
-  * many ingests came before, which is the property that makes
-  * continuous crawl dedup viable at 100 TB (re-banding the corpus per
-  * crawl would be quadratic in corpus lifetime).
+  * claim implies: the bands ARE reused, from a durable table that each
+  * ingest appends to (never recomputes), across a CHAIN of ingests.
+  * Per-ingest cost is O(batch) banding + one band-keyed join against
+  * the state table + one append — independent of how many ingests came
+  * before, which is the property that makes continuous crawl dedup
+  * viable at 100 TB (re-banding the corpus per crawl would be
+  * quadratic in corpus lifetime).
   *
-  * Scale notes: the state join shuffles on (band, bkey) — at real
-  * corpus size the state table would be bucketed by bkey
-  * ([[graft.scale.Scale]]'s x15 bucketed-join machinery) so each
-  * ingest shuffles only the batch side; the flags materialization per
-  * batch is a narrow parquet write (no driver collect anywhere). The
-  * chain is sequential BY CONTRACT (ingest b must see state 0..b-1) —
-  * parallelism lives inside each batch's jobs, exactly like the
-  * streaming upsert keys (x04).
+  * Scale design (the two properties a 100 TB crawl needs):
+  *
+  *  - '''The state table is BUCKETED on the join key''' (band, bkey) —
+  *    [[graft.scale.Scale.writeBucketed]]'s x15 machinery, as an
+  *    APPENDED catalog table. The screen join therefore shuffles ONLY
+  *    the O(batch) side: the state scan's bucket layout already
+  *    satisfies the join's required distribution, so no Exchange ever
+  *    touches the accumulated corpus ([[IngestDedupSpec]] pins the
+  *    executed plan). Without bucketing, a sort-merge screen re-shuffles
+  *    O(state) bytes per ingest — quadratic total shuffle over a
+  *    crawl's lifetime, the classic slow-death of incremental dedup.
+  *  - '''Each ingest step is RETRY-IDEMPOTENT''' (the x04
+  *    stream-upsert recipe): the ingest id is stamped into the state
+  *    table as its hive partition, the append is skipped when that
+  *    partition already landed, the screen reads only STRICTLY-EARLIER
+  *    partitions (so a replayed batch never sees its own bands), and
+  *    the verdict write is an Overwrite of the batch's own directory.
+  *    A micro-batch replay after any prefix of the step converges to
+  *    the same state and verdicts — the at-least-once contract
+  *    Structured Streaming's `foreachBatch` requires.
+  *
+  * The chain is sequential BY CONTRACT (ingest b must see state
+  * 0..b-1) — parallelism lives inside each batch's jobs, exactly like
+  * the streaming upsert keys (x04).
   */
 object IngestDedup {
+
+  /** Bucket count for the band-state table. Sized for the test SFs; a
+    * real deployment sizes this once at table creation to the corpus
+    * ceiling (buckets are fixed for the table's lifetime). */
+  val stateBuckets = 8
+
+  /** (band, bkey, id) rows for one ingest batch. */
+  private def bandRows(batch: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    Dedup.lshBands(Dedup.minhashSignatures(batch, idCol, textCol), idCol)
+      .select(col("band"), col("bkey"), col(idCol))
+
+  /** Screen `bands` (one batch) against `state` (strictly-earlier
+    * corpus bands): per doc, the minimum colliding corpus id and the
+    * distinct collision count. The state side carries a merge hint —
+    * at corpus scale it must never broadcast, and the sort-merge plan
+    * is what lets its bucket layout stand in for the shuffle. The
+    * aggregation is collision-set semantics (min / countDistinct), so
+    * duplicate state rows — impossible after the landed-partition
+    * skip, but harmless — cannot change a verdict. */
+  private[pipeline] def screenJoin(state: DataFrame, bands: DataFrame,
+      idCol: String): DataFrame =
+    bands
+      .join(
+        state.select(col("band"), col("bkey"), col(idCol).as("_cid"))
+          .hint("merge"),
+        Seq("band", "bkey"), "left_outer")
+      .groupBy(idCol)
+      .agg(min(col("_cid")).as("dup_of"),
+        countDistinct(col("_cid")).as("n_matches"))
+
+  /** Append ingest `b`'s bands to the bucketed state table, SKIPPING
+    * when partition ingest_batch=b already landed (a replayed
+    * micro-batch must not double-append). Returns whether the append
+    * ran. The landed check is partition-pruned — one pruned `isEmpty`
+    * probe, not a state scan. */
+  private[pipeline] def appendBands(bands: DataFrame, table: String,
+      b: Int): Boolean = {
+    val spark = bands.sparkSession
+    val exists = spark.catalog.tableExists(table)
+    if (exists && !spark.table(table)
+        .where(col("ingest_batch") === b).isEmpty) false
+    else {
+      bands.withColumn("ingest_batch", lit(b))
+        .write
+        .partitionBy("ingest_batch")
+        .bucketBy(stateBuckets, "band", "bkey")
+        .sortBy("band", "bkey")
+        .mode(if (exists) SaveMode.Append else SaveMode.ErrorIfExists)
+        .format("parquet")
+        .saveAsTable(table)
+      true
+    }
+  }
+
+  /** One complete ingest — the unit BOTH the batch chain and the
+    * streaming loop run, so batch/stream parity holds by construction:
+    * screen batch `b` against strictly-earlier state, Overwrite-write
+    * its verdicts, append its bands (skipped when already landed).
+    * Idempotent under replay at every prefix boundary. */
+  private[pipeline] def ingestStep(batch: DataFrame, idCol: String,
+      textCol: String, stateTable: String, flagsPath: String, b: Int)
+      : Unit = {
+    val spark = batch.sparkSession
+    val bands = bandRows(batch, idCol, textCol)
+    val flagged =
+      if (!spark.catalog.tableExists(stateTable))
+        // first ingest ever: nothing earlier exists — clean by contract
+        bands.select(col(idCol)).distinct()
+          .withColumn("dup_of", lit(null).cast("long"))
+          .withColumn("n_matches", lit(0L))
+      else
+        // strictly-earlier partitions only: a replayed batch's own
+        // (already-landed) bands are pruned out, so it cannot
+        // self-match — the retry contract
+        screenJoin(spark.table(stateTable).where(col("ingest_batch") < b),
+          bands, idCol)
+    // materialize THIS ingest's verdicts before the state mutates:
+    // the append below must not be visible to batch b's own screen
+    flagged.withColumn("ingest_batch", lit(b))
+      .write.mode(SaveMode.Overwrite).parquet(s"$flagsPath/b=$b")
+    appendBands(bands, stateTable, b)
+    ()
+  }
+
+  private def collectFlags(spark: SparkSession, flagsPath: String,
+      idCol: String, nBatches: Int): DataFrame =
+    spark.read.parquet((0 until nBatches).map(b => s"$flagsPath/b=$b"): _*)
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .select(col(idCol), col("ingest_batch"), col("dup_of"),
+        col("n_matches"), col("is_dup"))
+      .orderBy(idCol)
 
   /** Replay `nBatches` ingests (batch = `idCol % nBatches`, a
     * deterministic stand-in for arrival order) through a fresh band
@@ -42,42 +150,15 @@ object IngestDedup {
     * "screen the new crawl against what we already have", d17's
     * contract, chained). */
   def ingestDedupChain(docs: DataFrame, idCol: String, textCol: String,
-      nBatches: Int = 4): DataFrame = {
+      nBatches: Int = 4, stateTable: String = "p08_bands"): DataFrame = {
     val spark = docs.sparkSession
-    val root = graft.util.Scratch.fresh("graft_p08_")
-    val statePath = root + "/bands"
-    val flagsPath = root + "/flags"
+    Scale.dropBucketedTable(spark, stateTable)
+    val flagsPath = graft.util.Scratch.fresh("graft_p08_") + "/flags"
     (0 until nBatches).foreach { b =>
-      val batch = docs.filter(col(idCol) % nBatches === b)
-      val bands = Dedup.lshBands(
-        Dedup.minhashSignatures(batch, idCol, textCol), idCol)
-      val flagged =
-        if (b == 0)
-          bands.select(col(idCol)).distinct()
-            .withColumn("dup_of", lit(null).cast("long"))
-            .withColumn("n_matches", lit(0L))
-        else {
-          val state = Merge.readTable(spark, statePath)
-            .select(col("band"), col("bkey"), col(idCol).as("_cid"))
-          bands.select(col("band"), col("bkey"), col(idCol))
-            .join(state, Seq("band", "bkey"), "left_outer")
-            .groupBy(idCol)
-            .agg(min(col("_cid")).as("dup_of"),
-              countDistinct(col("_cid")).as("n_matches"))
-        }
-      // materialize THIS ingest's verdicts before the state mutates:
-      // the append below must not be visible to batch b's own screen
-      flagged.withColumn("ingest_batch", lit(b))
-        .write.mode(SaveMode.Overwrite).parquet(s"$flagsPath/b=$b")
-      // one append commit per ingest — the durable-state accretion
-      Merge.insert(bands.withColumn("ingest_batch", lit(b)),
-        statePath, "band")
+      ingestStep(docs.filter(col(idCol) % nBatches === b), idCol, textCol,
+        stateTable, flagsPath, b)
     }
-    spark.read.parquet((0 until nBatches).map(b => s"$flagsPath/b=$b"): _*)
-      .withColumn("is_dup", col("dup_of").isNotNull)
-      .select(col(idCol), col("ingest_batch"), col("dup_of"),
-        col("n_matches"), col("is_dup"))
-      .orderBy(idCol)
+    collectFlags(spark, flagsPath, idCol, nBatches)
   }
 
   /** Structured-Streaming form of [[ingestDedupChain]] — the shape
@@ -85,15 +166,14 @@ object IngestDedup {
     * with `Trigger.AvailableNow` + `maxFilesPerTrigger=1` (one ingest
     * per micro-batch, arrival order pinned by strictly-increasing file
     * mtimes, the event-drain discipline), and each micro-batch runs
-    * the identical screen-then-append loop in `foreachBatch` against
-    * the same durable band table. The screen reads state BEFORE the
-    * batch's own append inside the callback, so the strictly-earlier
-    * contract holds per micro-batch exactly as in the batch chain —
-    * e17 shares p08's oracle verbatim (streaming/batch parity, the
-    * e15 discipline). Retry note: the per-batch flags write is
-    * Overwrite (idempotent); the band append is not — a production
-    * deployment stamps the ingest id into the commit and skips
-    * already-landed batches, the x04 stream-upsert recipe. */
+    * the identical [[ingestStep]] against the same durable band table.
+    * The screen reads strictly-earlier state BEFORE the batch's own
+    * append inside the callback, so the strictly-earlier contract
+    * holds per micro-batch exactly as in the batch chain — e17 shares
+    * p08's oracle verbatim (streaming/batch parity, the e15
+    * discipline). The step is retry-idempotent (landed-partition skip
+    * + strictly-earlier screen + Overwrite verdicts), so an
+    * at-least-once replay of any micro-batch converges. */
   def streamIngestDedup(s: SparkSession, dir: String,
       nBatches: Int = 4): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -120,46 +200,22 @@ object IngestDedup {
         known = fs.listStatus(p).map(_.getPath.getName).toSet
       }
     } + "/in"
+    val stateTable = "e17_bands"
+    Scale.dropBucketedTable(s, stateTable)
     val root = graft.util.Scratch.fresh("graft_e17_")
-    val statePath = root + "/bands"
     val flagsPath = root + "/flags"
-    val conf = s.sparkContext.hadoopConfiguration
     val src = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     val q = src.writeStream
       .option("checkpointLocation", root + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bands = Dedup.lshBands(
-          Dedup.minhashSignatures(batch, "doc_id", "text"), "doc_id")
-        val sp = new org.apache.hadoop.fs.Path(statePath)
-        val flagged =
-          if (!sp.getFileSystem(conf).exists(sp))
-            bands.select(col("doc_id")).distinct()
-              .withColumn("dup_of", lit(null).cast("long"))
-              .withColumn("n_matches", lit(0L))
-          else {
-            val state = Merge.readTable(s, statePath)
-              .select(col("band"), col("bkey"), col("doc_id").as("_cid"))
-            bands.select(col("band"), col("bkey"), col("doc_id"))
-              .join(state, Seq("band", "bkey"), "left_outer")
-              .groupBy("doc_id")
-              .agg(min(col("_cid")).as("dup_of"),
-                countDistinct(col("_cid")).as("n_matches"))
-          }
-        flagged.withColumn("ingest_batch", lit(batchId).cast("int"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$flagsPath/b=$batchId")
-        Merge.insert(bands.withColumn("ingest_batch",
-          lit(batchId).cast("int")), statePath, "band")
-        ()
+        ingestStep(batch, "doc_id", "text", stateTable, flagsPath,
+          batchId.toInt)
       }
       .start()
     q.awaitTermination()
-    s.read.parquet((0 until nBatches).map(b => s"$flagsPath/b=$b"): _*)
-      .withColumn("is_dup", col("dup_of").isNotNull)
-      .select(col("doc_id"), col("ingest_batch"), col("dup_of"),
-        col("n_matches"), col("is_dup"))
-      .orderBy("doc_id")
+    collectFlags(s, flagsPath, "doc_id", nBatches)
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -52,6 +52,93 @@ class IngestDedupSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("the screen join is exchange-free on the bucketed state side: " +
+      "only the O(batch) side shuffles") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.scale.Scale
+    val tbl = "test_p08_plan"
+    Scale.dropBucketedTable(spark, tbl)
+    val corpus = graft.Tables.documents(spark, sfDir)
+    def bands(b: Int) = graft.dedup.Dedup.lshBands(
+      graft.dedup.Dedup.minhashSignatures(
+        corpus.filter(col("doc_id") % 2 === b), "doc_id", "text"),
+      "doc_id").select(col("band"), col("bkey"), col("doc_id"))
+    assert(IngestDedup.appendBands(bands(0), tbl, 0))
+    // static plan for the structural assert (AQE wraps stages and the
+    // assert should hold without runtime re-planning anyway)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val screened = IngestDedup.screenJoin(
+        spark.table(tbl).where(col("ingest_batch") < 1), bands(1), "doc_id")
+      screened.collect()
+      val plan = screened.queryExecution.executedPlan
+      def hasStateScan(p: SparkPlan): Boolean = p.collectFirst {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(tbl))
+          => f
+      }.isDefined
+      // the state scan exists, is bucketed, and no shuffle sits above it
+      val stateScans = plan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(tbl))
+          => f
+      }
+      assert(stateScans.nonEmpty, plan.toString)
+      assert(stateScans.forall(_.bucketedScan), plan.toString)
+      // the join's state-side child consumes the bucket layout
+      // directly: no Exchange anywhere between the join and the scan
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      val stateSide = smj
+        .filter(j => hasStateScan(j.left) || hasStateScan(j.right))
+        .map(j => if (hasStateScan(j.right)) j.right else j.left)
+      assert(stateSide.nonEmpty, plan.toString)
+      stateSide.foreach { side =>
+        val shufflesOnStateSide =
+          side.collect { case e: ShuffleExchangeExec => e }
+        assert(shufflesOnStateSide.isEmpty,
+          s"state side must not shuffle:\n$plan")
+      }
+      // ... while the batch side DOES shuffle (the join is a real SMJ,
+      // not a broadcast that would trivialize the assert)
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("ingest step is retry-idempotent: a replayed micro-batch " +
+      "neither double-appends state nor changes verdicts") {
+    import graft.scale.Scale
+    val tbl = "test_p08_retry"
+    Scale.dropBucketedTable(spark, tbl)
+    val flags = graft.util.Scratch.fresh("graft_p08_retry_") + "/flags"
+    def batch(b: Int) = docs.filter(col("doc_id") % 2 === b)
+    IngestDedup.ingestStep(batch(0), "doc_id", "text", tbl, flags, 0)
+    val state0 = spark.table(tbl).collect().map(_.toString).sorted.toSeq
+    // replay ingest 1 three times — at-least-once delivery
+    (1 to 3).foreach { _ =>
+      IngestDedup.ingestStep(batch(1), "doc_id", "text", tbl, flags, 1)
+    }
+    val state = spark.table(tbl)
+    // exactly one landed copy of each ingest's bands
+    assert(state.where(col("ingest_batch") === 1).count() ===
+      graft.dedup.Dedup.lshBands(graft.dedup.Dedup.minhashSignatures(
+        batch(1), "doc_id", "text"), "doc_id").count())
+    assert(state.where(col("ingest_batch") === 0).collect()
+      .map(_.toString).sorted.toSeq === state0)
+    // and the replayed batch's verdicts still screen ONLY against
+    // strictly-earlier state (no self-matching on replay): doc 1 is a
+    // dup of 2 and 10 (batch 0), not of its own batch-mate 3
+    val r = spark.read.parquet(s"$flags/b=1").collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r(1L).getAs[Long]("dup_of") === 2L)
+    assert(r(1L).getAs[Long]("n_matches") === 2L)
+    assert(r.contains(3L)) // every batch-1 doc keeps a verdict row
+  }
+
   test("ingestDedupChain: a doc's verdict is stable under MORE batches " +
       "(state order, not batch geometry, decides)") {
     // with 5 batches every doc is alone in its batch (10 % 5 = 0, so
