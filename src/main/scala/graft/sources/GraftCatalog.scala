@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, IdentityTransform, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -136,15 +136,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "op" -> opts.getOrElse("op", "upsert"),
       "versioned" -> opts.getOrElse("versioned", "true"))
     val f = fs(dir)
+    // the path may pre-exist with data (e.g. an existing v1 graft table
+    // being registered) — a failed CREATE must never delete it
+    val dirPreExisted = f.exists(dir)
     f.mkdirs(dir)
+    // claim the marker FIRST with an EXCLUSIVE create: two racing
+    // CREATE TABLEs serialize on the filesystem's atomic create-if-
+    // absent instead of both passing a check-then-act tableExists
+    // probe. Hadoop's LOCAL create(overwrite=false) is itself
+    // check-then-act, so the file:// scheme claims via NIO O_EXCL;
+    // distributed stores get the FS-native exclusive create.
+    val out =
+      try {
+        f match {
+          case _: org.apache.hadoop.fs.LocalFileSystem |
+              _: org.apache.hadoop.fs.RawLocalFileSystem =>
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(markerOf(dir).toUri.getPath))
+            f.create(markerOf(dir), true) // claimed above; reopen to write
+          case other => other.create(markerOf(dir), false)
+        }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new TableAlreadyExistsException(ident)
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new TableAlreadyExistsException(ident)
+        case _: java.io.IOException if f.exists(markerOf(dir)) =>
+          throw new TableAlreadyExistsException(ident)
+      }
     try {
+      writeMarker(out, persisted)
       Merge.createEmptyTable(spark, dir.toString, schema)
-      // marker LAST: tableExists keys off it, so a create that dies
-      // mid-way leaves no half-table the catalog would serve
-      writeMarker(f.create(markerOf(dir), true), persisted)
     } catch {
       case e: Throwable =>
-        try f.delete(dir, true) catch { case _: Throwable => () }
+        // roll back ONLY artifacts this call created: the claimed
+        // marker always, the directory only when it didn't pre-exist
+        try f.delete(markerOf(dir), false) catch { case _: Throwable => () }
+        if (!dirPreExisted) {
+          try f.delete(dir, true) catch { case _: Throwable => () }
+        }
         throw e
     }
     loadTable(ident)
@@ -489,25 +519,66 @@ private[sources] class GraftV1TableScan(ctx: SQLContext,
   * default); INSERT OVERWRITE / TRUNCATE map to the engine's
   * partition-scoped insert-overwrite — the SAME contract as the v1
   * surface's SaveMode.Overwrite (Hudi insert_overwrite: partitions
-  * present in the incoming batch are replaced, others untouched). */
+  * present in the incoming batch are replaced, others untouched).
+  *
+  * Because the engine's overwrite unit is the hive partition, a
+  * filtered overwrite is honored only when the filter IS a partition
+  * selection consistent with the batch (the static
+  * `INSERT OVERWRITE t PARTITION (p = v)` shape): identity
+  * equality on partition columns, verified at write time against the
+  * incoming rows. Anything else (a non-partition column, a range, a
+  * disjunction) cannot be expressed as replace-these-partitions and is
+  * REFUSED rather than silently reinterpreted — an advertised
+  * OVERWRITE_BY_FILTER that ignored its filter would delete rows the
+  * condition never selected. */
 private[sources] class GraftWriteBuilder(parameters: Map[String, String])
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
 
   private var overwrite = false
+  // (column, value) pins the write must prove against the batch
+  private var pins: Seq[(String, Any)] = Nil
+
+  private def partitionCols: Set[String] =
+    parameters.getOrElse("partition", "").split(",")
+      .map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo}
+    pins = filters.toSeq.flatMap {
+      case _: AlwaysTrue => Nil
+      case EqualTo(att, v) if partitionCols.contains(att.toLowerCase) =>
+        Seq(att -> v)
+      case EqualNullSafe(att, v)
+          if partitionCols.contains(att.toLowerCase) && v != null =>
+        Seq(att -> v)
+      case f => throw new UnsupportedOperationException(
+        s"graft overwrite supports only whole-table truncation or " +
+          s"identity partition-column pins " +
+          s"(INSERT OVERWRITE ... PARTITION (col = v)); cannot honor " +
+          s"filter $f as a partition replacement")
+    }
     overwrite = true; this
   }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation(): InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, over: Boolean): Unit =
+        override def insert(data: DataFrame, over: Boolean): Unit = {
+          // every incoming row must sit inside the pinned partitions —
+          // otherwise replace-batch-partitions would overwrite
+          // partitions the filter never selected
+          pins.foreach { case (att, v) =>
+            val stray = data.where(!(col(att) <=> lit(v))).limit(1)
+            require(stray.isEmpty,
+              s"INSERT OVERWRITE pinned to $att = $v, but the batch " +
+                s"contains rows outside that partition")
+          }
           GraftSource.write(data.sparkSession.sqlContext,
             if (overwrite || over) SaveMode.Overwrite else SaveMode.Append,
             parameters, data)
+        }
       }
   }
 }

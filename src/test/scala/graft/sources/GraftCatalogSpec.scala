@@ -259,6 +259,85 @@ class GraftCatalogSpec extends SparkSpec {
       .toSeq == Seq(Row(1L, 10.0), Row(2L, 25.0)))
   }
 
+  test("racing CREATE TABLEs serialize on the exclusive marker claim: " +
+      "exactly one wins, and pre-existing data at the path survives") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    import org.apache.spark.sql.connector.expressions.Transform
+    import org.apache.spark.sql.types.StructType
+    import scala.jdk.CollectionConverters._
+    import scala.util.Try
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.t_race")
+    // the path pre-exists with unrelated data (the register-an-
+    // existing-location scenario): no failure path may delete it
+    val dir = new java.io.File(s"$warehouse/ns/t_race")
+    dir.mkdirs()
+    // underscore-prefixed so the engine's readers skip it; existence
+    // is what the cleanup-path assert cares about
+    val sentinel = new java.io.File(dir, "_preexisting.bin")
+    java.nio.file.Files.write(sentinel.toPath, Array[Byte](1, 2, 3))
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("ns"), "t_race")
+    val schema = new StructType().add("id", "bigint").add("part", "string")
+    val props = Map("keys" -> "id", "precombine" -> "id",
+      "partition" -> "part").asJava
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val attempts = (1 to 2).map { _ =>
+      scala.concurrent.Future {
+        gate.await()
+        Try(cat.createTable(ident, schema,
+          Array.empty[Transform], props))
+      }
+    }
+    gate.countDown()
+    val results = attempts.map(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration(60, "s")))
+    pool.shutdown()
+    assert(results.count(_.isSuccess) === 1, results.toString)
+    results.filter(_.isFailure).foreach { r =>
+      assert(r.failed.get.isInstanceOf[
+        org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException],
+        r.toString)
+    }
+    assert(sentinel.exists(), "losing CREATE must not delete the dir")
+    // the winner's table is fully usable
+    spark.sql("INSERT INTO gcat.ns.t_race VALUES (1, 'a')")
+    assert(spark.sql("SELECT id FROM gcat.ns.t_race").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    spark.sql("DROP TABLE gcat.ns.t_race")
+  }
+
+  test("INSERT OVERWRITE PARTITION (static pin) replaces only the " +
+      "pinned partition; arbitrary overwrite conditions are refused") {
+    val t = freshTable("t_ovwf")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'a'), (2, 20.0, 'b')")
+    // static partition pin arrives as an EqualTo partition filter
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (part = 'a') " +
+      "(SELECT 9 AS id, 90.0 AS v)")
+    assert(spark.sql(s"SELECT id, part FROM $t ORDER BY id").collect()
+      .toSeq == Seq(Row(2L, "b"), Row(9L, "a")))
+    // a non-partition condition cannot mean replace-these-partitions:
+    // it must be refused, not silently degraded to replace-the-batch's
+    // partitions (which would delete rows the condition never selected)
+    import spark.implicits._
+    val batch = Seq((5L, 50.0, "a")).toDF("id", "v", "part")
+    val e = intercept[Exception] {
+      batch.writeTo(t).overwrite(col("id") === 1L)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[UnsupportedOperationException] &&
+        c.getMessage.contains("cannot honor filter")), e.toString)
+    // and the refused write changed nothing
+    assert(spark.sql(s"SELECT id, part FROM $t ORDER BY id").collect()
+      .toSeq == Seq(Row(2L, "b"), Row(9L, "a")))
+  }
+
   test("partition columns must be declared last") {
     warehouse
     spark.sql("DROP TABLE IF EXISTS gcat.ns.t_bad")
