@@ -1,7 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Host 1-minute load average (-1.0 when unavailable): the hot-box
+    * witness stamped into the bench header at start and end. */
+  private def loadavg1m: Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch {
+      case _: Throwable =>
+        try java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        catch { case _: Throwable => -1.0 }
+    }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg1m
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -60,23 +74,42 @@ object Bench {
     // Provenance header: BASELINE.md's r1/r2 lesson is that driver-run
     // and builder-run figures disagree by up to 2x (box load); comparing
     // across producers silently mixes regimes. Stamp the producing sha
-    // (read from .git, no subprocess), the producer flag (builder runs
-    // export SPARK_GRAFT_BENCH_PRODUCER=builder; the driver never sets
-    // it), and the start wall-clock — tools/bench_compare.py refuses
-    // cross-producer comparisons without an explicit override.
-    val sha = try {
-      val head = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/root/repo/.git/HEAD")), "UTF-8").trim
-      if (head.startsWith("ref: "))
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/root/repo/.git/" + head.drop(5))),
-          "UTF-8").trim.take(12)
-      else head.take(12)
-    } catch { case _: Throwable => "unknown" }
+    // (git rev-parse from the working directory — handles worktrees and
+    // packed refs, with a loose-ref fallback when git is unavailable),
+    // the producer flag (builder runs export
+    // SPARK_GRAFT_BENCH_PRODUCER=builder; the driver never sets it),
+    // the start wall-clock, and the host 1-minute loadavg at start and
+    // end — round 9 burned three A/B adjudications proving a "perf
+    // regression" was a hot box; the header now carries the evidence,
+    // and tools/bench_compare.py annotates comparisons where either
+    // side ran loaded.
+    val sha = {
+      def gitRevParse: Option[String] =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+            .redirectErrorStream(true).start()
+          val o = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+          if (p.waitFor() == 0 && o.matches("[0-9a-f]{40}")) Some(o.take(12))
+          else None
+        } catch { case _: Throwable => None }
+      def looseRef: Option[String] =
+        try {
+          val git = java.nio.file.Paths.get(".git")
+          val head = new String(
+            java.nio.file.Files.readAllBytes(git.resolve("HEAD")),
+            "UTF-8").trim
+          if (head.startsWith("ref: "))
+            Some(new String(java.nio.file.Files.readAllBytes(
+              git.resolve(head.drop(5))), "UTF-8").trim.take(12))
+          else Some(head.take(12))
+        } catch { case _: Throwable => None }
+      gitRevParse.orElse(looseRef).getOrElse("unknown")
+    }
     val producer = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRODUCER", "driver")
     val startedAt = java.time.Instant.now().toString
+    val loadEnd = loadavg1m
     val line =
-      s"""{"metric":"total","unit":"sec","sha":"$sha","producer":"$producer","started_at":"$startedAt","sf":"$sfDir","queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sha":"$sha","producer":"$producer","started_at":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,"cpus":${scala.util.Try(cpus.toInt).getOrElse(-1)},"sf":"$sfDir","queries":$qs,"value":$total}"""
     // Durable record: the driver keeps only a bounded tail of stdout, so
     // a growing registry silently loses head-of-line per-query figures.
     // Persist the full record to the repo (committed per round) and print

@@ -140,14 +140,23 @@ object Occ {
       Await.result(fb, 10.minutes)
       // 3 = seed + merge-upsert + delete: proves neither statement
       // aborted; the per-commit order is informative only
-      val commits = Merge.commits(s, t).select("commit_ts", "n_rows")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val commits = Merge.commits(s, t).select("commit_ts", "partitions")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       require(commits.length == 3,
         s"expected 3 commits (seed + both racers), got ${commits.length}")
-      // loud report of the serialization the claim chain picked: the
-      // merge commit wrote rows (n_rows > 0), the delete wrote none
+      // loud report of the serialization the claim chain picked. The
+      // racers touch DISJOINT partitions (merge scopes to 'A', delete
+      // to 'N'), so the recorded partition set identifies each commit
+      // unambiguously — unlike n_rows, which would mislabel a delete
+      // that records rewritten surviving rows
       val order = commits.drop(1)
-        .map { case (c, n) => s"$c=${if (n > 0) "merge" else "delete"}" }
+        .map { case (c, p) =>
+          val label =
+            if (p.split(",").contains("A")) "merge"
+            else if (p.split(",").contains("N")) "delete"
+            else s"?($p)"
+          s"$c=$label"
+        }
         .mkString(" -> ")
       System.err.println(s"[x30] claim-chain serialization: $order")
       Merge.readTable(s, t)

@@ -23,7 +23,20 @@ import sys
 def load(p):
     with open(p) as f:
         d = json.load(f)
-    return d["queries"], d.get("producer"), d.get("sha")
+    return d["queries"], d.get("producer"), d.get("sha"), d
+
+
+def warn_if_loaded(path, d):
+    """Annotate a record produced on a busy host: loadavg above half the
+    benching core count at either end means the figures measured the
+    box, not the code (the round-9 drift lesson)."""
+    cpus = d.get("cpus") or 32
+    for side in ("load_start", "load_end"):
+        la = d.get(side)
+        if la is not None and la >= 0 and la > cpus / 2:
+            print(f"warning: {path} {side}={la} on {cpus} cpus — this "
+                  "record ran on a loaded host; treat regressions as "
+                  "suspect", file=sys.stderr)
 
 
 def main():
@@ -50,9 +63,11 @@ def main():
         i += 1
     if not args:
         sys.exit(__doc__)
-    new, new_prod, new_sha = load(args[0])
+    new, new_prod, new_sha, new_hdr = load(args[0])
     old_path = args[1] if len(args) > 1 else "bench_full_r8c.json"
-    old, old_prod, old_sha = load(old_path)
+    old, old_prod, old_sha, old_hdr = load(old_path)
+    warn_if_loaded(args[0], new_hdr)
+    warn_if_loaded(old_path, old_hdr)
     if new_prod is None or old_prod is None:
         print("warning: comparing a legacy record without a provenance "
               "header — producer unknown", file=sys.stderr)

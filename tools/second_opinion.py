@@ -4,14 +4,17 @@
 The driver's correctness gate hash-compares the engine against DuckDB
 SQL oracles (tools/check.py). That catches engine bugs but not a
 CORRELATED misreading — both the Spark query and its SQL oracle
-encoding the same wrong contract. This tool re-derives five
-representative keys (scan-agg, dedup, streaming-batch parity, merge
-replay, MinHash/LSH recall) in plain pandas / pure Python — no SQL
-engine at all — and compares against the engine's Verify dumps.
+encoding the same wrong contract. This tool re-derives nine
+representative keys, one per family (scan-agg, exact dedup, windowed
+streaming, stateful-session streaming, merge replay, CDC replication,
+MinHash/LSH recall, brute-kNN similarity, bigram-LM text scoring) in
+plain pandas / pure Python — no SQL engine at all — and compares
+against the engine's Verify dumps.
 
 Usage:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/so_out \
-      q03_agg_pricing,d01_exact_dedup,e01_windowed_counts,q18_upsert_replay,d23_lsh_recall"
+      q03_agg_pricing,d01_exact_dedup,e01_windowed_counts,e02_sessions,\
+q18_upsert_replay,x07_cdc_replica,d23_lsh_recall,s01_knn_brute,t13_lm_score"
   python3 tools/second_opinion.py /root/testdata/sf0.001 /tmp/so_out
 
 Exit 0 with "N ok, 0 fail" on agreement.  Decimal arithmetic mirrors
@@ -23,19 +26,23 @@ either.
 import hashlib
 import re
 import sys
-from decimal import Decimal
+from decimal import Decimal, ROUND_HALF_UP
 
 import pandas as pd
 
 
 def dec2(x):
-    """CAST(x AS DECIMAL(12,2)): round-half-up to 2 places, exact."""
-    return Decimal(repr(float(x))).quantize(Decimal("0.01"))
+    """CAST(x AS DECIMAL(12,2)): round-half-up to 2 places, exact.
+    Spark and DuckDB decimal casts round HALF_UP; quantize's context
+    default is HALF_EVEN, which would disagree on exact .xx5 ties."""
+    return Decimal(repr(float(x))).quantize(Decimal("0.01"),
+                                            rounding=ROUND_HALF_UP)
 
 
 def dec4_2(x):
     """CAST(x AS DECIMAL(4,2)) for discount/tax fractions."""
-    return Decimal(repr(float(x))).quantize(Decimal("0.01"))
+    return Decimal(repr(float(x))).quantize(Decimal("0.01"),
+                                            rounding=ROUND_HALF_UP)
 
 
 def q03(sf):
@@ -192,9 +199,109 @@ def q18(sf):
         .astype({"okey": "int64", "pre": "int64"})
 
 
+def e02(sf):
+    """30-minute-gap sessionization (transformWithState's RocksDB path
+    on the engine side): per (user, session) the epoch-ms bounds, event
+    count, and the SEQUENTIAL (ts, value)-ordered float sum of value —
+    the specified-order fold that makes the float total portable."""
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ev = ev[ev.user_id >= 0]
+    # normalize to ns first: datetime64[us] would int-cast to MICROS
+    t = pd.to_datetime(ev.ts).astype("datetime64[ns]") \
+        .astype("int64") // 1_000_000  # epoch ms
+    df = pd.DataFrame({"user_id": ev.user_id, "t": t,
+                       "value": ev.value}).sort_values(
+        ["user_id", "t", "value"], kind="mergesort")
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        brk = (g.t - g.t.shift(1)).fillna(0) > 1_800_000
+        for _, s in g.groupby(brk.cumsum()):
+            total = 0.0
+            for v in s.value:  # sequential left fold in (ts, value) order
+                total += float(v)
+            rows.append({"user_id": int(uid), "start_ts": int(s.t.min()),
+                         "end_ts": int(s.t.max()), "n_events": len(s),
+                         "total_value": total})
+    return pd.DataFrame(rows).sort_values(
+        ["user_id", "start_ts"]).reset_index(drop=True)
+
+
+def s01(sf):
+    """Brute-force cosine top-10 (the ANN family's exactness anchor).
+    Pure-Python sequential left-fold dot products — the same operation
+    order as the engine's codegen'd DotProduct loop, so the doubles
+    are bit-identical, not merely close."""
+    import math
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    vecs = {int(i): [float(x) for x in v]
+            for i, v in zip(emb.vec_id, emb.embedding)}
+
+    def fold_dot(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        return d
+
+    norms = {i: math.sqrt(fold_dot(v, v)) for i, v in vecs.items()}
+    rows = []
+    for qid in sorted(i for i in vecs if i < 5):
+        scored = [(fold_dot(vecs[qid], vecs[cid]) /
+                   (norms[qid] * norms[cid]), cid)
+                  for cid in vecs if cid >= 5 and cid != qid]
+        scored.sort(key=lambda sc: (-sc[0], sc[1]))
+        for rank, (sim, cid) in enumerate(scored[:10], start=1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "corpus_id": cid, "cos_sim": sim})
+    return pd.DataFrame(rows)
+
+
+def t13(sf):
+    """Laplace-smoothed bigram LM score: p(bigram) = (c2+1)/(c1+V)
+    over exact corpus counts, per-doc mean of p folded in token-
+    position order. Docs with <2 tokens keep a row (0 bigrams, null
+    score)."""
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks_of = {}
+    for i, t in zip(docs.doc_id, docs.text):
+        toks_of[int(i)] = [w for w in
+                           TOK.sub(" ", t.lower()).strip().split(" ") if w]
+    c2 = {}
+    for toks in toks_of.values():
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1 = {}
+    for (a, _), n in c2.items():
+        c1[a] = c1.get(a, 0) + n
+    v = len({w for toks in toks_of.values() for w in toks})
+    rows = []
+    for i in sorted(toks_of):
+        toks = toks_of[i]
+        n_big = max(len(toks) - 1, 0)
+        if n_big == 0:
+            rows.append({"doc_id": i, "n_bigrams": 0,
+                         "lm_score": float("nan")})
+            continue
+        sp = 0.0
+        for a, b in zip(toks, toks[1:]):  # position order, left fold
+            sp += float(c2[(a, b)] + 1) / float(c1[a] + v)
+        rows.append({"doc_id": i, "n_bigrams": n_big,
+                     "lm_score": sp / n_big})
+    return pd.DataFrame(rows)
+
+
 CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
           "e01_windowed_counts": e01, "q18_upsert_replay": q18,
-          "d23_lsh_recall": d23}
+          "d23_lsh_recall": d23,
+          # x07 replicates the q18 replay through the CDC incremental
+          # stream — its required end state is the SAME relation, so
+          # the re-derivation is shared and the check is that the
+          # replica landed on it
+          "x07_cdc_replica": q18,
+          "e02_sessions": e02, "s01_knn_brute": s01,
+          "t13_lm_score": t13}
 
 
 def compare(name, mine, engine):
