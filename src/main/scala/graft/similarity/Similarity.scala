@@ -555,6 +555,92 @@ object Similarity {
       .parquet(path + "/cells")
   }
 
+  /** Delete half of the index lifecycle (GDPR erasure, corpus
+    * re-curation): remove `deleteIds` from a persisted IVF index by
+    * rewriting ONLY the touched cid partitions — the O3
+    * delete-at-file-group-granularity shape. The touched-cell set is
+    * found with one partition-pruned semi-join (≤ nCentroids ids
+    * collected), survivors of those cells are anti-joined and written
+    * to a staging dir, and the swap is per-partition directory
+    * replacement; untouched cells' files are never read or rewritten
+    * (spec-asserted). Centroids stay frozen — like [[appendToIvfIndex]]
+    * this commutes with build: delete(build(corpus)) equals
+    * build-assign over corpus∖deleted against the same centroids, so
+    * the served results stay the relational collapse the s14 oracle
+    * states. A cell whose last vector is deleted becomes an empty
+    * partition (visible as n_vecs=0 in [[ivfDriftStats]]). */
+  def removeFromIvfIndex(spark: SparkSession, path: String,
+      deleteIds: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cellsPath = path + "/cells"
+    val ids = broadcast(
+      deleteIds.select(col(deleteIds.columns.head).as("_del_id")))
+    val cells = spark.read
+      .schema("corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG")
+      .parquet(cellsPath)
+    val touched = cells
+      .join(ids, col("corpus_id") === col("_del_id"), "left_semi")
+      .select("cid").distinct().collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val survivors = cells.filter(col("cid").isin(touched: _*))
+      .join(ids, col("corpus_id") === col("_del_id"), "left_anti")
+      .select("corpus_id", "cv", "cid")
+    val staging = cellsPath + "_rewrite_tmp"
+    survivors.write.mode(SaveMode.Overwrite).partitionBy("cid")
+      .parquet(staging)
+    val fs = new Path(cellsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { c =>
+      val dst = new Path(cellsPath, s"cid=$c")
+      fs.delete(dst, true)
+      val src = new Path(staging, s"cid=$c")
+      // a cell that lost every vector has no staged dir: recreate it
+      // empty so the partition (and its emptiness) stays enumerable
+      if (fs.exists(src)) fs.rename(src, dst) else fs.mkdirs(dst)
+    }
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Index STALENESS statistic (the drift half of the lifecycle, under
+    * the d23/s08 oracled-artifact discipline): per stored centroid, the
+    * cosine displacement between the centroid and the mean of the
+    * normalized vectors CURRENTLY assigned to its cell — i.e. how far
+    * one Lloyd step over today's contents would move each centroid.
+    * Near 0 = the quantizer still describes the corpus; growing values
+    * after appends/deletes are the retrain trigger. Per-dimension
+    * means accumulate in EXACT DECIMAL (order-free, so no fold order
+    * needs pinning — the e16 recipe); the emitted displacement is
+    * quantized to 8 decimals because engines' DECIMAL→DOUBLE casts
+    * disagree at the last ulp (see the inline note). An emptied cell
+    * surfaces with n_vecs=0 and a NULL drift — never silently
+    * dropped. */
+  def ivfDriftStats(spark: SparkSession, path: String): DataFrame = {
+    val cents = spark.read.parquet(path + "/centroids")
+    val cells = spark.read
+      .schema("corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG")
+      .parquet(path + "/cells")
+    val perDim = cells
+      .select(col("cid"), posexplode(col("cv")).as(Seq("i", "val")))
+      .groupBy("cid", "i")
+      .agg((sum(col("val").cast("decimal(27,20)")).cast("double") /
+        count(lit(1))).as("m"))
+    val nm = perDim.groupBy("cid")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("mv"))
+    val nv = cells.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    // the statistic is emitted QUANTIZED (8 decimals): DuckDB's
+    // DECIMAL->DOUBLE cast is not correctly rounded (measured 1-ulp
+    // drift vs BigDecimal.doubleValue), so the mean's last bits are
+    // not portable — and 8 decimals is far past any retrain-trigger
+    // threshold a deployment would set on this signal
+    cents.join(nm, Seq("cid"), "left").join(nv, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        (lit(1.0) - dot(normalized(col("cv")), normalized(col("mv"))))
+          .cast("decimal(10,8)").as("drift"))
+      .orderBy("cid")
+  }
+
   /** Embedding-space retrieval EVAL: leave-one-out kNN label agreement
     * over a labeled corpus — the standard harness for judging whether
     * an embedding column is good enough to drive semantic dedup /
@@ -698,6 +784,35 @@ object Similarity {
       }
       ivfTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")
+    }),
+    // s14: the index DELETE path — build on the full corpus, erase the
+    // vec_id%10==7 slice by rewriting only its touched cells, serve
+    // over the remainder; the oracle trains on the full corpus and
+    // assigns only the kept vectors against those frozen centroids —
+    // the exact no-retrain erasure contract
+    "s14_ivf_delete" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s14:" + dir, "graft_s14_") {
+        p =>
+          val all = corpusOf(s, dir)
+          buildIvfIndex(all, p, nCentroids = 10, maxTrainVectors = 256)
+          removeFromIvfIndex(s, p,
+            all.filter(col("vec_id") % 10 === 7).select("vec_id"))
+      }
+      ivfTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    // s15: the staleness statistic over s13's drift scenario (trained
+    // on the base, the %10==9 batch appended without retraining) —
+    // per-cell displacement as an oracled artifact
+    "s15_ivf_drift" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s13:" + dir, "graft_s13_") {
+        p =>
+          val all = corpusOf(s, dir)
+          buildIvfIndex(all.filter(col("vec_id") % 10 =!= 9), p,
+            nCentroids = 10, maxTrainVectors = 256)
+          appendToIvfIndex(s, p, all.filter(col("vec_id") % 10 === 9))
+      }
+      ivfDriftStats(s, idx)
     }),
     // product quantization: per-subspace trained codebooks, asymmetric
     // scoring against the reconstruction (sampled training, as s03)
@@ -850,16 +965,22 @@ object Similarity {
   /** `trainOn` names the CTE the quantizer trains on: "corpus" (s03 —
     * train and assign the same set) or "corpus0" (s13 — train on the
     * base only, assign the base PLUS the appended batch against those
-    * frozen centroids: the no-retrain index-update contract). */
+    * frozen centroids: the no-retrain index-update contract).
+    * `serveOn` names the CTE whose vectors the index HOLDS at serve
+    * time: "corpus" everywhere except s14, which serves "corpusKeep"
+    * (the corpus minus the erased slice) against centroids trained on
+    * the full corpus — the no-retrain delete contract. */
   private def s03OracleSql(k: Int, iters: Int, nProbe: Int,
-      topK: Int, trainN: Int, trainOn: String = "corpus"): String = {
+      topK: Int, trainN: Int, trainOn: String = "corpus",
+      serveOn: String = "corpus"): String = {
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
        |corpus0 AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 9),
+       |corpusKeep AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 7),
        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
        |${lloydCtesSql(k, iters, trainN, "", trainOn)},
-       |${assignCteSql("cells", s"c$iters", "corpus")},
+       |${assignCteSql("cells", s"c$iters", serveOn)},
        |probes AS (
        |  SELECT query_id, qvn, cid FROM (
        |    SELECT q.vec_id AS query_id, ${normSql("q.v")} AS qvn, c.cid,
@@ -955,6 +1076,33 @@ object Similarity {
     // quantizer trained on the base only, full corpus assigned against
     // those frozen centroids — the relational collapse of build+append
     "s13_ivf_append" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256, trainOn = "corpus0"),
+    // quantizer trained on the FULL corpus, only the kept vectors
+    // assigned/served — the relational collapse of build+delete
+    "s14_ivf_delete" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256, serveOn = "corpusKeep"),
+    // per-cell displacement over s13's scenario: train on the base,
+    // assign the full (appended) corpus, then per-dim EXACT-DECIMAL
+    // means of the normalized members vs the stored centroid
+    "s15_ivf_drift" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |corpus0 AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 9),
+         |${lloydCtesSql(10, 3, 256, "", "corpus0")},
+         |${assignCteSql("cells", "c3", "corpus")},
+         |nrm AS (SELECT cid, vec_id, ${normSql("v")} AS nv FROM cells),
+         |pd AS (SELECT cid, i,
+         |         CAST(SUM(CAST(val AS DECIMAL(27,20))) AS DOUBLE)
+         |           / COUNT(*) AS m
+         |       FROM (SELECT cid, unnest(nv) AS val,
+         |               generate_subscripts(nv, 1) AS i FROM nrm)
+         |       GROUP BY cid, i),
+         |nm AS (SELECT cid, list(m ORDER BY i) AS mv FROM pd GROUP BY cid),
+         |nv2 AS (SELECT cid, COUNT(*) AS n_vecs FROM cells GROUP BY cid)
+         |SELECT c.cid, CAST(COALESCE(nv2.n_vecs, 0) AS BIGINT) AS n_vecs,
+         |  CAST(1 - list_dot_product(${normSql("c.cv")}, ${normSql("nm.mv")})
+         |    AS DECIMAL(10,8)) AS drift
+         |FROM c3 c LEFT JOIN nm USING (cid) LEFT JOIN nv2 USING (cid)
+         |ORDER BY c.cid""".stripMargin,
     "s06_ann_pq" -> s06OracleSql(subspaces = 4, subLen = 16, codebook = 16,
       iters = 2, topK = 10, trainN = 256),
     // the same quantize/dequantize IEEE expression the engine ships,

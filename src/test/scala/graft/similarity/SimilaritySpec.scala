@@ -170,6 +170,87 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(key).sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("removeFromIvfIndex: only touched cells rewritten; deleted ids " +
+      "gone; delete commutes with build (split == build-on-kept cells)") {
+    import java.io.File
+    def cellFiles(p: String): Set[String] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new File(p + "/cells")).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val idx = tmpDir("graft_s14_spec_")
+    Similarity.buildIvfIndex(corpus, idx, nCentroids = 10)
+    val cellsSchema = "corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG"
+    val cells0 = spark.read.schema(cellsSchema).parquet(idx + "/cells")
+    // delete exactly one cell's members: every OTHER cell's files must
+    // survive byte-identical (path set unchanged)
+    // materialize everything derived from the PRE-delete file set: the
+    // swap below invalidates cells0's cached file index by design
+    val rows0 = cells0.select("corpus_id", "cid").as[(Long, Long)]
+      .collect()
+    val victimCid = rows0.groupBy(_._2).maxBy(g => (g._2.length, -g._1))._1
+    val victimIds = rows0.filter(_._2 == victimCid).map(_._1).toSeq
+    val nVictims = victimIds.length.toLong
+    assert(nVictims > 0)
+    val victims = victimIds.toDF("vec_id")
+    val untouchedBefore = cellFiles(idx)
+      .filterNot(_.contains(s"cid=$victimCid"))
+    Similarity.removeFromIvfIndex(spark, idx, victims)
+    val after = spark.read.schema(cellsSchema).parquet(idx + "/cells")
+    assert(after.count() === rows0.length - nVictims)
+    assert(after.join(victims,
+      after("corpus_id") === victims("vec_id"), "left_semi").isEmpty)
+    assert(cellFiles(idx).filterNot(_.contains(s"cid=$victimCid"))
+      === untouchedBefore, "untouched cells must not be rewritten")
+    // the emptied cell stays enumerable and is visible in the drift
+    // report as n_vecs=0 with a NULL drift
+    val drift = Similarity.ivfDriftStats(spark, idx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(drift(victimCid).getLong(1) === 0L)
+    assert(drift(victimCid).isNullAt(2))
+    assert(drift.size === 10)
+    // delete commutes with build: the survivors' (corpus_id, cid)
+    // assignment equals the full build's minus the victims (same
+    // frozen centroids, per-vector assignment)
+    val expectPairs = rows0.filterNot(p => victimIds.contains(p._1))
+      .sorted.toSeq
+    assert(after.select("corpus_id", "cid").as[(Long, Long)]
+      .collect().sorted.toSeq === expectPairs)
+  }
+
+  test("ivfDriftStats: a self-centroid index reports ~zero drift; a " +
+      "shifted append raises the touched cell's drift") {
+    // 4 well-separated vectors, k=4: Lloyd converges to the vectors
+    // themselves, so every cell's mean IS its centroid direction
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val idx = tmpDir("graft_s15_spec_")
+    Similarity.buildIvfIndex(tiny, idx, nCentroids = 4, iters = 2)
+    val d0 = Similarity.ivfDriftStats(spark, idx).collect()
+    assert(d0.length === 4)
+    d0.foreach { r =>
+      assert(r.getLong(1) === 1L)
+      assert(math.abs(r.getDecimal(2).doubleValue()) < 1e-7, r.toString)
+    }
+    // append an off-axis batch near vector 0: cell 0's contents drift
+    // away from its frozen centroid, the untouched cells stay at ~0
+    val batch = Seq(
+      (10L, Array(0.8f, 0.6f, 0.0f, 0.0f)),
+      (11L, Array(0.8f, 0.0f, 0.6f, 0.0f))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, idx, batch)
+    val d1 = Similarity.ivfDriftStats(spark, idx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val drifted = d1.values.filter(r =>
+      r.getDecimal(2).doubleValue() > 1e-3).toSeq
+    assert(drifted.nonEmpty, d1.toString)
+    assert(d1.values.map(_.getLong(1)).sum === 6L)
+  }
+
   test("pqTopK recall vs brute-force (8 subspaces × 64 codes)") {
     val brute = neighborSets(Similarity.bruteTopK(corpus, queries, 10))
     val ann = neighborSets(
