@@ -164,16 +164,16 @@ object Behavior {
         |  make_timestamp(min(us)) AS session_start,
         |  make_timestamp(max(us)) AS session_end,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
         |FROM sess
         |GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
     "q49_anomaly" ->
       """WITH stats AS (
         |  SELECT event_type, COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
-        |    CAST(SUM(CAST(value AS DECIMAL(12,2))
-        |             * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))
+        |             * CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS s2
         |  FROM events GROUP BY 1 HAVING COUNT(*) > 1),
         |m AS (
         |  SELECT event_type, s1 / n AS mean,

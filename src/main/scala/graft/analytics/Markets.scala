@@ -135,12 +135,12 @@ object Markets {
   val oracle: Map[String, String] = Map(
     "q45_vwap" ->
       """SELECT p_brand AS brand, strftime(l_shipdate, '%Y-%m') AS month,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS turnover,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS volume,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS volume,
         |  COUNT(*) AS n_fills,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS vwap
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
+        |    / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS vwap
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
@@ -178,7 +178,7 @@ object Markets {
       """WITH m AS (
         |  SELECT o_orderpriority AS priority,
         |         strftime(o_orderdate, '%Y-%m') AS month,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |           AS total
         |  FROM orders GROUP BY 1, 2)
         |SELECT priority, month, total,
@@ -195,7 +195,7 @@ object Markets {
       """WITH daily AS (
         |  SELECT o_orderpriority AS priority,
         |         CAST(o_orderdate AS DATE) AS day,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |           AS daily_total,
         |         date_diff('day', DATE '1992-01-01',
         |                   CAST(o_orderdate AS DATE)) AS dn

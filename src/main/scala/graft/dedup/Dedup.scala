@@ -628,9 +628,14 @@ object Dedup {
   /** Cosine similarity of two double arrays — sequential left-fold (the
     * native [[graft.functions.DotProduct]] codegen loop), the same
     * operation order as DuckDB's list_cosine_similarity, so values are
-    * bit-identical across engines. */
+    * bit-identical across engines. Clamped to [-1, 1] exactly as
+    * DuckDB clamps: identical vectors can overshoot by an ulp
+    * (dot(v,v) vs sqrt(dot)·sqrt(dot) round differently), and a
+    * similarity above 1.0 is a float artifact, not a value — surfaced
+    * by the sf1 corpus, whose generator tiles exact duplicates. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    least(lit(1.0), greatest(lit(-1.0),
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))))
 
   /** Unit-normalized copy of a vector (norm computed once per row, so
     * pairwise similarity downstream is a single dot product — 3× fewer

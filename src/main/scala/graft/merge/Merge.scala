@@ -3085,6 +3085,38 @@ object Merge {
       readTable(s, path)
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
+    }),
+    // e18: x04's replay through the NATIVE sink — no foreachBatch hop;
+    // the sink routes every micro-batch through the same option-driven
+    // write dispatch as df.write.format("graft"), with per-query
+    // committed-batch stamping for replay idempotency (GraftSink)
+    "e18_stream_sink" -> ((s, dir) => {
+      val path = scratchTable("graft_e18_")
+      val inDir = scratchTable("graft_e18in_")
+      val rows = graft.Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 <= 2)
+        .select(
+          (col("o_orderkey") % 500).as("okey"),
+          col("o_orderstatus").as("part"),
+          col("o_totalprice").as("price"),
+          col("o_orderkey").as("pre"))
+      rows.repartition(8).write.parquet(inDir)
+      val q = s.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 3).parquet(inDir)
+        .writeStream
+        .format("graft")
+        .option("path", path)
+        .option("op", "upsert_ordered")
+        .option("keys", "okey")
+        .option("precombine", "pre")
+        .option("partition", "part")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", scratchTable("graft_e18ckpt_"))
+        .start()
+      q.awaitTermination()
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
     }))
 
   /** DuckDB replay of the same algebra: per-batch dedup by max
@@ -3165,7 +3197,7 @@ object Merge {
     // aggregate of the replayed final state
     "x08_incr_view" ->
       s"""SELECT part, okey % 10 AS bucket,
-         |  CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+         |  CAST(CAST(SUM(CAST(price AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_v,
          |  COUNT(*) AS n_rows
          |FROM ($replaySql)
          |GROUP BY part, okey % 10
@@ -3174,7 +3206,7 @@ object Merge {
     // ones — the cursor, not the batching, decides what applies
     "x09_stream_ivm" ->
       s"""SELECT part, okey % 10 AS bucket,
-         |  CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+         |  CAST(CAST(SUM(CAST(price AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_v,
          |  COUNT(*) AS n_rows
          |FROM ($replaySql)
          |GROUP BY part, okey % 10
@@ -3603,6 +3635,11 @@ object Merge {
   val oracle: Map[String, String] =
     oracle0 +
       ("x24_sql_commits" -> oracle0("q22_timeline")) +
+      // e18 replays x04's corpus through the NATIVE streaming sink
+      // (writeStream.format("graft"), no foreachBatch hop) with the
+      // same ordered payload — the final state must be the same
+      // batch-geometry-invariant argmax, so the oracle is shared
+      ("e18_stream_sink" -> oracle0("x04_stream_upsert")) +
       // bulk insert lands the batch VERBATIM — no dedup, duplicates
       // preserved; the oracle is the raw batch selection
       ("x27_bulk_insert" ->

@@ -203,7 +203,7 @@ object Occ {
         |      AND u.l_linenumber = s.l_linenumber
         |      AND u.l_returnflag = s.l_returnflag))
         |SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total,
         |  CAST(3 AS BIGINT) AS n_commits
         |FROM final
@@ -253,7 +253,7 @@ object Occ {
         |  SELECT * FROM merged
         |  WHERE NOT (l_returnflag = 'N' AND l_extendedprice < 2000))
         |SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total,
         |  CAST(3 AS BIGINT) AS n_commits
         |FROM final

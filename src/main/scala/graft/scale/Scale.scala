@@ -263,8 +263,8 @@ object Scale {
         |ORDER BY c_custkey, k, n_name""".stripMargin,
     "x10_bloom_join" ->
       """SELECT p_brand,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS STRING) AS DOUBLE)
         |    AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -275,9 +275,9 @@ object Scale {
     // is the plain join over the original tables
     "x15_bucketed_join" ->
       """SELECT o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS revenue,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS volume,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS volume,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -289,7 +289,7 @@ object Scale {
         |           WHERE strftime(o_orderdate, '%Y-%m')
         |             IN ('1996-01','1996-02','1996-03'))
         |SELECT ship_month,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS revenue,
         |  COUNT(*) AS n_items
         |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
@@ -301,8 +301,8 @@ object Scale {
     // the plain per-orderkey rollup over the original table
     "x21_bucketed_agg" ->
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS volume,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS volume,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem

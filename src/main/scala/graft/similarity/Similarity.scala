@@ -1021,7 +1021,7 @@ object Similarity {
          |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
          |       FROM t WHERE doc_id < 5),
          |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+         |         CAST(CAST(SUM(dl) AS STRING) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
          |tok AS (SELECT corpus_id, dl, unnest(toks) AS term FROM d),
          |tf AS (SELECT corpus_id, dl, term, COUNT(*) AS tf FROM tok
          |       WHERE term IN (SELECT DISTINCT term FROM qt)
@@ -1091,7 +1091,7 @@ object Similarity {
          |${assignCteSql("cells", "c3", "corpus")},
          |nrm AS (SELECT cid, vec_id, ${normSql("v")} AS nv FROM cells),
          |pd AS (SELECT cid, i,
-         |         CAST(SUM(CAST(val AS DECIMAL(27,20))) AS DOUBLE)
+         |         CAST(CAST(SUM(CAST(val AS DECIMAL(27,20))) AS STRING) AS DOUBLE)
          |           / COUNT(*) AS m
          |       FROM (SELECT cid, unnest(nv) AS val,
          |               generate_subscripts(nv, 1) AS i FROM nrm)
@@ -1304,8 +1304,8 @@ object Similarity {
         |    COUNT(*) AS n_nn
         |  FROM nn GROUP BY 1, 2)
         |SELECT q_label, COUNT(*) AS n_queries,
-        |  CAST(SUM(top1_hit) AS DOUBLE) / COUNT(*) AS top1_acc,
-        |  CAST(SUM(n_match) AS DOUBLE) / SUM(n_nn) AS knn_agreement
+        |  CAST(CAST(SUM(top1_hit) AS STRING) AS DOUBLE) / COUNT(*) AS top1_acc,
+        |  CAST(CAST(SUM(n_match) AS STRING) AS DOUBLE) / SUM(n_nn) AS knn_agreement
         |FROM perq GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -43,11 +43,30 @@ import graft.merge.{Merge, MorTable}
   * would; the relation boundary adds no extra materialization.
   */
 class GraftSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
   import GraftSource.{cols, opt, pathOf}
+
+  /** `df.writeStream.format("graft")` — the NATIVE streaming sink (no
+    * foreachBatch hop): every micro-batch lands through the same
+    * option-driven write dispatch as the batch surface, so a stream
+    * and a batch writer of the same options produce the same table.
+    * Append and Update modes both map to the table's own `op` (for a
+    * keyed table that is upsert — Update semantics by construction);
+    * Complete would mean replace-per-batch and is refused. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode !=
+      org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft streaming sink supports Append/Update output modes " +
+        "(per-batch table replacement is not a merge op)")
+    new GraftSink(sqlContext, parameters)
+  }
 
   /** User-specified schema = the empty-`CREATE TABLE (cols...) USING
     * graft` DDL shape: record the schema so the table resolves (and
@@ -217,12 +236,23 @@ object GraftSource {
           if (versioned)
             Merge.upsertVersioned(spark, data, path, keys, precombine, parts)
           else Merge.upsert(spark, data, path, keys, precombine, parts)
+        case "upsert_ordered" =>
+          // the ORDERED payload (stored row survives unless the
+          // incoming precombine is >= it): per-key argmax over all
+          // writes, invariant to batch boundaries and arrival order —
+          // the safe op for streaming sinks replaying late data (x04)
+          require(keys.nonEmpty && precombine != null,
+            "upsert_ordered requires keys + precombine")
+          require(!versioned,
+            "upsert_ordered is not yet supported on versioned tables")
+          Merge.upsertOrdered(spark, data, path, keys, precombine, parts)
         case "delete" =>
           require(keys.nonEmpty, "delete requires keys")
           if (versioned) Merge.deleteVersioned(spark, data, path, keys, parts)
           else Merge.delete(spark, data, path, keys, parts)
         case other => throw new IllegalArgumentException(
-          s"unknown graft op '$other' (insert|bulk_insert|upsert|delete)")
+          s"unknown graft op '$other' " +
+            "(insert|bulk_insert|upsert|upsert_ordered|delete)")
       }
       case SaveMode.ErrorIfExists | SaveMode.Ignore =>
         // Hadoop FS resolved for the path, not java.io.File — the latter
@@ -238,6 +268,92 @@ object GraftSource {
           Merge.insert(data, path, parts, keys, precombine,
             dedup = keys.nonEmpty && precombine != null)
     }
+  }
+}
+
+/** The v1 micro-batch [[Sink]] behind `writeStream.format("graft")` —
+  * the same provider seam Delta and Hudi shipped streaming writes
+  * through before DSv2 StreamingWrite existed, and the right fit here
+  * because graft's write path is a driver-orchestrated merge commit,
+  * not per-task row writers.
+  *
+  * At-least-once handling: Structured Streaming re-delivers the last
+  * micro-batch after a checkpoint recovery, so each committed batch id
+  * is recorded per QUERY id in a `_graft_stream_txn/` sidecar
+  * (complete-or-absent temp+rename, the recordCommit discipline) and
+  * replayed ids are SKIPPED — the x04 stamp-the-ingest-id recipe. The
+  * record lands after the write, so a crash exactly between the two
+  * re-applies one batch; with the keyed ops that window is still
+  * convergent (upsert re-applies the same per-key winners;
+  * `upsert_ordered` is argmax-invariant by construction — the x04
+  * contract), which is why the sink requires a keyed op and refuses
+  * blind appends (`op=insert` would duplicate rows on that window). */
+private[sources] class GraftSink(sqlContext: SQLContext,
+    parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import org.apache.hadoop.fs.Path
+
+  private val path = GraftSource.pathOf(parameters)
+
+  locally {
+    val op = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("op") => v.toLowerCase
+    }.getOrElse("upsert")
+    require(op == "upsert" || op == "upsert_ordered" || op == "delete",
+      s"graft streaming sink requires a keyed, replay-convergent op " +
+        s"(upsert|upsert_ordered|delete), got '$op': a blind append " +
+        "would duplicate rows when a recovered micro-batch re-lands")
+  }
+
+  private def txnDir = new Path(path, "_graft_stream_txn")
+  private def fs(spark: org.apache.spark.sql.SparkSession) =
+    txnDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def queryId(spark: org.apache.spark.sql.SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("default")
+
+  private[sources] def lastCommitted(
+      spark: org.apache.spark.sql.SparkSession, qid: String): Option[Long] = {
+    val f = fs(spark)
+    val p = new Path(txnDir, qid)
+    if (!f.exists(p)) None
+    else {
+      val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      val in = f.open(p)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf, "UTF-8").trim.toLong)
+    }
+  }
+
+  private def record(spark: org.apache.spark.sql.SparkSession,
+      qid: String, batchId: Long): Unit = {
+    val f = fs(spark)
+    f.mkdirs(txnDir)
+    val tmp = new Path(txnDir, s".$qid.tmp")
+    val out = f.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(new Path(txnDir, qid), false)
+    f.rename(tmp, new Path(txnDir, qid))
+    ()
+  }
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    val qid = queryId(spark)
+    if (lastCommitted(spark, qid).exists(_ >= batchId)) {
+      System.err.println(
+        s"[graft.sink] skipping replayed micro-batch $batchId " +
+          s"(query $qid already committed it)")
+      return
+    }
+    // the Dataset handed to a v1 sink wraps the incremental execution
+    // and refuses batch actions; re-wrap its rows as a batch frame
+    val batch = org.apache.spark.sql.graftshim.GraftSqlBridge
+      .asBatchDataFrame(spark, data.queryExecution.toRdd, data.schema)
+    GraftSource.write(sqlContext, SaveMode.Append, parameters, batch)
+    record(spark, qid, batchId)
   }
 }
 
@@ -336,7 +452,7 @@ object GraftSourceQueries {
           |FROM x18_lineitem WHERE l_linenumber = 4""".stripMargin)
       s.sql(
         """SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
           |    AS total
           |FROM x18_target
           |GROUP BY l_returnflag, l_linenumber
@@ -370,7 +486,7 @@ object GraftSourceQueries {
         "DELETE FROM x20_target WHERE l_returnflag = 'N' AND l_linenumber = 1")
       s.sql(
         """SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
           |    AS total
           |FROM x20_target
           |GROUP BY l_returnflag, l_linenumber
@@ -412,10 +528,10 @@ object GraftSourceQueries {
         """SELECT l_returnflag,
           |  coalesce(batch_src, 'original') AS src,
           |  COUNT(*) AS n, COUNT(l_discount) AS n_disc,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
           |    AS total,
-          |  CAST(SUM(CAST(coalesce(l_discount, 0) AS DECIMAL(4,2)))
-          |    AS DOUBLE) AS total_disc
+          |  CAST(CAST(SUM(CAST(coalesce(l_discount, 0) AS DECIMAL(4,2)))
+          |    AS STRING) AS DOUBLE) AS total_disc
           |FROM x22_target
           |GROUP BY 1, 2
           |ORDER BY 1, 2""".stripMargin)
@@ -453,7 +569,7 @@ object GraftSourceQueries {
           |WHERE l_returnflag = 'A' AND l_linenumber = 1""".stripMargin)
       s.sql(
         """SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
           |    AS total
           |FROM x25_target
           |GROUP BY l_returnflag, l_linenumber
@@ -490,13 +606,13 @@ object GraftSourceQueries {
           |FROM x23_lineitem WHERE l_linenumber = 2""".stripMargin)
       s.sql(
         s"""SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
-           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
            |    AS total
            |FROM x23_target VERSION AS OF $c1
            |GROUP BY 1, 2
            |UNION ALL
            |SELECT 'current', l_returnflag, COUNT(*),
-           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
            |FROM x23_target
            |GROUP BY 1, 2
            |ORDER BY snap, l_returnflag""".stripMargin)
@@ -544,13 +660,13 @@ object GraftSourceQueries {
         .format(java.time.Instant.ofEpochMilli(w1))
       s.sql(
         s"""SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
-           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
            |    AS total
            |FROM x29_target TIMESTAMP AS OF '$lit'
            |GROUP BY 1, 2
            |UNION ALL
            |SELECT 'current', l_returnflag, COUNT(*),
-           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
            |FROM x29_target
            |GROUP BY 1, 2
            |ORDER BY snap, l_returnflag""".stripMargin)
@@ -599,13 +715,13 @@ object GraftSourceQueries {
         .head.getLong(0)
       s.sql(
         s"""SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
-           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
            |    AS total
            |FROM graft_cat.bench.li VERSION AS OF $c1
            |GROUP BY 1, 2
            |UNION ALL
            |SELECT 'current', l_returnflag, COUNT(*),
-           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
            |FROM graft_cat.bench.li
            |GROUP BY 1, 2
            |ORDER BY snap, l_returnflag""".stripMargin)
@@ -644,16 +760,16 @@ object GraftSourceQueries {
         |      AND d2.l_linenumber = d1.l_linenumber
         |      AND d2.l_returnflag = d1.l_returnflag))
         |SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total
         |FROM d1 GROUP BY 1, 2
         |UNION ALL
         |SELECT 'current', l_returnflag, COUNT(*),
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |FROM cur GROUP BY 1, 2
         |UNION ALL
         |SELECT 'incr', l_returnflag, COUNT(*),
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |FROM d2 GROUP BY 1, 2
         |ORDER BY snap, l_returnflag""".stripMargin,
 
@@ -706,7 +822,7 @@ object GraftSourceQueries {
         |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
         |  FROM ins4)
         |SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total
         |FROM merged
         |GROUP BY l_returnflag, l_linenumber
@@ -735,7 +851,7 @@ object GraftSourceQueries {
         |  SELECT * FROM updated
         |  WHERE NOT (l_returnflag = 'N' AND l_linenumber = 1))
         |SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total
         |FROM final
         |GROUP BY l_returnflag, l_linenumber
@@ -772,10 +888,10 @@ object GraftSourceQueries {
         |  FROM g2)
         |SELECT l_returnflag, src, COUNT(*) AS n,
         |  COUNT(l_discount) AS n_disc,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total,
-        |  CAST(SUM(CAST(coalesce(l_discount, 0) AS DECIMAL(4,2)))
-        |    AS DOUBLE) AS total_disc
+        |  CAST(CAST(SUM(CAST(coalesce(l_discount, 0) AS DECIMAL(4,2)))
+        |    AS STRING) AS DOUBLE) AS total_disc
         |FROM cur
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
@@ -809,7 +925,7 @@ object GraftSourceQueries {
         |  UNION ALL
         |  SELECT * FROM bf)
         |SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total
         |FROM final
         |GROUP BY l_returnflag, l_linenumber
@@ -857,12 +973,12 @@ object GraftSourceQueries {
         |      AND d2.l_linenumber = d1.l_linenumber
         |      AND d2.l_returnflag = d1.l_returnflag))
         |SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total
         |FROM d1 GROUP BY 1, 2
         |UNION ALL
         |SELECT 'current', l_returnflag, COUNT(*),
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |FROM cur GROUP BY 1, 2
         |ORDER BY snap, l_returnflag""".stripMargin)
 
@@ -886,12 +1002,12 @@ object GraftSourceQueries {
         |cur AS (
         |  SELECT * FROM g1 UNION ALL SELECT * FROM g2)
         |SELECT 'c1' AS snap, l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total
         |FROM g1 GROUP BY 1, 2
         |UNION ALL
         |SELECT 'current', l_returnflag, COUNT(*),
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |FROM cur GROUP BY 1, 2
         |ORDER BY snap, l_returnflag""".stripMargin
 }

@@ -780,7 +780,7 @@ object EventStreams {
         |        ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS grp
         |      FROM m)
         |SELECT user_id, event_type, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total_value
         |FROM g GROUP BY user_id, grp, event_type
         |ORDER BY user_id, event_type, n_events, total_value""".stripMargin,
@@ -819,20 +819,20 @@ object EventStreams {
         |  JOIN dim2 d ON e.user_id = d.user_id
         |  WHERE e.event_id % 2 = 1)
         |SELECT seg AS segment, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |    AS total_value
         |FROM enr GROUP BY 1 ORDER BY 1""".stripMargin,
     "e07_stream_enrich" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |  c_mktsegment AS segment,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e01_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the upsert-maintained serving table converges to the same batch
@@ -840,7 +840,7 @@ object EventStreams {
     "e15_stream_agg_table" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // each event lands in the 4 overlapping hour windows whose 15-min-
@@ -853,7 +853,7 @@ object EventStreams {
         |         event_type, value
         |  FROM events, unnest(generate_series(0, 3)) AS t(k))
         |SELECT window_start, event_type, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // native session_window parity at full µs precision: merge while
     // the next event is STRICTLY inside last+gap (the window end is
@@ -869,7 +869,7 @@ object EventStreams {
         |          ROWS UNBOUNDED PRECEDING) AS grp
         |      FROM m)
         |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, session_start""".stripMargin,
     "e02_sessions" ->
@@ -925,7 +925,7 @@ object EventStreams {
         |           FROM events WHERE event_id % 2 = 0)
         |SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_value
         |FROM events, w
         |WHERE event_id % 2 = 0
         |   OR date_trunc('hour', ts) + INTERVAL 1 HOUR > wm
@@ -956,7 +956,7 @@ object EventStreams {
         |       FROM m1),
         |s1 AS (SELECT user_id, grp, MIN(ts) AS session_start,
         |         MAX(ts) AS last_ts, COUNT(*) AS n_events,
-        |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |           AS total_value
         |       FROM g1 GROUP BY user_id, grp),
         |frozen AS (SELECT s1.session_start, s1.user_id, s1.n_events,
@@ -982,7 +982,7 @@ object EventStreams {
         |       FROM m2),
         |s2 AS (SELECT MIN(ts) AS session_start, user_id,
         |         COUNT(*) AS n_events,
-        |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
         |           AS total_value
         |       FROM g2 GROUP BY user_id, grp)
         |SELECT session_start, user_id, n_events, total_value FROM frozen

@@ -756,7 +756,7 @@ object TextAnalysis {
          |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
          |      FROM t),
          |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+         |         CAST(CAST(SUM(dl) AS STRING) AS DOUBLE) / COUNT(*) AS avgdl
          |       FROM d),
          |tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
          |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok

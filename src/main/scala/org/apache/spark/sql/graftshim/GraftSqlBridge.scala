@@ -23,6 +23,20 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-wrap a micro-batch Sink's incremental result as a BATCH
+    * DataFrame (`internalCreateDataFrame(isStreaming = false)`) — the
+    * third standard private[sql] seam every v1 streaming sink (Delta's
+    * DeltaSink, Hudi's HoodieStreamingSink) reaches through: the
+    * Dataset handed to `Sink.addBatch` wraps the streaming incremental
+    * execution and refuses batch actions, while its `toRdd` is exactly
+    * the batch's rows. */
+  def asBatchDataFrame(spark: SparkSession,
+      rows: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming = false)
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)

@@ -207,4 +207,55 @@ class GraftSourceSpec extends SparkSpec {
     assert(back.filter(col("l_returnflag") =!= "R").count() ===
       b1.filter(col("l_returnflag") =!= "R").count())
   }
+
+  test("writeStream.format(graft): native sink drains a stream into " +
+      "the table; final state equals the batch upsert of the corpus") {
+    import spark.implicits._
+    val t = tmpDir("graft_sink_t_")
+    val in = tmpDir("graft_sink_in_") + "/files"
+    val rows = Seq(
+      (1L, 10.0, "a", 1L), (2L, 20.0, "b", 2L),
+      (1L, 15.0, "a", 3L), (3L, 30.0, "a", 4L))
+      .toDF("id", "v", "part", "pre")
+    rows.repartition(4).write.parquet(in)
+    val q = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.format("graft")
+      .option("path", t)
+      .option("op", "upsert_ordered")
+      .option("keys", "id").option("precombine", "pre")
+      .option("partition", "part")
+      .option("checkpointLocation", tmpDir("graft_sink_ck_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = Merge.readTable(spark, t)
+      .select("id", "v", "pre").orderBy("id")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got === Seq((1L, 15.0, 3L), (2L, 20.0, 2L), (3L, 30.0, 4L)))
+  }
+
+  test("graft sink skips a replayed micro-batch (at-least-once " +
+      "recovery) and refuses blind-append ops") {
+    import spark.implicits._
+    val t = tmpDir("graft_sink_replay_")
+    val params = Map("path" -> t, "op" -> "upsert", "keys" -> "id",
+      "precombine" -> "pre", "partition" -> "part")
+    val sink = new GraftSink(spark.sqlContext, params)
+    def frame(v: Double) =
+      Seq((1L, v, "a", 1L)).toDF("id", "v", "part", "pre")
+    // the Sink API re-wraps via toRdd, which works on batch frames too
+    sink.addBatch(0, frame(10.0))
+    sink.addBatch(1, frame(20.0))
+    // recovery replays the LAST batch with different (stale) content:
+    // the committed-batch stamp must skip it
+    sink.addBatch(1, frame(99.0))
+    val got = Merge.readTable(spark, t).select("v")
+      .as[Double].collect().toSeq
+    assert(got === Seq(20.0))
+    val e = intercept[IllegalArgumentException] {
+      new GraftSink(spark.sqlContext, params + ("op" -> "insert"))
+    }
+    assert(e.getMessage.contains("replay-convergent"), e.getMessage)
+  }
 }

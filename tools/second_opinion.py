@@ -247,8 +247,11 @@ def s01(sf):
     norms = {i: math.sqrt(fold_dot(v, v)) for i, v in vecs.items()}
     rows = []
     for qid in sorted(i for i in vecs if i < 5):
-        scored = [(fold_dot(vecs[qid], vecs[cid]) /
-                   (norms[qid] * norms[cid]), cid)
+        # clamp exactly as the engine and DuckDB do: exact-duplicate
+        # vectors overshoot 1.0 by an ulp under product-of-sqrts
+        scored = [(min(1.0, max(-1.0,
+                                fold_dot(vecs[qid], vecs[cid]) /
+                                (norms[qid] * norms[cid]))), cid)
                   for cid in vecs if cid >= 5 and cid != qid]
         scored.sort(key=lambda sc: (-sc[0], sc[1]))
         for rank, (sim, cid) in enumerate(scored[:10], start=1):
