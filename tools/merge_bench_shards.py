@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Merge family-sharded graft.Bench records into one bench_full JSON
+with the same schema a single-JVM run writes: queries = union of the
+shards' per-key figures, value = their sum, provenance header from the
+shards (sha/producer must agree across shards; started_at = earliest;
+load_start/load_end become per-shard min/max so a hot shard is
+visible). Refuses to merge shards from different shas or producers —
+that would stitch two different codebases into one record.
+
+Usage: tools/merge_bench_shards.py OUT.json SHARD.json...
+"""
+import json
+import sys
+
+
+def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    out, shard_paths = sys.argv[1], sys.argv[2:]
+    shards = []
+    for p in shard_paths:
+        with open(p) as f:
+            shards.append((p, json.load(f)))
+    shas = {d.get("sha") for _, d in shards}
+    producers = {d.get("producer") for _, d in shards}
+    sfs = {d.get("sf") for _, d in shards}
+    if len(shas) > 1 or len(producers) > 1 or len(sfs) > 1:
+        sys.exit(f"refusing to merge mixed shards: shas={shas} "
+                 f"producers={producers} sfs={sfs}")
+    queries = {}
+    for p, d in shards:
+        dup = set(queries) & set(d["queries"])
+        if dup:
+            sys.exit(f"key(s) {sorted(dup)} appear in more than one "
+                     f"shard (last: {p})")
+        queries.update(d["queries"])
+    loads = [d.get("load_start") for _, d in shards] + \
+        [d.get("load_end") for _, d in shards]
+    loads = [x for x in loads if isinstance(x, (int, float)) and x >= 0]
+    merged = {
+        "metric": "total", "unit": "sec",
+        "sha": shards[0][1].get("sha"),
+        "producer": shards[0][1].get("producer"),
+        "started_at": min(d.get("started_at", "") for _, d in shards),
+        "load_start": min(loads) if loads else -1.0,
+        "load_end": max(loads) if loads else -1.0,
+        "cpus": shards[0][1].get("cpus", -1),
+        "sf": shards[0][1].get("sf"),
+        "sharded": len(shards),
+        "queries": queries,
+        "value": sum(v for v in queries.values() if v >= 0),
+    }
+    with open(out, "w") as f:
+        json.dump(merged, f)
+        f.write("\n")
+    failed = sorted(k for k, v in queries.items() if v < 0)
+    print(f"{len(queries)} keys over {len(shards)} shards, "
+          f"total {merged['value']:.1f}s"
+          + (f"; FAILED: {', '.join(failed)}" if failed else ""))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
