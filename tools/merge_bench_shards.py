@@ -14,9 +14,12 @@ import sys
 
 
 def main():
-    if len(sys.argv) < 3:
+    argv = sys.argv[1:]
+    allow_mixed_sha = "--allow-mixed-sha" in argv
+    argv = [a for a in argv if a != "--allow-mixed-sha"]
+    if len(argv) < 2:
         sys.exit(__doc__)
-    out, shard_paths = sys.argv[1], sys.argv[2:]
+    out, shard_paths = argv[0], argv[1:]
     shards = []
     for p in shard_paths:
         with open(p) as f:
@@ -24,9 +27,16 @@ def main():
     shas = {d.get("sha") for _, d in shards}
     producers = {d.get("producer") for _, d in shards}
     sfs = {d.get("sf") for _, d in shards}
-    if len(shas) > 1 or len(producers) > 1 or len(sfs) > 1:
-        sys.exit(f"refusing to merge mixed shards: shas={shas} "
+    if len(producers) > 1 or len(sfs) > 1:
+        sys.exit(f"refusing to merge mixed shards: "
                  f"producers={producers} sfs={sfs}")
+    if len(shas) > 1 and not allow_mixed_sha:
+        # a doc-only commit landing mid-run is legitimate; anything
+        # touching the engine is not — the caller must check the diff
+        # between the shas before overriding
+        sys.exit(f"refusing to merge mixed shards: shas={shas} "
+                 "(pass --allow-mixed-sha ONLY if the diff between "
+                 "them touches no engine code)")
     queries = {}
     for p, d in shards:
         dup = set(queries) & set(d["queries"])
