@@ -601,6 +601,43 @@ object Similarity {
     fs.delete(new Path(staging), true)
   }
 
+  /** Retrain half of the lifecycle — the action [[ivfDriftStats]]
+    * crossing a deployment's bar triggers: retrain the coarse
+    * quantizer on the index's CURRENT contents (the same deterministic
+    * md5-sampled Lloyd as build — spherical k-means over the stored
+    * normalized vectors) and migrate every vector to its new cell.
+    * The rewrite lands in staging directories first and swaps in with
+    * two directory renames, so a crashed retrain leaves the old index
+    * intact rather than half-migrated. O(corpus) once per retrain by
+    * design — the scheduled, rare event appends/deletes amortize
+    * against (the s13/s14 no-retrain contract is what makes THIS cost
+    * acceptable). */
+  def retrainIvfIndex(spark: SparkSession, path: String, nCentroids: Int,
+      iters: Int = 3, maxTrainVectors: Int = 100000): Unit = {
+    import org.apache.hadoop.fs.Path
+    val corpus = spark.read
+      .schema("corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG")
+      .parquet(path + "/cells")
+      .select(col("corpus_id").as("vec_id"), col("cv").as("embedding"))
+    val cents = kmeansCentroids(corpus, nCentroids, iters, maxTrainVectors)
+    val e = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cellsTmp = new Path(path + "/cells_retrain_tmp")
+    val centsTmp = new Path(path + "/centroids_retrain_tmp")
+    assign(e, cents)
+      .select(col("cid"), col("vec_id").as("corpus_id"),
+        normalized(col("v")).as("cv"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid")
+      .parquet(cellsTmp.toString)
+    cents.write.mode(SaveMode.Overwrite).parquet(centsTmp.toString)
+    val fs = cellsTmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellsDir = new Path(path + "/cells")
+    val centsDir = new Path(path + "/centroids")
+    fs.delete(cellsDir, true); fs.rename(cellsTmp, cellsDir)
+    fs.delete(centsDir, true); fs.rename(centsTmp, centsDir)
+    ()
+  }
+
   /** Index STALENESS statistic (the drift half of the lifecycle, under
     * the d23/s08 oracled-artifact discipline): per stored centroid, the
     * cosine displacement between the centroid and the mean of the
@@ -814,6 +851,23 @@ object Similarity {
       }
       ivfDriftStats(s, idx)
     }),
+    // s16: the RETRAIN path closing the lifecycle — build on the base,
+    // append the drifted batch, then retrain on the index's current
+    // contents and migrate every vector; the oracle trains AND assigns
+    // the normalized full corpus (spherical k-means over what the
+    // index actually holds: normalized vectors)
+    "s16_ivf_retrain" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s16:" + dir, "graft_s16_") {
+        p =>
+          val all = corpusOf(s, dir)
+          buildIvfIndex(all.filter(col("vec_id") % 10 =!= 9), p,
+            nCentroids = 10, maxTrainVectors = 256)
+          appendToIvfIndex(s, p, all.filter(col("vec_id") % 10 === 9))
+          retrainIvfIndex(s, p, nCentroids = 10, maxTrainVectors = 256)
+      }
+      ivfTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // product quantization: per-subspace trained codebooks, asymmetric
     // scoring against the reconstruction (sampled training, as s03)
     "s06_ann_pq" -> ((s, dir) =>
@@ -978,6 +1032,7 @@ object Similarity {
        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
        |corpus0 AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 9),
        |corpusKeep AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 7),
+       |corpusN AS (SELECT vec_id, ${normSql("v")} AS v FROM corpus),
        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
        |${lloydCtesSql(k, iters, trainN, "", trainOn)},
        |${assignCteSql("cells", s"c$iters", serveOn)},
@@ -1079,6 +1134,11 @@ object Similarity {
     // quantizer trained on the FULL corpus, only the kept vectors
     // assigned/served — the relational collapse of build+delete
     "s14_ivf_delete" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256, serveOn = "corpusKeep"),
+    // retrain collapses relationally to spherical k-means over the
+    // NORMALIZED full corpus (what the index holds) trained and
+    // assigned on the same set — build+append+retrain ≡ one build
+    // over corpusN
+    "s16_ivf_retrain" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256, trainOn = "corpusN", serveOn = "corpusN"),
     // per-cell displacement over s13's scenario: train on the base,
     // assign the full (appended) corpus, then per-dim EXACT-DECIMAL
     // means of the normalized members vs the stored centroid

@@ -251,6 +251,34 @@ class SimilaritySpec extends SparkSpec {
     assert(d1.values.map(_.getLong(1)).sum === 6L)
   }
 
+  test("retrainIvfIndex: no vector lost in migration; served results " +
+      "equal the fused ivfTopK over the index's normalized contents") {
+    val idx = tmpDir("graft_s16_spec_")
+    val base = corpus.filter($"vec_id" % 3 =!= 0)
+    val batch = corpus.filter($"vec_id" % 3 === 0)
+    Similarity.buildIvfIndex(base, idx, nCentroids = 10)
+    Similarity.appendToIvfIndex(spark, idx, batch)
+    val cellsSchema = "corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG"
+    val idsBefore = spark.read.schema(cellsSchema).parquet(idx + "/cells")
+      .select("corpus_id").as[Long].collect().sorted.toSeq
+    Similarity.retrainIvfIndex(spark, idx, nCentroids = 10)
+    val after = spark.read.schema(cellsSchema).parquet(idx + "/cells")
+    assert(after.select("corpus_id").as[Long].collect().sorted.toSeq
+      === idsBefore, "migration must move vectors, never drop them")
+    // retrain ≡ one fused build over what the index held (normalized
+    // vectors) — bit-identical served results, the s12 discipline
+    val corpusN = corpus.select($"vec_id",
+      graft.dedup.Dedup.normalized($"embedding".cast("array<double>"))
+        .as("embedding"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(
+      Similarity.ivfTopKServed(spark, idx, queries, 10, nProbe = 4)
+        .collect().map(key).sortBy(t => (t._1, t._2)).toSeq ===
+      Similarity.ivfTopK(corpusN, queries, 10, 10, 4)
+        .collect().map(key).sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("pqTopK recall vs brute-force (8 subspaces × 64 codes)") {
     val brute = neighborSets(Similarity.bruteTopK(corpus, queries, 10))
     val ann = neighborSets(
