@@ -62,19 +62,22 @@ object IngestDedup {
 
   /** Screen `bands` (one batch) against `state` (strictly-earlier
     * corpus bands): per doc, the minimum colliding corpus id and the
-    * distinct collision count. The state side carries a merge hint —
-    * at corpus scale it must never broadcast, and the sort-merge plan
-    * is what lets its bucket layout stand in for the shuffle. The
-    * aggregation is collision-set semantics (min / countDistinct), so
-    * duplicate state rows — impossible after the landed-partition
+    * distinct collision count. Planned as a SHUFFLED HASH join
+    * BUILDING THE BATCH SIDE (the right-outer twin of the batch-left
+    * outer join, legal since Spark 3.5's outer-side-build SHJ): the
+    * bucketed state scan satisfies the join's distribution with no
+    * Exchange, and streaming it into the batch-side hash map needs no
+    * Sort either — so the accumulated corpus is neither shuffled NOR
+    * re-sorted per ingest (a sort-merge plan would pay an
+    * O(state log state) sort every crawl; the spec asserts both
+    * absences). The hash map holds O(batch/buckets) rows by contract.
+    * The aggregation is collision-set semantics (min / countDistinct),
+    * so duplicate state rows — impossible after the landed-partition
     * skip, but harmless — cannot change a verdict. */
   private[pipeline] def screenJoin(state: DataFrame, bands: DataFrame,
       idCol: String): DataFrame =
-    bands
-      .join(
-        state.select(col("band"), col("bkey"), col(idCol).as("_cid"))
-          .hint("merge"),
-        Seq("band", "bkey"), "left_outer")
+    state.select(col("band"), col("bkey"), col(idCol).as("_cid"))
+      .join(bands.hint("shuffle_hash"), Seq("band", "bkey"), "right_outer")
       .groupBy(idCol)
       .agg(min(col("_cid")).as("dup_of"),
         countDistinct(col("_cid")).as("n_matches"))

@@ -87,12 +87,16 @@ class IngestDedupSpec extends SparkSpec {
       }
       assert(stateScans.nonEmpty, plan.toString)
       assert(stateScans.forall(_.bucketedScan), plan.toString)
-      // the join's state-side child consumes the bucket layout
-      // directly: no Exchange anywhere between the join and the scan
-      val smj = plan.collect {
-        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      // the join streams the state side straight off the bucket
+      // layout: a shuffled-hash join BUILDING THE BATCH SIDE, with
+      // neither an Exchange NOR a Sort anywhere between the join and
+      // the state scan (a sort-merge plan would re-sort the whole
+      // accumulated state every ingest)
+      val shj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          => j
       }
-      val stateSide = smj
+      val stateSide = shj
         .filter(j => hasStateScan(j.left) || hasStateScan(j.right))
         .map(j => if (hasStateScan(j.right)) j.right else j.left)
       assert(stateSide.nonEmpty, plan.toString)
@@ -101,9 +105,14 @@ class IngestDedupSpec extends SparkSpec {
           side.collect { case e: ShuffleExchangeExec => e }
         assert(shufflesOnStateSide.isEmpty,
           s"state side must not shuffle:\n$plan")
+        val sortsOnStateSide = side.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }
+        assert(sortsOnStateSide.isEmpty,
+          s"state side must not re-sort:\n$plan")
       }
-      // ... while the batch side DOES shuffle (the join is a real SMJ,
-      // not a broadcast that would trivialize the assert)
+      // ... while the batch side DOES shuffle (a real distributed
+      // join, not a broadcast that would trivialize the assert)
       val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.nonEmpty, plan.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
