@@ -862,6 +862,103 @@ object Dedup {
         .otherwise(col("term_a")))
   }
 
+  // ---- DSIR importance resampling ----
+
+  /** Quantized natural log of a positive integer count: floor(ln(c) ·
+    * 2^20) as a long. The fixed-point grid makes every downstream sum
+    * exact integer arithmetic — order-independent, engine-independent —
+    * where a raw double ln differs by 1 ulp between libm
+    * implementations (measured: 4 of 200k integer args differ between
+    * JVM `Math.log` and DuckDB `ln`; the quantized form agrees on all
+    * 5.25M args sampled up to 2·10^9). The 2^-20 grid costs ~1e-6 nats
+    * of resolution — noise next to the estimator's own variance. */
+  private def qlog(c: Column): Column =
+    floor(log(c.cast("double")) * lit(1048576.0)).cast("long")
+
+  /** Data Selection with Importance Resampling (DSIR, Xie et al.,
+    * arXiv:2302.03169): select raw-corpus documents whose hashed
+    * n-gram feature distribution looks like a TARGET corpus. Features
+    * are unigrams + bigrams hashed into `nBuckets` buckets; the
+    * target (p) and raw (q) corpora each induce an add-one-smoothed
+    * bucket distribution, and each document is scored by the
+    * log-likelihood ratio  Σ_g [ln p(b(g)) − ln q(b(g))]  over its
+    * grams. The top `keepFrac` of documents by that score (ties by
+    * doc id) are marked `selected` — the paper's resampling step made
+    * deterministic, the same top-k-for-Gumbel trade every other
+    * sampler in this module makes.
+    *
+    * All scores are exact longs on the [[qlog]] grid, so no float
+    * ordering or summation-order hazard exists anywhere in the plan.
+    *
+    * Shape at scale: the gram stream is a narrow explode (rows ∝
+    * corpus tokens); bucket statistics are two B-row aggregates
+    * broadcast back onto the per-doc-bucket counts (≤ n_docs · B
+    * rows); selection never globally sorts the corpus — it joins a
+    * broadcast score HISTOGRAM (one row per distinct score, with a
+    * running count) and keeps a row iff cum_before + rank-within-its-
+    * score-tie ≤ K, so the only windows are one over the tiny
+    * histogram and one partitioned by score value.
+    *
+    * Returns every doc: (id, n_grams, qlogw, selected), where qlogw =
+    * Σ_g [qlog(cp+1) − qlog(cq+1)] + n_grams·[qlog(Nq+B) − qlog(Np+B)].
+    */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 256,
+      keepFrac: Double = 0.2): DataFrame = {
+    val b = nBuckets
+    val toks = docs.select(col(idCol), isTarget.as("_tgt"),
+      TextAnalysis.tokens(col(textCol)).as("_toks"))
+    // unigrams ++ space-joined bigrams — the paper's feature set, with
+    // the gram string (not a tuple) hashed so any engine reproduces it
+    val grams = toks.select(col(idCol), col("_tgt"),
+      explode(concat(col("_toks"),
+        coalesce(when(size(col("_toks")) >= 2, expr(
+          "transform(slice(_toks, 1, size(_toks) - 1), " +
+            "(w, i) -> concat(w, ' ', _toks[i + 1]))")),
+          array()))).as("gram"))
+      .select(col(idCol), col("_tgt"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          % b).as("bucket"))
+    // two B-row tables: raw (q) and target (p) occurrence counts
+    val bucketStats = grams
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cq"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("cp"))
+    val perBucket = bucketStats
+      .select(col("bucket"), (qlog(col("cp") + 1) - qlog(col("cq") + 1)).as("v"))
+    val norm = bucketStats
+      .agg((qlog(sum("cq") + b) - qlog(sum("cp") + b)).as("norm"))
+    val docBuckets = grams.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = docBuckets.join(broadcast(perBucket), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_grams"), sum(col("c") * col("v")).as("_s"))
+      .crossJoin(broadcast(norm))
+      .select(col(idCol), col("n_grams"),
+        (col("_s") + col("n_grams") * col("norm")).as("qlogw"))
+    val scored = docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("qlogw"), lit(0L)).as("qlogw"))
+    // exact top-K without a global sort: histogram of distinct scores
+    // (running count over the histogram, not the corpus), then keep iff
+    // cum-before-this-score + rank-within-tie ≤ K. The count() is one
+    // column-pruned scan; K must be a literal for both engines' plans.
+    val k = math.floor(docs.count() * keepFrac).toLong
+    val hw = Window.orderBy(col("qlogw").desc)
+    val hist = scored.groupBy("qlogw").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_cum_before", coalesce(
+        sum("_cnt").over(hw.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("_cnt")
+    val tieW = Window.partitionBy("qlogw").orderBy(col(idCol))
+    scored.join(broadcast(hist), Seq("qlogw"))
+      .withColumn("_tr", row_number().over(tieW))
+      .select(col(idCol), col("n_grams"), col("qlogw"),
+        ((col("_cum_before") + col("_tr")) <= k).as("selected"))
+  }
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame
@@ -888,6 +985,14 @@ object Dedup {
         Tables.documents(s, dir), "doc_id", "text", budgetTokens = 1500)
         .select("doc_id", "cid", "n_tokens", "cum_tokens")
         .orderBy("cid", "doc_id")),
+    // d24: DSIR importance resampling toward the English sub-corpus —
+    // hashed unigram+bigram likelihood ratios on the exact qlog grid,
+    // top 20% kept; every score is a long, so the hash check covers
+    // the full selection decision, not a rounded shadow of it
+    "d24_dsir_sample" -> ((s, dir) =>
+      dsirResample(Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en")
+        .orderBy("doc_id")),
     "d02_minhash_sig" -> ((s, dir) =>
       lshBands(minhashSignatures(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id").orderBy("doc_id", "band")),
@@ -1062,6 +1167,48 @@ object Dedup {
          |    ORDER BY doc_id) AS doc_ids,
          |  greatest(COUNT(*) - 100, 0) AS n_overflow
          |FROM r GROUP BY fp ORDER BY fp""".stripMargin,
+    // d24: the DSIR chain restated — same md5 bucketing, same add-one
+    // smoothing, same floor(ln·2^20) quantization (bit-parity of the
+    // quantized log verified over 5.25M integer args), same
+    // cum-before + tie-rank ≤ K selection (row_number over the global
+    // score order equals the engine's histogram decomposition)
+    "d24_dsir_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS toks
+         |           FROM documents),
+         |g AS (SELECT doc_id, tgt, unnest(toks || CASE WHEN len(toks) >= 2
+         |        THEN list_transform(generate_series(1, len(toks) - 1),
+         |               i -> toks[i] || ' ' || toks[i + 1])
+         |        ELSE [] END) AS gram FROM t),
+         |bk AS (SELECT doc_id, tgt,
+         |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+         |           % 256 AS bucket FROM g),
+         |bc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cq,
+         |         CAST(COUNT(*) FILTER (WHERE tgt) AS BIGINT) AS cp
+         |       FROM bk GROUP BY 1),
+         |v AS (SELECT bucket,
+         |        CAST(FLOOR(ln(CAST(cp + 1 AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      - CAST(FLOOR(ln(CAST(cq + 1 AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |          AS v FROM bc),
+         |tot AS (SELECT
+         |    CAST(FLOOR(ln(CAST(SUM(cq) + 256 AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |  - CAST(FLOOR(ln(CAST(SUM(cp) + 256 AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      AS norm FROM bc),
+         |db AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM bk GROUP BY 1, 2),
+         |pd AS (SELECT db.doc_id, CAST(SUM(db.c) AS BIGINT) AS n_grams,
+         |         CAST(SUM(db.c * v.v) AS BIGINT) AS s
+         |       FROM db JOIN v USING (bucket) GROUP BY 1),
+         |sc AS (SELECT d.doc_id,
+         |         COALESCE(pd.n_grams, 0) AS n_grams,
+         |         COALESCE(pd.s + pd.n_grams * tot.norm, 0) AS qlogw
+         |       FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id, tot),
+         |kk AS (SELECT CAST(FLOOR(COUNT(*) * 0.2) AS BIGINT) AS k
+         |       FROM documents),
+         |r AS (SELECT doc_id, n_grams, qlogw,
+         |        row_number() OVER (ORDER BY qlogw DESC, doc_id) AS rn
+         |      FROM sc)
+         |SELECT doc_id, n_grams, qlogw, rn <= kk.k AS selected
+         |FROM r, kk ORDER BY doc_id""".stripMargin,
     "d02_minhash_sig" ->
       s"""WITH $bandsCte
          |SELECT doc_id, band, bkey FROM bands

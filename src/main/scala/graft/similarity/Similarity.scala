@@ -807,6 +807,43 @@ object Similarity {
       ivfTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    // e19: the serve path under Structured Streaming — queries arrive
+    // as parquet-file micro-batches served against the SAME persisted
+    // index (s12's, Scratch-cached per corpus version). Each batch's
+    // results land under a batch-id-keyed dir (a retried batch
+    // OVERWRITES its own dir — idempotent under at-least-once
+    // redelivery, the x04/e17 discipline without a commit log because
+    // batch id IS the key). Serving is per-query — no cross-query
+    // state — so any batching of the query set returns exactly the
+    // one-shot batch answer, and e19 shares s03/s12's oracle verbatim.
+    // At scale this is the online-serving shape: the index is opened
+    // once, each micro-batch probes nProbe/nCentroids of it via the
+    // static partition filter, and output commits are per-batch atomic.
+    "e19_stream_ann" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s12:" + dir, "graft_s12_") {
+        p => buildIvfIndex(corpusOf(s, dir), p, nCentroids = 10,
+          maxTrainVectors = 256)
+      }
+      val qDir = graft.util.Scratch.fresh("graft_e19q_")
+      val outDir = graft.util.Scratch.fresh("graft_e19o_")
+      queriesOf(s, dir).repartition(3).write.mode("overwrite").parquet(qDir)
+      val qSchema = s.read.parquet(qDir).schema
+      val stream = s.readStream.schema(qSchema)
+        .option("maxFilesPerTrigger", 1).parquet(qDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.util.Scratch.fresh("graft_e19c_"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          ivfTopKServed(s, idx, batch, 10, nProbe = 4)
+            .write.mode("overwrite").parquet(s"$outDir/b=$bid")
+        }
+        .start()
+      stream.awaitTermination()
+      s.read.parquet(outDir)
+        .select("query_id", "rank", "corpus_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    }),
     // s13: the index UPDATE path — build on the base (vec_id%10<>9),
     // append the held-out batch against the frozen stored centroids,
     // serve over the union; the oracle trains on corpus0 and assigns
@@ -1128,6 +1165,9 @@ object Similarity {
     "s03_ann_ivf" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
     // the persisted-index serve path returns s03's results verbatim
     "s12_ivf_persisted" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
+    // streamed query micro-batches against the persisted index: serving
+    // is per-query, so the union over batches IS the batch answer
+    "e19_stream_ann" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256),
     // quantizer trained on the base only, full corpus assigned against
     // those frozen centroids — the relational collapse of build+append
     "s13_ivf_append" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256, trainOn = "corpus0"),

@@ -430,4 +430,43 @@ class DedupSpec extends SparkSpec {
     assert(blocked === brute)
     assert(brute.nonEmpty, "corpus vocab has no fuzzy pairs — dead key")
   }
+
+  test("dsirResample: K = floor(n·frac) kept, scores pull toward target") {
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val out = Dedup.dsirResample(corpus, "doc_id", "text",
+      isTarget = $"lang" === "en").cache()
+    try {
+      val n = corpus.count()
+      val k = math.floor(n * 0.2).toLong
+      assert(out.count() === n, "every doc scored, none dropped")
+      assert(out.filter($"selected").count() === k)
+      // directional sanity: docs FROM the target population must be
+      // overrepresented among the selected set vs the corpus base rate
+      // (the estimator's whole point — target-like docs score high)
+      val withLang = out.join(corpus.select("doc_id", "lang"), "doc_id")
+      val baseRate = corpus.filter($"lang" === "en").count().toDouble / n
+      val selRate = withLang.filter($"selected" && $"lang" === "en")
+        .count().toDouble / k
+      assert(selRate > baseRate,
+        s"selected en-rate $selRate must beat base rate $baseRate")
+      // exact-integer scores: recompute is bit-identical (no float path)
+      val again = Dedup.dsirResample(corpus, "doc_id", "text",
+        isTarget = $"lang" === "en")
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    } finally { out.unpersist(); () }
+  }
+
+  test("dsirResample: histogram selection = global row_number top-K law") {
+    // the engine's cum_before + tie-rank ≤ K decomposition must equal
+    // the one-window definition the oracle states
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val out = Dedup.dsirResample(corpus, "doc_id", "text",
+      isTarget = $"lang" === "en")
+    val k = math.floor(corpus.count() * 0.2).toLong
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"qlogw".desc, $"doc_id")
+    val law = out.withColumn("rn", row_number().over(w))
+      .withColumn("sel2", $"rn" <= k)
+    assert(law.filter($"selected" =!= $"sel2").isEmpty)
+  }
 }

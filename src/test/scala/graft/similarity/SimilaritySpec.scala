@@ -433,4 +433,17 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
     assert(mlt === direct)
   }
+
+  test("e19 streamed serve == s12 batch serve, bit for bit") {
+    // per-query serving has no cross-query state, so slicing the query
+    // set into micro-batches must not change a single result row — the
+    // law that lets e19 share s12's oracle
+    val streamed = Similarity.queries("e19_stream_ann")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val batch = Similarity.queries("s12_ivf_persisted")(spark, sfDir)
+      .select("query_id", "rank", "corpus_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "empty serve — dead key")
+  }
 }

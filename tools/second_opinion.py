@@ -4,17 +4,18 @@
 The driver's correctness gate hash-compares the engine against DuckDB
 SQL oracles (tools/check.py). That catches engine bugs but not a
 CORRELATED misreading — both the Spark query and its SQL oracle
-encoding the same wrong contract. This tool re-derives nine
+encoding the same wrong contract. This tool re-derives ten
 representative keys, one per family (scan-agg, exact dedup, windowed
 streaming, stateful-session streaming, merge replay, CDC replication,
-MinHash/LSH recall, brute-kNN similarity, bigram-LM text scoring) in
-plain pandas / pure Python — no SQL engine at all — and compares
-against the engine's Verify dumps.
+MinHash/LSH recall, brute-kNN similarity, bigram-LM text scoring,
+DSIR quantized-log resampling) in plain pandas / pure Python — no SQL
+engine at all — and compares against the engine's Verify dumps.
 
 Usage:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/so_out \
       q03_agg_pricing,d01_exact_dedup,e01_windowed_counts,e02_sessions,\
-q18_upsert_replay,x07_cdc_replica,d23_lsh_recall,s01_knn_brute,t13_lm_score"
+q18_upsert_replay,x07_cdc_replica,d23_lsh_recall,s01_knn_brute,\
+t13_lm_score,d24_dsir_sample"
   python3 tools/second_opinion.py /root/testdata/sf0.001 /tmp/so_out
 
 Exit 0 with "N ok, 0 fail" on agreement.  Decimal arithmetic mirrors
@@ -295,7 +296,50 @@ def t13(sf):
     return pd.DataFrame(rows)
 
 
+def d24(sf):
+    """DSIR importance resampling, re-derived imperatively: hashed
+    unigram+bigram md5 buckets, add-one likelihood ratios on the
+    floor(ln*2^20) integer grid, top 20% kept with doc-id tie-break.
+    The quantized-log grid is the key's subtlest contract — exactly
+    what a correlated Spark+DuckDB misreading would both get wrong."""
+    import math
+    from collections import Counter
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    B = 256
+
+    def qlog(c):
+        return math.floor(math.log(c) * 1048576.0)
+
+    cq, cp, per_doc = Counter(), Counter(), {}
+    for did, text, lang in zip(docs.doc_id, docs.text, docs.lang):
+        ts = [w for w in TOK.sub(" ", text.lower()).strip().split(" ") if w]
+        grams = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        c = Counter(int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+                    for g in grams)
+        per_doc[int(did)] = c
+        cq.update(c)
+        if lang == "en":
+            cp.update(c)
+    norm = qlog(sum(cq.values()) + B) - qlog(sum(cp.values()) + B)
+    v = {b: qlog(cp.get(b, 0) + 1) - qlog(cq[b] + 1) for b in cq}
+    rows = []
+    for did in sorted(per_doc):
+        c = per_doc[did]
+        n = sum(c.values())
+        rows.append({"doc_id": did, "n_grams": n,
+                     "qlogw": sum(cnt * v[b] for b, cnt in c.items())
+                     + n * norm})
+    k = math.floor(len(rows) * 0.2)
+    sel = set(r["doc_id"] for r in
+              sorted(rows, key=lambda r: (-r["qlogw"], r["doc_id"]))[:k])
+    for r in rows:
+        r["selected"] = r["doc_id"] in sel
+    return pd.DataFrame(rows)
+
+
 CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
+          "d24_dsir_sample": d24,
           "e01_windowed_counts": e01, "q18_upsert_replay": q18,
           "d23_lsh_recall": d23,
           # x07 replicates the q18 replay through the CDC incremental
