@@ -221,12 +221,104 @@ object IngestDedup {
     collectFlags(s, flagsPath, "doc_id", nBatches)
   }
 
+  /** Compact the band-state table: collapse every landed
+    * `ingest_batch` partition into ONE partition labeled with the
+    * HIGHEST compacted id, preserving the bucket layout. The table
+    * service the chain needs over a crawl's lifetime: each ingest
+    * appends `stateBuckets` files, so after N crawls every screen
+    * lists and opens N×buckets small files — compaction restores
+    * buckets-many files while changing NO answer:
+    *
+    *  - relabeling to the max compacted id keeps the strictly-earlier
+    *    screen exact — any future batch b' screens `ingest_batch < b'`
+    *    and every compacted band has id < b' by the sequential
+    *    contract;
+    *  - the landed-skip stays correct: Structured Streaming re-delivers
+    *    only the LAST uncommitted micro-batch, never one older than
+    *    the checkpoint, so no replay can target a pre-compaction id;
+    *  - `bucketBy` is re-declared identically, so the screen join's
+    *    no-Exchange / no-Sort plan survives compaction (spec-pinned).
+    *
+    * Cost is one O(state) shuffle — the scheduled, amortized price
+    * that caps per-screen file listings, exactly like parquet
+    * compaction in the merge family (q19). The swap is
+    * drop-then-rename on the session catalog; the narrow
+    * non-atomic window is the x22 DDL caveat, acceptable for a
+    * maintenance op that runs between ingests by contract. */
+  def compactBandState(spark: SparkSession, stateTable: String): Unit = {
+    // read the table's FILES, not the catalog table: reading the
+    // bucketed table makes the planner elide the repartition below as
+    // redundant against the bucket spec while ALSO disabling the
+    // bucketed scan ("disabled by query planner") — leaving NO
+    // distribution guarantee and one output file per (input task,
+    // bucket) pair (observed: 17 files where 8 were promised). The
+    // hive-layout read recovers ingest_batch from the directory names
+    // with the same int type.
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(stateTable)).location
+    val df = spark.read.parquet(loc.toString)
+    val maxB = df.agg(max("ingest_batch")).head().getInt(0)
+    val tmp = stateTable + "_compacting"
+    Scale.dropBucketedTable(spark, tmp)
+    // repartition on the bucket hash FIRST: bucketBy writes one file
+    // per (task, bucket) pair, so an unshuffled compaction re-emits
+    // one file per input task per bucket — the fragmentation it was
+    // meant to cure. HashPartitioning and bucket-id assignment share
+    // the same murmur3(pmod) law, so after this shuffle every task
+    // holds exactly one bucket and the table lands as stateBuckets
+    // files (the spec pins it).
+    df.drop("ingest_batch").withColumn("ingest_batch", lit(maxB))
+      .repartition(stateBuckets, col("band"), col("bkey"))
+      .write
+      .partitionBy("ingest_batch")
+      .bucketBy(stateBuckets, "band", "bkey")
+      .sortBy("band", "bkey")
+      .format("parquet")
+      .saveAsTable(tmp)
+    Scale.dropBucketedTable(spark, stateTable)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $stateTable")
+    // RENAME moves the managed dir but the catalog's PARTITION entries
+    // still hold the pre-rename locations — without a sync the renamed
+    // table lists zero files (observed, not hypothetical). SYNC
+    // PARTITIONS re-derives the partition set from the moved layout
+    // and drops the stale entries.
+    spark.sql(s"MSCK REPAIR TABLE $stateTable SYNC PARTITIONS")
+    spark.catalog.refreshTable(stateTable)
+    ()
+  }
+
+  /** [[ingestDedupChain]] with a mid-chain [[compactBandState]] after
+    * ingest `compactAt` — the maintenance schedule a real crawl runs.
+    * Verdicts must equal the never-compacted chain's (p09 shares the
+    * chain oracle at its nBatches), which is the whole compaction
+    * contract: a table service changes layout, never answers. */
+  def ingestDedupChainCompacting(docs: DataFrame, idCol: String,
+      textCol: String, nBatches: Int, compactAt: Int,
+      stateTable: String = "p09_bands"): DataFrame = {
+    val spark = docs.sparkSession
+    Scale.dropBucketedTable(spark, stateTable)
+    val flagsPath = graft.util.Scratch.fresh("graft_p09_") + "/flags"
+    (0 until nBatches).foreach { b =>
+      ingestStep(docs.filter(col(idCol) % nBatches === b), idCol, textCol,
+        stateTable, flagsPath, b)
+      if (b == compactAt) compactBandState(spark, stateTable)
+    }
+    collectFlags(spark, flagsPath, idCol, nBatches)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "p08_ingest_dedup" -> ((s, dir) =>
       ingestDedupChain(Tables.documents(s, dir), "doc_id", "text",
         nBatches = 4)),
+    // p09: the chain with its maintenance op — compact after ingest 2
+    // of 6, then keep ingesting against the compacted state; shares
+    // the chain's relational collapse (at %6), so the hash check
+    // proves compaction changed no verdict
+    "p09_band_compact" -> ((s, dir) =>
+      ingestDedupChainCompacting(Tables.documents(s, dir), "doc_id",
+        "text", nBatches = 6, compactAt = 2)),
     // e17: the SAME chain under Structured Streaming — micro-batch b
     // is exactly p08's ingest b (ordered mtime-pinned drops of
     // doc_id % 4), so the streaming run must reproduce the batch
@@ -240,10 +332,10 @@ object IngestDedup {
     * earlier ingest — the bands CTE self-joined on a strict
     * batch-order predicate. e17 shares it verbatim: its micro-batches
     * ARE p08's ingests (streaming/batch parity). */
-  private val chainSql: String =
+  private def chainSqlAt(nBatches: Int): String =
     s"""WITH ${Dedup.bandsCte},
-         |a AS (SELECT doc_id, doc_id % 4 AS ib, band, bkey FROM bands),
-         |ids AS (SELECT DISTINCT doc_id, CAST(doc_id % 4 AS INT) AS ib
+         |a AS (SELECT doc_id, doc_id % $nBatches AS ib, band, bkey FROM bands),
+         |ids AS (SELECT DISTINCT doc_id, CAST(doc_id % $nBatches AS INT) AS ib
          |        FROM a),
          |j AS (SELECT DISTINCT x.doc_id AS id, y.doc_id AS cid
          |      FROM a x JOIN a y
@@ -255,7 +347,12 @@ object IngestDedup {
          |FROM ids i LEFT JOIN j ON j.id = i.doc_id
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  private val chainSql: String = chainSqlAt(4)
+
   val oracle: Map[String, String] = Map(
     "p08_ingest_dedup" -> chainSql,
-    "e17_stream_ingest_dedup" -> chainSql)
+    "e17_stream_ingest_dedup" -> chainSql,
+    // compaction is a table service: the 6-batch compacted chain must
+    // hash-match the plain 6-batch relational collapse
+    "p09_band_compact" -> chainSqlAt(6))
 }

@@ -148,6 +148,80 @@ class IngestDedupSpec extends SparkSpec {
     assert(r.contains(3L)) // every batch-1 doc keeps a verdict row
   }
 
+  test("compactBandState: one partition, buckets-many files, zero " +
+      "verdict drift, screen stays exchange-free") {
+    import graft.scale.Scale
+    val corpus = graft.Tables.documents(spark, sfDir)
+    // the compacted 6-batch chain must equal the plain 6-batch chain
+    // bit for bit — compaction is layout, never answers
+    val compacted = IngestDedup.ingestDedupChainCompacting(corpus,
+      "doc_id", "text", nBatches = 6, compactAt = 2,
+      stateTable = "test_p09_chain")
+      .collect().map(_.toString).sorted.toSeq
+    val plain = IngestDedup.ingestDedupChain(corpus, "doc_id", "text",
+      nBatches = 6, stateTable = "test_p09_plain")
+      .collect().map(_.toString).sorted.toSeq
+    assert(compacted === plain)
+    assert(compacted.nonEmpty)
+    // layout claim: compact a 3-partition table -> ONE partition
+    // labeled with the max compacted id, stateBuckets files, same rows
+    val tbl = "test_p09_layout"
+    Scale.dropBucketedTable(spark, tbl)
+    def bands(b: Int) = graft.dedup.Dedup.lshBands(
+      graft.dedup.Dedup.minhashSignatures(
+        corpus.filter(col("doc_id") % 3 === b), "doc_id", "text"),
+      "doc_id").select(col("band"), col("bkey"), col("doc_id"))
+    (0 until 3).foreach(b => assert(IngestDedup.appendBands(bands(b), tbl, b)))
+    val before = spark.table(tbl).drop("ingest_batch")
+      .collect().map(_.toString).sorted.toSeq
+    val filesBefore = spark.table(tbl).inputFiles.length
+    IngestDedup.compactBandState(spark, tbl)
+    val after = spark.table(tbl)
+    // rows identical up to the relabeled partition value...
+    assert(after.drop("ingest_batch").collect().map(_.toString).sorted
+      .toSeq === before)
+    // ...which collapses to the single max compacted id
+    assert(after.select("ingest_batch").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(2))
+    assert(after.inputFiles.length === IngestDedup.stateBuckets)
+    assert(after.inputFiles.length < filesBefore)
+    // the post-compaction screen keeps the bucketed, exchange-free plan
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val screened = IngestDedup.screenJoin(
+        spark.table(tbl).where(col("ingest_batch") < 3), bands(0), "doc_id")
+      screened.collect()
+      val plan = screened.queryExecution.executedPlan
+      val stateScans = plan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(tbl))
+          => f
+      }
+      assert(stateScans.nonEmpty && stateScans.forall(_.bucketedScan),
+        plan.toString)
+      val shj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      def hasStateScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collectFirst {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths
+                .exists(_.toString.contains(tbl)) => f
+        }.isDefined
+      val stateSide = shj
+        .filter(j => hasStateScan(j.left) || hasStateScan(j.right))
+        .map(j => if (hasStateScan(j.right)) j.right else j.left)
+      assert(stateSide.nonEmpty, plan.toString)
+      stateSide.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"compacted state side must not shuffle:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("ingestDedupChain: a doc's verdict is stable under MORE batches " +
       "(state order, not batch geometry, decides)") {
     // with 5 batches every doc is alone in its batch (10 % 5 = 0, so

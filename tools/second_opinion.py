@@ -4,18 +4,19 @@
 The driver's correctness gate hash-compares the engine against DuckDB
 SQL oracles (tools/check.py). That catches engine bugs but not a
 CORRELATED misreading — both the Spark query and its SQL oracle
-encoding the same wrong contract. This tool re-derives ten
-representative keys, one per family (scan-agg, exact dedup, windowed
-streaming, stateful-session streaming, merge replay, CDC replication,
-MinHash/LSH recall, brute-kNN similarity, bigram-LM text scoring,
-DSIR quantized-log resampling) in plain pandas / pure Python — no SQL
+encoding the same wrong contract. This tool re-derives twelve
+representative keys covering every family (scan-agg, exact dedup,
+windowed streaming, stateful-session streaming, merge replay, CDC
+replication, MinHash/LSH recall, brute-kNN similarity, bigram-LM text
+scoring, DSIR quantized-log resampling, multimodal frame dedup,
+chained crawl-ingest dedup) in plain pandas / pure Python — no SQL
 engine at all — and compares against the engine's Verify dumps.
 
 Usage:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/so_out \
       q03_agg_pricing,d01_exact_dedup,e01_windowed_counts,e02_sessions,\
 q18_upsert_replay,x07_cdc_replica,d23_lsh_recall,s01_knn_brute,\
-t13_lm_score,d24_dsir_sample"
+t13_lm_score,d24_dsir_sample,m05_frame_dedup,p08_ingest_dedup"
   python3 tools/second_opinion.py /root/testdata/sf0.001 /tmp/so_out
 
 Exit 0 with "N ok, 0 fail" on agreement.  Decimal arithmetic mirrors
@@ -338,8 +339,73 @@ def d24(sf):
     return pd.DataFrame(rows)
 
 
+def m05(sf):
+    """Cross-media frame dedup re-derived byte-by-byte: payload =
+    UTF-8 text, frames = 32-byte slices at stride 2 (offsets 0, 64,
+    128, ... with a ragged tail), sha256 fingerprints, groups with >1
+    distinct media."""
+    import math
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    groups = {}
+    for mid, text in zip(docs.doc_id, docs.text):
+        payload = text.encode("utf-8")
+        n_frames = max(math.floor((len(payload) - 1) / 64), 0) + 1
+        for i in range(n_frames):
+            fp = hashlib.sha256(payload[i * 64:i * 64 + 32]).hexdigest()
+            groups.setdefault(fp, []).append(int(mid))
+    rows = []
+    for fp, ids in groups.items():
+        if len(set(ids)) > 1:
+            rows.append({"fp": fp, "n_media": len(set(ids)),
+                         "n_occurrences": len(ids), "keeper_media": min(ids)})
+    return pd.DataFrame(rows).sort_values("fp").reset_index(drop=True)
+
+
+def p08(sf):
+    """Chained crawl-ingest dedup re-derived: d23's banding (8
+    min-hashes, 2 bands of 4) per doc, batch = doc_id % 4, a doc's
+    verdict = min/count of band-colliding docs from STRICTLY EARLIER
+    batches only (same-batch collisions never count)."""
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    buckets = {}
+    banded = []
+    for i, t in zip(docs.doc_id, docs.text):
+        toks = [w for w in TOK.sub(" ", t.lower()).strip().split(" ") if w]
+        if len(toks) < 3:
+            continue
+        shs = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        sig = None
+        for s in shs:
+            hx = hashlib.md5(s.encode()).hexdigest() + \
+                hashlib.md5(b"x" + s.encode()).hexdigest()
+            hs = [hx[8 * j:8 * j + 8] for j in range(8)]
+            sig = hs if sig is None else [min(a, b)
+                                          for a, b in zip(sig, hs)]
+        banded.append(int(i))
+        for b in (0, 1):
+            key = (b, hashlib.md5(
+                "|".join(sig[4 * b:4 * b + 4]).encode()).hexdigest())
+            buckets.setdefault(key, set()).add(int(i))
+    collide = {}
+    for ids in buckets.values():
+        for x in ids:
+            collide.setdefault(x, set()).update(ids)
+    rows = []
+    for i in sorted(banded):
+        earlier = {c for c in collide.get(i, set())
+                   if c % 4 < i % 4}
+        rows.append({"doc_id": i, "ingest_batch": i % 4,
+                     "dup_of": min(earlier) if earlier else None,
+                     "n_matches": len(earlier),
+                     "is_dup": bool(earlier)})
+    return pd.DataFrame(rows)
+
+
 CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
           "d24_dsir_sample": d24,
+          "m05_frame_dedup": m05, "p08_ingest_dedup": p08,
           "e01_windowed_counts": e01, "q18_upsert_replay": q18,
           "d23_lsh_recall": d23,
           # x07 replicates the q18 replay through the CDC incremental
