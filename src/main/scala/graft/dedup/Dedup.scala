@@ -902,24 +902,35 @@ object Dedup {
     * Returns every doc: (id, n_grams, qlogw, selected), where qlogw =
     * Σ_g [qlog(cp+1) − qlog(cq+1)] + n_grams·[qlog(Nq+B) − qlog(Np+B)].
     */
-  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, nBuckets: Int = 256,
-      keepFrac: Double = 0.2): DataFrame = {
-    val b = nBuckets
-    val toks = docs.select(col(idCol), isTarget.as("_tgt"),
-      TextAnalysis.tokens(col(textCol)).as("_toks"))
-    // unigrams ++ space-joined bigrams — the paper's feature set, with
-    // the gram string (not a tuple) hashed so any engine reproduces it
-    val grams = toks.select(col(idCol), col("_tgt"),
-      explode(concat(col("_toks"),
+  /** (id, bucket) rows of the hashed unigram+bigram feature stream —
+    * the gram string (not a tuple) is md5-hashed so any engine
+    * reproduces the bucket ids. Extra columns in `docs` pass through. */
+  private def dsirBuckets(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int): DataFrame =
+    docs.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      // drop the text BEFORE the explode: carrying it through would
+      // replicate every document body once per gram
+      .drop(textCol)
+      .withColumn("gram", explode(concat(col("_toks"),
         coalesce(when(size(col("_toks")) >= 2, expr(
           "transform(slice(_toks, 1, size(_toks) - 1), " +
             "(w, i) -> concat(w, ' ', _toks[i + 1]))")),
-          array()))).as("gram"))
-      .select(col(idCol), col("_tgt"),
-        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
-          % b).as("bucket"))
-    // two B-row tables: raw (q) and target (p) occurrence counts
+          array()))))
+      .withColumn("bucket",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          % nBuckets)
+      .drop("_toks", "gram")
+
+  /** The frozen DSIR model: per-bucket quantized likelihood ratios
+    * (bucket, v) and the 1-row normalizer (norm) learned from a
+    * reference corpus — the artifact a production gate trains offline
+    * and applies online ([[dsirScore]]). Both tables are B-row tiny. */
+  def dsirBucketStats(reference: DataFrame, idCol: String,
+      textCol: String, isTarget: Column, nBuckets: Int = 256)
+      : (DataFrame, DataFrame) = {
+    val grams = dsirBuckets(
+      reference.select(col(idCol), isTarget.as("_tgt"), col(textCol)),
+      idCol, textCol, nBuckets)
     val bucketStats = grams
       .groupBy("bucket")
       .agg(count(lit(1)).as("cq"),
@@ -927,20 +938,48 @@ object Dedup {
     val perBucket = bucketStats
       .select(col("bucket"), (qlog(col("cp") + 1) - qlog(col("cq") + 1)).as("v"))
     val norm = bucketStats
-      .agg((qlog(sum("cq") + b) - qlog(sum("cp") + b)).as("norm"))
-    val docBuckets = grams.groupBy(col(idCol), col("bucket"))
+      .agg((qlog(sum("cq") + nBuckets) - qlog(sum("cp") + nBuckets)).as("norm"))
+    (perBucket, norm)
+  }
+
+  /** Score `docs` against a frozen model: per-doc exact-long qlogw =
+    * Σ_g v(bucket(g)) + n_grams·norm, with v(unseen bucket) = 0 (the
+    * add-one ratio of two zero counts). Map-shaped: one narrow gram
+    * explode, one broadcast join of the B-row model, one per-doc
+    * aggregate — no reference to the training corpus, which is what
+    * lets the gate run per micro-batch over an unbounded stream. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      perBucket: DataFrame, norm: DataFrame,
+      nBuckets: Int = 256): DataFrame = {
+    // nBuckets MUST match the modulus the stats were trained with —
+    // the scorer re-hashes grams, the model carries no raw grams
+    val docBuckets =
+      dsirBuckets(docs.select(col(idCol), col(textCol)), idCol, textCol,
+        nBuckets)
+      .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val perDoc = docBuckets.join(broadcast(perBucket), Seq("bucket"))
+    val perDoc = docBuckets
+      .join(broadcast(perBucket), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(sum("c").as("n_grams"), sum(col("c") * col("v")).as("_s"))
+      .agg(sum("c").as("n_grams"),
+        sum(col("c") * coalesce(col("v"), lit(0L))).as("_s"))
       .crossJoin(broadcast(norm))
       .select(col(idCol), col("n_grams"),
         (col("_s") + col("n_grams") * col("norm")).as("qlogw"))
-    val scored = docs.select(col(idCol))
+    docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("qlogw"), lit(0L)).as("qlogw"))
+  }
+
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 256,
+      keepFrac: Double = 0.2): DataFrame = {
+    val (perBucket, norm) =
+      dsirBucketStats(docs, idCol, textCol, isTarget, nBuckets)
+    val scored =
+      dsirScore(docs, idCol, textCol, perBucket, norm, nBuckets)
     // exact top-K without a global sort: histogram of distinct scores
     // (running count over the histogram, not the corpus), then keep iff
     // cum-before-this-score + rank-within-tie ≤ K. The count() is one
@@ -993,6 +1032,45 @@ object Dedup {
       dsirResample(Tables.documents(s, dir), "doc_id", "text",
         isTarget = col("lang") === "en")
         .orderBy("doc_id")),
+    // e20: the ONLINE half of DSIR — the d24 model trained offline on
+    // the reference split (doc_id % 5 <> 0), frozen (localCheckpoint),
+    // then applied per micro-batch to the streamed split as a pure
+    // map + B-row broadcast join; kept = likelihood ratio ≥ 1 (qlogw
+    // ≥ 0). Per-batch output dirs are batch-id-keyed (retry =
+    // overwrite, idempotent). The production shape for quality-gating
+    // an unbounded crawl: no global state, no corpus sort, each
+    // trigger touches only its own batch.
+    "e20_stream_quality_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (pb0, nm0) = dsirBucketStats(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        isTarget = col("lang") === "en")
+      // freeze: materialize the two tiny model tables once, so each
+      // trigger joins a local relation instead of re-training
+      val pb = pb0.localCheckpoint(true)
+      val nm = nm0.localCheckpoint(true)
+      val inDir = graft.util.Scratch.fresh("graft_e20in_")
+      val outDir = graft.util.Scratch.fresh("graft_e20o_")
+      docs.filter(col("doc_id") % 5 === 0)
+        .repartition(3).write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.util.Scratch.fresh("graft_e20c_"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          dsirScore(batch, "doc_id", "text", pb, nm)
+            .withColumn("kept", col("qlogw") >= 0)
+            .write.mode("overwrite").parquet(s"$outDir/b=$bid")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select("doc_id", "n_grams", "qlogw", "kept")
+        .orderBy("doc_id")
+    }),
     "d02_minhash_sig" -> ((s, dir) =>
       lshBands(minhashSignatures(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id").orderBy("doc_id", "band")),
@@ -1209,6 +1287,52 @@ object Dedup {
          |      FROM sc)
          |SELECT doc_id, n_grams, qlogw, rn <= kk.k AS selected
          |FROM r, kk ORDER BY doc_id""".stripMargin,
+    // e20: d24's chain split into train (doc_id % 5 <> 0) and apply
+    // (doc_id % 5 = 0) halves; apply-side grams hitting buckets the
+    // reference never saw carry v = 0 (add-one ratio of two zero
+    // counts), hence the LEFT JOIN + COALESCE; kept = qlogw >= 0
+    "e20_stream_quality_gate" ->
+      s"""WITH tr AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS toks
+         |            FROM documents WHERE doc_id % 5 <> 0),
+         |g AS (SELECT doc_id, tgt, unnest(toks || CASE WHEN len(toks) >= 2
+         |        THEN list_transform(generate_series(1, len(toks) - 1),
+         |               i -> toks[i] || ' ' || toks[i + 1])
+         |        ELSE [] END) AS gram FROM tr),
+         |bk AS (SELECT doc_id, tgt,
+         |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+         |           % 256 AS bucket FROM g),
+         |bc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cq,
+         |         CAST(COUNT(*) FILTER (WHERE tgt) AS BIGINT) AS cp
+         |       FROM bk GROUP BY 1),
+         |v AS (SELECT bucket,
+         |        CAST(FLOOR(ln(CAST(cp + 1 AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      - CAST(FLOOR(ln(CAST(cq + 1 AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |          AS v FROM bc),
+         |tot AS (SELECT
+         |    CAST(FLOOR(ln(CAST(SUM(cq) + 256 AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |  - CAST(FLOOR(ln(CAST(SUM(cp) + 256 AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      AS norm FROM bc),
+         |ap AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |       WHERE doc_id % 5 = 0),
+         |ag AS (SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2
+         |         THEN list_transform(generate_series(1, len(toks) - 1),
+         |                i -> toks[i] || ' ' || toks[i + 1])
+         |         ELSE [] END) AS gram FROM ap),
+         |ab AS (SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+         |           % 256 AS bucket FROM ag),
+         |db AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM ab GROUP BY 1, 2),
+         |pd AS (SELECT db.doc_id, CAST(SUM(db.c) AS BIGINT) AS n_grams,
+         |         CAST(SUM(db.c * COALESCE(v.v, 0)) AS BIGINT) AS s
+         |       FROM db LEFT JOIN v USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(pd.n_grams, 0) AS n_grams,
+         |  COALESCE(pd.s + pd.n_grams * tot.norm, 0) AS qlogw,
+         |  COALESCE(pd.s + pd.n_grams * tot.norm, 0) >= 0 AS kept
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN pd ON d.doc_id = pd.doc_id, tot
+         |ORDER BY d.doc_id""".stripMargin,
     "d02_minhash_sig" ->
       s"""WITH $bandsCte
          |SELECT doc_id, band, bkey FROM bands

@@ -456,6 +456,26 @@ class DedupSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("e20 streamed gate == frozen-model batch scoring, bit for bit; " +
+      "threshold discriminates") {
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val streamed = Dedup.queries("e20_stream_quality_gate")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    // the same frozen model applied in ONE batch — scoring is per-doc
+    // (no cross-doc state), so micro-batching cannot change a row
+    val (pb, nm) = Dedup.dsirBucketStats(
+      corpus.filter($"doc_id" % 5 =!= 0), "doc_id", "text",
+      isTarget = $"lang" === "en")
+    val batch = Dedup.dsirScore(
+      corpus.filter($"doc_id" % 5 === 0), "doc_id", "text", pb, nm)
+      .withColumn("kept", $"qlogw" >= 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    val kept = streamed.count(_.endsWith("true]"))
+    assert(kept > 0 && kept < streamed.size,
+      s"gate must discriminate: $kept/${streamed.size} kept")
+  }
+
   test("dsirResample: histogram selection = global row_number top-K law") {
     // the engine's cum_before + tie-rank ≤ K decomposition must equal
     // the one-window definition the oracle states
