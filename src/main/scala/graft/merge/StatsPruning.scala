@@ -246,20 +246,26 @@ object StatsPruning {
       lo: Any, hi: Any): DataFrame = {
     val (kept, _) = pruneFiles(spark, path, column, lo, hi)
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    readKept(spark, path, kept).filter(pred)
+  }
+
+  /** The table relation restricted to an explicit kept-file list (a
+    * [[pruneFiles]] result) — WITHOUT the range predicate, for callers
+    * that re-apply their own exact filters (the DSv2 catalog scan). */
+  def readKept(spark: SparkSession, path: String, kept: Seq[String])
+      : DataFrame = {
     val schema = Merge.recordedSchema(spark, path)
-    val base =
-      if (kept.isEmpty) {
-        val s = schema.getOrElse(Merge.readTable(spark, path).schema)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      } else schema match {
-        // basePath recovers hive partition columns from the dir names
-        // of an explicit file list (same pattern as the upsert read)
-        case Some(s) => spark.read.schema(s).option("basePath", path)
-          .parquet(kept: _*)
-        case None => spark.read.option("mergeSchema", "true")
-          .option("basePath", path).parquet(kept: _*)
-      }
-    base.filter(pred)
+    if (kept.isEmpty) {
+      val s = schema.getOrElse(Merge.readTable(spark, path).schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else schema match {
+      // basePath recovers hive partition columns from the dir names
+      // of an explicit file list (same pattern as the upsert read)
+      case Some(s) => spark.read.schema(s).option("basePath", path)
+        .parquet(kept: _*)
+      case None => spark.read.option("mergeSchema", "true")
+        .option("basePath", path).parquet(kept: _*)
+    }
   }
 }

@@ -447,7 +447,7 @@ class GraftTable(val path: String, tableName: String,
       : ScanBuilder = {
     val params = parameters
     new GraftScanBuilder(schema,
-      () => GraftSource.resolveView(SparkSession.active, params))
+      () => GraftSource.resolveView(SparkSession.active, params), params)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -465,7 +465,8 @@ class GraftTable(val path: String, tableName: String,
   * `unhandledFilters` declares. Column pruning narrows the projection
   * the same way. */
 private[sources] class GraftScanBuilder(tableSchema: StructType,
-    resolve: () => DataFrame) extends ScanBuilder
+    resolve: () => DataFrame, params: Map[String, String])
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -481,11 +482,13 @@ private[sources] class GraftScanBuilder(tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1Scan(resolve, pushed, required)
+  override def build(): Scan =
+    new GraftV1Scan(resolve, pushed, required, params)
 }
 
 private[sources] class GraftV1Scan(resolve: () => DataFrame,
-    pushed: Array[Filter], required: StructType) extends V1Scan {
+    pushed: Array[Filter], required: StructType,
+    params: Map[String, String]) extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -495,22 +498,30 @@ private[sources] class GraftV1Scan(resolve: () => DataFrame,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftV1TableScan(context, resolve, pushed, required)
+    new GraftV1TableScan(context, resolve, pushed, required, params)
       .asInstanceOf[T]
 }
 
 private[sources] class GraftV1TableScan(ctx: SQLContext,
     resolve: () => DataFrame, pushed: Array[Filter],
-    required: StructType) extends BaseRelation with TableScan {
+    required: StructType, params: Map[String, String])
+    extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
 
   override def buildScan(): RDD[Row] = {
+    // plan-time file pruning when the pushed conjunction bounds a
+    // column on both sides (CatalogStatsPrune) — falls back to the
+    // full snapshot; every pushed filter is re-applied either way, so
+    // pruning can only shrink IO, never change rows
+    val base = CatalogStatsPrune
+      .tryPrune(ctx.sparkSession, params, pushed)
+      .getOrElse(resolve())
     // filter BEFORE projecting: a pushed filter column need not be in
     // the required set; empty projections (count-only) read no columns
     val filtered = pushed.flatMap(GraftFilters.translate)
-      .foldLeft(resolve())((d, c) => d.filter(c))
+      .foldLeft(base)((d, c) => d.filter(c))
     filtered.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
   }
 }

@@ -672,6 +672,45 @@ object GraftSourceQueries {
            |ORDER BY snap, l_returnflag""".stripMargin)
     },
 
+    /** x32: plan-time stats pruning reached from plain SQL — a
+      * range-clustered v1 table ([[Merge.bulkInsert]]: tight disjoint
+      * per-file okey ranges) is REGISTERED in the DSv2 catalog
+      * (CREATE TABLE over the pre-existing path, the adopted-table
+      * path createTable explicitly supports), then queried with a
+      * BETWEEN through the catalog: the pushed conjunction bounds
+      * okey on both sides, so [[CatalogStatsPrune]] resolves the scan
+      * to only the overlapping files (file-level assert in
+      * [[GraftCatalogSpec]]). The oracle is the plain relational
+      * filter — pruning must be result-invisible. */
+    "x32_catalog_prune" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        graft.util.Scratch.cached("graft_cat_warehouse",
+          "graft_cat_wh_")(_ => ()))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.bench")
+      s.sql("DROP TABLE IF EXISTS graft_cat.bench.li32")
+      val warehouse = s.conf.get("spark.sql.catalog.graft_cat.warehouse")
+      val path = s"$warehouse/bench/li32"
+      val rows = graft.Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        col("l_returnflag").as("part"))
+      graft.merge.Merge.bulkInsert(rows, path, "part",
+        keyCols = Seq("okey"), targetFileBytes = 256L << 10)
+      s.sql(
+        """CREATE TABLE graft_cat.bench.li32 (
+          |  okey BIGINT, lnum INT, qty DOUBLE, price DOUBLE, part STRING)
+          |USING graft
+          |PARTITIONED BY (part)
+          |OPTIONS (keys 'okey,lnum', versioned 'false')""".stripMargin)
+      s.sql(
+        """SELECT okey, lnum, qty, price, part
+          |FROM graft_cat.bench.li32
+          |WHERE okey BETWEEN 1000 AND 5000
+          |ORDER BY okey, lnum, qty, price, part""".stripMargin)
+    },
+
     /** x31: the DSv2 catalog front door ([[GraftCatalog]]) end-to-end —
       * `CREATE NAMESPACE` / `CREATE TABLE ... PARTITIONED BY` through
       * the registered [[org.apache.spark.sql.connector.catalog
@@ -942,6 +981,18 @@ object GraftSourceQueries {
       * the hash. */
     "x29_sql_time_travel_ts" -> timeTravelOracle,
 
+    /** bulk_insert is a raw append (no precombine dedup), so the
+      * catalog read through the pruned scan must equal the plain
+      * relational filter — q36's oracle verbatim, now reached from
+      * SQL through the DSv2 catalog instead of the readPruned API. */
+    "x32_catalog_prune" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS lnum,
+        |       l_quantity AS qty, l_extendedprice AS price,
+        |       l_returnflag AS part
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 5000
+        |ORDER BY okey, lnum, qty, price, part""".stripMargin,
+
     /** x17's replay algebra without the incremental arm: d1 = commit-1
       * state (per-(keys,partition) precombine dedup of batch 1), cur =
       * after the batch-2 upsert (batch-2-wins key replacement). */
@@ -1065,6 +1116,67 @@ class GraftRelation(override val sqlContext: SQLContext,
   * for anything unknown (stays with the outer plan). Shared by the v1
   * relation's buildScan and the DSv2 scan builder so both surfaces
   * push exactly the same predicate set into the wrapped plan. */
+/** Plan-time file pruning for DSv2 catalog scans: when a pushed filter
+  * conjunction bounds a column on BOTH sides (point lookup, BETWEEN,
+  * `>= lo AND <= hi`), the plain-snapshot scan resolves to ONLY the
+  * parquet files whose footer [min, max] overlaps the bound —
+  * [[graft.merge.StatsPruning]]'s q36 machinery reached from SQL with
+  * no API call. On a range-laid-out 100 TB table this is the
+  * difference between scheduling O(matching files) and O(all files)
+  * tasks for a selective query.
+  *
+  * Conservative by construction:
+  *  - engages only for the CURRENT snapshot of a COW table — time
+  *    travel, incremental, CDC and MOR reads have their own resolution
+  *    (and MOR deltas are not footer-prunable) — and only when some
+  *    column is bounded on both sides;
+  *  - of several lower (upper) bounds on a column it uses any one:
+  *    a looser bound only keeps more files;
+  *  - correctness never depends on it: the caller re-applies every
+  *    pushed filter to the pruned relation, and [[StatsPruning]] keeps
+  *    any file it cannot prove empty. */
+private[sources] object CatalogStatsPrune {
+
+  /** (kept files, total files) of the last engaged pruning in this
+    * JVM — spec/diagnostic observability only, never read by the
+    * engine. */
+  @volatile var lastPruned: Option[(Int, Int)] = None
+
+  private val travelKeys = Set("asof", "asoftimestamp", "sincecommit",
+    "untilcommit", "changesafter", "changesuntil", "optimized")
+
+  def tryPrune(spark: org.apache.spark.sql.SparkSession,
+      params: Map[String, String], pushed: Array[Filter])
+      : Option[DataFrame] = {
+    if (params.keys.exists(k => travelKeys.contains(k.toLowerCase)))
+      return None
+    val path = GraftSource.pathOf(params)
+    if (graft.merge.MorTable.isMor(spark, path)) return None
+    val los = scala.collection.mutable.Map.empty[String, Any]
+    val his = scala.collection.mutable.Map.empty[String, Any]
+    pushed.foreach {
+      case EqualTo(c, v) if v != null =>
+        los.getOrElseUpdate(c, v); his.getOrElseUpdate(c, v); ()
+      case GreaterThan(c, v) if v != null =>
+        los.getOrElseUpdate(c, v); ()
+      case GreaterThanOrEqual(c, v) if v != null =>
+        los.getOrElseUpdate(c, v); ()
+      case LessThan(c, v) if v != null =>
+        his.getOrElseUpdate(c, v); ()
+      case LessThanOrEqual(c, v) if v != null =>
+        his.getOrElseUpdate(c, v); ()
+      case _ => ()
+    }
+    val both = los.keySet.intersect(his.keySet)
+    both.toSeq.sorted.headOption.map { c =>
+      val (kept, total) =
+        graft.merge.StatsPruning.pruneFiles(spark, path, c, los(c), his(c))
+      lastPruned = Some((kept.length, total))
+      graft.merge.StatsPruning.readKept(spark, path, kept)
+    }
+  }
+}
+
 private[sources] object GraftFilters {
   def translate(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))

@@ -350,4 +350,62 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("declare partition columns last"),
       e.getMessage)
   }
+
+  test("both-side-bounded SQL filters prune files at plan time; " +
+      "answers equal the unpruned scan") {
+    import spark.implicits._
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.t_prune")
+    val path = s"$warehouse/ns/t_prune"
+    // range-clustered layout: bulkInsert's repartitionByRange gives
+    // each file a tight disjoint okey range, so a BETWEEN must drop
+    // most files
+    val rows = graft.Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("okey"), col("l_extendedprice").as("price"),
+      col("l_returnflag").as("part"))
+    graft.merge.Merge.bulkInsert(rows, path, "part",
+      keyCols = Seq("okey"), targetFileBytes = 32L << 10)
+    // adopt the pre-existing v1 table into the catalog
+    spark.sql(
+      """CREATE TABLE gcat.ns.t_prune (
+        |  okey BIGINT, price DOUBLE, part STRING)
+        |USING graft PARTITIONED BY (part)
+        |OPTIONS (keys 'okey', versioned 'false')""".stripMargin)
+    val total = graft.merge.Merge.readTable(spark, path).inputFiles.length
+    assert(total > 3, s"layout too coarse to prove pruning ($total files)")
+    CatalogStatsPrune.lastPruned = None
+    val got = spark.sql(
+      """SELECT okey, price, part FROM gcat.ns.t_prune
+        |WHERE okey BETWEEN 100 AND 500""".stripMargin)
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    // pruning engaged and actually dropped files
+    val (kept, seen) = CatalogStatsPrune.lastPruned.getOrElse(
+      fail("CatalogStatsPrune did not engage on a BETWEEN"))
+    assert(seen === total)
+    assert(kept < total, s"no file pruned ($kept of $total kept)")
+    // ...and is result-invisible vs the unpruned relation
+    val want = graft.merge.Merge.readTable(spark, path)
+      .filter($"okey" >= 100 && $"okey" <= 500)
+      .select("okey", "price", "part")
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty, "empty range — dead assert")
+    // a one-sided bound must NOT engage (conservative scope)
+    CatalogStatsPrune.lastPruned = None
+    spark.sql("SELECT okey FROM gcat.ns.t_prune WHERE okey >= 100")
+      .collect()
+    assert(CatalogStatsPrune.lastPruned.isEmpty)
+    // time-travel / incremental / CDC parameters must bypass pruning
+    // entirely (those reads resolve through their own snapshot logic,
+    // not the current file set)
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val bounded = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("okey", 100L), LessThanOrEqual("okey", 500L))
+    Seq("asOf" -> "1", "asOfTimestamp" -> "1", "sinceCommit" -> "1",
+      "changesAfter" -> "1").foreach { case (k, v) =>
+      assert(CatalogStatsPrune.tryPrune(spark,
+        Map("path" -> path, k -> v), bounded).isEmpty,
+        s"pruning must not engage under $k")
+    }
+  }
 }
