@@ -335,6 +335,39 @@ object KeyIndex {
     } finally { live.unpersist(); () }
   }
 
+  /** Read-path point lookup: the ABSOLUTE data-file paths that may
+    * hold the single scoped key whose (key ∪ partition) columns are
+    * all equality-pinned in `values`, plus the touched partition's
+    * total file count — or None when the index cannot help (no spec,
+    * not all scoped columns pinned, no recorded schema, or the
+    * [[minFilesToProbe]]/[[minBytesToProbe]] gates say a plain scan is
+    * cheaper). The DSv2 catalog scan's bloom arm (x33): the same
+    * probe the merge side runs, with the touched dir derived from the
+    * pinned partition values, so a point SELECT on a 100 TB keyed
+    * table opens only the bloom-matched file groups. */
+  def lookupFiles(spark: SparkSession, path: String,
+      values: Map[String, Any]): Option[(Seq[String], Int)] = {
+    val spec = readSpec(spark, path).getOrElse(return None)
+    if (spec.partitionCols.isEmpty) return None
+    if (!spec.scoped.forall(values.contains)) return None
+    val schema = Merge.recordedSchema(spark, path).getOrElse(return None)
+    val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
+    if (!spec.scoped.forall(fieldType.contains)) return None
+    val fs = Merge.fsFor(spark, path)
+    val root = fs.makeQualified(new Path(path))
+    val dir = Merge.partitionRelDir(spec.partitionCols,
+      spec.partitionCols.map(values))
+    val statuses = Merge.listDataStatuses(fs, new Path(root, dir))
+    val allFiles = statuses.map(st => Merge.relativize(root, st.getPath))
+    // probe at the STORED types — hash parity with the build side
+    val probe = spark.range(1).select(spec.scoped.map(c =>
+      lit(values(c)).cast(fieldType(c)).as(c)): _*)
+    candidateFiles(spark, path, spec, Seq(dir), allFiles,
+      statuses.map(_.getLen).sum, probe)
+      .map(kept =>
+        (kept.map(f => new Path(root, f).toString), allFiles.size))
+  }
+
   /** Fold the entry log into one snapshot entry: live adds survive, rm
     * tombstones and superseded entry files vanish. The new snapshot is
     * written before the old entries are deleted — a crash mid-fold

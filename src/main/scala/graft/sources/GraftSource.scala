@@ -711,6 +711,57 @@ object GraftSourceQueries {
           |ORDER BY okey, lnum, qty, price, part""".stripMargin)
     },
 
+    /** x33: point lookups through the catalog probe the file-level
+      * BLOOM key index — [[CatalogStatsPrune]]'s second arm. Two
+      * upsert commits (index entries per data file, gates forced at
+      * toy scale) build an UNCLUSTERED layout where footer min/max
+      * spans the partition but only some files hold a given key; a
+      * `WHERE okey = k AND part = 'v'` SELECT then reads only the
+      * bloom-matched files (file-level assert in [[GraftCatalogSpec]]).
+      * The oracle replays the upsert dedup relationally and filters —
+      * index pruning must be result-invisible. */
+    "x33_catalog_bloom_lookup" -> { (s, dir) =>
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        graft.util.Scratch.cached("graft_cat_warehouse",
+          "graft_cat_wh_")(_ => ()))
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.bench")
+      s.sql("DROP TABLE IF EXISTS graft_cat.bench.li33")
+      val warehouse = s.conf.get("spark.sql.catalog.graft_cat.warehouse")
+      val path = s"$warehouse/bench/li33"
+      val rows = graft.Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 <= 2)
+        .select(
+          (col("o_orderkey") % 500).as("okey"),
+          col("o_totalprice").as("price"),
+          col("o_orderkey").as("pre"),
+          col("o_orderstatus").as("part"))
+      val prevF = graft.merge.KeyIndex.minFilesToProbe
+      val prevB = graft.merge.KeyIndex.minBytesToProbe
+      graft.merge.KeyIndex.minFilesToProbe = 0
+      graft.merge.KeyIndex.minBytesToProbe = 0
+      try {
+        graft.merge.Merge.upsert(s, rows.filter(col("pre") % 2 === 0),
+          path, Seq("okey"), "pre", "part")
+        graft.merge.Merge.upsert(s, rows.filter(col("pre") % 2 === 1),
+          path, Seq("okey"), "pre", "part")
+        s.sql(
+          """CREATE TABLE graft_cat.bench.li33 (
+            |  okey BIGINT, price DOUBLE, pre BIGINT, part STRING)
+            |USING graft PARTITIONED BY (part)
+            |OPTIONS (keys 'okey', precombine 'pre',
+            |         versioned 'false')""".stripMargin)
+        s.sql(
+          """SELECT okey, price, pre, part FROM graft_cat.bench.li33
+            |WHERE okey = 123 AND part = 'O'
+            |ORDER BY okey, price, pre, part""".stripMargin)
+      } finally {
+        graft.merge.KeyIndex.minFilesToProbe = prevF
+        graft.merge.KeyIndex.minBytesToProbe = prevB
+      }
+    },
+
     /** x31: the DSv2 catalog front door ([[GraftCatalog]]) end-to-end —
       * `CREATE NAMESPACE` / `CREATE TABLE ... PARTITIONED BY` through
       * the registered [[org.apache.spark.sql.connector.catalog
@@ -981,6 +1032,32 @@ object GraftSourceQueries {
       * the hash. */
     "x29_sql_time_travel_ts" -> timeTravelOracle,
 
+    /** The q18/x04 replay algebra (per-batch precombine dedup, batch-2
+      * wins over stored on the (key, partition) identity), then the
+      * point filter — the bloom probe must be result-invisible. */
+    "x33_catalog_bloom_lookup" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey % 500 AS okey, o_totalprice AS price,
+        |         o_orderkey AS pre, o_orderstatus AS part
+        |  FROM orders WHERE o_orderkey % 7 <= 2),
+        |b1 AS (SELECT okey, price, pre, part FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY okey, part
+        |    ORDER BY pre DESC) AS rn FROM raw WHERE pre % 2 = 0)
+        |  WHERE rn = 1),
+        |b2 AS (SELECT okey, price, pre, part FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY okey, part
+        |    ORDER BY pre DESC) AS rn FROM raw WHERE pre % 2 = 1)
+        |  WHERE rn = 1),
+        |cur AS (
+        |  SELECT * FROM b2
+        |  UNION ALL
+        |  SELECT b1.* FROM b1 WHERE NOT EXISTS (
+        |    SELECT 1 FROM b2
+        |    WHERE b2.okey = b1.okey AND b2.part = b1.part))
+        |SELECT okey, price, pre, part FROM cur
+        |WHERE okey = 123 AND part = 'O'
+        |ORDER BY okey, price, pre, part""".stripMargin,
+
     /** bulk_insert is a raw append (no precombine dedup), so the
       * catalog read through the pruned scan must equal the plain
       * relational filter — q36's oracle verbatim, now reached from
@@ -1167,12 +1244,32 @@ private[sources] object CatalogStatsPrune {
         his.getOrElseUpdate(c, v); ()
       case _ => ()
     }
+    // bloom arm (x33): a full scoped-key point lookup (key AND
+    // partition columns all equality-pinned) probes the file-level
+    // bloom index — finer than footer min/max on unclustered layouts,
+    // where every file's key RANGE spans the partition but only a few
+    // files actually HOLD the key
+    val eqs = pushed.collect {
+      case EqualTo(c, v) if v != null => c -> v }.toMap
+    val bloom = graft.merge.KeyIndex.lookupFiles(spark, path, eqs)
+    // stats arm (x32): any column bounded on both sides
     val both = los.keySet.intersect(his.keySet)
-    both.toSeq.sorted.headOption.map { c =>
-      val (kept, total) =
-        graft.merge.StatsPruning.pruneFiles(spark, path, c, los(c), his(c))
-      lastPruned = Some((kept.length, total))
-      graft.merge.StatsPruning.readKept(spark, path, kept)
+    val stats = both.toSeq.sorted.headOption.map { c =>
+      graft.merge.StatsPruning.pruneFiles(spark, path, c, los(c), his(c))
+    }
+    (bloom, stats) match {
+      case (Some((bKept, total)), Some((sKept, _))) =>
+        // both engaged: a file must survive BOTH proofs to be read
+        val kept = bKept.toSet.intersect(sKept.toSet).toSeq.sorted
+        lastPruned = Some((kept.length, total))
+        Some(graft.merge.StatsPruning.readKept(spark, path, kept))
+      case (Some((bKept, total)), None) =>
+        lastPruned = Some((bKept.length, total))
+        Some(graft.merge.StatsPruning.readKept(spark, path, bKept))
+      case (None, Some((sKept, total))) =>
+        lastPruned = Some((sKept.length, total))
+        Some(graft.merge.StatsPruning.readKept(spark, path, sKept))
+      case (None, None) => None
     }
   }
 }

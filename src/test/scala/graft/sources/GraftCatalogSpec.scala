@@ -395,6 +395,62 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("SELECT okey FROM gcat.ns.t_prune WHERE okey >= 100")
       .collect()
     assert(CatalogStatsPrune.lastPruned.isEmpty)
+    ()
+  }
+
+  test("point lookups probe the bloom key index: only matched file " +
+      "groups are read, answers unchanged") {
+    import spark.implicits._
+    import graft.merge.{KeyIndex, Merge}
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS gcat.ns.t_bloom")
+    val path = s"$warehouse/ns/t_bloom"
+    val prevF = KeyIndex.minFilesToProbe
+    val prevB = KeyIndex.minBytesToProbe
+    KeyIndex.minFilesToProbe = 0
+    KeyIndex.minBytesToProbe = 0
+    try {
+      val rows = graft.Tables.orders(spark, sfDir)
+        .select((col("o_orderkey") % 500).as("okey"),
+          col("o_totalprice").as("price"),
+          col("o_orderkey").as("pre"),
+          col("o_orderstatus").as("part"))
+      // four DISJOINT key-range commits -> four file groups per
+      // partition, none rewritten; footer okey ranges within a
+      // partition are then disjoint too, but the point of the bloom
+      // arm is the UNCLUSTERED common case, so probe a key that range
+      // stats alone could not isolate: every group holds keys from the
+      // whole o_totalprice/o_orderstatus space, only one holds okey=123
+      (0 until 4).foreach { b =>
+        Merge.upsert(spark,
+          rows.filter($"okey" >= b * 125 && $"okey" < (b + 1) * 125),
+          path, Seq("okey"), "pre", "part")
+      }
+      spark.sql(
+        """CREATE TABLE gcat.ns.t_bloom (
+          |  okey BIGINT, price DOUBLE, pre BIGINT, part STRING)
+          |USING graft PARTITIONED BY (part)
+          |OPTIONS (keys 'okey', precombine 'pre',
+          |         versioned 'false')""".stripMargin)
+      CatalogStatsPrune.lastPruned = None
+      val got = spark.sql(
+        """SELECT okey, price, pre, part FROM gcat.ns.t_bloom
+          |WHERE okey = 123 AND part = 'O'""".stripMargin)
+        .as[(Long, Double, Long, String)].collect().toSeq.sorted
+      val (kept, total) = CatalogStatsPrune.lastPruned.getOrElse(
+        fail("bloom lookup did not engage on a full scoped-key point"))
+      assert(total >= 4, s"layout too coarse ($total files in 'O')")
+      assert(kept < total, s"no file skipped ($kept of $total)")
+      val want = Merge.readTable(spark, path)
+        .filter($"okey" === 123 && $"part" === "O")
+        .select("okey", "price", "pre", "part")
+        .as[(Long, Double, Long, String)].collect().toSeq.sorted
+      assert(got === want)
+      assert(got.nonEmpty, "probe key absent — dead assert")
+    } finally {
+      KeyIndex.minFilesToProbe = prevF
+      KeyIndex.minBytesToProbe = prevB
+    }
     // time-travel / incremental / CDC parameters must bypass pruning
     // entirely (those reads resolve through their own snapshot logic,
     // not the current file set)
