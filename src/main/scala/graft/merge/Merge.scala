@@ -1970,6 +1970,20 @@ object Merge {
     * (Hudi incremental-query semantics — deleted rows simply stop
     * appearing, as in Hudi's COW read-optimized view). Partition/stat
     * pruning applies: the stamp predicate is pushed to the scan. */
+  /** Latest RECORDED commit id, driver-side (one dir listing, no Spark
+    * job) — the polling primitive a streaming source's `getOffset`
+    * calls every trigger. None when the table has no recorded commits.
+    * Same strict numeric-stem rule as [[commits]]: inflight markers,
+    * `.plan` siblings, tombstones and foreign junk never count. */
+  def latestCommit(spark: SparkSession, path: String): Option[Long] = {
+    val fs = fsFor(spark, path)
+    val dir = commitsDir(path)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case commitEntryRe(stem, "json") => stem.toLong
+    }.maxOption
+  }
+
   def readSince(spark: SparkSession, path: String, sinceTs: Long): DataFrame =
     readTable(spark, path).filter(col(commitCol) > sinceTs)
 

@@ -44,11 +44,34 @@ import graft.merge.{Merge, MorTable}
   */
 class GraftSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
   import GraftSource.{cols, opt, pathOf}
+
+  /** `spark.readStream.format("graft")` — the NATIVE incremental
+    * streaming read, the [[GraftSink]]'s mirror: offsets are COMMIT
+    * IDS from the table's own timeline, and each micro-batch is
+    * `Merge.readBetween` over the offset range — the same increments
+    * [[graft.merge.IncrementalStream]] composes from the commit-file
+    * stream, exposed as the one-line front door every table follower
+    * expects (Hudi/Delta's streaming-read shape). Semantics are
+    * IncrementalStream's, stated there honestly: rows arrive once,
+    * stamped with the commit that LAST wrote them — increments compose
+    * to current table state, not a CDC history. */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      Merge.readTable(sqlContext.sparkSession, pathOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext, pathOf(parameters))
 
   /** `df.writeStream.format("graft")` — the NATIVE streaming sink (no
     * foreachBatch hop): every micro-batch lands through the same
@@ -288,6 +311,59 @@ object GraftSource {
   * `upsert_ordered` is argmax-invariant by construction — the x04
   * contract), which is why the sink requires a keyed op and refuses
   * blind appends (`op=insert` would duplicate rows on that window). */
+/** The v1 micro-batch [[org.apache.spark.sql.execution.streaming
+  * .Source]] behind `readStream.format("graft")`.
+  *
+  * Offsets are the table's own commit ids: `getOffset` is ONE driver
+  * dir listing ([[Merge.latestCommit]] — no Spark job per trigger),
+  * and `getBatch(s0, s1)` is `readBetween`'s stat-filtered scan of
+  * rows last written by commits in (s0, s1] — O(changed rows), never
+  * a table rescan, which is what lets a follower tail a 100 TB table.
+  * The returned frame must be a STREAMING DataFrame
+  * (MicroBatchExecution asserts it), built through the
+  * [[org.apache.spark.sql.graftshim.GraftSqlBridge]] seam exactly as
+  * FileStreamSource builds its batches.
+  *
+  * Requires a VERSIONED table (rows carry `_commit_ts`) — refused at
+  * construction otherwise, matching IncrementalStream's contract. */
+private[sources] class GraftStreamSource(sqlContext: SQLContext,
+    path: String)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset,
+    SerializedOffset}
+
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType = {
+    val s = Merge.readTable(spark, path).schema
+    require(s.fieldNames.contains(Merge.commitCol),
+      s"graft streaming source requires a versioned table (rows carry " +
+        s"${Merge.commitCol}); $path has no commit stamps — write with " +
+        "upsertVersioned / a catalog table (versioned by default)")
+    s
+  }
+
+  private def value(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[V1Offset] =
+    Merge.latestCommit(spark, path).map(LongOffset(_))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset)
+      : DataFrame = {
+    val df = Merge.readBetween(spark, path,
+      start.map(value).getOrElse(0L), value(end))
+    org.apache.spark.sql.graftshim.GraftSqlBridge.asStreamingDataFrame(
+      spark, df.queryExecution.toRdd, df.schema)
+  }
+
+  override def stop(): Unit = ()
+}
+
 private[sources] class GraftSink(sqlContext: SQLContext,
     parameters: Map[String, String])
     extends org.apache.spark.sql.execution.streaming.Sink {
@@ -711,6 +787,44 @@ object GraftSourceQueries {
           |ORDER BY okey, lnum, qty, price, part""".stripMargin)
     },
 
+    /** e21: the native streaming READ end-to-end — three key-DISJOINT
+      * versioned upsert commits, then `readStream.format("graft")`
+      * drained with AvailableNow through a parquet-per-batch sink.
+      * Disjoint keys mean no cross-commit overwrites, so the drained
+      * union equals the table's current state and the oracle is one
+      * per-(key, partition) precombine dedup over all batches. */
+    "e21_stream_source" -> { (s, dir) =>
+      val path = graft.util.Scratch.fresh("graft_e21_")
+      val outDir = graft.util.Scratch.fresh("graft_e21o_")
+      val rows = graft.Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 <= 2)
+        .select(
+          (col("o_orderkey") % 500).as("okey"),
+          col("o_totalprice").as("price"),
+          col("o_orderkey").as("pre"),
+          col("o_orderstatus").as("part"))
+      (0 until 3).foreach { b =>
+        graft.merge.Merge.upsertVersioned(s,
+          rows.filter(col("okey") % 3 === b), path,
+          Seq("okey"), "pre", "part")
+        ()
+      }
+      val q = s.readStream.format("graft").load(path)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.util.Scratch.fresh("graft_e21c_"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/b=$bid")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select("okey", "price", "pre", "part")
+        .orderBy("part", "okey")
+    },
+
     /** x33: point lookups through the catalog probe the file-level
       * BLOOM key index — [[CatalogStatsPrune]]'s second arm. Two
       * upsert commits (index entries per data file, gates forced at
@@ -1031,6 +1145,19 @@ object GraftSourceQueries {
       * OF` naming the commit — a drift between the two paths breaks
       * the hash. */
     "x29_sql_time_travel_ts" -> timeTravelOracle,
+
+    /** Key-disjoint commits collapse to one global dedup: the drained
+      * stream union must equal the table's current state. */
+    "e21_stream_source" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey % 500 AS okey, o_totalprice AS price,
+        |         o_orderkey AS pre, o_orderstatus AS part
+        |  FROM orders WHERE o_orderkey % 7 <= 2),
+        |d AS (SELECT okey, price, pre, part FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY okey, part
+        |    ORDER BY pre DESC) AS rn FROM raw) WHERE rn = 1)
+        |SELECT okey, price, pre, part FROM d
+        |ORDER BY part, okey""".stripMargin,
 
     /** The q18/x04 replay algebra (per-batch precombine dedup, batch-2
       * wins over stored on the (key, partition) identity), then the

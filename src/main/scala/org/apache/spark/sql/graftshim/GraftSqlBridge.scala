@@ -37,6 +37,18 @@ object GraftSqlBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming = false)
 
+  /** The mirror seam for a v1 streaming SOURCE: `Source.getBatch` must
+    * return a STREAMING DataFrame (MicroBatchExecution asserts
+    * `isStreaming`), built from the incremental relation's rows —
+    * `internalCreateDataFrame(isStreaming = true)`, the same call
+    * FileStreamSource makes. */
+  def asStreamingDataFrame(spark: SparkSession,
+      rows: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming = true)
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)

@@ -258,4 +258,58 @@ class GraftSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("replay-convergent"), e.getMessage)
   }
+
+  test("readStream.format(graft): drained union = table state; a " +
+      "resumed stream delivers only the NEW commit") {
+    import spark.implicits._
+    val path = tmpDir("graft_srcstream_")
+    val ckpt = tmpDir("graft_srcstream_ckpt_")
+    val out = tmpDir("graft_srcstream_out_")
+    def batch(rows: (Long, Double, Long, String)*) =
+      rows.toDF("okey", "price", "pre", "part")
+    Merge.upsertVersioned(spark, batch((1L, 10.0, 1L, "A"),
+      (2L, 20.0, 2L, "A")), path, Seq("okey"), "pre", "part")
+    Merge.upsertVersioned(spark, batch((3L, 30.0, 3L, "B")),
+      path, Seq("okey"), "pre", "part")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(path)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          b.write.mode(SaveMode.Overwrite).parquet(s"$out/b=$bid")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(out)
+      .select("okey", "price", "pre", "part")
+      .as[(Long, Double, Long, String)].collect().toSeq.sorted
+    val state = Merge.readTable(spark, path)
+      .select("okey", "price", "pre", "part")
+      .as[(Long, Double, Long, String)].collect().toSeq.sorted
+    assert(first === state)
+    assert(first.size === 3)
+    // a new commit overwriting okey=1: the RESUMED stream must deliver
+    // exactly that commit's rows (incremental, not a rescan)
+    Merge.upsertVersioned(spark, batch((1L, 11.0, 9L, "A")),
+      path, Seq("okey"), "pre", "part")
+    val before = spark.read.parquet(out).count()
+    drain()
+    val delivered = spark.read.parquet(out)
+      .select("okey", "price", "pre", "part")
+      .as[(Long, Double, Long, String)].collect().toSeq
+    assert(delivered.size === before + 1,
+      s"resume must add exactly the new commit's one row: $delivered")
+    assert(delivered.contains((1L, 11.0, 9L, "A")))
+    // schema refuses an unversioned table
+    val plain = tmpDir("graft_srcstream_plain_")
+    Merge.upsert(spark, batch((1L, 1.0, 1L, "A")), plain,
+      Seq("okey"), "pre", "part")
+    val err = intercept[IllegalArgumentException] {
+      new GraftStreamSource(spark.sqlContext, plain).schema
+    }
+    assert(err.getMessage.contains("versioned"), err.getMessage)
+  }
 }
