@@ -825,6 +825,55 @@ object GraftSourceQueries {
         .orderBy("part", "okey")
     },
 
+    /** e22: table REPLICATION from the two native streaming halves
+      * composed — `readStream.format("graft")` tailing the source's
+      * commit timeline into `writeStream.format("graft")` upserting a
+      * replica, no foreachBatch anywhere. Incremental rows arrive
+      * stamped by their last-writer commit and keyed upsert makes
+      * re-delivery convergent, so the replica equals the source state
+      * after every drain — CDC-less replication by commit tailing,
+      * with exactly-once effect from keyed idempotence (the sink's
+      * per-query batch stamping + the x04 contract). The replica uses
+      * `upsert_ordered` on the source's own precombine, so even
+      * OUT-OF-ORDER or replayed increments cannot regress a key. */
+    "e22_stream_replica" -> { (s, dir) =>
+      val src = graft.util.Scratch.fresh("graft_e22src_")
+      val dst = graft.util.Scratch.fresh("graft_e22dst_")
+      val rows = graft.Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 <= 2)
+        .select(
+          (col("o_orderkey") % 500).as("okey"),
+          col("o_totalprice").as("price"),
+          col("o_orderkey").as("pre"),
+          col("o_orderstatus").as("part"))
+      // three commits, the LAST overwriting keys from the first two —
+      // the replica must reflect batch-wins, not just a union
+      (0 until 3).foreach { b =>
+        graft.merge.Merge.upsertVersioned(s,
+          rows.filter(col("pre") % 3 === b), path = src,
+          keyCols = Seq("okey"), precombine = "pre",
+          partitionCol = "part")
+        ()
+      }
+      val q = s.readStream.format("graft").load(src)
+        .drop(graft.merge.Merge.commitCol)
+        .writeStream
+        .format("graft")
+        .option("path", dst)
+        .option("op", "upsert_ordered")
+        .option("keys", "okey")
+        .option("precombine", "pre")
+        .option("partition", "part")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.util.Scratch.fresh("graft_e22c_"))
+        .start()
+      q.awaitTermination()
+      graft.merge.Merge.readTable(s, dst)
+        .select("okey", "price", "pre", "part")
+        .orderBy("part", "okey")
+    },
+
     /** x33: point lookups through the catalog probe the file-level
       * BLOOM key index — [[CatalogStatsPrune]]'s second arm. Two
       * upsert commits (index entries per data file, gates forced at
@@ -1145,6 +1194,21 @@ object GraftSourceQueries {
       * OF` naming the commit — a drift between the two paths breaks
       * the hash. */
     "x29_sql_time_travel_ts" -> timeTravelOracle,
+
+    /** The replica must equal the SOURCE state: batch b = pre % 3,
+      * later batches win on the (key, partition) identity, precombine
+      * max within a batch — one lexicographic (batch, pre) argmax. */
+    "e22_stream_replica" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey % 500 AS okey, o_totalprice AS price,
+        |         o_orderkey AS pre, o_orderstatus AS part
+        |  FROM orders WHERE o_orderkey % 7 <= 2),
+        |d AS (SELECT okey, price, pre, part FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY okey, part
+        |    ORDER BY (pre % 3) DESC, pre DESC) AS rn FROM raw)
+        |  WHERE rn = 1)
+        |SELECT okey, price, pre, part FROM d
+        |ORDER BY part, okey""".stripMargin,
 
     /** Key-disjoint commits collapse to one global dedup: the drained
       * stream union must equal the table's current state. */

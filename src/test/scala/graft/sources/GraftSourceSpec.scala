@@ -312,4 +312,41 @@ class GraftSourceSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("versioned"), err.getMessage)
   }
+
+  test("graft-to-graft replication: replica tracks source state " +
+      "across incremental drains, overwrites included") {
+    import spark.implicits._
+    val src = tmpDir("graft_repl_src_")
+    val dst = tmpDir("graft_repl_dst_")
+    val ckpt = tmpDir("graft_repl_ckpt_")
+    def batch(rows: (Long, Double, Long, String)*) =
+      rows.toDF("okey", "price", "pre", "part")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .drop(Merge.commitCol)
+        .writeStream.format("graft")
+        .option("path", dst).option("op", "upsert_ordered")
+        .option("keys", "okey").option("precombine", "pre")
+        .option("partition", "part")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    def state(path: String) = Merge.readTable(spark, path)
+      .select("okey", "price", "pre", "part")
+      .as[(Long, Double, Long, String)].collect().toSeq.sorted
+    Merge.upsertVersioned(spark, batch((1L, 10.0, 1L, "A"),
+      (2L, 20.0, 2L, "B")), src, Seq("okey"), "pre", "part")
+    drain()
+    assert(state(dst) === state(src))
+    // source key 1 overwritten + key 3 added -> the NEXT drain must
+    // converge the replica again (only the new commit streams)
+    Merge.upsertVersioned(spark, batch((1L, 11.0, 5L, "A"),
+      (3L, 30.0, 6L, "C")), src, Seq("okey"), "pre", "part")
+    drain()
+    assert(state(dst) === state(src))
+    assert(state(dst).exists(_ == ((1L, 11.0, 5L, "A"))))
+    assert(state(dst).size === 3)
+  }
 }
