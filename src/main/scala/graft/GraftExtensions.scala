@@ -52,5 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
         graft.sql.GraftTableFunctions.commitsName),
       graft.sql.GraftTableFunctions.commitsBuilder))
+    // maintenance procedure: SELECT * FROM graft_compact('<path>')
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.sql.GraftTableFunctions.compactName),
+      new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
+        graft.sql.GraftTableFunctions.compactName),
+      graft.sql.GraftTableFunctions.compactBuilder))
   }
 }

@@ -2593,6 +2593,24 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // x34: q23's compaction scenario driven through SQL — the
+    // graft_compact('<path>') table-function procedure (partition/key
+    // columns derived from the recorded key spec, no arguments beyond
+    // the table). The key returns the table CONTENT after the SQL
+    // compaction, sharing q18/q23's replay oracle: the procedure must
+    // be content-invariant; its stats row is spec-asserted.
+    "x34_sql_compact" -> ((s, dir) => {
+      val path = scratchTable("graft_x34_")
+      val keyCols = Seq("okey")
+      upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      delete(s, replayBatch(s, dir, 0).filter(col("pre") % 3 === 0)
+        .select("okey", "part"), path, keyCols, "part")
+      s.sql(s"SELECT * FROM graft_compact('$path')").collect()
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     // q24: z-order clustering is a pure LAYOUT service — the oracle is
     // the untouched relation (content invariance, the same contract
     // q23 checks for compact). The pruning benefit itself is asserted
@@ -3165,6 +3183,8 @@ object Merge {
   private val oracle0: Map[String, String] = Map(
     "q18_upsert_replay" -> replaySql,
     "q23_compact" -> replaySql,
+    // the SQL-procedure compaction must be content-invariant too
+    "x34_sql_compact" -> replaySql,
     // WAP replay: ONLY the published batches (0, 1, 3) fold through
     // the overwrite-latest chain — the audited-out batch 2 must leave
     // no trace

@@ -32,4 +32,48 @@ object GraftTableFunctions {
     }
     Merge.commits(SparkSession.active, path).queryExecution.logical
   }
+
+  val compactName = "graft_compact"
+
+  /** `SELECT * FROM graft_compact('<path>'[, target_file_bytes])` —
+    * the maintenance PROCEDURE half of the surface (Hudi's
+    * `call run_compaction` / Iceberg's `CALL rewrite_data_files`
+    * shape, expressed as a table function because Spark SQL has no
+    * native CALL). Partition and key columns come from the table's
+    * recorded key spec (`_graft_keys.json`, written by every keyed
+    * op), so the analyst names only the table. Returns one row of
+    * stats: (compacted_files, files_after).
+    *
+    * The rewrite runs when the function is RESOLVED — procedure
+    * semantics. A re-analysis of the same statement re-invokes it,
+    * which is safe by the compaction contract: content-invariant
+    * always (q23's oracle law), and a second pass finds no small-file
+    * candidates and rewrites nothing. */
+  def compactBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val (path, target) = exprs match {
+      case Seq(Literal(s: UTF8String, _: StringType)) =>
+        (s.toString, 128L * 1024 * 1024)
+      case Seq(Literal(s: UTF8String, _: StringType), Literal(n, t))
+          if Seq[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.ShortType).contains(t) =>
+        (s.toString, n.toString.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"$compactName(path[, target_file_bytes]) expects a string " +
+          "literal path and an optional integral literal byte target")
+    }
+    val spark = SparkSession.active
+    val spec = graft.merge.KeyIndex.readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$compactName: no recorded key spec at $path — compaction " +
+          "derives its partition/key columns from _graft_keys.json, " +
+          "which every keyed write records"))
+    val n = Merge.compact(spark, path, spec.partitionCols, spec.keyCols,
+      targetFileBytes = target, maxFiles = 1 << 20)
+    val after = Merge.readTable(spark, path).inputFiles.length.toLong
+    import spark.implicits._
+    Seq((n, after)).toDF("compacted_files", "files_after")
+      .queryExecution.logical
+  }
 }

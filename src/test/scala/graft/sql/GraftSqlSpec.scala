@@ -349,6 +349,50 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("string literal"))
   }
 
+  test("graft_compact procedure: fewer files, same content, honest " +
+      "stats row, idempotent re-run") {
+    import spark.implicits._
+    val path = freshTable("sql_compact")
+    // many small files: per-row upsert commits
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 37 === 1)
+      .select((col("o_orderkey") % 500).as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        col("o_orderstatus").as("part"))
+    (0 until 4).foreach { b =>
+      graft.merge.Merge.upsert(spark, rows.filter($"pre" % 4 === b),
+        path, Seq("okey"), "pre", "part")
+    }
+    val before = graft.merge.Merge.readTable(spark, path)
+    val filesBefore = before.inputFiles.length
+    val content = before.select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq
+    val stats = spark.sql(
+      s"SELECT * FROM graft_compact('$path')").collect()
+    assert(stats.length === 1)
+    val compacted = stats.head.getAs[Long]("compacted_files")
+    val after = stats.head.getAs[Long]("files_after")
+    assert(compacted > 0L, "nothing compacted — dead assert")
+    assert(after < filesBefore.toLong, s"$after !< $filesBefore")
+    assert(graft.merge.Merge.readTable(spark, path).inputFiles.length
+      .toLong === after, "stats row must report the real file count")
+    // content-invariant (the q23 law, through the SQL surface)
+    assert(graft.merge.Merge.readTable(spark, path)
+      .select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq === content)
+    // a second run finds no small-file candidates
+    val again = spark.sql(
+      s"SELECT * FROM graft_compact('$path')").collect().head
+    assert(again.getAs[Long]("compacted_files") === 0L)
+    // a table with no recorded key spec fails loudly
+    val bare = tmpDir("graft_sqlcompact_bare_")
+    Seq((1L, "A")).toDF("k", "part").write.mode("overwrite").parquet(bare)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_compact('$bare')").collect()
+    }
+    assert(e.getMessage.contains("key spec"), e.getMessage)
+  }
+
   test("ALTER TABLE ADD COLUMNS refuses a duplicate column") {
     val path = freshTable("sql_alter_dup")
     ctas("sql_alter_dup", path)
