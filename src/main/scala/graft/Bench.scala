@@ -34,6 +34,18 @@ object Bench {
     // to a comma-separated key list, e.g. SPARK_GRAFT_BENCH_ONLY=q18,q22
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val producer = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRODUCER", "driver")
+    // The r10 DNF lesson: the driver's single-JVM full-registry run
+    // (warmup + TWO timed passes over 188 keys) outgrew its outer
+    // window on a loaded box (rc=124, parsed:null — no usable artifact
+    // at all). A complete single-pass record beats a truncated
+    // min-of-two: driver runs take ONE timed pass; builder records
+    // (SPARK_GRAFT_BENCH_PRODUCER=builder, the figures BASELINE.md is
+    // generated from) keep the min-of-two discipline. The header
+    // stamps `passes` so readers can tell the regimes apart —
+    // bench_compare.py already refuses cross-producer comparisons.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt)
+      .getOrElse(if (producer == "driver") 1 else 2)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.forall(_.contains(k)) }
     // warmup at smoke scale: JIT + codegen caches, so timings below
@@ -61,11 +73,11 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val r1 = timed()
-    val r2 = timed()
-    val results = r1.map { case (k, v) =>
-      k -> (if (v < 0 || r2(k) < 0) -1.0 else math.min(v, r2(k)))
-    }
+    val runs = (1 to passes).map(_ => timed())
+    val results = runs.head.keys.map { k =>
+      val vs = runs.map(_(k))
+      k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+    }.toMap
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
@@ -105,11 +117,10 @@ object Bench {
         } catch { case _: Throwable => None }
       gitRevParse.orElse(looseRef).getOrElse("unknown")
     }
-    val producer = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRODUCER", "driver")
     val startedAt = java.time.Instant.now().toString
     val loadEnd = loadavg1m
     val line =
-      s"""{"metric":"total","unit":"sec","sha":"$sha","producer":"$producer","started_at":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,"cpus":${scala.util.Try(cpus.toInt).getOrElse(-1)},"sf":"$sfDir","queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sha":"$sha","producer":"$producer","passes":$passes,"started_at":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,"cpus":${scala.util.Try(cpus.toInt).getOrElse(-1)},"sf":"$sfDir","queries":$qs,"value":$total}"""
     // Durable record: the driver keeps only a bounded tail of stdout, so
     // a growing registry silently loses head-of-line per-query figures.
     // Persist the full record to the repo (committed per round) and print

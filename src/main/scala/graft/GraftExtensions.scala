@@ -52,11 +52,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
         graft.sql.GraftTableFunctions.commitsName),
       graft.sql.GraftTableFunctions.commitsBuilder))
-    // maintenance procedure: SELECT * FROM graft_compact('<path>')
+    // maintenance procedures (execution-time commands — EXPLAIN and
+    // CREATE VIEW over them stay side-effect-free):
+    //   SELECT * FROM graft_compact('<path>'[, bytes])
+    //   SELECT * FROM graft_clean('<path>', retain_last)
+    //   SELECT * FROM graft_zorder('<path>', 'c1,c2'[, bytes])
     ext.injectTableFunction((
       FunctionIdentifier(graft.sql.GraftTableFunctions.compactName),
       new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
         graft.sql.GraftTableFunctions.compactName),
       graft.sql.GraftTableFunctions.compactBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.sql.GraftTableFunctions.cleanName),
+      new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
+        graft.sql.GraftTableFunctions.cleanName),
+      graft.sql.GraftTableFunctions.cleanBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.sql.GraftTableFunctions.zorderName),
+      new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
+        graft.sql.GraftTableFunctions.zorderName),
+      graft.sql.GraftTableFunctions.zorderBuilder))
   }
 }

@@ -94,6 +94,48 @@ object KeyIndex {
     * Specs set 0 to force probing/building at toy scale. */
   @volatile var minBytesToProbe: Long = 4L << 30
 
+  private def gatesPath(path: String) =
+    new Path(path, "_graft_index_gates.json")
+
+  /** Record PER-TABLE probe/build gate overrides. The JVM-wide vars
+    * above are defaults; a table whose indexing economics are known —
+    * a hot dimension point-looked-up constantly (gates 0/0: always
+    * index, always probe) or a tiny config table (gates maxed: never
+    * pay the index) — pins its own policy in table metadata, visible
+    * to every session that touches it. Also what bench/spec keys use
+    * to force the index arms at toy scale WITHOUT mutating the shared
+    * vars (the r10 advice finding: a JVM-global flip inside one query
+    * leaks into any concurrently running merge). */
+  def setProbeGates(spark: SparkSession, path: String,
+      minFiles: Int, minBytes: Long): Unit = {
+    val fs = Merge.fsFor(spark, path)
+    Merge.replaceSmallFile(fs, gatesPath(path),
+      s"""{"min_files_to_probe":$minFiles,""" +
+        s""""min_bytes_to_probe":$minBytes}""")
+  }
+
+  /** Effective (minFiles, minBytes) gates for `path`: the table's
+    * recorded override when present and readable, else the JVM
+    * defaults. Unreadable override ⇒ defaults + a warning (the index
+    * is advisory; policy metadata must never fail an operation). */
+  private[merge] def gatesFor(spark: SparkSession, path: String)
+      : (Int, Long) = {
+    val fs = Merge.fsFor(spark, path)
+    val p = gatesPath(path)
+    if (!fs.exists(p)) (minFilesToProbe, minBytesToProbe)
+    else try {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val j = org.json4s.jackson.JsonMethods.parse(Merge.readSmallFile(fs, p))
+      ((j \ "min_files_to_probe").extract[Int],
+        (j \ "min_bytes_to_probe").extract[Long])
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft.merge] WARN: unreadable index gate " +
+          s"override at $p (${e.getMessage}); using JVM defaults")
+        (minFilesToProbe, minBytesToProbe)
+    }
+  }
+
   def readSpec(spark: SparkSession, path: String): Option[KeySpec] = {
     val fs = Merge.fsFor(spark, path)
     val p = keysPath(path)
@@ -149,6 +191,7 @@ object KeyIndex {
     val fs = Merge.fsFor(spark, path)
     fs.delete(indexDir(path), true)
     fs.delete(keysPath(path), false)
+    fs.delete(gatesPath(path), false)
     ()
   }
 
@@ -227,8 +270,9 @@ object KeyIndex {
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
     }
-    val gatesOpen = touchedStatuses.size > minFilesToProbe &&
-      touchedStatuses.map(_.getLen).sum > minBytesToProbe
+    val (gateFiles, gateBytes) = gatesFor(spark, path)
+    val gatesOpen = touchedStatuses.size > gateFiles &&
+      touchedStatuses.map(_.getLen).sum > gateBytes
     val addLines: Seq[String] =
       if (added.isEmpty || !gatesOpen ||
           !spec.scoped.forall(schema.fieldNames.contains))
@@ -307,7 +351,8 @@ object KeyIndex {
       allFiles: Seq[String],
       allBytes: Long,
       probe: DataFrame): Option[Seq[String]] = {
-    if (allFiles.size <= minFilesToProbe || allBytes <= minBytesToProbe)
+    val (gateFiles, gateBytes) = gatesFor(spark, path)
+    if (allFiles.size <= gateFiles || allBytes <= gateBytes)
       return None
     val live = liveEntries(spark, path).getOrElse(return None)
       .filter(col("d").isin(touchedDirs: _*))

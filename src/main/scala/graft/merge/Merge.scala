@@ -2611,6 +2611,40 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // x35: x26's retention scenario driven through SQL — the
+    // graft_clean('<path>', retain_last) procedure. Cleaning sweeps
+    // only reconstruction history; the CURRENT state must be
+    // untouched, so the key shares x26's batch-wins replay oracle.
+    "x35_sql_clean" -> ((s, dir) => {
+      val path = scratchTable("graft_x35_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
+      s.sql(s"SELECT * FROM graft_clean('$path', 1)").collect()
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
+    // x36: q24's z-order layout rewrite driven through SQL — the
+    // graft_zorder('<path>', 'pk,sk') procedure (partition columns
+    // from the recorded key spec, interleave columns named in the
+    // call). Content-invariant by the q24 law, so the oracle is the
+    // untouched relation.
+    "x36_sql_zorder" -> ((s, dir) => {
+      val path = scratchTable("graft_x36_")
+      val rows = graft.Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        col("l_quantity").as("qty"), col("l_returnflag").as("part"))
+      bulkInsert(rows, path, "part", keyCols = Seq("pk", "sk"),
+        targetFileBytes = 1L << 20)
+      s.sql(s"SELECT * FROM graft_zorder('$path', 'pk,sk', ${1L << 20})")
+        .collect()
+      readTable(s, path)
+        .select("okey", "lnum", "pk", "sk", "qty", "part")
+        .orderBy("okey", "lnum", "pk", "sk", "qty", "part")
+    }),
     // q24: z-order clustering is a pure LAYOUT service — the oracle is
     // the untouched relation (content invariance, the same contract
     // q23 checks for compact). The pruning benefit itself is asserted
@@ -2668,27 +2702,21 @@ object Merge {
     // x02: the file-level key index end-to-end — the q18 replay plus a
     // compaction (which folds the index log and re-indexes every file)
     // and a post-compaction upsert whose matched-file discovery runs
-    // through bloom candidate pruning (minFilesToProbe=0 forces the
-    // probe even at toy file counts). The oracle recomputes the same
-    // algebra relationally — index pruning must be result-invisible.
+    // through bloom candidate pruning (a TABLE-SCOPED 0/0 gate policy
+    // forces build+probe even at toy file counts, without touching the
+    // JVM-wide defaults any concurrent merge would observe). The
+    // oracle recomputes the same algebra relationally — index pruning
+    // must be result-invisible.
     "x02_indexed_upsert" -> ((s, dir) => {
       val path = scratchTable("graft_x02_")
       val keyCols = Seq("okey")
-      val prevF = KeyIndex.minFilesToProbe
-      val prevB = KeyIndex.minBytesToProbe
-      KeyIndex.minFilesToProbe = 0
-      KeyIndex.minBytesToProbe = 0
-      try {
-        upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
-        upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
-        delete(s, replayBatch(s, dir, 0).filter(col("pre") % 3 === 0)
-          .select("okey", "part"), path, keyCols, "part")
-        compact(s, path, "part", keyCols)
-        upsert(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
-      } finally {
-        KeyIndex.minFilesToProbe = prevF
-        KeyIndex.minBytesToProbe = prevB
-      }
+      KeyIndex.setProbeGates(s, path, 0, 0L)
+      upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
+      delete(s, replayBatch(s, dir, 0).filter(col("pre") % 3 === 0)
+        .select("okey", "part"), path, keyCols, "part")
+      compact(s, path, "part", keyCols)
+      upsert(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
       readTable(s, path)
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
@@ -3684,19 +3712,29 @@ object Merge {
       // cleaning must be invisible in the current state: the oracle is
       // the plain 3-batch batch-wins replay (per-batch precombine
       // dedup, later commit replaces per key identity)
-      ("x26_clean_retention" ->
-        """WITH raw AS (SELECT o_orderkey % 7 AS b, o_orderkey % 500 AS okey,
-          |               o_orderstatus AS part, o_totalprice AS price,
-          |               o_orderkey AS pre
-          |             FROM orders WHERE o_orderkey % 7 IN (0, 1, 2)),
-          |d AS (SELECT b, okey, part, price, pre FROM (
-          |   SELECT *, row_number() OVER (PARTITION BY b, okey, part
-          |     ORDER BY pre DESC) AS rn
-          |   FROM raw) WHERE rn = 1),
-          |cur AS (SELECT okey, part, price, pre FROM (
-          |   SELECT *, row_number() OVER (PARTITION BY okey, part
-          |     ORDER BY b DESC) AS rn
-          |   FROM d) WHERE rn = 1)
-          |SELECT okey, part, price, pre FROM cur
-          |ORDER BY part, okey""".stripMargin)
+      ("x26_clean_retention" -> cleanRetentionSql) +
+      // the SQL maintenance procedures are content-invariant, so each
+      // shares the oracle of the API key whose scenario it replays:
+      // x35 = x26's clean retention through graft_clean('path', 1),
+      // x36 = q24's layout rewrite through graft_zorder('path', cols)
+      ("x35_sql_clean" -> cleanRetentionSql) +
+      ("x36_sql_zorder" -> oracle0("q24_zorder"))
+
+  // lazy: referenced by the `oracle` val above its definition point —
+  // a plain val would still be null when `oracle` is constructed
+  private lazy val cleanRetentionSql =
+    """WITH raw AS (SELECT o_orderkey % 7 AS b, o_orderkey % 500 AS okey,
+      |               o_orderstatus AS part, o_totalprice AS price,
+      |               o_orderkey AS pre
+      |             FROM orders WHERE o_orderkey % 7 IN (0, 1, 2)),
+      |d AS (SELECT b, okey, part, price, pre FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY b, okey, part
+      |     ORDER BY pre DESC) AS rn
+      |   FROM raw) WHERE rn = 1),
+      |cur AS (SELECT okey, part, price, pre FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY okey, part
+      |     ORDER BY b DESC) AS rn
+      |   FROM d) WHERE rn = 1)
+      |SELECT okey, part, price, pre FROM cur
+      |ORDER BY part, okey""".stripMargin
 }

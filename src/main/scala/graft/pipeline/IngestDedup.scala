@@ -256,8 +256,17 @@ object IngestDedup {
     // with the same int type.
     val loc = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(stateTable)).location
-    val df = spark.read.parquet(loc.toString)
-    val maxB = df.agg(max("ingest_batch")).head().getInt(0)
+    // explicit schema (the catalog table's): an EMPTY state table has
+    // no files to infer from — inference would throw
+    // UNABLE_TO_INFER_SCHEMA before the no-op check below ever ran
+    val df = spark.read.schema(spark.table(stateTable).schema)
+      .parquet(loc.toString)
+    // max() over an empty table is NULL — getInt would NPE mid-
+    // maintenance with a confusing trace; an empty state table is a
+    // legitimate clean no-op (nothing to compact)
+    val maxRow = df.agg(max("ingest_batch")).head()
+    if (maxRow.isNullAt(0)) return
+    val maxB = maxRow.getInt(0)
     val tmp = stateTable + "_compacting"
     Scale.dropBucketedTable(spark, tmp)
     // repartition on the bucket hash FIRST: bucketBy writes one file

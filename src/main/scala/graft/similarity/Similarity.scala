@@ -370,7 +370,20 @@ object Similarity {
   /** Element-wise mean of arrays in a group via a fold over the
     * collected list, SORTED by `orderKey` first — collect_list order is
     * partition-arrival order, and a float sum in nondeterministic order
-    * would make centroids (hence IVF results) vary run-to-run. */
+    * would make centroids (hence IVF results) vary run-to-run.
+    *
+    * Deliberately a SEQUENTIAL DOUBLE fold, not a decimal sum: the r11
+    * portability audit measured Spark's double→decimal cast
+    * (shortest-string based) against DuckDB's (d·10^scale in double
+    * arithmetic) and they disagree at sub-double decimal digits on
+    * ~100% of arbitrary doubles — enough to flip the rounded-back mean
+    * in ~40% of groups. The sequential fold, by contrast, is bit-equal
+    * to `list_sum(list(val ORDER BY vec_id))` (0/600 mismatches at
+    * lengths 64 and 256 against exact-literal folds). Downstream
+    * consumers that EMIT a statistic derived from these centroids must
+    * still quantize to a coarse grid ([[ivfDriftStats]]'s 10^6 grid)
+    * because another engine VERSION may associate its fold
+    * differently. */
   private def collectMean(v: Column, orderKey: Column): Column = {
     val lst = sort_array(collect_list(struct(orderKey.as("k"), v.as("v"))))
     val sums = aggregate(lst,
@@ -611,7 +624,15 @@ object Similarity {
     * intact rather than half-migrated. O(corpus) once per retrain by
     * design — the scheduled, rare event appends/deletes amortize
     * against (the s13/s14 no-retrain contract is what makes THIS cost
-    * acceptable). */
+    * acceptable).
+    *
+    * Stored vectors migrate AS-IS (they are already normalized — the
+    * build/append invariant), never re-normalized: n(n(v)) differs
+    * from n(v) at the last ulp, so a re-normalizing retrain would make
+    * the index's bits depend on HOW MANY retrains it has lived through
+    * — breaking both the bit-exact collapse law (retrain ≡ one build
+    * over the normalized contents, however many times it fires: what
+    * e23's online policy loop relies on) and retrain idempotence. */
   def retrainIvfIndex(spark: SparkSession, path: String, nCentroids: Int,
       iters: Int = 3, maxTrainVectors: Int = 100000): Unit = {
     import org.apache.hadoop.fs.Path
@@ -626,7 +647,7 @@ object Similarity {
     val centsTmp = new Path(path + "/centroids_retrain_tmp")
     assign(e, cents)
       .select(col("cid"), col("vec_id").as("corpus_id"),
-        normalized(col("v")).as("cv"))
+        col("v").as("cv"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
       .parquet(cellsTmp.toString)
     cents.write.mode(SaveMode.Overwrite).parquet(centsTmp.toString)
@@ -646,11 +667,19 @@ object Similarity {
     * Near 0 = the quantizer still describes the corpus; growing values
     * after appends/deletes are the retrain trigger. Per-dimension
     * means accumulate in EXACT DECIMAL (order-free, so no fold order
-    * needs pinning — the e16 recipe); the emitted displacement is
-    * quantized to 8 decimals because engines' DECIMAL→DOUBLE casts
-    * disagree at the last ulp (see the inline note). An emptied cell
-    * surfaces with n_vecs=0 and a NULL drift — never silently
-    * dropped. */
+    * needs pinning — the e16 recipe); the displacement is emitted as
+    * `drift_e6 = floor(max(drift, 0) · 10^6)` on the EXACT INTEGER
+    * grid (the d24 recipe): r10 proved that quantizing a
+    * cancellation-amplified cosine difference to 8 decimals is NOT
+    * portable — another engine's float noise flips the last quantized
+    * digit whenever a cell lands near a rounding boundary, while the
+    * 10^6 grid leaves ~9 orders of magnitude between the noise floor
+    * and the grid (and is far past any retrain threshold a deployment
+    * would set). The max(·, 0) clamp pins the sign-unstable
+    * drift≈0 case (a cell whose mean IS its centroid direction, where
+    * 1 − dot can land an ulp on either side of zero) to exactly 0. An
+    * emptied cell surfaces with n_vecs=0 and a NULL drift_e6 — never
+    * silently dropped. */
   def ivfDriftStats(spark: SparkSession, path: String): DataFrame = {
     val cents = spark.read.parquet(path + "/centroids")
     val cells = spark.read
@@ -665,17 +694,52 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
         s => s.getField("m")).as("mv"))
     val nv = cells.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
-    // the statistic is emitted QUANTIZED (8 decimals): DuckDB's
-    // DECIMAL->DOUBLE cast is not correctly rounded (measured 1-ulp
-    // drift vs BigDecimal.doubleValue), so the mean's last bits are
-    // not portable — and 8 decimals is far past any retrain-trigger
-    // threshold a deployment would set on this signal
+    val drift =
+      greatest(lit(1.0) - dot(normalized(col("cv")), normalized(col("mv"))),
+        lit(0.0))
     cents.join(nm, Seq("cid"), "left").join(nv, Seq("cid"), "left")
       .select(col("cid"),
         coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
-        (lit(1.0) - dot(normalized(col("cv")), normalized(col("mv"))))
-          .cast("decimal(10,8)").as("drift"))
+        when(col("mv").isNotNull, floor(drift * lit(1000000.0)))
+          .cast("long").as("drift_e6"))
       .orderBy("cid")
+  }
+
+  /** The retrain-trigger scalar: max per-cell [[ivfDriftStats]]
+    * displacement on the 10^6 integer grid (empty cells' NULL drift
+    * ignored — an emptied cell needs compaction, not retraining; an
+    * index with NO populated cells reports 0). One number a serving
+    * loop compares against its staleness bar. */
+  def maxDriftE6(spark: SparkSession, path: String): Long = {
+    val r = ivfDriftStats(spark, path)
+      .agg(max(col("drift_e6"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** One step of the ONLINE index-maintenance loop (the operational
+    * closure of the lifecycle — s13's append, s15's statistic and
+    * s16's retrain composed into a policy): append the batch, measure
+    * the staleness statistic, retrain when it crosses
+    * `retrainAboveE6` (drift · 10^6). Returns whether a retrain ran.
+    *
+    * Why this composition is safe to run mid-stream: retrain collapses
+    * to ONE BUILD over the index's current normalized contents (the
+    * s16 law), so after any step whose retrain fired, served answers
+    * equal the relational one-build oracle over everything ingested so
+    * far — no matter which earlier steps did or didn't fire. e23
+    * drives this from a foreachBatch serving loop and oracles exactly
+    * that collapse. At 100 TB the economics are the s13/s16 contract:
+    * appends stay O(batch), the drift statistic is O(cells) metadata
+    * aggregation, and the O(corpus) retrain runs only when the
+    * statistic says the quantizer stopped describing the corpus. */
+  def appendWithRetrainPolicy(spark: SparkSession, path: String,
+      batch: DataFrame, nCentroids: Int, retrainAboveE6: Long,
+      iters: Int = 3, maxTrainVectors: Int = 100000): Boolean = {
+    appendToIvfIndex(spark, path, batch)
+    val stale = maxDriftE6(spark, path) > retrainAboveE6
+    if (stale)
+      retrainIvfIndex(spark, path, nCentroids, iters, maxTrainVectors)
+    stale
   }
 
   /** Embedding-space retrieval EVAL: leave-one-out kNN label agreement
@@ -842,6 +906,47 @@ object Similarity {
       stream.awaitTermination()
       s.read.parquet(outDir)
         .select("query_id", "rank", "corpus_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    }),
+    // e23: the ONLINE maintenance loop — a streaming ingest appends
+    // micro-batches to the served index, measuring the drift statistic
+    // after each and retraining when it crosses the bar
+    // (appendWithRetrainPolicy). Batch 1 is the in-distribution
+    // %10==9 slice; batch 2 its NEGATED re-keyed copy (an
+    // off-distribution cluster). The bar (0.001) sits 60× under the
+    // measured post-append drift at every scale (0.06–0.11 at
+    // sf0.001→sf1), so the LAST step always fires — and because
+    // retrain migrates stored vectors AS-IS (bit-idempotent), the
+    // final index ≡ one build over the normalized augmented corpus
+    // whatever the intermediate steps did. Oracle: the s03-family
+    // Lloyd trained on corpusAugN, served over corpusAug.
+    "e23_stream_retrain" -> ((s, dir) => {
+      val idx = graft.util.Scratch.fresh("graft_e23_")
+      val inDir = graft.util.Scratch.fresh("graft_e23in_")
+      val all = corpusOf(s, dir)
+      buildIvfIndex(all.filter(col("vec_id") % 10 =!= 9), idx,
+        nCentroids = 10, maxTrainVectors = 256)
+      val slice = all.filter(col("vec_id") % 10 === 9)
+      slice.coalesce(1).write.parquet(inDir + "/f=0")
+      slice.select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+        .coalesce(1).write.parquet(inDir + "/f=1")
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.util.Scratch.fresh("graft_e23c_"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          appendWithRetrainPolicy(s, idx, batch.drop("f"),
+            nCentroids = 10, retrainAboveE6 = 1000L,
+            maxTrainVectors = 256)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      ivfTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
     // s13: the index UPDATE path — build on the base (vec_id%10<>9),
@@ -1070,6 +1175,11 @@ object Similarity {
        |corpus0 AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 9),
        |corpusKeep AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 7),
        |corpusN AS (SELECT vec_id, ${normSql("v")} AS v FROM corpus),
+       |corpusAug AS (SELECT vec_id, v FROM corpus UNION ALL
+       |              SELECT vec_id + 1000000000 AS vec_id,
+       |                list_transform(v, x -> -x) AS v
+       |              FROM corpus WHERE vec_id % 10 = 9),
+       |corpusAugN AS (SELECT vec_id, ${normSql("v")} AS v FROM corpusAug),
        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
        |${lloydCtesSql(k, iters, trainN, "", trainOn)},
        |${assignCteSql("cells", s"c$iters", serveOn)},
@@ -1175,10 +1285,16 @@ object Similarity {
     // assigned/served — the relational collapse of build+delete
     "s14_ivf_delete" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256, serveOn = "corpusKeep"),
     // retrain collapses relationally to spherical k-means over the
-    // NORMALIZED full corpus (what the index holds) trained and
-    // assigned on the same set — build+append+retrain ≡ one build
-    // over corpusN
-    "s16_ivf_retrain" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256, trainOn = "corpusN", serveOn = "corpusN"),
+    // NORMALIZED contents (trainOn=corpusN) with the stored vectors
+    // migrated as-is (serveOn=corpus — serve-time normSql restores
+    // exactly the stored n(v)) — build+append+retrain ≡ one build,
+    // bit-exactly, for ANY number of retrains
+    "s16_ivf_retrain" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256, trainOn = "corpusN", serveOn = "corpus"),
+    // the online loop's final index after the last (always-firing)
+    // retrain ≡ one build over the normalized AUGMENTED corpus — the
+    // s16 collapse applied to whatever the stream ingested, however
+    // many intermediate retrains the policy fired
+    "e23_stream_retrain" -> s03OracleSql(k = 10, iters = 3, nProbe = 4, topK = 10, trainN = 256, trainOn = "corpusAugN", serveOn = "corpusAug"),
     // per-cell displacement over s13's scenario: train on the base,
     // assign the full (appended) corpus, then per-dim EXACT-DECIMAL
     // means of the normalized members vs the stored centroid
@@ -1199,8 +1315,11 @@ object Similarity {
          |nm AS (SELECT cid, list(m ORDER BY i) AS mv FROM pd GROUP BY cid),
          |nv2 AS (SELECT cid, COUNT(*) AS n_vecs FROM cells GROUP BY cid)
          |SELECT c.cid, CAST(COALESCE(nv2.n_vecs, 0) AS BIGINT) AS n_vecs,
-         |  CAST(1 - list_dot_product(${normSql("c.cv")}, ${normSql("nm.mv")})
-         |    AS DECIMAL(10,8)) AS drift
+         |  CASE WHEN nm.mv IS NULL THEN NULL ELSE
+         |    CAST(floor(greatest(
+         |      1 - list_dot_product(${normSql("c.cv")}, ${normSql("nm.mv")}),
+         |      0.0e0) * 1000000.0e0) AS BIGINT)
+         |  END AS drift_e6
          |FROM c3 c LEFT JOIN nm USING (cid) LEFT JOIN nv2 USING (cid)
          |ORDER BY c.cid""".stripMargin,
     "s06_ann_pq" -> s06OracleSql(subspaces = 4, subLen = 16, codebook = 16,

@@ -774,12 +774,16 @@ object GraftSourceQueries {
         col("l_returnflag").as("part"))
       graft.merge.Merge.bulkInsert(rows, path, "part",
         keyCols = Seq("okey"), targetFileBytes = 256L << 10)
+      // declared keys must MATCH the key spec the bulkInsert above
+      // recorded in _graft_keys.json (keys=okey): the bloom arm reads
+      // only the recorded spec, and a divergent declaration would mask
+      // any future declared-vs-recorded validation (r10 advice)
       s.sql(
         """CREATE TABLE graft_cat.bench.li32 (
           |  okey BIGINT, lnum INT, qty DOUBLE, price DOUBLE, part STRING)
           |USING graft
           |PARTITIONED BY (part)
-          |OPTIONS (keys 'okey,lnum', versioned 'false')""".stripMargin)
+          |OPTIONS (keys 'okey', versioned 'false')""".stripMargin)
       s.sql(
         """SELECT okey, lnum, qty, price, part
           |FROM graft_cat.bench.li32
@@ -833,9 +837,17 @@ object GraftSourceQueries {
       * re-delivery convergent, so the replica equals the source state
       * after every drain — CDC-less replication by commit tailing,
       * with exactly-once effect from keyed idempotence (the sink's
-      * per-query batch stamping + the x04 contract). The replica uses
-      * `upsert_ordered` on the source's own precombine, so even
-      * OUT-OF-ORDER or replayed increments cannot regress a key. */
+      * per-query batch stamping + the x04 contract). The replica
+      * orders `upsert_ordered` by the DELIVERED COMMIT STAMP
+      * (`_commit_ts` renamed to the payload column `src_commit`), not
+      * the business precombine: the source's own semantics are
+      * batch-wins (a later commit may lower a key's precombine), and
+      * commit order — monotone by construction — is the only ordering
+      * key under which replayed or out-of-order increments converge to
+      * the source state for EVERY workload (the r10 advice finding:
+      * precombine-ordered replication silently diverges on a
+      * precombine regression; spec-pinned with a two-drain regression
+      * in GraftSourceSpec). */
     "e22_stream_replica" -> { (s, dir) =>
       val src = graft.util.Scratch.fresh("graft_e22src_")
       val dst = graft.util.Scratch.fresh("graft_e22dst_")
@@ -856,13 +868,13 @@ object GraftSourceQueries {
         ()
       }
       val q = s.readStream.format("graft").load(src)
-        .drop(graft.merge.Merge.commitCol)
+        .withColumnRenamed(graft.merge.Merge.commitCol, "src_commit")
         .writeStream
         .format("graft")
         .option("path", dst)
         .option("op", "upsert_ordered")
         .option("keys", "okey")
-        .option("precombine", "pre")
+        .option("precombine", "src_commit")
         .option("partition", "part")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
@@ -900,29 +912,26 @@ object GraftSourceQueries {
           col("o_totalprice").as("price"),
           col("o_orderkey").as("pre"),
           col("o_orderstatus").as("part"))
-      val prevF = graft.merge.KeyIndex.minFilesToProbe
-      val prevB = graft.merge.KeyIndex.minBytesToProbe
-      graft.merge.KeyIndex.minFilesToProbe = 0
-      graft.merge.KeyIndex.minBytesToProbe = 0
-      try {
-        graft.merge.Merge.upsert(s, rows.filter(col("pre") % 2 === 0),
-          path, Seq("okey"), "pre", "part")
-        graft.merge.Merge.upsert(s, rows.filter(col("pre") % 2 === 1),
-          path, Seq("okey"), "pre", "part")
-        s.sql(
-          """CREATE TABLE graft_cat.bench.li33 (
-            |  okey BIGINT, price DOUBLE, pre BIGINT, part STRING)
-            |USING graft PARTITIONED BY (part)
-            |OPTIONS (keys 'okey', precombine 'pre',
-            |         versioned 'false')""".stripMargin)
-        s.sql(
-          """SELECT okey, price, pre, part FROM graft_cat.bench.li33
-            |WHERE okey = 123 AND part = 'O'
-            |ORDER BY okey, price, pre, part""".stripMargin)
-      } finally {
-        graft.merge.KeyIndex.minFilesToProbe = prevF
-        graft.merge.KeyIndex.minBytesToProbe = prevB
-      }
+      // force both index arms at toy scale with a TABLE-SCOPED gate
+      // policy (recorded in _graft_index_gates.json before the first
+      // commit, so builds index and probes consult it) — not by
+      // mutating the JVM-wide default vars, which would leak into any
+      // concurrently running merge (the r10 advice finding)
+      graft.merge.KeyIndex.setProbeGates(s, path, 0, 0L)
+      graft.merge.Merge.upsert(s, rows.filter(col("pre") % 2 === 0),
+        path, Seq("okey"), "pre", "part")
+      graft.merge.Merge.upsert(s, rows.filter(col("pre") % 2 === 1),
+        path, Seq("okey"), "pre", "part")
+      s.sql(
+        """CREATE TABLE graft_cat.bench.li33 (
+          |  okey BIGINT, price DOUBLE, pre BIGINT, part STRING)
+          |USING graft PARTITIONED BY (part)
+          |OPTIONS (keys 'okey', precombine 'pre',
+          |         versioned 'false')""".stripMargin)
+      s.sql(
+        """SELECT okey, price, pre, part FROM graft_cat.bench.li33
+          |WHERE okey = 123 AND part = 'O'
+          |ORDER BY okey, price, pre, part""".stripMargin)
     },
 
     /** x31: the DSv2 catalog front door ([[GraftCatalog]]) end-to-end —

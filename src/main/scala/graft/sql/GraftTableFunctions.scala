@@ -1,25 +1,42 @@
 package graft.sql
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.merge.Merge
+import graft.merge.{KeyIndex, Merge}
 
 /** SQL table-valued functions over the engine's table metadata — the
-  * observability half of the Athena-shaped surface (Delta's `DESCRIBE
-  * HISTORY` / Hudi's `call show_commits` analogue):
+  * Athena-shaped surface in two halves:
   *
-  *   SELECT * FROM graft_commits('<table path>')
+  * OBSERVABILITY — `SELECT * FROM graft_commits('<path>')` (Delta's
+  * `DESCRIBE HISTORY` / Hudi's `call show_commits` analogue) returns
+  * the recorded commit timeline (commit_ts, n_rows, partitions) — the
+  * same rows [[Merge.commits]] serves to the DataFrame API (q22
+  * oracles them). Resolution-time cost is one metadata listing of
+  * `_graft_commits/`, never a data scan, so an analyst can audit a
+  * 100 TB table's write history for free. Pure reads resolve eagerly;
+  * there is nothing to defer.
   *
-  * returns the recorded commit timeline (commit_ts, n_rows,
-  * partitions) — the same rows [[Merge.commits]] serves to the
-  * DataFrame API (q22 oracles them). Resolution-time cost is one
-  * metadata listing of `_graft_commits/` (one tiny JSON per commit),
-  * never a data scan, so an analyst can audit a 100 TB table's write
-  * history for free. */
+  * MAINTENANCE PROCEDURES — `graft_compact`, `graft_clean`,
+  * `graft_zorder` (Hudi's `call run_compaction` / Iceberg's `CALL
+  * rewrite_data_files` shape, expressed as table functions because
+  * Spark SQL has no native CALL). Each resolves to a
+  * [[LeafRunnableCommand]], so the side effect runs at EXECUTION, not
+  * resolution: `EXPLAIN SELECT * FROM graft_compact(...)` (which
+  * analyzes under `CommandExecutionMode.SKIP`) and `CREATE VIEW` over
+  * a procedure leave the table untouched — the r10 advice finding,
+  * spec-pinned in GraftSqlSpec. A plain `SELECT` executes the command
+  * eagerly at Dataset creation (Spark's `EagerlyExecuteCommands`),
+  * preserving procedure semantics; re-running a statement re-runs the
+  * procedure, which every one of these ops makes safe by contract
+  * (content-invariant, and a second pass finds nothing to rewrite /
+  * sweep). Argument-shape errors still fail at resolution (they are
+  * literal-parse errors); table-state errors (no recorded key spec)
+  * fail at execution, where the table is first consulted. */
 object GraftTableFunctions {
 
   val commitsName = "graft_commits"
@@ -33,47 +50,135 @@ object GraftTableFunctions {
     Merge.commits(SparkSession.active, path).queryExecution.logical
   }
 
+  private def strLit(e: Expression, usage: String): String = e match {
+    case Literal(s: UTF8String, _: StringType) => s.toString
+    case _ => throw new IllegalArgumentException(usage)
+  }
+
+  private val intTypes: Seq[DataType] =
+    Seq(IntegerType, LongType, ShortType)
+
+  private def longLit(e: Expression, usage: String): Long = e match {
+    case Literal(n, t) if intTypes.contains(t) => n.toString.toLong
+    case _ => throw new IllegalArgumentException(usage)
+  }
+
   val compactName = "graft_compact"
 
   /** `SELECT * FROM graft_compact('<path>'[, target_file_bytes])` —
-    * the maintenance PROCEDURE half of the surface (Hudi's
-    * `call run_compaction` / Iceberg's `CALL rewrite_data_files`
-    * shape, expressed as a table function because Spark SQL has no
-    * native CALL). Partition and key columns come from the table's
-    * recorded key spec (`_graft_keys.json`, written by every keyed
-    * op), so the analyst names only the table. Returns one row of
-    * stats: (compacted_files, files_after).
-    *
-    * The rewrite runs when the function is RESOLVED — procedure
-    * semantics. A re-analysis of the same statement re-invokes it,
-    * which is safe by the compaction contract: content-invariant
-    * always (q23's oracle law), and a second pass finds no small-file
-    * candidates and rewrites nothing. */
+    * small-file compaction. Partition and key columns come from the
+    * table's recorded key spec (`_graft_keys.json`, written by every
+    * keyed op), so the analyst names only the table. Returns one row
+    * of stats: (compacted_files, files_after). Idempotent: a second
+    * run finds no small-file candidates and rewrites nothing
+    * (compacted_files = 0). */
   def compactBuilder(exprs: Seq[Expression]): LogicalPlan = {
-    val (path, target) = exprs match {
-      case Seq(Literal(s: UTF8String, _: StringType)) =>
-        (s.toString, 128L * 1024 * 1024)
-      case Seq(Literal(s: UTF8String, _: StringType), Literal(n, t))
-          if Seq[org.apache.spark.sql.types.DataType](
-            org.apache.spark.sql.types.IntegerType,
-            org.apache.spark.sql.types.LongType,
-            org.apache.spark.sql.types.ShortType).contains(t) =>
-        (s.toString, n.toString.toLong)
-      case _ => throw new IllegalArgumentException(
-        s"$compactName(path[, target_file_bytes]) expects a string " +
-          "literal path and an optional integral literal byte target")
+    val usage = s"$compactName(path[, target_file_bytes]) expects a " +
+      "string literal path and an optional integral literal byte target"
+    exprs match {
+      case Seq(p) => GraftCompactCommand(strLit(p, usage), 128L << 20)
+      case Seq(p, t) =>
+        GraftCompactCommand(strLit(p, usage), longLit(t, usage))
+      case _ => throw new IllegalArgumentException(usage)
     }
-    val spark = SparkSession.active
-    val spec = graft.merge.KeyIndex.readSpec(spark, path).getOrElse(
+  }
+
+  val cleanName = "graft_clean"
+
+  /** `SELECT * FROM graft_clean('<path>', retain_last)` — retention
+    * sweep of the versioned history ([[Merge.clean]]): drop
+    * reconstruction snapshots older than the newest `retain_last`
+    * commits, never sweeping past a savepoint. Returns one row:
+    * (removed_snapshots, commits_remaining). Re-running sweeps
+    * nothing further (the floor only rises). */
+  def cleanBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$cleanName(path, retain_last) expects a string " +
+      "literal path and an integral literal retention count"
+    exprs match {
+      case Seq(p, n) => GraftCleanCommand(strLit(p, usage),
+        longLit(n, usage).toInt)
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
+  val zorderName = "graft_zorder"
+
+  /** `SELECT * FROM graft_zorder('<path>', 'col1,col2'[,
+    * target_file_bytes])` — z-order clustering as a procedure
+    * ([[Merge.clusterZOrder]]); partition columns come from the
+    * recorded key spec, the interleave columns from the argument.
+    * Content-invariant by the q24 law — only the file layout (and so
+    * the footer-stats pruning selectivity) changes. Returns one row:
+    * (clustered_files, files_after). */
+  def zorderBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$zorderName(path, zcols[, target_file_bytes]) " +
+      "expects a string literal path, a comma-separated string literal " +
+      "column list, and an optional integral literal byte target"
+    exprs match {
+      case Seq(p, z) =>
+        GraftZOrderCommand(strLit(p, usage), strLit(z, usage), 128L << 20)
+      case Seq(p, z, t) =>
+        GraftZOrderCommand(strLit(p, usage), strLit(z, usage),
+          longLit(t, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
+  private[sql] def specOrFail(spark: SparkSession, name: String,
+      path: String): graft.merge.KeySpec =
+    KeyIndex.readSpec(spark, path).getOrElse(
       throw new IllegalArgumentException(
-        s"$compactName: no recorded key spec at $path — compaction " +
-          "derives its partition/key columns from _graft_keys.json, " +
-          "which every keyed write records"))
+        s"$name: no recorded key spec at $path — the procedure derives " +
+          "its partition/key columns from _graft_keys.json, which every " +
+          "keyed write records"))
+
+  private[sql] def statsRow(names: (String, String)): Seq[Attribute] =
+    Seq(AttributeReference(names._1, LongType, nullable = false)(),
+      AttributeReference(names._2, LongType, nullable = false)())
+}
+
+/** The compaction rewrite, deferred to execution (see the object
+  * scaladoc for why resolution must stay side-effect-free). */
+case class GraftCompactCommand(path: String, targetFileBytes: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftTableFunctions.statsRow(("compacted_files", "files_after"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val spec = GraftTableFunctions.specOrFail(spark,
+      GraftTableFunctions.compactName, path)
     val n = Merge.compact(spark, path, spec.partitionCols, spec.keyCols,
-      targetFileBytes = target, maxFiles = 1 << 20)
+      targetFileBytes = targetFileBytes, maxFiles = 1 << 20)
     val after = Merge.readTable(spark, path).inputFiles.length.toLong
-    import spark.implicits._
-    Seq((n, after)).toDF("compacted_files", "files_after")
-      .queryExecution.logical
+    Seq(Row(n, after))
+  }
+}
+
+/** Retention sweep, deferred to execution. */
+case class GraftCleanCommand(path: String, retainLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftTableFunctions.statsRow(("removed_snapshots", "commits_remaining"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val removed = Merge.clean(spark, path, retainLast)
+    val remaining = Merge.commits(spark, path).count()
+    Seq(Row(removed, remaining))
+  }
+}
+
+/** Z-order clustering rewrite, deferred to execution. */
+case class GraftZOrderCommand(path: String, zColsCsv: String,
+    targetFileBytes: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftTableFunctions.statsRow(("clustered_files", "files_after"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val zCols = zColsCsv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(zCols.nonEmpty,
+      s"${GraftTableFunctions.zorderName}: empty z-order column list")
+    val spec = GraftTableFunctions.specOrFail(spark,
+      GraftTableFunctions.zorderName, path)
+    val n = Merge.clusterZOrder(spark, path, spec.partitionCols, zCols,
+      targetFileBytes = targetFileBytes)
+    val after = Merge.readTable(spark, path).inputFiles.length.toLong
+    Seq(Row(n, after))
   }
 }

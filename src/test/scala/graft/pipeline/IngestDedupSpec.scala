@@ -222,6 +222,21 @@ class IngestDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("compactBandState on an empty state table is a clean no-op, " +
+      "not an NPE") {
+    import graft.scale.Scale
+    val tbl = "p09_empty_state_spec"
+    Scale.dropBucketedTable(spark, tbl)
+    // a state table whose only landed partition holds zero rows —
+    // max(ingest_batch) over it is NULL
+    IngestDedup.appendBands(
+      Seq.empty[(Int, Long, Long)].toDF("band", "bkey", "doc_id"),
+      tbl, 0)
+    IngestDedup.compactBandState(spark, tbl) // must return, not throw
+    assert(spark.table(tbl).count() === 0)
+    Scale.dropBucketedTable(spark, tbl)
+  }
+
   test("ingestDedupChain: a doc's verdict is stable under MORE batches " +
       "(state order, not batch geometry, decides)") {
     // with 5 batches every doc is alone in its batch (10 % 5 = 0, so

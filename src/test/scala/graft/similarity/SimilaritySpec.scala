@@ -235,7 +235,9 @@ class SimilaritySpec extends SparkSpec {
     assert(d0.length === 4)
     d0.foreach { r =>
       assert(r.getLong(1) === 1L)
-      assert(math.abs(r.getDecimal(2).doubleValue()) < 1e-7, r.toString)
+      // the max(·,0) clamp pins the sign-unstable drift≈0 case to
+      // EXACTLY 0 on the integer grid — not merely "small"
+      assert(r.getLong(2) === 0L, r.toString)
     }
     // append an off-axis batch near vector 0: cell 0's contents drift
     // away from its frozen centroid, the untouched cells stay at ~0
@@ -245,10 +247,102 @@ class SimilaritySpec extends SparkSpec {
     Similarity.appendToIvfIndex(spark, idx, batch)
     val d1 = Similarity.ivfDriftStats(spark, idx).collect()
       .map(r => r.getLong(0) -> r).toMap
-    val drifted = d1.values.filter(r =>
-      r.getDecimal(2).doubleValue() > 1e-3).toSeq
+    val drifted = d1.values.filter(r => r.getLong(2) > 1000L).toSeq
     assert(drifted.nonEmpty, d1.toString)
     assert(d1.values.map(_.getLong(1)).sum === 6L)
+  }
+
+  test("ivfDriftStats emits the EXACT integer grid: drift_e6 is LONG " +
+      "and equals an independent BigDecimal re-derivation per cell") {
+    // the s15 scenario on real testdata: build on the base, append the
+    // %10==9 slice without retraining, then re-derive every cell's
+    // drift_e6 driver-locally — BigDecimal per-dim means (the same
+    // exact grid), plain-double sequential normalize/dot, floor(·1e6)
+    val idx = tmpDir("graft_s15_grid_spec_")
+    val all = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" >= 5).select($"vec_id", $"embedding")
+    Similarity.buildIvfIndex(all.filter($"vec_id" % 10 =!= 9), idx,
+      nCentroids = 10, maxTrainVectors = 256)
+    Similarity.appendToIvfIndex(spark, idx, all.filter($"vec_id" % 10 === 9))
+    val got = Similarity.ivfDriftStats(spark, idx)
+    assert(got.schema("drift_e6").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val cells = spark.read
+      .schema("corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG")
+      .parquet(idx + "/cells")
+      .select("cid", "corpus_id", "cv")
+      .as[(Long, Long, Seq[Double])].collect()
+    val cents = spark.read.parquet(idx + "/centroids")
+      .select("cid", "cv").as[(Long, Seq[Double])].collect().toMap
+    def norm(v: Seq[Double]): Seq[Double] = {
+      var s = 0.0; v.foreach(x => s += x * x)
+      val n = math.sqrt(s); v.map(_ / n)
+    }
+    val expect = cells.groupBy(_._1).map { case (cid, members) =>
+      val dims = members.head._3.length
+      val mv = (0 until dims).map { i =>
+        // Spark's double→decimal cast routes through Double.toString
+        // (shortest repr), NOT the exact binary expansion — mirror it
+        val sum = members.map(m =>
+          new java.math.BigDecimal(java.lang.Double.toString(m._3(i)))
+            .setScale(20, java.math.RoundingMode.HALF_UP))
+          .reduce(_ add _)
+        sum.doubleValue() / members.length
+      }
+      val d = 1.0 - norm(cents(cid)).zip(norm(mv))
+        .foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+      cid -> math.floor(math.max(d, 0.0) * 1000000.0).toLong
+    }
+    val gotMap = got.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotMap === expect, "integer-grid drift must be re-derivable")
+  }
+
+  test("appendWithRetrainPolicy: the negated-cluster append crosses " +
+      "the staleness bar and the fired retrain collapses to one build " +
+      "over the ingested contents") {
+    val idx = tmpDir("graft_e23pol_spec_")
+    Similarity.buildIvfIndex(corpus.filter($"vec_id" % 10 =!= 9), idx,
+      nCentroids = 10, maxTrainVectors = 256)
+    val slice = corpus.filter($"vec_id" % 10 === 9)
+    // step 1: in-distribution slice (fire-or-not is data-dependent —
+    // the collapse below holds either way, which is the point)
+    Similarity.appendWithRetrainPolicy(spark, idx, slice,
+      nCentroids = 10, retrainAboveE6 = 20000L, maxTrainVectors = 256)
+    // step 2: the drifted batch MUST fire (measured post-append drift
+    // is 0.06-0.11 at every SF — 60x over the 0.001 bar)
+    val neg = slice.select(($"vec_id" + 1000000000L).as("vec_id"),
+      transform($"embedding", x => -x).as("embedding"))
+    assert(Similarity.appendWithRetrainPolicy(spark, idx, neg,
+      nCentroids = 10, retrainAboveE6 = 1000L, maxTrainVectors = 256),
+      "drifted append must cross the retrain bar")
+    // the collapse, component by component — retrain migrates stored
+    // vectors AS-IS, so the final index is bit-equal to one build's
+    // pieces over the normalized augmented corpus, no matter how many
+    // intermediate retrains fired:
+    val augN = corpus.select($"vec_id", $"embedding").unionByName(neg)
+      .select($"vec_id",
+        graft.dedup.Dedup.normalized($"embedding".cast("array<double>"))
+          .as("embedding"))
+    // (1) centroids == the deterministic Lloyd over the normalized
+    //     contents, bit-equal
+    val wantCents = Similarity.kmeansCentroids(augN, 10, 3,
+      maxTrainVectors = 256)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val gotCents = spark.read.parquet(idx + "/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(gotCents === wantCents)
+    // (2) cells == the normalized vectors THEMSELVES (migrated as-is,
+    //     never re-normalized) at their nearest-centroid cells
+    val cellsSchema = "corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG"
+    val gotCells = spark.read.schema(cellsSchema).parquet(idx + "/cells")
+      .select("corpus_id", "cv").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).toSeq
+    val wantCells = augN.select($"vec_id",
+      $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(gotCells === wantCells,
+      "stored vectors must migrate bit-identically (no re-normalize)")
   }
 
   test("retrainIvfIndex: no vector lost in migration; served results " +
@@ -261,22 +355,35 @@ class SimilaritySpec extends SparkSpec {
     val cellsSchema = "corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG"
     val idsBefore = spark.read.schema(cellsSchema).parquet(idx + "/cells")
       .select("corpus_id").as[Long].collect().sorted.toSeq
+    val contentsBefore = spark.read.schema(cellsSchema)
+      .parquet(idx + "/cells")
+      .select($"corpus_id", $"cv").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).toSeq
     Similarity.retrainIvfIndex(spark, idx, nCentroids = 10)
     val after = spark.read.schema(cellsSchema).parquet(idx + "/cells")
     assert(after.select("corpus_id").as[Long].collect().sorted.toSeq
       === idsBefore, "migration must move vectors, never drop them")
-    // retrain ≡ one fused build over what the index held (normalized
-    // vectors) — bit-identical served results, the s12 discipline
+    // the collapse law, component by component: centroids == the
+    // deterministic Lloyd over the index's normalized contents, and
+    // the stored vectors migrate BIT-IDENTICALLY (as-is, never
+    // re-normalized — re-normalizing would shift n(v) to n(n(v)) at
+    // the last ulp and make the index's bits depend on its retrain
+    // count; retrain is idempotent by construction instead)
     val corpusN = corpus.select($"vec_id",
       graft.dedup.Dedup.normalized($"embedding".cast("array<double>"))
         .as("embedding"))
-    val key = (r: org.apache.spark.sql.Row) =>
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
-    assert(
-      Similarity.ivfTopKServed(spark, idx, queries, 10, nProbe = 4)
-        .collect().map(key).sortBy(t => (t._1, t._2)).toSeq ===
-      Similarity.ivfTopK(corpusN, queries, 10, 10, 4)
-        .collect().map(key).sortBy(t => (t._1, t._2)).toSeq)
+    val wantCents = Similarity.kmeansCentroids(corpusN, 10, 3)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val gotCents = spark.read.parquet(idx + "/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(gotCents === wantCents)
+    assert(after.select($"corpus_id", $"cv").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).toSeq === contentsBefore,
+      "stored vectors must migrate bit-identically (no re-normalize)")
+    // retrain is idempotent: a second retrain changes nothing
+    Similarity.retrainIvfIndex(spark, idx, nCentroids = 10)
+    assert(spark.read.parquet(idx + "/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq === wantCents)
   }
 
   test("pqTopK recall vs brute-force (8 subspaces × 64 codes)") {

@@ -405,11 +405,10 @@ class GraftCatalogSpec extends SparkSpec {
     warehouse
     spark.sql("DROP TABLE IF EXISTS gcat.ns.t_bloom")
     val path = s"$warehouse/ns/t_bloom"
-    val prevF = KeyIndex.minFilesToProbe
-    val prevB = KeyIndex.minBytesToProbe
-    KeyIndex.minFilesToProbe = 0
-    KeyIndex.minBytesToProbe = 0
-    try {
+    // table-scoped 0/0 gate policy (recorded before the first commit):
+    // build + probe engage at toy scale with no JVM-global mutation
+    KeyIndex.setProbeGates(spark, path, 0, 0L)
+    locally {
       val rows = graft.Tables.orders(spark, sfDir)
         .select((col("o_orderkey") % 500).as("okey"),
           col("o_totalprice").as("price"),
@@ -447,9 +446,9 @@ class GraftCatalogSpec extends SparkSpec {
         .as[(Long, Double, Long, String)].collect().toSeq.sorted
       assert(got === want)
       assert(got.nonEmpty, "probe key absent — dead assert")
-    } finally {
-      KeyIndex.minFilesToProbe = prevF
-      KeyIndex.minBytesToProbe = prevB
+      // the policy is table metadata: the JVM defaults are untouched
+      assert(KeyIndex.minFilesToProbe === 64)
+      assert(KeyIndex.minBytesToProbe === 4L << 30)
     }
     // time-travel / incremental / CDC parameters must bypass pruning
     // entirely (those reads resolve through their own snapshot logic,

@@ -322,11 +322,14 @@ class GraftSourceSpec extends SparkSpec {
     def batch(rows: (Long, Double, Long, String)*) =
       rows.toDF("okey", "price", "pre", "part")
     def drain(): Unit = {
+      // ordering key = the DELIVERED commit stamp (renamed to a payload
+      // column), NOT the business precombine: source semantics are
+      // batch-wins, so only commit order converges under regressions
       val q = spark.readStream.format("graft").load(src)
-        .drop(Merge.commitCol)
+        .withColumnRenamed(Merge.commitCol, "src_commit")
         .writeStream.format("graft")
         .option("path", dst).option("op", "upsert_ordered")
-        .option("keys", "okey").option("precombine", "pre")
+        .option("keys", "okey").option("precombine", "src_commit")
         .option("partition", "part")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
@@ -347,6 +350,18 @@ class GraftSourceSpec extends SparkSpec {
     drain()
     assert(state(dst) === state(src))
     assert(state(dst).exists(_ == ((1L, 11.0, 5L, "A"))))
+    assert(state(dst).size === 3)
+    // PRECOMBINE REGRESSION across drains: the source (batch-wins)
+    // overwrites key 1 with a LOWER pre (5 -> 2). A replica ordered by
+    // the business precombine keeps the stale pre=5 row and diverges
+    // permanently; ordered by the delivered commit stamp it converges.
+    Merge.upsertVersioned(spark, batch((1L, 12.0, 2L, "A")),
+      src, Seq("okey"), "pre", "part")
+    drain()
+    assert(state(dst) === state(src),
+      "replica must track batch-wins source state through a " +
+        "precombine regression")
+    assert(state(dst).exists(_ == ((1L, 12.0, 2L, "A"))))
     assert(state(dst).size === 3)
   }
 }

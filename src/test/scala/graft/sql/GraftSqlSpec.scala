@@ -393,6 +393,102 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("key spec"), e.getMessage)
   }
 
+  test("EXPLAIN over a maintenance procedure leaves the table " +
+      "untouched: the rewrite runs at execution, not resolution") {
+    import spark.implicits._
+    val path = freshTable("sql_explain_compact")
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 37 === 2)
+      .select((col("o_orderkey") % 500).as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        col("o_orderstatus").as("part"))
+    (0 until 3).foreach { b =>
+      graft.merge.Merge.upsert(spark, rows.filter($"pre" % 3 === b),
+        path, Seq("okey"), "pre", "part")
+    }
+    val filesBefore = graft.merge.Merge.readTable(spark, path)
+      .inputFiles.sorted.toSeq
+    // EXPLAIN analyzes under CommandExecutionMode.SKIP — the command
+    // node must appear in the plan text without having run
+    val plan = spark.sql(
+      s"EXPLAIN SELECT * FROM graft_compact('$path')")
+      .collect().head.getString(0)
+    assert(plan.contains("GraftCompact"), plan)
+    assert(graft.merge.Merge.readTable(spark, path)
+      .inputFiles.sorted.toSeq === filesBefore,
+      "EXPLAIN must not rewrite the table layout")
+    // the real SELECT then compacts as before
+    val stats = spark.sql(
+      s"SELECT * FROM graft_compact('$path')").collect().head
+    assert(stats.getAs[Long]("compacted_files") > 0L)
+    assert(graft.merge.Merge.readTable(spark, path)
+      .inputFiles.length < filesBefore.size)
+  }
+
+  test("graft_clean procedure: history swept past the retention " +
+      "window, current state untouched, honest stats, idempotent") {
+    import spark.implicits._
+    val path = freshTable("sql_clean")
+    // okey % 20: batches MUST overlap on keys so later commits rewrite
+    // files and leave reconstruction history for clean to sweep (a
+    // sparse key space would make every commit disjoint — no history,
+    // dead test)
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 37 === 3)
+      .select((col("o_orderkey") % 20).as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        col("o_orderstatus").as("part"))
+    (0 until 3).foreach { b =>
+      graft.merge.Merge.upsertVersioned(spark,
+        rows.filter($"pre" % 3 === b), path, Seq("okey"), "pre", "part")
+    }
+    val content = graft.merge.Merge.readTable(spark, path)
+      .select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq
+    val stats = spark.sql(
+      s"SELECT * FROM graft_clean('$path', 1)").collect().head
+    assert(stats.getAs[Long]("removed_snapshots") > 0L,
+      "nothing swept — dead assert")
+    assert(stats.getAs[Long]("commits_remaining") === 3L,
+      "clean sweeps reconstruction history, never the commit records")
+    assert(graft.merge.Merge.readTable(spark, path)
+      .select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq === content)
+    // the floor only rises: a re-run sweeps nothing further
+    val again = spark.sql(
+      s"SELECT * FROM graft_clean('$path', 1)").collect().head
+    assert(again.getAs[Long]("removed_snapshots") === 0L)
+  }
+
+  test("graft_zorder procedure: layout rewritten, content invariant, " +
+      "honest stats row") {
+    import spark.implicits._
+    val path = freshTable("sql_zorder")
+    val rows = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+      col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+      col("l_quantity").as("qty"), col("l_returnflag").as("part"))
+    graft.merge.Merge.bulkInsert(rows, path, "part",
+      keyCols = Seq("pk", "sk"), targetFileBytes = 256L << 10)
+    val content = graft.merge.Merge.readTable(spark, path)
+      .select("okey", "lnum", "pk", "sk", "qty", "part")
+      .collect().map(_.toString).sorted.toSeq
+    val stats = spark.sql(
+      s"SELECT * FROM graft_zorder('$path', 'pk,sk', ${256L << 10})")
+      .collect().head
+    assert(stats.getAs[Long]("clustered_files") > 0L)
+    assert(stats.getAs[Long]("files_after") ===
+      graft.merge.Merge.readTable(spark, path).inputFiles.length.toLong)
+    assert(graft.merge.Merge.readTable(spark, path)
+      .select("okey", "lnum", "pk", "sk", "qty", "part")
+      .collect().map(_.toString).sorted.toSeq === content)
+    // an empty column list is a loud argument error
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_zorder('$path', '')").collect()
+    }
+    assert(e.getMessage.contains("z-order"), e.getMessage)
+  }
+
   test("ALTER TABLE ADD COLUMNS refuses a duplicate column") {
     val path = freshTable("sql_alter_dup")
     ctas("sql_alter_dup", path)

@@ -23,7 +23,18 @@ import sys
 def load(p):
     with open(p) as f:
         d = json.load(f)
-    return d["queries"], d.get("producer"), d.get("sha"), d
+    qs = d["queries"]
+    # -1 is graft.Bench's did-not-finish sentinel: a DNF key has NO
+    # figure — it must surface as missing evidence, never be read as a
+    # (negative) record or silently vanish from the comparison
+    dnf = sorted(k for k, v in qs.items()
+                 if not isinstance(v, (int, float)) or v < 0)
+    qs = {k: v for k, v in qs.items()
+          if isinstance(v, (int, float)) and v >= 0}
+    if dnf:
+        print(f"warning: {p} has {len(dnf)} DNF key(s) (sentinel -1): "
+              + ", ".join(dnf), file=sys.stderr)
+    return qs, d.get("producer"), d.get("sha"), d
 
 
 def warn_if_loaded(path, d):
