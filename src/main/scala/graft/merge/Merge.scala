@@ -2537,11 +2537,12 @@ object Merge {
     * same-key rows per batch, so within-batch precombine dedup (O4) is
     * genuinely exercised; precombine is unique (o_orderkey), so the
     * winner is total — no tie-break dependence. */
-  private[merge] def replayBatch(spark: SparkSession, dir: String, b: Int): DataFrame =
+  private[merge] def replayBatch(spark: SparkSession, dir: String, b: Int,
+      keyMod: Int = 500): DataFrame =
     graft.Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 7 === b)
       .select(
-        (col("o_orderkey") % 500).as("okey"),
+        (col("o_orderkey") % keyMod).as("okey"),
         col("o_orderstatus").as("part"),
         col("o_totalprice").as("price"),
         col("o_orderkey").as("pre"))
@@ -2560,6 +2561,24 @@ object Merge {
       upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
       // delete a subset of batch-0 keys (partition-scoped)
       delete(s, replayBatch(s, dir, 0).filter(col("pre") % 3 === 0)
+        .select("okey", "part"), path, keyCols, "part")
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
+    // q18w: the q18 replay over a WIDE key space (okey % 50000). At
+    // driver scale it re-checks the same algebra; its reason to exist
+    // is the 10x sf1 artifact, where the %500 scenario saturates (the
+    // dense 1.5M-key data packs ~300 orders per (okey, part), the %3
+    // delete covers every pair and the final table is EMPTY — 0 ≡ 0
+    // proved nothing about upsert/delete at scale). Survivor density
+    // here is scale-stable, so the sf1 row is real evidence.
+    "q18w_upsert_replay_wide" -> ((s, dir) => {
+      val path = scratchTable("graft_q18w_")
+      val keyCols = Seq("okey")
+      upsert(s, replayBatch(s, dir, 0, 50000), path, keyCols, "pre", "part")
+      upsert(s, replayBatch(s, dir, 1, 50000), path, keyCols, "pre", "part")
+      delete(s, replayBatch(s, dir, 0, 50000).filter(col("pre") % 3 === 0)
         .select("okey", "part"), path, keyCols, "part")
       readTable(s, path)
         .select("okey", "part", "price", "pre")
@@ -2946,6 +2965,27 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // x07w: x07's CDC replication over the WIDE key space — the sf1
+    // CDC evidence companion to q18w (the %500 replica was empty at
+    // sf1 for the same saturation reason)
+    "x07w_cdc_replica_wide" -> ((s, dir) => {
+      val path = scratchTable("graft_x07wsrc_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0, 50000), path,
+        keyCols, "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1, 50000), path,
+        keyCols, "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0, 50000)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, keyCols, Seq("part"))
+      val dst = scratchTable("graft_x07wdst_")
+      val q = IncrementalStream.replicateTo(s, path, dst,
+        scratchTable("graft_x07wckpt_"), keyCols, "pre", Seq("part"))
+      q.awaitTermination()
+      readTable(s, dst)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     // q35: metadata-only bootstrap — a PLAIN parquet lake (batch 0
     // written raw, duplicates and all) adopted into the timeline, then
     // upserted against. The upsert must replace every stored row whose
@@ -3184,8 +3224,17 @@ object Merge {
     * delete — each window/join mirrors one Merge stage. */
   /** The q18 replay algebra, shared verbatim by q23: compaction must be
     * content-invariant, so both keys check against the SAME relation. */
-  private[merge] val replaySql =
-    """WITH raw AS (SELECT o_orderkey % 500 AS okey, o_orderstatus AS part,
+  private[merge] val replaySql = replaySqlMod(500)
+
+  /** The q18 replay algebra over `o_orderkey % mod` keys. mod=500 is
+    * the classic scenario; mod=50000 (q18w/x07w) keeps the scenario
+    * meaningful at 10x+ scale — with dense 1.5M-key data the %500
+    * compression packs ~300 orders behind every (okey, part), the %3
+    * delete then covers every pair and the final table is EMPTY (the
+    * r10 verdict's vacuous-sf1-evidence finding); the wide key space
+    * keeps survivor density scale-stable. */
+  private[merge] def replaySqlMod(mod: Int): String =
+    s"""WITH raw AS (SELECT o_orderkey % $mod AS okey, o_orderstatus AS part,
       |               o_totalprice AS price, o_orderkey AS pre
       |             FROM orders),
       |b1 AS (SELECT okey, part, price, pre FROM (
@@ -3210,6 +3259,10 @@ object Merge {
 
   private val oracle0: Map[String, String] = Map(
     "q18_upsert_replay" -> replaySql,
+    // the wide-key variants run the same algebra over okey % 50000 —
+    // the scale-stable sf1 evidence pair
+    "q18w_upsert_replay_wide" -> replaySqlMod(50000),
+    "x07w_cdc_replica_wide" -> replaySqlMod(50000),
     "q23_compact" -> replaySql,
     // the SQL-procedure compaction must be content-invariant too
     "x34_sql_compact" -> replaySql,

@@ -403,6 +403,161 @@ def p08(sf):
     return pd.DataFrame(rows)
 
 
+def _fold_dot(a, b):
+    d = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+    return d
+
+
+def _normalize(v):
+    import math
+    n = math.sqrt(_fold_dot(v, v))
+    return [x / n for x in v]
+
+
+def _plane(j, dims):
+    """Similarity.plane: md5("j,i") first 4 bytes big-endian unsigned,
+    scaled to [-0.5, 0.5) — the hyperplane constants both engines
+    ship as literals."""
+    out = []
+    for i in range(dims):
+        d = hashlib.md5(f"{j},{i}".encode()).digest()
+        u = (d[0] << 24) | (d[1] << 16) | (d[2] << 8) | d[3]
+        out.append(u / 4294967296.0 - 0.5)
+    return out
+
+
+def s08(sf):
+    """LSH recall vs brute force, re-derived imperatively: md5-constant
+    hyperplanes, sign-bit buckets over 8 tables x 4 bits, candidate
+    union, normalize-then-fold cosine ranking (lshTopK's exact double
+    path — NOT s01's product-of-norms shape), then per-query
+    |LSH top-10 ∩ brute top-10| / 10. The float-sensitive artifact is
+    the rank-10 boundary of both chains."""
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    vecs = {int(i): [float(x) for x in v]
+            for i, v in zip(emb.vec_id, emb.embedding)}
+    dims = len(next(iter(vecs.values())))
+    queries = sorted(i for i in vecs if i < 5)
+    corpus = sorted(i for i in vecs if i >= 5)
+    import math
+    norms = {i: math.sqrt(_fold_dot(v, v)) for i, v in vecs.items()}
+    # brute top-10 ids (s01's chain: product-of-norms cosine, clamped)
+    brute = {}
+    for qid in queries:
+        scored = [(min(1.0, max(-1.0, _fold_dot(vecs[qid], vecs[cid]) /
+                                (norms[qid] * norms[cid]))), cid)
+                  for cid in corpus if cid != qid]
+        scored.sort(key=lambda sc: (-sc[0], sc[1]))
+        brute[qid] = set(cid for _, cid in scored[:10])
+    # LSH top-10 ids: 8 tables x 4 bits
+    bits, tables = 4, 8
+    planes = {(t, j): _plane(t * bits + j, dims)
+              for t in range(tables) for j in range(bits)}
+
+    def buckets(v):
+        out = []
+        for t in range(tables):
+            b = 0
+            for j in range(bits):
+                if _fold_dot(v, planes[(t, j)]) >= 0:
+                    b += 1 << j
+            out.append(b)
+        return out
+
+    cb = {cid: buckets(vecs[cid]) for cid in corpus}
+    nv = {i: _normalize(v) for i, v in vecs.items()}
+    rows = []
+    for qid in queries:
+        qb = buckets(vecs[qid])
+        cands = set(cid for cid in corpus if cid != qid and
+                    any(cb[cid][t] == qb[t] for t in range(tables)))
+        scored = sorted(((_fold_dot(nv[qid], nv[cid]), cid)
+                         for cid in cands), key=lambda sc: (-sc[0], sc[1]))
+        approx = set(cid for _, cid in scored[:10])
+        n_hit = len(brute[qid] & approx)
+        rows.append({"query_id": qid, "n_brute": 10, "n_hit": n_hit,
+                     "recall": n_hit / 10.0})
+    return pd.DataFrame(rows)
+
+
+def s15(sf):
+    """IVF drift statistic, re-derived imperatively: the s13 scenario
+    (Lloyd on the md5-sampled base, full corpus assigned frozen), exact
+    DECIMAL per-dim means, sequential normalize/dot, emitted as
+    floor(max(drift,0)*1e6) — the integer grid the r10 red key moved
+    to. The grid is the contract under test: it must absorb the
+    toString-dialect and fold-association noise that flipped the old
+    8-decimal emission."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    vecs = {int(i): [float(x) for x in v]
+            for i, v in zip(emb.vec_id, emb.embedding)
+            if int(i) >= 5}
+    base = {i: v for i, v in vecs.items() if i % 10 != 9}
+    nvecs = {i: _normalize(v) for i, v in vecs.items()}
+    # deterministic md5-ordered train sample of 256, Lloyd k=10 x 3
+    train_ids = sorted(base, key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))[:256]
+    # cents: (cid, vector) — an EMPTY training cluster vanishes (both
+    # engines' GROUP BY drops it); surviving cids keep their values
+    cents = [(c, base[i]) for c, i in enumerate(sorted(train_ids)[:10])]
+
+    def assign_cid(nvv, cs_norm):
+        best, bs = None, None
+        for cid, ncv in cs_norm:
+            s = _fold_dot(nvv, ncv)
+            if bs is None or s > bs:   # tie -> lowest cid (first seen)
+                best, bs = cid, s
+        return best
+
+    for _ in range(3):
+        cs_norm = [(cid, _normalize(cv)) for cid, cv in cents]
+        members = {cid: [] for cid, _ in cents}
+        for i in sorted(train_ids):
+            members[assign_cid(nvecs[i], cs_norm)].append(i)
+        new = []
+        for cid, _ in cents:
+            ms = members[cid]
+            if not ms:
+                continue        # GROUP BY drops the empty cluster
+            dims = len(base[ms[0]])
+            acc = [0.0] * dims
+            for i in ms:        # vec_id order, sequential double fold
+                v = base[i]
+                for d in range(dims):
+                    acc[d] += v[d]
+            new.append((cid, [x / len(ms) for x in acc]))
+        cents = new
+    # full corpus assigned frozen (build(base) + append(%10==9))
+    cs_norm = [(cid, _normalize(cv)) for cid, cv in cents]
+    cells = {cid: [] for cid, _ in cents}
+    for i in sorted(vecs):
+        cells[assign_cid(nvecs[i], cs_norm)].append(i)
+    q20 = Decimal(1).scaleb(-20)
+    rows = []
+    for cid, cv in cents:
+        ms = cells[cid]
+        if not ms:
+            rows.append({"cid": cid, "n_vecs": 0, "drift_e6": None})
+            continue
+        dims = len(cv)
+        mv = []
+        for d in range(dims):
+            s = sum((Decimal(repr(nvecs[i][d]))
+                     .quantize(q20, rounding=ROUND_HALF_UP)
+                     for i in ms), Decimal(0))
+            mv.append(float(s) / len(ms))
+        drift = 1.0 - _fold_dot(_normalize(cv), _normalize(mv))
+        rows.append({"cid": cid, "n_vecs": len(ms),
+                     "drift_e6": math.floor(max(drift, 0.0) * 1000000.0)})
+    return pd.DataFrame(rows)
+
+
 CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
           "d24_dsir_sample": d24,
           "m05_frame_dedup": m05, "p08_ingest_dedup": p08,
@@ -413,6 +568,10 @@ CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
           # the re-derivation is shared and the check is that the
           # replica landed on it
           "x07_cdc_replica": q18,
+          # the two float-sensitive similarity artifacts (the r10
+          # verdict's stretch ask): the recall fraction's rank-10
+          # boundary and the drift statistic's integer grid
+          "s08_ann_recall": s08, "s15_ivf_drift": s15,
           "e02_sessions": e02, "s01_knn_brute": s01,
           "t13_lm_score": t13}
 
