@@ -56,6 +56,7 @@ def main():
         "load_end": max(loads) if loads else -1.0,
         "cpus": shards[0][1].get("cpus", -1),
         "sf": shards[0][1].get("sf"),
+        "passes": shards[0][1].get("passes"),
         "sharded": len(shards),
         "queries": queries,
         "value": sum(v for v in queries.values() if v >= 0),
