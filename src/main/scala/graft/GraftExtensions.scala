@@ -52,25 +52,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
         graft.sql.GraftTableFunctions.commitsName),
       graft.sql.GraftTableFunctions.commitsBuilder))
+    // savepoint observability: SELECT * FROM graft_savepoints('<path>')
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.sql.GraftTableFunctions.savepointsName),
+      new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
+        graft.sql.GraftTableFunctions.savepointsName),
+      graft.sql.GraftTableFunctions.savepointsBuilder))
     // maintenance procedures (execution-time commands — EXPLAIN and
     // CREATE VIEW over them stay side-effect-free):
     //   SELECT * FROM graft_compact('<path>'[, bytes])
     //   SELECT * FROM graft_clean('<path>', retain_last)
     //   SELECT * FROM graft_zorder('<path>', 'c1,c2'[, bytes])
-    ext.injectTableFunction((
-      FunctionIdentifier(graft.sql.GraftTableFunctions.compactName),
-      new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
-        graft.sql.GraftTableFunctions.compactName),
-      graft.sql.GraftTableFunctions.compactBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier(graft.sql.GraftTableFunctions.cleanName),
-      new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
-        graft.sql.GraftTableFunctions.cleanName),
-      graft.sql.GraftTableFunctions.cleanBuilder))
-    ext.injectTableFunction((
-      FunctionIdentifier(graft.sql.GraftTableFunctions.zorderName),
-      new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
-        graft.sql.GraftTableFunctions.zorderName),
-      graft.sql.GraftTableFunctions.zorderBuilder))
+    //   SELECT * FROM graft_vacuum('<path>')
+    //   SELECT * FROM graft_savepoint('<path>', commit_ts)
+    //   SELECT * FROM graft_restore('<path>', commit_ts)
+    Seq(
+      (graft.sql.GraftTableFunctions.compactName,
+        graft.sql.GraftTableFunctions.compactBuilder _),
+      (graft.sql.GraftTableFunctions.cleanName,
+        graft.sql.GraftTableFunctions.cleanBuilder _),
+      (graft.sql.GraftTableFunctions.zorderName,
+        graft.sql.GraftTableFunctions.zorderBuilder _),
+      (graft.sql.GraftTableFunctions.vacuumName,
+        graft.sql.GraftTableFunctions.vacuumBuilder _),
+      (graft.sql.GraftTableFunctions.savepointName,
+        graft.sql.GraftTableFunctions.savepointBuilder _),
+      (graft.sql.GraftTableFunctions.restoreName,
+        graft.sql.GraftTableFunctions.restoreBuilder _)
+    ).foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
+          name),
+        builder))
+    }
   }
 }

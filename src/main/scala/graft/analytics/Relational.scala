@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -170,12 +170,27 @@ object Relational {
       .distinct()
       .orderBy("o_orderstatus", "o_orderpriority")
 
-  /** Q12b — approximate distinct (HLL). No SQL oracle: DuckDB's HLL
-    * differs by construction; the driver records a rows-only check. */
+  /** Q12b — approximate distinct (HLL). The production operator is the
+    * `approx_count_distinct(rsd=0.01)` aggregate (bounded sketch per
+    * group, map-side mergeable — the 100 TB path next to exact q12's
+    * full shuffle-distinct). Sketch ESTIMATES are implementation-
+    * defined, so the key emits the sketch's ERROR CONTRACT instead of
+    * its digits: the exact cardinality plus a within-5%-of-exact
+    * verdict (rsd 1% ⇒ 5% is a ≥5σ bound). That makes the row
+    * hash-checkable by a cross-engine oracle — any engine agreeing on
+    * the data must agree the contract holds — where the raw estimate
+    * was only ever rows-only-checkable. */
   val approxDistinct: Q = (s, dir) =>
     orders(s, dir)
       .groupBy("o_orderstatus")
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx"))
+      .select(
+        col("o_orderstatus"),
+        col("exact_custs"),
+        (abs(col("approx") - col("exact_custs")) <=
+          col("exact_custs") * 0.05).cast("int").as("hll_within_5pct"))
       .orderBy("o_orderstatus")
 
   /** Q13 — time bucketing: monthly spend. */
@@ -329,18 +344,47 @@ object Relational {
     * BOUNDED buffer per group and merges partials map-side, where exact
     * `percentile` buffers every value of a group in one reducer — a hot
     * `l_returnflag` group at 100 TB OOMs an executor. Accuracy 10000 ⇒
-    * rank error ≤ n/10000. No SQL oracle (sketch contents are
-    * implementation-defined); the driver records rows-only and
-    * `RelationalSpec` bounds the error against exact q17. */
-  val approxPercentiles: Q = (s, dir) =>
-    lineitem(s, dir)
+    * rank error ≤ n/10000. Sketch OUTPUTS are implementation-defined,
+    * so (like q12b) the key emits the sketch's RANK-ERROR CONTRACT
+    * rather than its digits: for each returned value v the group's
+    * duplicate-rank interval [count(<v)+1, count(≤v)] must intersect
+    * [qn − n/10⁴, qn + n/10⁴] — checked with one broadcast join back
+    * to the data (the sketch result is groups-many rows). The verdict
+    * row is hash-checkable by a cross-engine oracle; `RelationalSpec`
+    * additionally tracks the values against exact q17. */
+  val approxPercentiles: Q = (s, dir) => {
+    val li = lineitem(s, dir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+    val ap = li.groupBy("l_returnflag").agg(
+      expr("approx_percentile(l_quantity, 0.5, 10000)").as("v50"),
+      expr("approx_percentile(l_quantity, 0.9, 10000)").as("v90"),
+      expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("v99"))
+    def lt(value: Column, v: Column) =
+      sum(when(value < v, 1L).otherwise(0L))
+    def le(value: Column, v: Column) =
+      sum(when(value <= v, 1L).otherwise(0L))
+    def ok(q: Double, ltC: Column, leC: Column) = {
+      val err = col("n") * (1.0 / 10000.0)
+      val target = col("n") * q
+      ((ltC <= target + err) && (leC >= target - err)).cast("int")
+    }
+    li.join(broadcast(ap), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
-        expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
-        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_price"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        lt(col("l_quantity"), col("v50")).as("lt50"),
+        le(col("l_quantity"), col("v50")).as("le50"),
+        lt(col("l_quantity"), col("v90")).as("lt90"),
+        le(col("l_quantity"), col("v90")).as("le90"),
+        lt(col("l_extendedprice"), col("v99")).as("lt99"),
+        le(col("l_extendedprice"), col("v99")).as("le99"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ok(0.5, col("lt50"), col("le50")).as("p50_ok"),
+        ok(0.9, col("lt90"), col("le90")).as("p90_ok"),
+        ok(0.99, col("lt99"), col("le99")).as("p99_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Q20 — as-of join (the operator Spark lacks natively): each
     * purchase enriched with the user's latest prior-or-same-time view —
@@ -902,6 +946,18 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // q17b emits the sketch's rank-error CONTRACT (see approxPercentiles):
+    // the oracle recomputes the exact group sizes and pins every verdict
+    // to 1 — a cross-engine check that the contract held, where the raw
+    // sketch digits were only ever rows-only-checkable
+    "q17b_approx_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(1 AS INTEGER) AS p50_ok,
+        |  CAST(1 AS INTEGER) AS p90_ok,
+        |  CAST(1 AS INTEGER) AS p99_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
         |FROM lineitem
@@ -991,6 +1047,15 @@ object Relational {
       """SELECT DISTINCT o_orderstatus, o_orderpriority
         |FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // q12b emits the HLL error CONTRACT (see approxDistinct): exact
+    // cardinality + a within-5% verdict pinned to 1 by the oracle
+    "q12b_approx_distinct" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS exact_custs,
+        |  CAST(1 AS INTEGER) AS hll_within_5pct
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q13_time_bucket" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_price,

@@ -2664,6 +2664,53 @@ object Merge {
         .select("okey", "lnum", "pk", "sk", "qty", "part")
         .orderBy("okey", "lnum", "pk", "sk", "qty", "part")
     }),
+    // x37: q26's disaster-recovery revert driven entirely through SQL —
+    // savepoint the two-batch commit, CLEAN past it (the pin must cap
+    // the floor; without it retention would sweep the revert range and
+    // the restore would refuse), then physically restore. The plain
+    // read of the reverted table shares q26's oracle: the two-batch
+    // merge state, as if the delete and third upsert never happened.
+    "x37_sql_restore" -> ((s, dir) => {
+      val path = scratchTable("graft_x37_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      val c2 = upsertVersioned(s, replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, keyCols, Seq("part"))
+      upsertVersioned(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
+      s.sql(s"SELECT * FROM graft_savepoint('$path', $c2)").collect()
+      s.sql(s"SELECT * FROM graft_clean('$path', 1)").collect()
+      s.sql(s"SELECT * FROM graft_restore('$path', $c2)").collect()
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
+    // x38: the staging-leak sweep driven through SQL — the q18w replay
+    // plus a manufactured recovery-copy leak (the table-sized sibling a
+    // crashed commit leaves), swept by graft_vacuum. Content-invariant
+    // by construction (vacuum touches only non-table siblings), so the
+    // key shares the WIDE replay oracle (survivor density scale-stable,
+    // keeping the sf1 row non-vacuous); the sweep itself and the stats
+    // row are spec-asserted where file-level effects are observable.
+    "x38_sql_vacuum" -> ((s, dir) => {
+      val path = scratchTable("graft_x38_")
+      val keyCols = Seq("okey")
+      upsert(s, replayBatch(s, dir, 0, 50000), path, keyCols, "pre", "part")
+      upsert(s, replayBatch(s, dir, 1, 50000), path, keyCols, "pre", "part")
+      delete(s, replayBatch(s, dir, 0, 50000).filter(col("pre") % 3 === 0)
+        .select("okey", "part"), path, keyCols, "part")
+      val fs = fsFor(s, path)
+      val t = new Path(path.stripSuffix("/"))
+      val leaked = new Path(t.getParent, s"${t.getName}_staging_999")
+      fs.mkdirs(leaked)
+      writeSmallFile(fs, new Path(leaked, "part-junk.parquet"), "leak")
+      s.sql(s"SELECT * FROM graft_vacuum('$path')").collect()
+      readTable(s, path)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     // q24: z-order clustering is a pure LAYOUT service — the oracle is
     // the untouched relation (content invariance, the same contract
     // q23 checks for compact). The pruning benefit itself is asserted
@@ -3152,6 +3199,29 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // x12w: x12's recorded-compaction time travel over the WIDE key
+    // space (okey % 50000). x12's %500 scenario self-degenerates at
+    // sf1 density (the saturated delete empties the table, compaction
+    // finds nothing, its dead-assert fires by design) — this variant's
+    // survivor density is scale-stable, so the 10x artifact gets a
+    // real compaction-vs-time-travel row. Same law: travel back past
+    // the compaction commit to the 2-upsert snapshot; correct only if
+    // the rewrite retired (not destroyed) the old layout.
+    "x12w_compact_versioned_wide" -> ((s, dir) => {
+      val path = scratchTable("graft_x12w_")
+      upsertVersioned(s, replayBatch(s, dir, 0, 50000), path, Seq("okey"),
+        "pre", "part")
+      val c2 = upsertVersioned(s, replayBatch(s, dir, 1, 50000), path,
+        Seq("okey"), "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0, 50000)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, Seq("okey"), Seq("part"))
+      val n = compactVersioned(s, path, Seq("part"), Seq("okey"))
+      require(n > 0, "x12w expects the replay layout to need compaction")
+      readAsOf(s, path, c2)
+        .select("okey", "part", "price", "pre")
+        .orderBy("part", "okey")
+    }),
     // x04: streaming keyed ingestion with the ORDERED payload — the
     // replay corpus split into files and drained through a checkpointed
     // file stream, each micro-batch upserted with
@@ -3233,6 +3303,28 @@ object Merge {
     * delete then covers every pair and the final table is EMPTY (the
     * r10 verdict's vacuous-sf1-evidence finding); the wide key space
     * keeps survivor density scale-stable. */
+  /** The two-batch merge snapshot (the q25/x12 as-of state — the replay
+    * algebra BEFORE the delete) at key space `okey = o_orderkey % mod`. */
+  private[merge] def twoBatchSqlMod(mod: Int): String =
+    s"""WITH raw AS (SELECT o_orderkey % $mod AS okey, o_orderstatus AS part,
+      |               o_totalprice AS price, o_orderkey AS pre
+      |             FROM orders),
+      |b1 AS (SELECT okey, part, price, pre FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY okey, part
+      |           ORDER BY pre DESC) AS rn
+      |         FROM raw WHERE pre % 7 = 0) WHERE rn = 1),
+      |b2 AS (SELECT okey, part, price, pre FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY okey, part
+      |           ORDER BY pre DESC) AS rn
+      |         FROM raw WHERE pre % 7 = 1) WHERE rn = 1)
+      |SELECT okey, part, price, pre FROM (
+      |  SELECT * FROM b2
+      |  UNION ALL
+      |  SELECT b1.okey, b1.part, b1.price, b1.pre FROM b1
+      |  LEFT JOIN b2 ON b1.okey = b2.okey AND b1.part = b2.part
+      |  WHERE b2.pre IS NULL)
+      |ORDER BY part, okey""".stripMargin
+
   private[merge] def replaySqlMod(mod: Int): String =
     s"""WITH raw AS (SELECT o_orderkey % $mod AS okey, o_orderstatus AS part,
       |               o_totalprice AS price, o_orderkey AS pre
@@ -3263,6 +3355,9 @@ object Merge {
     // the scale-stable sf1 evidence pair
     "q18w_upsert_replay_wide" -> replaySqlMod(50000),
     "x07w_cdc_replica_wide" -> replaySqlMod(50000),
+    // the wide-key recorded-compaction time travel (see x12w): the
+    // as-of-commit-2 snapshot = the two-batch merge state at mod 50000
+    "x12w_compact_versioned_wide" -> twoBatchSqlMod(50000),
     "q23_compact" -> replaySql,
     // the SQL-procedure compaction must be content-invariant too
     "x34_sql_compact" -> replaySql,
@@ -3771,7 +3866,13 @@ object Merge {
       // x35 = x26's clean retention through graft_clean('path', 1),
       // x36 = q24's layout rewrite through graft_zorder('path', cols)
       ("x35_sql_clean" -> cleanRetentionSql) +
-      ("x36_sql_zorder" -> oracle0("q24_zorder"))
+      ("x36_sql_zorder" -> oracle0("q24_zorder")) +
+      // x37 = q26's savepoint-clean-restore chain through SQL (the
+      // restored table IS the two-batch snapshot); x38 = the q18
+      // replay with a staging leak swept by graft_vacuum (sweep is
+      // content-invariant — it touches only non-table siblings)
+      ("x37_sql_restore" -> oracle0("q26_restore")) +
+      ("x38_sql_vacuum" -> replaySqlMod(50000))
 
   // lazy: referenced by the `oracle` val above its definition point —
   // a plain val would still be null when `oracle` is constructed

@@ -886,6 +886,55 @@ object GraftSourceQueries {
         .orderBy("part", "okey")
     },
 
+    /** e24: a STREAM-STREAM interval join fed by TWO native graft
+      * sources in one query — clicks and purchases land in separate
+      * keyed tables (independent commit timelines), each tailed by its
+      * own `readStream.format("graft")` with independently tracked
+      * offsets, joined by [[graft.streaming.EventStreams.intervalJoin]]
+      * (watermarked, `StreamingSymmetricHashJoin` — Catalyst's stateful
+      * join, not a batch shim) and drained AvailableNow. At 100 TB the
+      * shape is two followers tailing two tables' O(changed rows)
+      * increments into a bounded-state join — no rescans of either
+      * side. Oracle: the same interval join done relationally over the
+      * events rows each table holds. */
+    "e24_stream_join_native" -> { (s, dir) =>
+      val clicksT = graft.util.Scratch.fresh("graft_e24c_")
+      val buysT = graft.util.Scratch.fresh("graft_e24p_")
+      val outDir = graft.util.Scratch.fresh("graft_e24o_")
+      val ev = graft.Tables.events(s, dir)
+        .withColumn("part", (col("user_id") % 8).cast("string"))
+      // two commits per side: the sources must tail a timeline, not a
+      // single snapshot
+      Seq(("click", clicksT), ("purchase", buysT)).foreach {
+        case (kind, path) =>
+          val side = ev.filter(col("event_type") === kind)
+          (0 until 2).foreach { b =>
+            graft.merge.Merge.upsertVersioned(s,
+              side.filter(col("event_id") % 2 === b), path,
+              Seq("event_id"), "value", "part")
+            ()
+          }
+      }
+      def tail(path: String) =
+        s.readStream.format("graft").load(path)
+          .drop(graft.merge.Merge.commitCol)
+      val joined = graft.streaming.EventStreams.intervalJoin(
+        tail(clicksT), tail(buysT))
+      val q = joined.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.util.Scratch.fresh("graft_e24k_"))
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.write.mode(SaveMode.Overwrite)
+            .parquet(s"$outDir/b=$bid")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select("l_id", "r_id", "user_id", "l_ts", "r_ts")
+        .orderBy("l_id", "r_id")
+    },
+
     /** x33: point lookups through the catalog probe the file-level
       * BLOOM key index — [[CatalogStatsPrune]]'s second arm. Two
       * upsert commits (index entries per data file, gates forced at
@@ -994,6 +1043,16 @@ object GraftSourceQueries {
     * replacement — c1 = commit-1 state, current = after commit 2,
     * incr = rows last written by commit 2. */
   val oracle: Map[String, String] = Map(
+    // the natively-fed stream-stream interval join == the same join
+    // done relationally (e06's law, with each side tailed from its own
+    // keyed table's commit timeline)
+    "e24_stream_join_native" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id,
+        |       l.user_id AS user_id, l.ts AS l_ts, r.ts AS r_ts
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+        |ORDER BY l_id, r_id""".stripMargin,
     "x17_datasource" ->
       """WITH b1 AS (
         |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag

@@ -16,15 +16,16 @@ import graft.merge.{KeyIndex, Merge}
   * `DESCRIBE HISTORY` / Hudi's `call show_commits` analogue) returns
   * the recorded commit timeline (commit_ts, n_rows, partitions) — the
   * same rows [[Merge.commits]] serves to the DataFrame API (q22
-  * oracles them). Resolution-time cost is one metadata listing of
-  * `_graft_commits/`, never a data scan, so an analyst can audit a
-  * 100 TB table's write history for free. Pure reads resolve eagerly;
-  * there is nothing to defer.
+  * oracles them) — and `graft_savepoints('<path>')`, the pinned commit
+  * ids. Resolution-time cost is one metadata listing, never a data
+  * scan, so an analyst can audit a 100 TB table's write history for
+  * free. Pure reads resolve eagerly; there is nothing to defer.
   *
   * MAINTENANCE PROCEDURES — `graft_compact`, `graft_clean`,
-  * `graft_zorder` (Hudi's `call run_compaction` / Iceberg's `CALL
-  * rewrite_data_files` shape, expressed as table functions because
-  * Spark SQL has no native CALL). Each resolves to a
+  * `graft_zorder`, `graft_vacuum`, `graft_savepoint`, `graft_restore`
+  * (Hudi's `call run_compaction` / `call create_savepoint` / Iceberg's
+  * `CALL rewrite_data_files` shape, expressed as table functions
+  * because Spark SQL has no native CALL). Each resolves to a
   * [[LeafRunnableCommand]], so the side effect runs at EXECUTION, not
   * resolution: `EXPLAIN SELECT * FROM graft_compact(...)` (which
   * analyzes under `CommandExecutionMode.SKIP`) and `CREATE VIEW` over
@@ -124,6 +125,81 @@ object GraftTableFunctions {
     }
   }
 
+  val savepointsName = "graft_savepoints"
+
+  /** `SELECT * FROM graft_savepoints('<path>')` — the pinned commit
+    * ids, ascending ([[Merge.savepoints]]). Observability, like
+    * `graft_commits`: a metadata listing of `_graft_history/`, resolved
+    * eagerly because pure reads have nothing to defer. */
+  def savepointsBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$savepointsName(path) expects exactly one string " +
+      "literal argument"
+    val path = exprs match {
+      case Seq(p) => strLit(p, usage)
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    val spark = SparkSession.active
+    import spark.implicits._
+    Merge.savepoints(spark, path).toDF("commit_ts")
+      .queryExecution.logical
+  }
+
+  val vacuumName = "graft_vacuum"
+
+  /** `SELECT * FROM graft_vacuum('<path>')` — sweep leaked staging
+    * siblings ([[Merge.vacuum]]): the table-sized recovery copies a
+    * crashed commit can leave next to the table. Deliberately manual
+    * (a staging dir is a recovery copy until the operator rules on the
+    * commit), hence a procedure. Returns one row:
+    * (removed_staging, files_after). Idempotent: a second run finds
+    * nothing to sweep. */
+  def vacuumBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$vacuumName(path) expects exactly one string literal " +
+      "argument"
+    exprs match {
+      case Seq(p) => GraftVacuumCommand(strLit(p, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
+  val savepointName = "graft_savepoint"
+
+  /** `SELECT * FROM graft_savepoint('<path>', commit_ts)` — pin commit
+    * `commit_ts` against [[Merge.clean]] (Hudi's savepoint): while the
+    * pin exists the cleaner never raises the history floor past it, so
+    * `VERSION AS OF commit_ts` and `graft_restore` stay serviceable
+    * however small the retention window gets. Returns one row:
+    * (pinned_commit, savepoints_total). */
+  def savepointBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$savepointName(path, commit_ts) expects a string " +
+      "literal path and an integral literal commit id"
+    exprs match {
+      case Seq(p, c) =>
+        GraftSavepointCommand(strLit(p, usage), longLit(c, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
+  val restoreName = "graft_restore"
+
+  /** `SELECT * FROM graft_restore('<path>', commit_ts)` — physically
+    * revert the table to commit `commit_ts` ([[Merge.restoreTo]]):
+    * later commits' files un-published, their retired predecessors
+    * restored from history, their ids tombstoned. The disaster-recovery
+    * procedure (Hudi's `call rollback_to_savepoint` / Delta's
+    * `RESTORE TABLE ... TO VERSION AS OF` shape). Returns one row:
+    * (restored_to, commits_remaining). Re-running is a no-op (no
+    * commits remain past the target). */
+  def restoreBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$restoreName(path, commit_ts) expects a string " +
+      "literal path and an integral literal commit id"
+    exprs match {
+      case Seq(p, c) =>
+        GraftRestoreCommand(strLit(p, usage), longLit(c, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
   private[sql] def specOrFail(spark: SparkSession, name: String,
       path: String): graft.merge.KeySpec =
     KeyIndex.readSpec(spark, path).getOrElse(
@@ -162,6 +238,39 @@ case class GraftCleanCommand(path: String, retainLast: Int)
     val removed = Merge.clean(spark, path, retainLast)
     val remaining = Merge.commits(spark, path).count()
     Seq(Row(removed, remaining))
+  }
+}
+
+/** Staging-leak sweep, deferred to execution. */
+case class GraftVacuumCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftTableFunctions.statsRow(("removed_staging", "files_after"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val removed = Merge.vacuum(spark, path)
+    val after = Merge.readTable(spark, path).inputFiles.length.toLong
+    Seq(Row(removed, after))
+  }
+}
+
+/** Savepoint pin, deferred to execution (EXPLAIN must not pin). */
+case class GraftSavepointCommand(path: String, commitTs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftTableFunctions.statsRow(("pinned_commit", "savepoints_total"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    Merge.savepoint(spark, path, commitTs)
+    Seq(Row(commitTs, Merge.savepoints(spark, path).size.toLong))
+  }
+}
+
+/** Physical revert, deferred to execution (EXPLAIN must not revert). */
+case class GraftRestoreCommand(path: String, commitTs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftTableFunctions.statsRow(("restored_to", "commits_remaining"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    Merge.restoreTo(spark, path, commitTs)
+    Seq(Row(commitTs, Merge.commits(spark, path).count()))
   }
 }
 

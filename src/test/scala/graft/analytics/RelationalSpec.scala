@@ -4,9 +4,10 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Value-level checks that the driver's DuckDB oracle can't express —
-  * currently the approx-percentile error bound (sketch contents are
-  * implementation-defined, so q17b is a rows-only driver row; this spec
-  * is its hard correctness signal). */
+  * currently the approx-percentile raw-digit tracking (the q12b/q17b
+  * driver keys emit hash-checkable error-contract VERDICTS; the sketch
+  * digits themselves are implementation-defined and compared to exact
+  * q17 here instead). */
 class RelationalSpec extends SparkSpec {
 
   test("q31/q32: pivot cells match groupBy; grouping sets emit no grand total") {
@@ -34,12 +35,20 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q17b approx percentiles track exact q17 within sketch error") {
-    def byFlag(name: String): Map[String, (Double, Double, Double)] =
-      graft.SparkEntry.queries(name)(spark, sfDir).collect()
-        .map(r => r.getString(0) ->
-          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val exact = byFlag("q17_percentiles")
-    val approx = byFlag("q17b_approx_percentiles")
+    // value-level tracking of the raw sketch outputs against exact q17
+    // (the driver key now emits the rank-error VERDICT row — hash-
+    // checkable — so the raw-digit comparison lives here)
+    val exact = graft.SparkEntry.queries("q17_percentiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(exact.keySet === approx.keySet)
     exact.foreach { case (flag, (p50, p90, p99)) =>
       val (a50, a90, a99) = approx(flag)
@@ -51,6 +60,21 @@ class RelationalSpec extends SparkSpec {
       assert(close(a90, p90), s"$flag p90: $a90 vs $p90")
       assert(close(a99, p99), s"$flag p99: $a99 vs $p99")
     }
+    // the driver key's verdict row: every contract bit is 1
+    val verdicts = graft.SparkEntry
+      .queries("q17b_approx_percentiles")(spark, sfDir).collect()
+    assert(verdicts.nonEmpty)
+    verdicts.foreach { r =>
+      assert(r.getLong(1) > 0L, s"${r.getString(0)}: empty group")
+      Seq(2, 3, 4).foreach(i =>
+        assert(r.getInt(i) === 1, s"${r.getString(0)} col $i"))
+    }
+    // q12b's HLL contract: exact cardinality present, verdict 1
+    graft.SparkEntry.queries("q12b_approx_distinct")(spark, sfDir)
+      .collect().foreach { r =>
+        assert(r.getLong(1) > 0L)
+        assert(r.getInt(2) === 1, s"${r.getString(0)} HLL out of bound")
+      }
   }
 
   test("q40 gapfill: dense calendar, LOCF carries, leading gap stays null") {

@@ -489,6 +489,131 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("z-order"), e.getMessage)
   }
 
+  test("graft_vacuum procedure: leaked staging sibling swept, table " +
+      "untouched, EXPLAIN sweeps nothing, idempotent") {
+    import spark.implicits._
+    val path = freshTable("sql_vacuum")
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 37 === 5)
+      .select((col("o_orderkey") % 40).as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        col("o_orderstatus").as("part"))
+    (0 until 2).foreach { b =>
+      graft.merge.Merge.upsert(spark, rows.filter($"pre" % 2 === b),
+        path, Seq("okey"), "pre", "part")
+    }
+    val content = graft.merge.Merge.readTable(spark, path)
+      .select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq
+    // manufacture the leak a crashed commit leaves: a recovery-copy
+    // sibling next to the table
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val t = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val leaked = new org.apache.hadoop.fs.Path(
+      t.getParent, s"${t.getName}_staging_1234")
+    fs.mkdirs(leaked)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(leaked, "part-junk.parquet"))
+    out.write("leak".getBytes); out.close()
+    // EXPLAIN analyzes under CommandExecutionMode.SKIP: no sweep
+    val plan = spark.sql(s"EXPLAIN SELECT * FROM graft_vacuum('$path')")
+      .collect().head.getString(0)
+    assert(plan.contains("GraftVacuum"), plan)
+    assert(fs.exists(leaked), "EXPLAIN must not sweep the staging dir")
+    val stats = spark.sql(
+      s"SELECT * FROM graft_vacuum('$path')").collect().head
+    assert(stats.getAs[Long]("removed_staging") === 1L)
+    assert(!fs.exists(leaked), "the leaked staging dir must be gone")
+    assert(graft.merge.Merge.readTable(spark, path)
+      .select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq === content,
+      "vacuum must not touch the table itself")
+    val again = spark.sql(
+      s"SELECT * FROM graft_vacuum('$path')").collect().head
+    assert(again.getAs[Long]("removed_staging") === 0L)
+  }
+
+  test("graft_savepoint pins the floor through graft_clean; " +
+      "graft_savepoints lists the pin; unrecorded commits refused") {
+    import spark.implicits._
+    val path = freshTable("sql_savepoint")
+    // okey % 20 so batches overlap and later commits leave history
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 37 === 7)
+      .select((col("o_orderkey") % 20).as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        col("o_orderstatus").as("part"))
+    val c1 = graft.merge.Merge.upsertVersioned(spark,
+      rows.filter($"pre" % 3 === 0), path, Seq("okey"), "pre", "part")
+    val asOfC1 = graft.merge.Merge.readAsOf(spark, path, c1)
+      .select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq
+    (1 until 3).foreach { b =>
+      graft.merge.Merge.upsertVersioned(spark,
+        rows.filter($"pre" % 3 === b), path, Seq("okey"), "pre", "part")
+    }
+    val stats = spark.sql(
+      s"SELECT * FROM graft_savepoint('$path', $c1)").collect().head
+    assert(stats.getAs[Long]("pinned_commit") === c1)
+    assert(stats.getAs[Long]("savepoints_total") === 1L)
+    assert(spark.sql(s"SELECT * FROM graft_savepoints('$path')")
+      .collect().map(_.getLong(0)).toSeq === Seq(c1))
+    // retention=1 would sweep c1's snapshot — the pin must cap the floor
+    spark.sql(s"SELECT * FROM graft_clean('$path', 1)").collect()
+    assert(graft.merge.Merge.readAsOf(spark, path, c1)
+      .select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq === asOfC1,
+      "the pinned snapshot must stay serviceable through clean")
+    // a commit id that was never recorded is a loud error
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_savepoint('$path', 999999)").collect()
+    }
+    assert(e.getMessage.contains("not recorded"), e.getMessage)
+  }
+
+  test("graft_restore procedure: physical revert at execution only " +
+      "(EXPLAIN leaves the timeline), honest stats, idempotent") {
+    import spark.implicits._
+    val path = freshTable("sql_restore")
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 37 === 9)
+      .select((col("o_orderkey") % 20).as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        col("o_orderstatus").as("part"))
+    val c1 = graft.merge.Merge.upsertVersioned(spark,
+      rows.filter($"pre" % 3 === 0), path, Seq("okey"), "pre", "part")
+    val asOfC1 = graft.merge.Merge.readAsOf(spark, path, c1)
+      .select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq
+    (1 until 3).foreach { b =>
+      graft.merge.Merge.upsertVersioned(spark,
+        rows.filter($"pre" % 3 === b), path, Seq("okey"), "pre", "part")
+    }
+    val commitsBefore = graft.merge.Merge.commits(spark, path).count()
+    val plan = spark.sql(
+      s"EXPLAIN SELECT * FROM graft_restore('$path', $c1)")
+      .collect().head.getString(0)
+    assert(plan.contains("GraftRestore"), plan)
+    assert(graft.merge.Merge.commits(spark, path).count() === commitsBefore,
+      "EXPLAIN must not revert the table")
+    val stats = spark.sql(
+      s"SELECT * FROM graft_restore('$path', $c1)").collect().head
+    assert(stats.getAs[Long]("restored_to") === c1)
+    assert(stats.getAs[Long]("commits_remaining") === 1L)
+    assert(graft.merge.Merge.readTable(spark, path)
+      .select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq === asOfC1,
+      "the restored table IS the as-of snapshot, read plainly")
+    // re-running reverts nothing further (no commits past the target)
+    val again = spark.sql(
+      s"SELECT * FROM graft_restore('$path', $c1)").collect().head
+    assert(again.getAs[Long]("commits_remaining") === 1L)
+    assert(graft.merge.Merge.readTable(spark, path)
+      .select("okey", "price", "pre", "part")
+      .collect().map(_.toString).sorted.toSeq === asOfC1)
+  }
+
   test("ALTER TABLE ADD COLUMNS refuses a duplicate column") {
     val path = freshTable("sql_alter_dup")
     ctas("sql_alter_dup", path)
