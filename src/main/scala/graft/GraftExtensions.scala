@@ -52,12 +52,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
         graft.sql.GraftTableFunctions.commitsName),
       graft.sql.GraftTableFunctions.commitsBuilder))
-    // savepoint observability: SELECT * FROM graft_savepoints('<path>')
-    ext.injectTableFunction((
-      FunctionIdentifier(graft.sql.GraftTableFunctions.savepointsName),
-      new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
-        graft.sql.GraftTableFunctions.savepointsName),
-      graft.sql.GraftTableFunctions.savepointsBuilder))
+    // pure reads: graft_savepoints (pinned commits), graft_snapshot
+    // (path-based current/as-of read), graft_files (live data files)
+    Seq(
+      (graft.sql.GraftTableFunctions.savepointsName,
+        graft.sql.GraftTableFunctions.savepointsBuilder _),
+      (graft.sql.GraftTableFunctions.snapshotName,
+        graft.sql.GraftTableFunctions.snapshotBuilder _),
+      (graft.sql.GraftTableFunctions.filesName,
+        graft.sql.GraftTableFunctions.filesBuilder _)
+    ).foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(graft.sql.GraftTableFunctions.getClass.getName,
+          name),
+        builder))
+    }
     // maintenance procedures (execution-time commands — EXPLAIN and
     // CREATE VIEW over them stay side-effect-free):
     //   SELECT * FROM graft_compact('<path>'[, bytes])

@@ -2687,6 +2687,26 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // x39: q25's time travel driven through SQL WITHOUT catalog
+    // registration — graft_snapshot('<path>', commit_ts), the
+    // path-based complement of VERSION AS OF. Shares q25's oracle:
+    // the as-of read must reconstruct the two-batch snapshot past the
+    // versioned delete and the third upsert.
+    "x39_sql_snapshot" -> ((s, dir) => {
+      val path = scratchTable("graft_x39_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
+      val c2 = upsertVersioned(s, replayBatch(s, dir, 1), path,
+        keyCols, "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, keyCols, Seq("part"))
+      upsertVersioned(s, replayBatch(s, dir, 2), path, keyCols, "pre", "part")
+      s.sql(
+        s"""SELECT okey, part, price, pre
+           |FROM graft_snapshot('$path', $c2)
+           |ORDER BY part, okey""".stripMargin)
+    }),
     // x38: the staging-leak sweep driven through SQL — the q18w replay
     // plus a manufactured recovery-copy leak (the table-sized sibling a
     // crashed commit leaves), swept by graft_vacuum. Content-invariant
@@ -3872,7 +3892,9 @@ object Merge {
       // replay with a staging leak swept by graft_vacuum (sweep is
       // content-invariant — it touches only non-table siblings)
       ("x37_sql_restore" -> oracle0("q26_restore")) +
-      ("x38_sql_vacuum" -> replaySqlMod(50000))
+      ("x38_sql_vacuum" -> replaySqlMod(50000)) +
+      // x39 = q25's as-of snapshot through graft_snapshot('path', ts)
+      ("x39_sql_snapshot" -> oracle0("q25_time_travel"))
 
   // lazy: referenced by the `oracle` val above its definition point —
   // a plain val would still be null when `oracle` is constructed

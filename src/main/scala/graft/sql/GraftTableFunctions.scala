@@ -144,6 +144,56 @@ object GraftTableFunctions {
       .queryExecution.logical
   }
 
+  val snapshotName = "graft_snapshot"
+
+  /** `SELECT * FROM graft_snapshot('<path>'[, commit_ts])` — read a
+    * path-addressed graft table from SQL: the current state, or the
+    * as-of snapshot when a commit id is given ([[Merge.readAsOf]] —
+    * time travel WITHOUT catalog registration, the path-based
+    * complement of `VERSION AS OF`). A pure read: resolves eagerly to
+    * the same plan the DataFrame API serves, so pruning/pushdown
+    * behave identically. */
+  def snapshotBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$snapshotName(path[, commit_ts]) expects a string " +
+      "literal path and an optional integral literal commit id"
+    val spark = SparkSession.active
+    val df = exprs match {
+      case Seq(p) => Merge.readTable(spark, strLit(p, usage))
+      case Seq(p, c) =>
+        Merge.readAsOf(spark, strLit(p, usage), longLit(c, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    df.queryExecution.logical
+  }
+
+  val filesName = "graft_files"
+
+  /** `SELECT * FROM graft_files('<path>')` — the table's current data
+    * files with their sizes (Delta's `DESCRIBE DETAIL` / Hudi's
+    * `call show_fsview_all` analogue): one row per live file,
+    * (file, bytes), paths relative to the table root. Metadata-only —
+    * a file listing plus statuses, no data scan. */
+  def filesBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$filesName(path) expects exactly one string literal " +
+      "argument"
+    val path = exprs match {
+      case Seq(p) => strLit(p, usage)
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    val spark = SparkSession.active
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toUri
+    val rows = Merge.readTable(spark, path).inputFiles.toSeq.sorted.map {
+      f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val rel = rootUri.relativize(fs.makeQualified(p).toUri).getPath
+        (rel, fs.getFileStatus(p).getLen)
+    }
+    rows.toDF("file", "bytes").queryExecution.logical
+  }
+
   val vacuumName = "graft_vacuum"
 
   /** `SELECT * FROM graft_vacuum('<path>')` — sweep leaked staging

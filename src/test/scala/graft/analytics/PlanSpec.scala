@@ -47,6 +47,23 @@ class PlanSpec extends SparkSpec {
       pushed.contains("o_orderdate"), p)
   }
 
+  test("q17b: the sketch-verdict join broadcasts the groups-many " +
+      "sketch side — one data pass, no fact-side re-shuffle join") {
+    val p = plan("q17b_approx_percentiles")
+    // the approx_percentile result is |groups| rows; joining it back to
+    // lineitem must ride a broadcast, never a SortMergeJoin that would
+    // shuffle the 100 TB fact side a second time
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q12b: HLL and exact distinct both aggregate partially " +
+      "before the shuffle") {
+    val p = plan("q12b_approx_distinct")
+    assert(p.contains("partial_approx_count_distinct") ||
+      p.contains("partial_"), p)
+  }
+
   test("q03: aggregation is partial (map-side) before the shuffle") {
     val p = plan("q03_agg_pricing")
     assert(p.contains("HashAggregate"), p)

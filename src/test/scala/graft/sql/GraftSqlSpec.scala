@@ -614,6 +614,43 @@ class GraftSqlSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === asOfC1)
   }
 
+  test("graft_snapshot reads current and as-of state from SQL without " +
+      "catalog registration; graft_files lists the live layout") {
+    import spark.implicits._
+    val path = freshTable("sql_snapshot")
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 37 === 11)
+      .select((col("o_orderkey") % 20).as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        col("o_orderstatus").as("part"))
+    val c1 = graft.merge.Merge.upsertVersioned(spark,
+      rows.filter($"pre" % 2 === 0), path, Seq("okey"), "pre", "part")
+    graft.merge.Merge.upsertVersioned(spark,
+      rows.filter($"pre" % 2 === 1), path, Seq("okey"), "pre", "part")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("okey", "price", "pre", "part")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(spark.sql(s"SELECT * FROM graft_snapshot('$path')")) ===
+      canon(graft.merge.Merge.readTable(spark, path)))
+    assert(canon(spark.sql(
+      s"SELECT * FROM graft_snapshot('$path', $c1)")) ===
+      canon(graft.merge.Merge.readAsOf(spark, path, c1)),
+      "the two-arg form is the as-of snapshot")
+    // the file listing matches the live layout: same count, relative
+    // paths, honest sizes
+    val files = spark.sql(s"SELECT * FROM graft_files('$path')")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(files.length ===
+      graft.merge.Merge.readTable(spark, path).inputFiles.length)
+    assert(files.forall { case (f, b) => !f.startsWith("/") && b > 0L },
+      files.mkString(", "))
+    // arity errors are loud
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_files('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("graft_files"), e.getMessage)
+  }
+
   test("ALTER TABLE ADD COLUMNS refuses a duplicate column") {
     val path = freshTable("sql_alter_dup")
     ctas("sql_alter_dup", path)

@@ -4,7 +4,7 @@
 The driver's correctness gate hash-compares the engine against DuckDB
 SQL oracles (tools/check.py). That catches engine bugs but not a
 CORRELATED misreading — both the Spark query and its SQL oracle
-encoding the same wrong contract. This tool re-derives twelve
+encoding the same wrong contract. This tool re-derives sixteen
 representative keys covering every family (scan-agg, exact dedup,
 windowed streaming, stateful-session streaming, merge replay, CDC
 replication, MinHash/LSH recall, brute-kNN similarity, bigram-LM text
@@ -558,7 +558,37 @@ def s15(sf):
     return pd.DataFrame(rows)
 
 
+def q12b(sf):
+    """HLL error-contract emission: exact distinct re-derived with
+    pandas nunique (a third distinct-count implementation); the
+    within-5% verdict is pinned to 1 — an engine whose HLL drifted
+    out of bound would emit 0 and disagree here."""
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderstatus", "o_custkey"])
+    rows = [(st, int(g.o_custkey.nunique()), 1)
+            for st, g in o.groupby("o_orderstatus")]
+    return pd.DataFrame(
+        rows, columns=["o_orderstatus", "exact_custs", "hll_within_5pct"]
+    ).sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def q17b(sf):
+    """GK rank-error-contract emission: group sizes re-derived in
+    pandas; every per-quantile verdict pinned to 1 (the engine
+    computes the duplicate-rank interval check itself — a sketch
+    outside its rank bound would emit 0 and disagree here)."""
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_returnflag"])
+    rows = [(rf, int(len(g)), 1, 1, 1)
+            for rf, g in li.groupby("l_returnflag")]
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "n", "p50_ok", "p90_ok", "p99_ok"]
+    ).sort_values("l_returnflag").reset_index(drop=True)
+
+
 CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
+          # the sketch error-contract emissions (q12b exact side is a
+          # genuine third distinct-count implementation)
+          "q12b_approx_distinct": q12b, "q17b_approx_percentiles": q17b,
           "d24_dsir_sample": d24,
           "m05_frame_dedup": m05, "p08_ingest_dedup": p08,
           "e01_windowed_counts": e01, "q18_upsert_replay": q18,
