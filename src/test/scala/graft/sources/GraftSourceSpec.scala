@@ -364,4 +364,54 @@ class GraftSourceSpec extends SparkSpec {
     assert(state(dst).exists(_ == ((1L, 12.0, 2L, "A"))))
     assert(state(dst).size === 3)
   }
+
+  test("two native sources feed one stateful interval join; join state " +
+      "survives a checkpointed restart (e24's law, incrementally)") {
+    import spark.implicits._
+    val clicksT = tmpDir("graft_ssj_c_")
+    val buysT = tmpDir("graft_ssj_p_")
+    val ckpt = tmpDir("graft_ssj_ckpt_")
+    val out = tmpDir("graft_ssj_out_")
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def batch(rows: (Long, Long, java.sql.Timestamp)*) =
+      rows.toDF("event_id", "user_id", "ts")
+        .withColumn("value", lit(1.0)).withColumn("part", lit("p"))
+    Merge.upsertVersioned(spark, batch((101L, 1L, ts(10, 0))), clicksT,
+      Seq("event_id"), "value", "part")
+    Merge.upsertVersioned(spark, batch((201L, 1L, ts(10, 30))), buysT,
+      Seq("event_id"), "value", "part")
+    def drain(): Unit = {
+      val l = spark.readStream.format("graft").load(clicksT)
+        .drop(Merge.commitCol)
+      val r = spark.readStream.format("graft").load(buysT)
+        .drop(Merge.commitCol)
+      val q = graft.streaming.EventStreams.intervalJoin(l, r)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          b.write.mode(SaveMode.Overwrite).parquet(s"$out/b=$bid")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    def pairs(): Set[(Long, Long)] = spark.read.parquet(out)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(pairs() === Set((101L, 201L)))
+    // new commits land on BOTH timelines after the first drain; the
+    // resumed query must join the new purchase against the click whose
+    // state was persisted in the FIRST run's checkpoint — (101, 202)
+    // is only emittable if the stateful join's store survived the
+    // restart; a rescanning or state-losing source would either
+    // duplicate (101, 201) or miss (101, 202)
+    Merge.upsertVersioned(spark, batch((102L, 1L, ts(11, 0))), clicksT,
+      Seq("event_id"), "value", "part")
+    Merge.upsertVersioned(spark, batch((202L, 1L, ts(11, 30))), buysT,
+      Seq("event_id"), "value", "part")
+    drain()
+    // (102, 201) is correctly absent: purchases must not precede clicks
+    assert(pairs() === Set((101L, 201L), (101L, 202L), (102L, 202L)))
+  }
 }
