@@ -53,14 +53,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sql.GraftTableFunctions.commitsName),
       graft.sql.GraftTableFunctions.commitsBuilder))
     // pure reads: graft_savepoints (pinned commits), graft_snapshot
-    // (path-based current/as-of read), graft_files (live data files)
+    // (path-based current/as-of read), graft_files (live data files),
+    // graft_count (exact count(*) from parquet footers, zero data IO)
     Seq(
       (graft.sql.GraftTableFunctions.savepointsName,
         graft.sql.GraftTableFunctions.savepointsBuilder _),
       (graft.sql.GraftTableFunctions.snapshotName,
         graft.sql.GraftTableFunctions.snapshotBuilder _),
       (graft.sql.GraftTableFunctions.filesName,
-        graft.sql.GraftTableFunctions.filesBuilder _)
+        graft.sql.GraftTableFunctions.filesBuilder _),
+      (graft.sql.GraftTableFunctions.countName,
+        graft.sql.GraftTableFunctions.countBuilder _)
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((
         FunctionIdentifier(name),

@@ -2687,6 +2687,21 @@ object Merge {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // x40: exact count(*) answered from parquet FOOTER metadata alone
+    // (graft_count — zero data IO; at 100 TB the metadata-priced
+    // answer to the most common analyst question). The wide replay
+    // (two upserts + a delete, so live files reflect rewrites) must
+    // produce the same count the oracle computes relationally — the
+    // proof that a COW table's footer sum IS its row count.
+    "x40_sql_count" -> ((s, dir) => {
+      val path = scratchTable("graft_x40_")
+      val keyCols = Seq("okey")
+      upsert(s, replayBatch(s, dir, 0, 50000), path, keyCols, "pre", "part")
+      upsert(s, replayBatch(s, dir, 1, 50000), path, keyCols, "pre", "part")
+      delete(s, replayBatch(s, dir, 0, 50000).filter(col("pre") % 3 === 0)
+        .select("okey", "part"), path, keyCols, "part")
+      s.sql(s"SELECT n_rows FROM graft_count('$path')")
+    }),
     // x39: q25's time travel driven through SQL WITHOUT catalog
     // registration — graft_snapshot('<path>', commit_ts), the
     // path-based complement of VERSION AS OF. Shares q25's oracle:
@@ -3894,7 +3909,12 @@ object Merge {
       ("x37_sql_restore" -> oracle0("q26_restore")) +
       ("x38_sql_vacuum" -> replaySqlMod(50000)) +
       // x39 = q25's as-of snapshot through graft_snapshot('path', ts)
-      ("x39_sql_snapshot" -> oracle0("q25_time_travel"))
+      ("x39_sql_snapshot" -> oracle0("q25_time_travel")) +
+      // x40 = the wide replay's cardinality from footer metadata; the
+      // oracle counts the same algebra relationally
+      ("x40_sql_count" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_rows FROM (
+           |${replaySqlMod(50000)})""".stripMargin)
 
   // lazy: referenced by the `oracle` val above its definition point —
   // a plain val would still be null when `oracle` is constructed

@@ -202,6 +202,43 @@ object StatsPruning {
     } finally r.close()
   }
 
+  /** EXACT row count of the table at `path` from parquet footer
+    * metadata alone — zero data IO. Parquet footers record each file's
+    * exact record count, and a COW table's live files hold exactly its
+    * live rows (upsert/delete rewrite victims out), so the footer sum
+    * IS `count(*)` — the difference at 100 TB between a free answer
+    * and a full-table scan. Same distribution discipline as the
+    * pruning arm: driver loop below [[distributeFooterReadsAbove]]
+    * files, one Spark map job above. Returns (rows, files). */
+  def footerRowCount(spark: SparkSession, path: String): (Long, Long) = {
+    val fs = Merge.fsFor(spark, path)
+    val root = fs.makeQualified(new Path(path))
+    val all = Merge.listDataStatuses(fs, root).map(_.getPath.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rowsOf(c: Configuration, f: String): Long = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), c))
+      try r.getRecordCount finally r.close()
+    }
+    val total =
+      if (all.size <= distributeFooterReadsAbove)
+        all.map(f => rowsOf(conf, f)).sum
+      else {
+        import scala.jdk.CollectionConverters._
+        val entries = conf.iterator().asScala
+          .map(e => (e.getKey, e.getValue)).toArray
+        val bc = spark.sparkContext.broadcast(entries)
+        val slices = math.min(
+          all.size / 64 + 1, spark.sparkContext.defaultParallelism * 4)
+        spark.sparkContext.parallelize(all, math.max(slices, 1))
+          .mapPartitions { files =>
+            val c = new Configuration(false)
+            bc.value.foreach { case (k, v) => c.set(k, v) }
+            files.map(f => rowsOf(c, f))
+          }.sum().toLong
+      }
+    (total, all.size.toLong)
+  }
+
   /** The files of the table at `path` that may hold rows with
     * `column ∈ [lo, hi]` (absolute path strings), plus the total file
     * count — exposed so specs and operators can observe the prune

@@ -194,6 +194,30 @@ object GraftTableFunctions {
     rows.toDF("file", "bytes").queryExecution.logical
   }
 
+  val countName = "graft_count"
+
+  /** `SELECT * FROM graft_count('<path>')` — the table's EXACT row
+    * count from parquet footer metadata ([[graft.merge.StatsPruning
+    * .footerRowCount]]): one row (n_rows, n_files), zero data IO.
+    * Parquet footers record exact per-file record counts and a COW
+    * table's live files hold exactly its live rows, so this equals
+    * `SELECT count(*)` — at 100 TB, a metadata-priced answer to the
+    * most common analyst question. Footer reads distribute above the
+    * StatsPruning threshold. COW tables only (a MOR snapshot count
+    * needs the delta merge — use `count(*)` over the snapshot view). */
+  def countBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$countName(path) expects exactly one string literal " +
+      "argument"
+    val path = exprs match {
+      case Seq(p) => strLit(p, usage)
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    val spark = SparkSession.active
+    import spark.implicits._
+    val (rows, files) = graft.merge.StatsPruning.footerRowCount(spark, path)
+    Seq((rows, files)).toDF("n_rows", "n_files").queryExecution.logical
+  }
+
   val vacuumName = "graft_vacuum"
 
   /** `SELECT * FROM graft_vacuum('<path>')` — sweep leaked staging

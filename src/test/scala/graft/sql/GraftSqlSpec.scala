@@ -651,6 +651,43 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_files"), e.getMessage)
   }
 
+  test("graft_count: exact count(*) from footer metadata, correct " +
+      "through rewrites, both footer-read arms agree") {
+    import spark.implicits._
+    val path = freshTable("sql_count")
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 37 === 13)
+      .select((col("o_orderkey") % 40).as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        col("o_orderstatus").as("part"))
+    graft.merge.Merge.upsert(spark, rows.filter($"pre" % 2 === 0),
+      path, Seq("okey"), "pre", "part")
+    graft.merge.Merge.upsert(spark, rows.filter($"pre" % 2 === 1),
+      path, Seq("okey"), "pre", "part")
+    def sqlCount(): (Long, Long) = {
+      val r = spark.sql(s"SELECT * FROM graft_count('$path')")
+        .collect().head
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("n_files"))
+    }
+    val exact = graft.merge.Merge.readTable(spark, path).count()
+    val (n1, f1) = sqlCount()
+    assert(n1 === exact)
+    assert(f1 ===
+      graft.merge.Merge.readTable(spark, path).inputFiles.length.toLong)
+    // a delete REWRITES files: the footer sum must track the live rows
+    graft.merge.Merge.delete(spark,
+      rows.filter($"pre" % 4 === 1).select("okey", "part"),
+      path, Seq("okey"), "part")
+    val exactAfter = graft.merge.Merge.readTable(spark, path).count()
+    assert(exactAfter < exact, "delete must remove rows — dead test")
+    assert(sqlCount()._1 === exactAfter)
+    // the distributed footer arm returns the identical answer
+    val prev = graft.merge.StatsPruning.distributeFooterReadsAbove
+    graft.merge.StatsPruning.distributeFooterReadsAbove = 0
+    try assert(sqlCount()._1 === exactAfter)
+    finally graft.merge.StatsPruning.distributeFooterReadsAbove = prev
+  }
+
   test("ALTER TABLE ADD COLUMNS refuses a duplicate column") {
     val path = freshTable("sql_alter_dup")
     ctas("sql_alter_dup", path)
