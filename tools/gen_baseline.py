@@ -35,7 +35,7 @@ def driver_tail(path):
 def full_record(path):
     d = json.load(open(path))
     qs = {k: v for k, v in d.get("queries", {}).items() if v >= 0}
-    return qs, d.get("producer"), d.get("sha")
+    return qs, d.get("producer"), d.get("sha"), d.get("sf", "")
 
 
 def main():
@@ -49,8 +49,13 @@ def main():
     # bench_full_latest.json BEFORE bench_full_r8*.json and drop it)
     for p in sorted(glob.glob(os.path.join(ROOT, "bench_full_*.json")),
                     key=os.path.getmtime):
-        qs, producer, sha = full_record(p)
+        qs, producer, sha, sf = full_record(p)
         if not qs:
+            continue
+        # the table is sf0.1 figures only: sf1 stress records (their
+        # own section's evidence) must never mingle scales here.
+        # Headerless legacy records predate sf1data and are sf0.1.
+        if sf and not sf.rstrip("/").endswith("sf0.1"):
             continue
         stem = os.path.basename(p).replace("bench_full_", "") \
             .replace(".json", "")
@@ -62,7 +67,11 @@ def main():
     # two builder records
     drivers = [c for c in cols if re.match(r"^r\d+d$", c[0])
                and int(c[0][1:-1]) >= 5]
-    builders = [c for c in cols if not re.match(r"^r\d+d$", c[0])][-2:]
+    # spot-records (single-key / sf1-subset A/B evidence) are cited in
+    # the prose adjudications; only near-full builder records make
+    # readable table columns
+    builders = [c for c in cols if not re.match(r"^r\d+d$", c[0])
+                and len(c[1]) >= 20][-2:]
     keep = drivers + builders
     keys = sorted({k for _, qs in keep for k in qs})
     lines = [BEGIN, "",
