@@ -54,7 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sql.GraftTableFunctions.commitsBuilder))
     // pure reads: graft_savepoints (pinned commits), graft_snapshot
     // (path-based current/as-of read), graft_files (live data files),
-    // graft_count (exact count(*) from parquet footers, zero data IO)
+    // graft_count (exact count(*) from parquet footers, zero data IO),
+    // graft_stats (exact per-column stats from footers, zero data IO)
     Seq(
       (graft.sql.GraftTableFunctions.savepointsName,
         graft.sql.GraftTableFunctions.savepointsBuilder _),
@@ -63,7 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (graft.sql.GraftTableFunctions.filesName,
         graft.sql.GraftTableFunctions.filesBuilder _),
       (graft.sql.GraftTableFunctions.countName,
-        graft.sql.GraftTableFunctions.countBuilder _)
+        graft.sql.GraftTableFunctions.countBuilder _),
+      (graft.sql.GraftTableFunctions.statsName,
+        graft.sql.GraftTableFunctions.statsBuilder _)
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((
         FunctionIdentifier(name),

@@ -2693,6 +2693,26 @@ object Merge {
     // (two upserts + a delete, so live files reflect rewrites) must
     // produce the same count the oracle computes relationally — the
     // proof that a COW table's footer sum IS its row count.
+    // x41: ANALYZE-grade per-column statistics from parquet FOOTER
+    // metadata alone (graft_stats — zero data IO). The table carries an
+    // injected-null column so the null count is non-vacuous, and asks
+    // for one column of each class: a data long (okey), a nullable data
+    // long (sk), and the hive partition column (part, answered from
+    // directory values). The oracle computes the identical five
+    // aggregates relationally — the proof that footer stats ARE the
+    // table's stats on a COW layout.
+    "x41_sql_stats" -> ((s, dir) => {
+      val path = scratchTable("graft_x41_")
+      val rows = graft.Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+        when(col("l_orderkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("l_suppkey")).as("sk"),
+        col("l_returnflag").as("part"))
+      bulkInsert(rows, path, "part", keyCols = Seq("okey", "lnum"),
+        targetFileBytes = 1L << 20)
+      s.sql(s"SELECT * FROM graft_stats('$path', 'okey,sk,part')")
+        .orderBy("column")
+    }),
     "x40_sql_count" -> ((s, dir) => {
       val path = scratchTable("graft_x40_")
       val keyCols = Seq("okey")
@@ -3914,7 +3934,36 @@ object Merge {
       // oracle counts the same algebra relationally
       ("x40_sql_count" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_rows FROM (
-           |${replaySqlMod(50000)})""".stripMargin)
+           |${replaySqlMod(50000)})""".stripMargin) +
+      // x41 = footer-only column statistics; the oracle recomputes the
+      // same five aggregates relationally over the identical projection
+      // (incl. the injected nulls). Bounds cast to VARCHAR match the
+      // engine's plain integer rendering; the partition column's bounds
+      // are string-ordered in both (single-char flags).
+      ("x41_sql_stats" ->
+        """WITH t AS (
+          |  SELECT l_orderkey AS okey, l_linenumber AS lnum,
+          |         CASE WHEN l_orderkey % 11 = 0 THEN NULL
+          |              ELSE l_suppkey END AS sk,
+          |         l_returnflag AS part
+          |  FROM lineitem)
+          |SELECT * FROM (
+          |  SELECT 'okey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+          |         CAST(count(*) - count(okey) AS BIGINT) AS n_nulls,
+          |         CAST(min(okey) AS VARCHAR) AS min_value,
+          |         CAST(max(okey) AS VARCHAR) AS max_value,
+          |         TRUE AS exact
+          |  FROM t
+          |  UNION ALL
+          |  SELECT 'sk', CAST(count(*) AS BIGINT),
+          |         CAST(count(*) - count(sk) AS BIGINT),
+          |         CAST(min(sk) AS VARCHAR), CAST(max(sk) AS VARCHAR), TRUE
+          |  FROM t
+          |  UNION ALL
+          |  SELECT 'part', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+          |         min(part), max(part), TRUE
+          |  FROM t)
+          |ORDER BY "column"""".stripMargin)
 
   // lazy: referenced by the `oracle` val above its definition point —
   // a plain val would still be null when `oracle` is constructed

@@ -305,4 +305,213 @@ object StatsPruning {
         .option("basePath", path).parquet(kept: _*)
     }
   }
+
+  /** One column's table-wide stats, aggregated from footers alone.
+    * `exact = false` means some file's footer lacked usable statistics
+    * for the column (absent/empty stats, unset null count, or a
+    * physical type outside the comparison domains — INT96, decimals);
+    * the counts/bounds are then emitted as unknown rather than lied
+    * about. Bounds render in the column's COMPARISON domain: integers
+    * plainly, DATE as epoch days, TIMESTAMP as epoch micros, strings
+    * as themselves. */
+  final case class ColumnStats(column: String, nRows: Long,
+      nNulls: Option[Long], minValue: Option[String],
+      maxValue: Option[String], exact: Boolean)
+
+  /** Mergeable per-column accumulator over file footers. */
+  private final case class ColAcc(nulls: Long, min: Option[Bound],
+      max: Option[Bound], exact: Boolean) extends Serializable
+
+  private def mergeBound(a: Option[Bound], b: Option[Bound], keepMin: Boolean)
+      : (Option[Bound], Boolean) = (a, b) match {
+    case (None, x) => (x, true)
+    case (x, None) => (x, true)
+    case (Some(x), Some(y)) => cmp(x, y) match {
+      case Some(c) => (Some(if ((c <= 0) == keepMin) x else y), true)
+      case None => (None, false) // mixed domains: unknown, not wrong
+    }
+  }
+
+  private def mergeAcc(a: ColAcc, b: ColAcc): ColAcc = {
+    val (mn, okN) = mergeBound(a.min, b.min, keepMin = true)
+    val (mx, okX) = mergeBound(a.max, b.max, keepMin = false)
+    ColAcc(a.nulls + b.nulls, mn, mx, a.exact && b.exact && okN && okX)
+  }
+
+  /** (file row count, per-column accumulators) for one footer. A column
+    * ABSENT from the file's schema (written before additive evolution
+    * added it) reads back null for every row — exactly `fileRows`
+    * nulls, no bounds: that absence is EXACT, unlike absent statistics
+    * on a present column. */
+  private def fileColumnStats(conf: Configuration, file: String,
+      cols: Seq[String]): (Long, Map[String, ColAcc]) = {
+    val in = HadoopInputFile.fromPath(new Path(file), conf)
+    val r = ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val fileRows = blocks.map(_.getRowCount).sum
+      val present = r.getFooter.getFileMetaData.getSchema
+        .getFields.asScala.map(_.getName).toSet
+      val accs = cols.map { c =>
+        if (!present.contains(c))
+          c -> ColAcc(fileRows, None, None, exact = true)
+        else {
+          val acc = blocks.foldLeft(ColAcc(0L, None, None, exact = true)) {
+            (acc, b) =>
+              b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+                case None => acc.copy(exact = false) // schema says present,
+                // chunk missing: malformed enough to refuse exactness
+                case Some(cc) =>
+                  val stats = cc.getStatistics
+                  if (stats == null || stats.isEmpty ||
+                    !stats.isNumNullsSet)
+                    acc.copy(exact = false)
+                  else {
+                    val withNulls =
+                      acc.copy(nulls = acc.nulls + stats.getNumNulls)
+                    if (!stats.hasNonNullValue) withNulls
+                    else blockStats(cc) match {
+                      case StatsRange(lo, hi) =>
+                        val (mn, okN) = mergeBound(withNulls.min, Some(lo),
+                          keepMin = true)
+                        val (mx, okX) = mergeBound(withNulls.max, Some(hi),
+                          keepMin = false)
+                        ColAcc(withNulls.nulls, mn, mx,
+                          withNulls.exact && okN && okX)
+                      case _ => withNulls.copy(exact = false)
+                    }
+                  }
+              }
+          }
+          c -> acc
+        }
+      }.toMap
+      (fileRows, accs)
+    } finally r.close()
+  }
+
+  private def render(b: Bound): String = b match {
+    case NumB(v) => v.stripTrailingZeros.toPlainString
+    case StrB(s) => s
+  }
+
+  /** Spark writes hive partition dir names with %xx escapes for
+    * reserved path chars; undo just those (URLDecoder would also eat
+    * '+', which Spark does NOT escape). */
+  private def unescapePath(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(ch); i += 1 }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** EXACT per-column (rows, nulls, min, max) for the table at `path`,
+    * from parquet footer metadata alone — zero data IO (the
+    * `graft_stats` surface; ANALYZE-grade answers at metadata price).
+    *
+    * Three column classes, each answered from what actually records
+    * its values:
+    *  - data columns: footer null counts and min/max stats, merged
+    *    across files in the comparison domains [[toBound]] defines;
+    *    any file with unusable stats flips `exact` to false and the
+    *    unknown fields emit as null rather than a guess.
+    *  - hive PARTITION columns (recorded in the table's key spec):
+    *    values live in directory names, not footers — bounds are the
+    *    string-ordered min/max over observed directory values, null
+    *    count 0 (the writer never emits a null-partition dir).
+    *  - a column absent from a file's schema (pre-evolution file)
+    *    reads back null there: counted as exactly that file's rows.
+    *
+    * Unknown columns (in neither the table schema nor the key spec)
+    * throw. Footer reads distribute above
+    * [[distributeFooterReadsAbove]], same as the pruning arm. */
+  def columnStats(spark: SparkSession, path: String, cols: Seq[String])
+      : Seq[ColumnStats] = {
+    require(cols.nonEmpty, "columnStats: empty column list")
+    val fs = Merge.fsFor(spark, path)
+    val root = fs.makeQualified(new Path(path))
+    val all = Merge.listDataStatuses(fs, root).map(_.getPath.toString)
+    val partitionCols = KeyIndex.readSpec(spark, path)
+      .map(_.partitionCols).getOrElse(Nil)
+    val tableSchema = Merge.readTable(spark, path).schema.fieldNames.toSet
+    val unknown = cols.filterNot(c =>
+      tableSchema.contains(c) || partitionCols.contains(c))
+    require(unknown.isEmpty,
+      s"columnStats: unknown column(s) ${unknown.mkString(", ")} at " +
+        s"$path — not in the table schema or recorded partition spec")
+    val (partCols, dataCols) = cols.partition(partitionCols.contains)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (totalRows, merged): (Long, Map[String, ColAcc]) = {
+      // even when only partition columns are asked for, the row count
+      // still comes from footers — run the pass with an empty col list
+      def combine(a: (Long, Map[String, ColAcc]),
+          b: (Long, Map[String, ColAcc])): (Long, Map[String, ColAcc]) =
+        (a._1 + b._1, dataCols.map { c =>
+          c -> mergeAcc(a._2(c), b._2(c))
+        }.toMap)
+      val zero: (Long, Map[String, ColAcc]) =
+        (0L, dataCols.map(_ -> ColAcc(0L, None, None, exact = true)).toMap)
+      if (all.isEmpty) zero
+      else if (all.size <= distributeFooterReadsAbove)
+        all.map(f => fileColumnStats(conf, f, dataCols))
+          .foldLeft(zero)(combine)
+      else {
+        import scala.jdk.CollectionConverters._
+        val entries = conf.iterator().asScala
+          .map(e => (e.getKey, e.getValue)).toArray
+        val bc = spark.sparkContext.broadcast(entries)
+        val colsB = dataCols
+        val slices = math.min(
+          all.size / 64 + 1, spark.sparkContext.defaultParallelism * 4)
+        spark.sparkContext.parallelize(all, math.max(slices, 1))
+          .mapPartitions { files =>
+            val c = new Configuration(false)
+            bc.value.foreach { case (k, v) => c.set(k, v) }
+            files.map(f => fileColumnStats(c, f, colsB))
+          }.fold(zero)(combine)
+      }
+    }
+    // partition values from the directory segments of the live files
+    val partValues: Map[String, Seq[String]] =
+      if (partCols.isEmpty) Map.empty
+      else {
+        val rootUri = fs.makeQualified(root).toUri
+        val segs = all.flatMap { f =>
+          // getRawPath keeps the on-disk %xx escapes, so unescapePath
+          // below decodes exactly once
+          rootUri.relativize(new java.net.URI(f)).getRawPath
+            .split('/').dropRight(1) // dir segments only
+            .flatMap { seg =>
+              val i = seg.indexOf('=')
+              if (i <= 0) None
+              else Some(seg.take(i) -> unescapePath(seg.drop(i + 1)))
+            }
+        }
+        segs.groupBy(_._1).map { case (k, vs) =>
+          k -> vs.map(_._2).distinct.sorted
+        }
+      }
+    cols.map { c =>
+      if (partCols.contains(c)) {
+        val vs = partValues.getOrElse(c, Nil)
+        ColumnStats(c, totalRows, Some(0L), vs.headOption, vs.lastOption,
+          exact = true)
+      } else {
+        val a = merged(c)
+        if (a.exact)
+          ColumnStats(c, totalRows, Some(a.nulls),
+            a.min.map(render), a.max.map(render), exact = true)
+        else ColumnStats(c, totalRows, None, None, None, exact = false)
+      }
+    }
+  }
 }

@@ -218,6 +218,43 @@ object GraftTableFunctions {
     Seq((rows, files)).toDF("n_rows", "n_files").queryExecution.logical
   }
 
+  val statsName = "graft_stats"
+
+  /** `SELECT * FROM graft_stats('<path>', 'col1,col2')` — exact
+    * per-column statistics from parquet footer metadata alone
+    * ([[graft.merge.StatsPruning.columnStats]]): one row per named
+    * column, `(column, n_rows, n_nulls, min_value, max_value, exact)`,
+    * zero data IO — the ANALYZE-grade answer at metadata price that a
+    * 100 TB table makes worth having. Footers record exact null counts
+    * and min/max per column chunk and a COW table's live files hold
+    * exactly its live rows, so for data columns the aggregated row IS
+    * `count(*) / count(col) / min(col) / max(col)`; hive partition
+    * columns answer from directory values (string-ordered bounds).
+    * Bounds render in the comparison domain (integers plainly, DATE as
+    * epoch days, TIMESTAMP as epoch micros, strings as themselves);
+    * a column whose footers lack usable stats emits nulls with
+    * `exact = false` rather than a guess. Pure read: resolves eagerly,
+    * nothing to defer. */
+  def statsBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$statsName(path, cols) expects a string literal path " +
+      "and a comma-separated string literal column list"
+    val (path, colsCsv) = exprs match {
+      case Seq(p, c) => (strLit(p, usage), strLit(c, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    val cols = colsCsv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (cols.isEmpty) throw new IllegalArgumentException(
+      s"$statsName: empty column list")
+    val spark = SparkSession.active
+    import spark.implicits._
+    graft.merge.StatsPruning.columnStats(spark, path, cols)
+      .map(s => (s.column, s.nRows, s.nNulls, s.minValue, s.maxValue,
+        s.exact))
+      .toDF("column", "n_rows", "n_nulls", "min_value", "max_value",
+        "exact")
+      .queryExecution.logical
+  }
+
   val vacuumName = "graft_vacuum"
 
   /** `SELECT * FROM graft_vacuum('<path>')` — sweep leaked staging

@@ -696,4 +696,100 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("already exists"))
   }
+
+  test("graft_stats: exact per-column stats from footer metadata — " +
+      "nulls counted, bounds exact, partition column from dir values, " +
+      "both footer arms agree") {
+    val path = freshTable("sql_stats")
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 13 === 2)
+      .select(col("o_orderkey").as("okey"),
+        when(col("o_orderkey") % 5 === 2, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("ck"),
+        col("o_orderpriority").as("clerk"),
+        col("o_orderstatus").as("part"))
+    graft.merge.Merge.bulkInsert(rows, path, "part",
+      keyCols = Seq("okey"), targetFileBytes = 1L << 18)
+    def statsOf(): Map[String, org.apache.spark.sql.Row] =
+      spark.sql(s"SELECT * FROM graft_stats('$path', 'okey,ck,clerk,part')")
+        .collect().map(r => r.getString(0) -> r).toMap
+    val exact = rows.agg(
+      count(lit(1)), count(col("ck")),
+      min("okey"), max("okey"), min("ck"), max("ck"),
+      min("clerk"), max("clerk"), min("part"), max("part")).head()
+    val n = exact.getLong(0)
+    val s = statsOf()
+    assert(s.keySet === Set("okey", "ck", "clerk", "part"))
+    for (c <- Seq("okey", "ck", "clerk", "part")) {
+      assert(s(c).getLong(1) === n, s"$c n_rows")
+      assert(s(c).getBoolean(5), s"$c exact")
+    }
+    assert(s("okey").getLong(2) === 0L)
+    assert(s("ck").getLong(2) === n - exact.getLong(1), "injected nulls")
+    assert(s("clerk").getLong(2) === 0L)
+    assert(s("part").getLong(2) === 0L)
+    assert(s("okey").getString(3) === exact.getLong(2).toString)
+    assert(s("okey").getString(4) === exact.getLong(3).toString)
+    assert(s("ck").getString(3) === exact.getLong(4).toString)
+    assert(s("ck").getString(4) === exact.getLong(5).toString)
+    assert(s("clerk").getString(3) === exact.getString(6))
+    assert(s("clerk").getString(4) === exact.getString(7))
+    // partition bounds come from DIRECTORY values, not footers
+    assert(s("part").getString(3) === exact.getString(8))
+    assert(s("part").getString(4) === exact.getString(9))
+    // the distributed footer arm returns the identical rows
+    val prev = graft.merge.StatsPruning.distributeFooterReadsAbove
+    graft.merge.StatsPruning.distributeFooterReadsAbove = 0
+    try assert(statsOf().map(_._2.toString).toSeq.sorted ===
+      s.map(_._2.toString).toSeq.sorted)
+    finally graft.merge.StatsPruning.distributeFooterReadsAbove = prev
+  }
+
+  test("graft_stats: schema-evolution absent column counts as all-null " +
+      "in pre-evolution files; unusable stats refuse exactness; unknown " +
+      "column is loud") {
+    import spark.implicits._
+    val path = freshTable("sql_stats_evo")
+    val b1 = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 17 === 3)
+      .select(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        lit("A").as("part"))
+    graft.merge.Merge.upsert(spark, b1, path, Seq("okey"), "pre", "part")
+    val n1 = b1.count()
+    // batch 2 lands in a DIFFERENT partition with a NEW column — the
+    // batch-1 files are untouched, so `score` is absent from their
+    // schema and reads back null there
+    val b2 = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 17 === 5)
+      .select(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        lit("B").as("part"), (col("o_orderkey") % 100).as("score"))
+    graft.merge.Merge.upsert(spark, b2, path, Seq("okey"), "pre", "part")
+    val n2 = b2.count()
+    val r = spark.sql(s"SELECT * FROM graft_stats('$path', 'score')")
+      .collect().head
+    assert(r.getLong(1) === n1 + n2)
+    assert(r.getLong(2) === n1, "pre-evolution rows read back null")
+    assert(r.getBoolean(5))
+    assert(r.getString(3) === b2.agg(min("score")).head().getLong(0).toString)
+    // a decimal column's footer stats are outside the comparison
+    // domains: the row must refuse exactness, not guess
+    val pathD = freshTable("sql_stats_dec")
+    val dec = Seq((1L, BigDecimal("1.50"), "A"), (2L, BigDecimal("2.25"), "A"))
+      .toDF("okey", "amt", "part")
+      .withColumn("amt", col("amt").cast("decimal(10,2)"))
+    graft.merge.Merge.bulkInsert(dec, pathD, "part", keyCols = Seq("okey"),
+      targetFileBytes = 1L << 18)
+    val rd = spark.sql(s"SELECT * FROM graft_stats('$pathD', 'amt')")
+      .collect().head
+    assert(!rd.getBoolean(5))
+    assert(rd.isNullAt(2) && rd.isNullAt(3) && rd.isNullAt(4))
+    assert(rd.getLong(1) === 2L, "row count stays exact")
+    // unknown column: loud, names the offender
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_stats('$path', 'nope')").collect()
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
 }
