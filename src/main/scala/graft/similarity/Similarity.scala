@@ -444,6 +444,114 @@ object Similarity {
     bruteTopK(recon, queries, k)
   }
 
+  /** Build half of the IVF-PQ COMPOUND index (s17): the coarse
+    * quantizer routes vectors to cells exactly as [[buildIvfIndex]],
+    * but the cells store PQ CODES — `subspaces` small ints per vector
+    * ([[pqTopK]]'s per-subspace quantizers) — instead of the vectors
+    * themselves. This is the resident-footprint architecture for
+    * billion-vector serving (FAISS's IVFPQ shape; Jégou et al. 2011):
+    * the serve scan reads nProbe/nCentroids of the files (IVF's win)
+    * AND each row is `subspaces × log2(codebook)` bits instead of
+    * dims × 8 bytes (PQ's win) — here 4 codes vs 64 doubles, 32×
+    * smaller before encoding. Codes are raw-vector encodings (not
+    * residuals): residual coding would couple every code to its
+    * centroid, so appends after a retrain would need re-coding; raw
+    * codes keep [[appendToIvfIndex]]'s frozen-quantizer property for
+    * both quantizer levels. Layout: `cells/` (cid-partitioned codes),
+    * `centroids/` (coarse), `codebooks/` (subspaces × codebook tiny
+    * rows). Deterministic end-to-end (md5-sampled Lloyd at both
+    * levels), so the persisted lifecycle serves EXACTLY the relational
+    * collapse the s17 oracle states. */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, nCentroids: Int,
+      subspaces: Int = 4, codebook: Int = 16, coarseIters: Int = 3,
+      pqIters: Int = 2, dims: Int = 64,
+      maxTrainVectors: Int = 100000): Unit = {
+    require(dims % subspaces == 0, "dims must divide evenly into subspaces")
+    val subLen = dims / subspaces
+    val cents = kmeansCentroids(corpus, nCentroids, coarseIters,
+      maxTrainVectors)
+    val e = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cells = assign(e, cents).select(col("vec_id"), col("cid"))
+    val perSub = (0 until subspaces).map { m =>
+      val sub = e.select(col("vec_id"),
+        slice(col("v"), m * subLen + 1, subLen).as("embedding"))
+      val cb = kmeansCentroids(sub, codebook, pqIters, maxTrainVectors)
+      val codes = assign(sub.select(col("vec_id"),
+          col("embedding").as("v")), cb)
+        .select(col("vec_id"), lit(m).as("sub"), col("cid").as("code"))
+      (cb.select(lit(m).as("sub"), col("cid").as("code"), col("cv")), codes)
+    }
+    val codes = perSub.map(_._2).reduce(_ union _)
+      .groupBy("vec_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    cells.join(codes, "vec_id")
+      .select(col("cid"), col("vec_id").as("corpus_id"), col("codes"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path + "/cells")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    perSub.map(_._1).reduce(_ union _)
+      .write.mode("overwrite").parquet(path + "/codebooks")
+  }
+
+  /** Serve half of the IVF-PQ index: probe selection and partition
+    * pruning exactly as [[ivfTopKServed]], then ASYMMETRIC scoring —
+    * full-precision queries against the candidates' RECONSTRUCTIONS,
+    * materialized per candidate row by `subspaces` broadcast joins
+    * against the tiny codebook relation (each join keys one code slot
+    * into its sub-centroid; concat restores sub order). No corpus-side
+    * shuffle: the pruned codes scan stays a narrow map — broadcast
+    * code lookups, concat, one dot per (candidate, query) — into the
+    * bounded per-query ranking window. At 100 TB the scan bytes are
+    * the codes, not the vectors: the hot set a serving tier actually
+    * holds. */
+  def ivfPqTopKServed(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int,
+      subspaces: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(path + "/centroids")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val cn = cents.select(col("cid"), normalized(col("cv")).as("cvn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cid"))
+    // probes carry the RAW query vector: the final scoring is the
+    // asymmetric cosine against reconstructions (s06's expression),
+    // not the normalized dot the probe ranking uses
+    val probes = q.crossJoin(broadcast(cn))
+      .select(col("query_id"), col("qv"), col("cid"),
+        dot(normalized(col("qv")), col("cvn")).as("sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qv", "cid")
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cells = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(path + "/cells")
+      .filter(col("cid").isin(probedCids: _*))
+    val cb = spark.read.parquet(path + "/codebooks")
+    val withSubs = (0 until subspaces).foldLeft(cells) { (df, m) =>
+      df.join(broadcast(cb.filter(col("sub") === m)
+          .select(col("code").as(s"_code_$m"), col("cv").as(s"_cv_$m"))),
+        element_at(col("codes"), m + 1) === col(s"_code_$m"))
+        .drop(s"_code_$m")
+    }
+    val recon = withSubs.withColumn("dv",
+        concat((0 until subspaces).map(m => col(s"_cv_$m")): _*))
+      .select(col("cid"), col("corpus_id"), col("dv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    recon.join(broadcast(probes), Seq("cid"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("dv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+  }
+
   /** IVF ANN: corpus pre-assigned to centroids; each query probes its
     * `nProbe` nearest centroids and exact-ranks within those cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -1010,6 +1118,20 @@ object Similarity {
       ivfTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    // s17: the IVF-PQ compound — s12's partition-pruned serve over
+    // cells that store s06's PQ codes instead of vectors (the
+    // billion-vector resident-footprint architecture). Deterministic
+    // at both quantizer levels, so the oracle is the full relational
+    // collapse: coarse Lloyd + assignment, per-subspace Lloyd +
+    // coding, probe, reconstruct, rank.
+    "s17_ivf_pq" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s17:" + dir, "graft_s17_") {
+        p => buildIvfPqIndex(corpusOf(s, dir), p, nCentroids = 10,
+          subspaces = 4, codebook = 16, maxTrainVectors = 256)
+      }
+      ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // product quantization: per-subspace trained codebooks, asymmetric
     // scoring against the reconstruction (sampled training, as s03)
     "s06_ann_pq" -> ((s, dir) =>
@@ -1142,6 +1264,62 @@ object Similarity {
        |  SELECT q.vec_id AS query_id, recon.vec_id AS corpus_id,
        |         list_cosine_similarity(q.v, recon.dv) AS cos_sim
        |  FROM q CROSS JOIN recon WHERE recon.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, corpus_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, cos_sim
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB SQL for the s17 IVF-PQ compound: the s03 coarse chain
+    * (cells = nearest-coarse-centroid assignment, probes = nProbe
+    * nearest coarse centroids per query) composed with the s06 PQ
+    * chain (per-subspace Lloyd + coding + sub-order reconstruction),
+    * scored by asymmetric cosine within probed cells only. Every
+    * fragment is one of the two proven mirrors; only the composition
+    * is new. */
+  private def s17OracleSql(nCentroids: Int, coarseIters: Int, nProbe: Int,
+      subspaces: Int, subLen: Int, codebook: Int, pqIters: Int,
+      topK: Int, trainN: Int): String = {
+    val subCtes = (0 until subspaces).map { m =>
+      val lo = m * subLen + 1
+      val hi = (m + 1) * subLen
+      s"""corpus_$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM corpus),
+         |${lloydCtesSql(codebook, pqIters, trainN, s"_$m", s"corpus_$m")},
+         |${assignCteSql(s"pqcells_$m", s"c${pqIters}_$m", s"corpus_$m")},
+         |coded_$m AS (SELECT a.vec_id, $m AS sub, c.cv
+         |             FROM pqcells_$m a JOIN c${pqIters}_$m c USING (cid))"""
+        .stripMargin
+    }.mkString(",\n")
+    val unionCoded = (0 until subspaces)
+      .map(m => s"SELECT vec_id, sub, cv FROM coded_$m")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+       |${lloydCtesSql(nCentroids, coarseIters, trainN, "", "corpus")},
+       |${assignCteSql("cells", s"c$coarseIters", "corpus")},
+       |$subCtes,
+       |coded AS ($unionCoded),
+       |recon AS (SELECT vec_id, flatten(list(cv ORDER BY sub)) AS dv
+       |          FROM coded GROUP BY vec_id),
+       |probes AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(${normSql("q.v")}, ${normSql("c.cv")}) DESC,
+       |        c.cid) AS rn
+       |    FROM q CROSS JOIN c$coarseIters c) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT query_id, cells.vec_id AS corpus_id,
+       |         list_cosine_similarity(qv, recon.dv) AS cos_sim
+       |  FROM probes JOIN cells USING (cid)
+       |       JOIN recon ON recon.vec_id = cells.vec_id
+       |  WHERE cells.vec_id <> query_id),
        |ranked AS (
        |  SELECT query_id, corpus_id, cos_sim,
        |         row_number() OVER (PARTITION BY query_id
@@ -1324,6 +1502,11 @@ object Similarity {
          |ORDER BY c.cid""".stripMargin,
     "s06_ann_pq" -> s06OracleSql(subspaces = 4, subLen = 16, codebook = 16,
       iters = 2, topK = 10, trainN = 256),
+    // s17: the s03 coarse chain composed with the s06 PQ chain —
+    // probe-restricted asymmetric scoring against reconstructions
+    "s17_ivf_pq" -> s17OracleSql(nCentroids = 10, coarseIters = 3,
+      nProbe = 4, subspaces = 4, subLen = 16, codebook = 16, pqIters = 2,
+      topK = 10, trainN = 256),
     // the same quantize/dequantize IEEE expression the engine ships,
     // restated over unnested dims; scoring via list_cosine_similarity
     // (bit-identical to the engine's sequential-fold cosine)
