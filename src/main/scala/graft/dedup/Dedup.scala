@@ -998,6 +998,57 @@ object Dedup {
         ((col("_cum_before") + col("_tr")) <= k).as("selected"))
   }
 
+  /** Exact duplicated-SPAN detection at n-gram grain (the bounded-
+    * memory Spark rendering of "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022): a position is
+    * duplicated iff its n-token gram occurs ≥ 2 times ANYWHERE in the
+    * corpus (other docs or elsewhere in the same doc — verbatim
+    * self-repeats are exactly what substring dedup removes). Per doc:
+    * total tokens, gram positions, duplicated positions, and the
+    * TOKEN MASS covered by the union of duplicated spans (overlapping
+    * spans merged by a running-max gaps-and-islands pass — the number
+    * a span-scrub of this corpus would delete).
+    *
+    * The suffix-array machinery of the paper finds arbitrary-length
+    * duplicates but needs corpus-order global structures; fixing the
+    * grain at `n` tokens turns the whole problem into two linear
+    * shuffles — positions group by gram identity (md5, 128-bit: no
+    * cross-engine collision question at any corpus size), duplicated
+    * positions group back by doc — so the operator holds at 100 TB:
+    * no all-pairs, no global sort, per-doc state bounded by doc
+    * length. Every emitted field is an exact integer. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val t = docs.select(col(idCol),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("n_grams",
+        greatest(col("n_tokens") - (n - 1), lit(0L)))
+    val grams = t.filter(col("n_grams") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), col("n_grams")),
+        i => md5(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
+        .as(Seq("_p0", "g")))
+      .select(col(idCol), (col("_p0") + 1).as("pos"), col("g"))
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("g")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val covered = grams.join(dupG, Seq("g"))
+      .select(col(idCol), col("pos"))
+      .withColumn("_prev_end", max(col("pos") + (n - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_inc", when(col("_prev_end").isNull, lit(n.toLong))
+        .otherwise(greatest(lit(0L),
+          least(lit(n.toLong), col("pos") + (n - 1) - col("_prev_end")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_grams"), sum("_inc").as("dup_tokens"))
+    t.select(col(idCol), col("n_tokens"), col("n_grams"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame
@@ -1031,6 +1082,12 @@ object Dedup {
     "d24_dsir_sample" -> ((s, dir) =>
       dsirResample(Tables.documents(s, dir), "doc_id", "text",
         isTarget = col("lang") === "en")
+        .orderBy("doc_id")),
+    // d25: exact duplicated-span detection at 8-gram grain — per doc,
+    // the positions whose gram recurs anywhere in the corpus and the
+    // merged token mass those spans cover; all exact integers
+    "d25_dup_spans" -> ((s, dir) =>
+      dupSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
         .orderBy("doc_id")),
     // e20: the ONLINE half of DSIR — the d24 model trained offline on
     // the reference split (doc_id % 5 <> 0), frozen (localCheckpoint),
@@ -1235,6 +1292,39 @@ object Dedup {
     * bit-identical because both engines normalize per-row then run the
     * same sequential-order dot product. */
   private val oracle0: Map[String, String] = Map(
+    // d25: the duplicated-span algebra restated — grams by STRING
+    // identity (the engine's md5 grouping is injective at 128 bits),
+    // dup = global count >= 2, coverage by the same running-max
+    // gaps-and-islands union; every output an exact integer
+    "d25_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |           CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_grams,
+         |           toks FROM t),
+         |g AS (SELECT doc_id, pos,
+         |        array_to_string(toks[CAST(pos AS INT) :
+         |                             CAST(pos + 7 AS INT)], ' ') AS gram
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(1, n_grams)) AS pos
+         |            FROM base)),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         |dp AS (SELECT doc_id, pos FROM g
+         |       WHERE gram IN (SELECT gram FROM dup)),
+         |isl AS (SELECT doc_id, pos,
+         |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |            AS prev_end
+         |        FROM dp),
+         |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_grams,
+         |          CAST(SUM(CASE WHEN prev_end IS NULL THEN 8
+         |                ELSE greatest(0, least(8, pos + 7 - prev_end))
+         |              END) AS BIGINT) AS dup_tokens
+         |        FROM isl GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens, b.n_grams,
+         |       COALESCE(cov.dup_grams, 0) AS dup_grams,
+         |       COALESCE(cov.dup_tokens, 0) AS dup_tokens
+         |FROM base b LEFT JOIN cov USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
     "d01_exact_dedup" ->
       s"""WITH f AS (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
          |           FROM documents),

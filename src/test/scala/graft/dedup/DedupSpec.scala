@@ -489,4 +489,33 @@ class DedupSpec extends SparkSpec {
       .withColumn("sel2", $"rn" <= k)
     assert(law.filter($"selected" =!= $"sel2").isEmpty)
   }
+
+  test("dupSpans: cross-doc and self repeats flagged at 8-gram grain; " +
+      "overlapping spans merge in the covered-token count") {
+    val corpus = Seq(
+      // A and B share the 8-gram "a1..a8" once each (cross-doc dup);
+      // the rest of each doc is unique filler
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 fA1 fA2 fA3 fA4"),
+      (2L, "fB1 fB2 a1 a2 a3 a4 a5 a6 a7 a8 fB3"),
+      // C repeats its own first 8 tokens verbatim (self-dup): grams at
+      // pos 1 and pos 9 match; the 7 boundary-spanning grams are unique
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8"),
+      // D is 10 identical tokens: grams at pos 1,2,3 are all the same
+      // 8-gram — three dup positions whose spans MERGE to 10 tokens
+      (4L, "m m m m m m m m m m"),
+      // E is unique and long enough to have grams; F too short for any
+      (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      (6L, "short doc")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpans(corpus, "doc_id", "text", n = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // (n_tokens, n_grams, dup_grams, dup_tokens)
+    assert(r(1L) === ((12L, 5L, 1L, 8L)))
+    assert(r(2L) === ((11L, 4L, 1L, 8L)))
+    assert(r(3L) === ((16L, 9L, 2L, 16L)))
+    assert(r(4L) === ((10L, 3L, 3L, 10L)))
+    assert(r(5L) === ((9L, 2L, 0L, 0L)))
+    assert(r(6L) === ((2L, 0L, 0L, 0L)))
+  }
 }
