@@ -1049,6 +1049,59 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** Scrub half of the duplicated-span pair ([[dupSpans]] detects): a
+    * REWRITE that deletes every duplicated n-gram span except the
+    * gram's globally FIRST occurrence (min (doc_id, pos) — Lee et
+    * al.'s keep-one convention), then re-joins the surviving tokens.
+    * Deterministic and purely relational: non-keeper positions expand
+    * to their n covered token slots (an n-fold explode of dup
+    * positions only, never of the corpus), and the token stream
+    * anti-joins that covered set — no per-doc imperative pass, so the
+    * rewrite scales exactly like the detector plus one bounded
+    * explode. Emits (doc_id, n_tokens, kept_tokens, text_scrubbed);
+    * strings and integers only. */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val t = docs.select(col(idCol),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("n_grams",
+        greatest(col("n_tokens") - (n - 1), lit(0L)))
+    val grams = t.filter(col("n_grams") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), col("n_grams")),
+        i => md5(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
+        .as(Seq("_p0", "g")))
+      .select(col(idCol), (col("_p0") + 1).as("pos"), col("g"))
+    // per gram: occurrence count and the keeper (globally first)
+    val byGram = grams.groupBy("g")
+      .agg(count(lit(1)).as("_c"),
+        min(struct(col(idCol), col("pos"))).as("_keep"))
+      .filter(col("_c") >= 2)
+    val nonKeeper = grams.join(byGram, Seq("g"))
+      .filter(!(col(idCol) === col("_keep")(idCol) &&
+        col("pos") === col("_keep")("pos")))
+      .select(col(idCol), col("pos"))
+    val covered = nonKeeper
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+      .distinct()
+    val toks = t.select(col(idCol),
+        posexplode(col("_toks")).as(Seq("_i0", "tok")))
+      .select(col(idCol), (col("_i0") + 1).as("tpos"), col("tok"))
+    val kept = toks.join(covered, Seq(idCol, "tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok"))).as("text_scrubbed"))
+    t.select(col(idCol), col("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   // ---- query inventory ----
 
   type Q = (SparkSession, String) => DataFrame
@@ -1088,6 +1141,12 @@ object Dedup {
     // merged token mass those spans cover; all exact integers
     "d25_dup_spans" -> ((s, dir) =>
       dupSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+    // d26: the rewrite half — duplicated spans deleted except each
+    // gram's globally-first occurrence, tokens re-joined; the scrubbed
+    // STRINGS are the hash-checked artifact
+    "d26_span_dedup" -> ((s, dir) =>
+      scrubDupSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
         .orderBy("doc_id")),
     // e20: the ONLINE half of DSIR — the d24 model trained offline on
     // the reference split (doc_id % 5 <> 0), frozen (localCheckpoint),
@@ -1324,6 +1383,43 @@ object Dedup {
          |       COALESCE(cov.dup_grams, 0) AS dup_grams,
          |       COALESCE(cov.dup_tokens, 0) AS dup_tokens
          |FROM base b LEFT JOIN cov USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
+    // d26: the scrub algebra restated — keeper = first (doc_id, pos)
+    // per gram (rn = 1 under that order), non-keeper spans expand to
+    // covered slots, surviving tokens re-join in order
+    "d26_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |           CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_grams,
+         |           toks FROM t),
+         |g AS (SELECT doc_id, pos,
+         |        array_to_string(toks[CAST(pos AS INT) :
+         |                             CAST(pos + 7 AS INT)], ' ') AS gram
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(generate_series(1, n_grams)) AS pos
+         |            FROM base)),
+         |r AS (SELECT doc_id, pos, gram,
+         |        COUNT(*) OVER (PARTITION BY gram) AS c,
+         |        row_number() OVER (PARTITION BY gram
+         |          ORDER BY doc_id, pos) AS rn
+         |      FROM g),
+         |nk AS (SELECT doc_id, pos FROM r WHERE c >= 2 AND rn >= 2),
+         |covered AS (SELECT DISTINCT doc_id, pos + d AS tpos
+         |            FROM nk, unnest(generate_series(0, 7)) AS u(d)),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok,
+         |          generate_subscripts(toks, 1) AS tpos FROM base),
+         |kept AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         |           string_agg(tok.tok, ' ' ORDER BY tok.tpos)
+         |             AS text_scrubbed
+         |         FROM tok LEFT JOIN covered
+         |           ON covered.doc_id = tok.doc_id
+         |          AND covered.tpos = tok.tpos
+         |         WHERE covered.doc_id IS NULL
+         |         GROUP BY tok.doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |       COALESCE(kept.kept_tokens, 0) AS kept_tokens,
+         |       COALESCE(kept.text_scrubbed, '') AS text_scrubbed
+         |FROM base b LEFT JOIN kept USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
     "d01_exact_dedup" ->
       s"""WITH f AS (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp

@@ -518,4 +518,30 @@ class DedupSpec extends SparkSpec {
     assert(r(5L) === ((9L, 2L, 0L, 0L)))
     assert(r(6L) === ((2L, 0L, 0L, 0L)))
   }
+
+  test("scrubDupSpans: globally-first occurrence kept, later spans " +
+      "deleted, tokens re-joined in order") {
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 fA1 fA2 fA3 fA4"),
+      (2L, "fB1 fB2 a1 a2 a3 a4 a5 a6 a7 a8 fB3"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8"),
+      (4L, "m m m m m m m m m m"),
+      (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    ).toDF("doc_id", "text")
+    val r = Dedup.scrubDupSpans(corpus, "doc_id", "text", n = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    // doc 1 holds the gram's FIRST occurrence: untouched
+    assert(r(1L) === ((12L,
+      12L, "a1 a2 a3 a4 a5 a6 a7 a8 fa1 fa2 fa3 fa4")))
+    // doc 2's copy (pos 3..10) is scrubbed; its filler survives
+    assert(r(2L) === ((11L, 3L, "fb1 fb2 fb3")))
+    // self-repeat: second half (pos 9..16) scrubbed, first half kept
+    assert(r(3L) === ((16L, 8L, "p1 p2 p3 p4 p5 p6 p7 p8")))
+    // all-identical tokens: keeper span [1..8], non-keepers at pos 2,3
+    // cover [2..10] — exactly one token survives
+    assert(r(4L) === ((10L, 1L, "m")))
+    // no duplicates anywhere: untouched
+    assert(r(5L) === ((9L, 9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+  }
 }
