@@ -1017,24 +1017,36 @@ object Dedup {
     * positions group back by doc — so the operator holds at 100 TB:
     * no all-pairs, no global sort, per-doc state bounded by doc
     * length. Every emitted field is an exact integer. */
-  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
-    val t = docs.select(col(idCol),
+  /** Tokenized base for the span family: (id, _toks, n_tokens,
+    * n_grams) — one row per doc. */
+  private[graft] def spanBase(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
         graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
       .withColumn("n_grams",
         greatest(col("n_tokens") - (n - 1), lit(0L)))
-    val grams = t.filter(col("n_grams") > 0)
+
+  /** (id, pos, g) — every n-gram position with its md5 gram identity
+    * (128-bit: no cross-engine collision question at any corpus
+    * size). `base` is [[spanBase]]'s output. */
+  private[graft] def gramRows(base: DataFrame, idCol: String, n: Int)
+      : DataFrame =
+    base.filter(col("n_grams") > 0)
       .select(col(idCol), posexplode(transform(
         sequence(lit(1), col("n_grams")),
         i => md5(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
         .as(Seq("_p0", "g")))
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("g"))
-    val dupG = grams.groupBy("g").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= 2).select("g")
+
+  /** Per-doc interval-union token coverage of duplicated positions:
+    * (id, dup_grams, dup_tokens) over `dupPos` rows (id, pos). The
+    * running-max gaps-and-islands pass — overlapping [pos, pos+n-1]
+    * spans merge. */
+  private[graft] def spanCoverage(dupPos: DataFrame, idCol: String,
+      n: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("pos")
-    val covered = grams.join(dupG, Seq("g"))
-      .select(col(idCol), col("pos"))
+    dupPos
       .withColumn("_prev_end", max(col("pos") + (n - 1))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("_inc", when(col("_prev_end").isNull, lit(n.toLong))
@@ -1042,6 +1054,16 @@ object Dedup {
           least(lit(n.toLong), col("pos") + (n - 1) - col("_prev_end")))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("dup_grams"), sum("_inc").as("dup_tokens"))
+  }
+
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val t = spanBase(docs, idCol, textCol, n)
+    val grams = gramRows(t, idCol, n)
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("g")
+    val covered = spanCoverage(
+      grams.join(dupG, Seq("g")).select(col(idCol), col("pos")), idCol, n)
     t.select(col(idCol), col("n_tokens"), col("n_grams"))
       .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"), col("n_grams"),
@@ -1062,17 +1084,8 @@ object Dedup {
     * strings and integers only. */
   def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    val t = docs.select(col(idCol),
-        graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .withColumn("n_tokens", size(col("_toks")).cast("long"))
-      .withColumn("n_grams",
-        greatest(col("n_tokens") - (n - 1), lit(0L)))
-    val grams = t.filter(col("n_grams") > 0)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(1), col("n_grams")),
-        i => md5(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
-        .as(Seq("_p0", "g")))
-      .select(col(idCol), (col("_p0") + 1).as("pos"), col("g"))
+    val t = spanBase(docs, idCol, textCol, n)
+    val grams = gramRows(t, idCol, n)
     // per gram: occurrence count and the keeper (globally first)
     val byGram = grams.groupBy("g")
       .agg(count(lit(1)).as("_c"),

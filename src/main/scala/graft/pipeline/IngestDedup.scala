@@ -177,13 +177,15 @@ object IngestDedup {
     * discipline). The step is retry-idempotent (landed-partition skip
     * + strictly-earlier screen + Overwrite verdicts), so an
     * at-least-once replay of any micro-batch converges. */
-  def streamIngestDedup(s: SparkSession, dir: String,
-      nBatches: Int = 4): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  /** Ordered document file drops (doc_id % nBatches = drop index),
+    * mtime-pinned so the file source's arrival order IS the chain
+    * order; JVM-cached per shape (deterministic content — the same
+    * reuse contract as the event-drain inputs). Shared by e17 and e25
+    * (identical input, different chains), hence the e17 cache key. */
+  private def orderedDocDrops(s: SparkSession, dir: String,
+      nBatches: Int): String = {
     val docs = Tables.documents(s, dir)
-    // ordered drop dir, JVM-cached per shape (deterministic content —
-    // the same reuse contract as the event-drain inputs)
-    val in = graft.util.Scratch.cached(s"e17:$dir:$nBatches",
+    graft.util.Scratch.cached(s"e17:$dir:$nBatches",
       "graft_e17_in_") { base =>
       val inDir = base + "/in"
       docs.filter(col("doc_id") % nBatches === 0)
@@ -203,6 +205,13 @@ object IngestDedup {
         known = fs.listStatus(p).map(_.getPath.getName).toSet
       }
     } + "/in"
+  }
+
+  def streamIngestDedup(s: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, dir)
+    val in = orderedDocDrops(s, dir, nBatches)
     val stateTable = "e17_bands"
     Scale.dropBucketedTable(s, stateTable)
     val root = graft.util.Scratch.fresh("graft_e17_")
@@ -315,6 +324,154 @@ object IngestDedup {
     collectFlags(spark, flagsPath, idCol, nBatches)
   }
 
+  // ---- incremental SPAN dedup (the d25/d26 family, chained) ----
+
+  /** Bucket count for the gram-state table (fixed at creation, like
+    * [[stateBuckets]]). */
+  val gramBuckets = 8
+
+  /** One complete span-dedup ingest: screen batch `b`'s n-gram
+    * positions against the accumulated GRAM-STATE table (all grams
+    * seen in strictly-earlier ingests, bucketed on `g` so the screen
+    * join never shuffles the state side), flag a position as
+    * duplicated iff its gram was seen before — in an earlier ingest,
+    * or earlier within THIS batch under (doc, pos) order — then
+    * append the batch's genuinely new grams. Because "duplicated" is
+    * exactly "not the globally-first occurrence under arrival order
+    * (ingest, doc, pos)", the CHAIN of steps collapses to one
+    * relational keeper rule (`row_number() = 1` per gram), which is
+    * the p10/e25 oracle — the incremental loop can never drift from
+    * the one-shot semantics. Retry-idempotent by the p08 recipe:
+    * landed-partition skip, strictly-earlier screen, Overwrite
+    * verdicts. Per-ingest cost: O(batch) banding + one bucketed
+    * screen + one append — state is never re-shuffled, the property
+    * that keeps continuous substring dedup linear over a crawl's
+    * lifetime. */
+  private[pipeline] def spanStep(batch: DataFrame, idCol: String,
+      textCol: String, stateTable: String, flagsPath: String, b: Int,
+      n: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val base = Dedup.spanBase(batch, idCol, textCol, n)
+    val grams = Dedup.gramRows(base, idCol, n)
+    val wb = Window.partitionBy("g").orderBy(col(idCol), col("pos"))
+    val marked = grams.withColumn("_rnb", row_number().over(wb))
+    val joined =
+      if (!spark.catalog.tableExists(stateTable))
+        marked.withColumn("_seen", lit(false))
+      else
+        spanScreen(
+          spark.table(stateTable).where(col("ingest_batch") < b), marked)
+    val j = joined.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupPos = j.filter(col("_seen") || col("_rnb") >= 2)
+        .select(col(idCol), col("pos"))
+      val cov = Dedup.spanCoverage(dupPos, idCol, n)
+      base.select(col(idCol), col("n_tokens"), col("n_grams"))
+        .join(cov, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"), col("n_grams"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .withColumn("ingest_batch", lit(b))
+        .write.mode(SaveMode.Overwrite).parquet(s"$flagsPath/b=$b")
+      appendGrams(
+        j.filter(!col("_seen") && col("_rnb") === 1).select("g"),
+        stateTable, b)
+    } finally { j.unpersist(); () }
+  }
+
+  /** Screen in-batch-ranked gram rows (`marked`: id, pos, g, _rnb)
+    * against strictly-earlier state grams: adds `_seen`. The state
+    * side streams through the bucketed scan into the batch-side hash
+    * map — no Exchange, no Sort on the accumulated corpus (the
+    * [[screenJoin]] plan shape, spec-pinned). */
+  private[pipeline] def spanScreen(state: DataFrame, marked: DataFrame)
+      : DataFrame =
+    state.select(col("g"), lit(true).as("_s"))
+      .join(marked.hint("shuffle_hash"), Seq("g"), "right_outer")
+      .withColumn("_seen", coalesce(col("_s"), lit(false)))
+      .drop("_s")
+
+  /** Append batch `b`'s first-appearance grams to the bucketed
+    * gram-state table — the [[appendBands]] recipe on key `g`.
+    * State stays globally DISTINCT: a gram is appended only on the
+    * ingest where it first appears (screen verdict `!_seen`, in-batch
+    * rank 1), and the landed-partition skip keeps replays from
+    * double-appending. Returns whether the append ran. */
+  private[pipeline] def appendGrams(newGrams: DataFrame, table: String,
+      b: Int): Boolean = {
+    val spark = newGrams.sparkSession
+    val exists = spark.catalog.tableExists(table)
+    if (exists && !spark.table(table)
+        .where(col("ingest_batch") === b).isEmpty) false
+    else {
+      newGrams.withColumn("ingest_batch", lit(b))
+        .write
+        .partitionBy("ingest_batch")
+        .bucketBy(gramBuckets, "g")
+        .sortBy("g")
+        .mode(if (exists) SaveMode.Append else SaveMode.ErrorIfExists)
+        .format("parquet")
+        .saveAsTable(table)
+      true
+    }
+  }
+
+  private def collectSpanFlags(spark: SparkSession, flagsPath: String,
+      idCol: String, nBatches: Int): DataFrame =
+    spark.read.parquet((0 until nBatches).map(b => s"$flagsPath/b=$b"): _*)
+      .select(col(idCol), col("ingest_batch"), col("n_tokens"),
+        col("n_grams"), col("dup_grams"), col("dup_tokens"))
+      .orderBy(idCol)
+
+  /** Replay `nBatches` span-dedup ingests (batch = `idCol %
+    * nBatches`) through a fresh gram-state table; one row per doc:
+    * (id, ingest_batch, n_tokens, n_grams, dup_grams, dup_tokens)
+    * where a gram position counts as duplicated iff it is not the
+    * globally-first occurrence under (ingest, doc, pos) arrival
+    * order, and dup_tokens is the merged span coverage. */
+  def spanDedupChain(docs: DataFrame, idCol: String, textCol: String,
+      nBatches: Int = 4, n: Int = 8,
+      stateTable: String = "p10_grams"): DataFrame = {
+    val spark = docs.sparkSession
+    Scale.dropBucketedTable(spark, stateTable)
+    val flagsPath = graft.util.Scratch.fresh("graft_p10_") + "/flags"
+    (0 until nBatches).foreach { b =>
+      spanStep(docs.filter(col(idCol) % nBatches === b), idCol, textCol,
+        stateTable, flagsPath, b, n)
+    }
+    collectSpanFlags(spark, flagsPath, idCol, nBatches)
+  }
+
+  /** Structured-Streaming form of [[spanDedupChain]] — the same
+    * ordered file-drop source as [[streamIngestDedup]] (micro-batch b
+    * IS chain ingest b), each micro-batch running the identical
+    * [[spanStep]] against the durable gram table. Streaming/batch
+    * parity by construction: e25 shares p10's oracle verbatim. */
+  def streamSpanDedup(s: SparkSession, dir: String, nBatches: Int = 4,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, dir)
+    val in = orderedDocDrops(s, dir, nBatches)
+    val stateTable = "e25_grams"
+    Scale.dropBucketedTable(s, stateTable)
+    val root = graft.util.Scratch.fresh("graft_e25_")
+    val flagsPath = root + "/flags"
+    val src = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = src.writeStream
+      .option("checkpointLocation", root + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        spanStep(batch, "doc_id", "text", stateTable, flagsPath,
+          batchId.toInt, n)
+      }
+      .start()
+    q.awaitTermination()
+    collectSpanFlags(s, flagsPath, "doc_id", nBatches)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -333,7 +490,17 @@ object IngestDedup {
     // doc_id % 4), so the streaming run must reproduce the batch
     // chain's verdicts bit for bit; shares p08's oracle
     "e17_stream_ingest_dedup" -> ((s, dir) =>
-      streamIngestDedup(s, dir, nBatches = 4))
+      streamIngestDedup(s, dir, nBatches = 4)),
+    // p10: the d25 span family chained — per-ingest screening against
+    // the accumulated gram-state table; the chain collapses to the
+    // keeper rule (dup = not globally-first under arrival order)
+    "p10_span_chain" -> ((s, dir) =>
+      spanDedupChain(Tables.documents(s, dir), "doc_id", "text",
+        nBatches = 4)),
+    // e25: the same chain under Structured Streaming (micro-batch b
+    // IS chain ingest b); shares p10's oracle
+    "e25_stream_span_dedup" -> ((s, dir) =>
+      streamSpanDedup(s, dir, nBatches = 4))
   )
 
   /** The chained screens collapse relationally: doc X (ingest b) is
@@ -358,10 +525,52 @@ object IngestDedup {
 
   private val chainSql: String = chainSqlAt(4)
 
+  /** The span chain's relational collapse: a position is duplicated
+    * iff it is not the globally-first occurrence of its gram under
+    * (ingest, doc, pos) arrival order — `row_number() >= 2` per gram —
+    * then the d25 coverage union per doc. One statement, however many
+    * ingests the incremental loop actually ran. */
+  private def spanChainSqlAt(nBatches: Int): String = {
+    val toksSql = graft.text.TextAnalysis.toksSql
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |           CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_grams,
+       |           toks FROM t),
+       |g AS (SELECT doc_id, CAST(doc_id % $nBatches AS INT) AS ib, pos,
+       |        array_to_string(toks[CAST(pos AS INT) :
+       |                             CAST(pos + 7 AS INT)], ' ') AS gram
+       |      FROM (SELECT doc_id, toks,
+       |              unnest(generate_series(1, n_grams)) AS pos
+       |            FROM base)),
+       |r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram
+       |        ORDER BY ib, doc_id, pos) AS rn FROM g),
+       |dp AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+       |isl AS (SELECT doc_id, pos,
+       |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |            AS prev_end
+       |        FROM dp),
+       |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_grams,
+       |          CAST(SUM(CASE WHEN prev_end IS NULL THEN 8
+       |                ELSE greatest(0, least(8, pos + 7 - prev_end))
+       |              END) AS BIGINT) AS dup_tokens
+       |        FROM isl GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.doc_id % $nBatches AS INT) AS ingest_batch,
+       |       b.n_tokens, b.n_grams,
+       |       COALESCE(cov.dup_grams, 0) AS dup_grams,
+       |       COALESCE(cov.dup_tokens, 0) AS dup_tokens
+       |FROM base b LEFT JOIN cov USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "p08_ingest_dedup" -> chainSql,
     "e17_stream_ingest_dedup" -> chainSql,
     // compaction is a table service: the 6-batch compacted chain must
     // hash-match the plain 6-batch relational collapse
-    "p09_band_compact" -> chainSqlAt(6))
+    "p09_band_compact" -> chainSqlAt(6),
+    // the span chain and its streaming twin share one keeper-rule
+    // collapse (streaming/batch parity by shared spanStep)
+    "p10_span_chain" -> spanChainSqlAt(4),
+    "e25_stream_span_dedup" -> spanChainSqlAt(4))
 }

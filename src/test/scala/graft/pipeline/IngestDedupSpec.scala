@@ -250,4 +250,115 @@ class IngestDedupSpec extends SparkSpec {
     assert(byId(2L).getAs[Long]("dup_of") === 1L)
     assert(byId(2L).getAs[Long]("n_matches") === 2L)
   }
+
+  // span-chain toy corpus (batch = doc_id % 2):
+  // batch0 = {2, 4, 10}, batch1 = {1, 3}; doc 1 repeats doc 2's
+  // 8-gram cross-batch, doc 10 repeats doc 4's within batch 0
+  private val spanDocs = Seq(
+    (2L, "a1 a2 a3 a4 a5 a6 a7 a8 f2a f2b"),
+    (4L, "b1 b2 b3 b4 b5 b6 b7 b8 f4a"),
+    (10L, "f10a b1 b2 b3 b4 b5 b6 b7 b8"),
+    (1L, "f1a a1 a2 a3 a4 a5 a6 a7 a8 f1b"),
+    (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")
+  ).toDF("doc_id", "text")
+
+  test("spanDedupChain: dup iff not globally-first under arrival " +
+      "order — earlier-ingest and earlier-in-batch repeats flagged, " +
+      "keepers clean") {
+    val r = IngestDedup.spanDedupChain(spanDocs, "doc_id", "text",
+        nBatches = 2, stateTable = "test_p10_chain")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5))).toMap
+    // (ingest_batch, n_tokens, n_grams, dup_grams, dup_tokens)
+    assert(r(2L) === ((0, 10L, 3L, 0L, 0L)))  // keeper: first ever
+    assert(r(4L) === ((0, 9L, 2L, 0L, 0L)))   // keeper within batch 0
+    assert(r(10L) === ((0, 9L, 2L, 1L, 8L)))  // later in SAME batch
+    assert(r(1L) === ((1, 10L, 3L, 1L, 8L)))  // repeat of batch 0
+    assert(r(3L) === ((1, 9L, 2L, 0L, 0L)))   // unique everywhere
+  }
+
+  test("spanStep is retry-idempotent: replayed micro-batch neither " +
+      "double-appends gram state nor changes verdicts") {
+    import graft.scale.Scale
+    val tbl = "test_p10_retry"
+    Scale.dropBucketedTable(spark, tbl)
+    val flags = graft.util.Scratch.fresh("graft_p10_retry_") + "/flags"
+    def batch(b: Int) = spanDocs.filter(col("doc_id") % 2 === b)
+    IngestDedup.spanStep(batch(0), "doc_id", "text", tbl, flags, 0, 8)
+    val state0 = spark.table(tbl).collect().map(_.toString).sorted.toSeq
+    (1 to 3).foreach { _ =>
+      IngestDedup.spanStep(batch(1), "doc_id", "text", tbl, flags, 1, 8)
+    }
+    val state = spark.table(tbl)
+    // state stays globally distinct — one landed copy per gram
+    assert(state.groupBy("g").count().filter(col("count") > 1).isEmpty)
+    assert(state.where(col("ingest_batch") === 0).collect()
+      .map(_.toString).sorted.toSeq === state0)
+    // batch 1 appended ONLY its genuinely new grams: doc 1's repeated
+    // gram is already in state from batch 0
+    val b1New = state.where(col("ingest_batch") === 1).count()
+    assert(b1New === (2L + 1L + 2L) - 1L,
+      "doc1 has 3 grams (1 seen), doc3 has 2 — 4 new")
+    // verdicts unchanged across replays
+    val r = spark.read.parquet(s"$flags/b=1").collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r(1L).getAs[Long]("dup_grams") === 1L)
+    assert(r(1L).getAs[Long]("dup_tokens") === 8L)
+    assert(r(3L).getAs[Long]("dup_grams") === 0L)
+  }
+
+  test("span screen is exchange-free on the bucketed gram-state side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.expressions.Window
+    import graft.scale.Scale
+    val tbl = "test_p10_plan"
+    Scale.dropBucketedTable(spark, tbl)
+    val corpus = graft.Tables.documents(spark, sfDir)
+    def marked(b: Int) = {
+      val base = graft.dedup.Dedup.spanBase(
+        corpus.filter(col("doc_id") % 2 === b), "doc_id", "text", 8)
+      graft.dedup.Dedup.gramRows(base, "doc_id", 8)
+        .withColumn("_rnb", row_number().over(
+          Window.partitionBy("g").orderBy(col("doc_id"), col("pos"))))
+    }
+    assert(IngestDedup.appendGrams(
+      marked(0).filter(col("_rnb") === 1).select("g"), tbl, 0))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val screened = IngestDedup.spanScreen(
+        spark.table(tbl).where(col("ingest_batch") < 1), marked(1))
+      screened.collect()
+      val plan = screened.queryExecution.executedPlan
+      def hasStateScan(p: SparkPlan): Boolean = p.collectFirst {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(tbl))
+          => f
+      }.isDefined
+      val stateScans = plan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(tbl))
+          => f
+      }
+      assert(stateScans.nonEmpty, plan.toString)
+      assert(stateScans.forall(_.bucketedScan), plan.toString)
+      val shj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          => j
+      }
+      val stateSide = shj
+        .filter(j => hasStateScan(j.left) || hasStateScan(j.right))
+        .map(j => if (hasStateScan(j.right)) j.right else j.left)
+      assert(stateSide.nonEmpty, plan.toString)
+      stateSide.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"state side must not shuffle:\n$plan")
+        assert(side.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }.isEmpty, s"state side must not re-sort:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
