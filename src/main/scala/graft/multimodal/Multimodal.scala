@@ -255,6 +255,11 @@ object Multimodal {
     "m09_cdc_chunks" -> ((s, dir) =>
       cdcSharedChunks(syntheticMedia(s, dir), "media_id", "payload")
         .orderBy("fp")),
+    // m10: the storage dedup ratio per media — keep-first accounting
+    // over the same CDC chunk instances, all exact integers
+    "m10_chunk_dedup" -> ((s, dir) =>
+      chunkDedupReport(syntheticMedia(s, dir), "media_id", "payload")
+        .orderBy("media_id")),
     // m08: overlap pairs over the synthetic payloads — the oracle
     // replays the identical window/df/pair algebra on the text bytes
     // (the corpus is pure ASCII, so character windows ARE the utf-8
@@ -361,15 +366,45 @@ object Multimodal {
         s"THEN ${1L << b} ELSE 0 END)").mkString(" + ")
   }
 
+  /** Per-media STORAGE dedup report over [[cdcChunks]] fingerprints —
+    * the "what would content-addressed storage save" statement (the
+    * backup/dataset-store dedup ratio): a chunk INSTANCE is redundant
+    * iff it is not the globally-first occurrence of its fingerprint
+    * under (media, offset) order (keep-first accounting, so
+    * `sum(dup_bytes)` IS the byte count a dedup store would not
+    * write — within-media repeats included, exactly as a chunk store
+    * sees them). Emits per media: n_chunks, n_bytes, dup_chunks,
+    * dup_bytes — all exact integers. Payload bytes never shuffle:
+    * chunking is narrow/codegen'd, only (fp, offsets, lens) move. */
+  def chunkDedupReport(media: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val ch = cdcChunks(media, idCol, payloadCol)
+    val keep = ch.groupBy("fp")
+      .agg(min(struct(col("id"), col("start"))).as("_k"))
+    ch.join(keep, Seq("fp"))
+      .withColumn("_red", !(col("id") === col("_k.id") &&
+        col("start") === col("_k.start")))
+      .groupBy(col("id").as("media_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("len").as("n_bytes"),
+        sum(when(col("_red"), lit(1L)).otherwise(lit(0L)))
+          .as("dup_chunks"),
+        sum(when(col("_red"), col("len")).otherwise(lit(0L)))
+          .as("dup_bytes"))
+  }
+
   /** m09 oracle: the rolling hash restated directly (weight B^j on the
     * j-th byte back from each end position — identical mod-M algebra),
     * boundaries ∪ the final position, chunks sliced by lag, sha256
     * over the same ASCII bytes. */
-  private def m09OracleSql(k: Int, base: Int, modulus: Int,
+  /** Shared CDC chunk-instance CTE chain (through `ch`: id, start,
+    * len, fp) — the rolling-hash boundary algebra both m09 and m10
+    * restate. */
+  private def cdcChunkCtesSql(k: Int, base: Int, modulus: Int,
       divisor: Int): String = {
     val pows = (0 until k).map(j => BigInt(base).pow(j))
       .mkString("[", ",", "]")
-    s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+    s"""d AS (SELECT doc_id AS id, text FROM documents),
        |h AS (SELECT id, p,
        |        list_sum(list_transform(range(0, $k),
        |          j -> ord(substr(text, p - j, 1)) * ($pows)[j + 1]))
@@ -380,18 +415,40 @@ object Multimodal {
        |o AS (SELECT id, p AS e,
        |        lag(p, 1, 0) OVER (PARTITION BY id ORDER BY p) AS prev
        |      FROM bnd),
-       |ch AS (SELECT o.id, sha256(substr(d.text, prev + 1, e - prev))
-       |         AS fp, e - prev AS len
-       |       FROM o JOIN d USING (id))
+       |ch AS (SELECT o.id, prev + 1 AS start, e - prev AS len,
+       |         sha256(substr(d.text, prev + 1, e - prev)) AS fp
+       |       FROM o JOIN d USING (id))""".stripMargin
+  }
+
+  private def m09OracleSql(k: Int, base: Int, modulus: Int,
+      divisor: Int): String =
+    s"""WITH ${cdcChunkCtesSql(k, base, modulus, divisor)}
        |SELECT fp, COUNT(DISTINCT id) AS n_media,
        |  COUNT(*) AS n_occurrences, MIN(id) AS keeper_media,
        |  MIN(len) AS chunk_len
        |FROM ch GROUP BY fp HAVING COUNT(DISTINCT id) > 1
        |ORDER BY fp""".stripMargin
-  }
+
+  /** m10 oracle: the same chunk instances, keep-first redundancy
+    * (row_number over (id, start) per fingerprint), per-media byte
+    * accounting. */
+  private def m10OracleSql(k: Int, base: Int, modulus: Int,
+      divisor: Int): String =
+    s"""WITH ${cdcChunkCtesSql(k, base, modulus, divisor)},
+       |r AS (SELECT id, len, row_number() OVER (PARTITION BY fp
+       |        ORDER BY id, start) AS rn FROM ch)
+       |SELECT id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(len) AS BIGINT) AS n_bytes,
+       |  CAST(SUM(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_chunks,
+       |  CAST(SUM(CASE WHEN rn >= 2 THEN len ELSE 0 END) AS BIGINT)
+       |    AS dup_bytes
+       |FROM r GROUP BY id ORDER BY media_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "m09_cdc_chunks" -> m09OracleSql(k = 8, base = 31,
+      modulus = 1 << 20, divisor = 16),
+    "m10_chunk_dedup" -> m10OracleSql(k = 8, base = 31,
       modulus = 1 << 20, divisor = 16),
     // ASCII corpus: substr over text == the engine's byte windows
     "m08_content_overlap" ->

@@ -210,6 +210,38 @@ class MultimodalSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     assert(shared.toSeq === Seq((shaEmpty, 2L, 1L)))
   }
+
+  test("m10 chunkDedupReport: chunks partition every payload exactly; " +
+      "keep-first accounting — an identical copy is fully redundant, " +
+      "the first copy fully kept") {
+    val rows = Seq(
+      (1L, ("unique prefix " + "shared tail content " * 8).getBytes("UTF-8")),
+      (2L, ("unique prefix " + "shared tail content " * 8).getBytes("UTF-8")),
+      (3L, "completely unrelated bytes with no repeats".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val r = Multimodal.chunkDedupReport(rows, "media_id", "payload")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // chunks PARTITION the payload: per-media byte totals are exact
+    val lens = rows.collect()
+      .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1).length.toLong).toMap
+    for ((id, (_, nBytes, _, _)) <- r)
+      assert(nBytes === lens(id), s"media $id bytes")
+    // media 2 is byte-identical to media 1: every chunk instance is a
+    // later copy — fully redundant; media 1 holds every keeper
+    assert(r(2L)._3 === r(2L)._1, "all of media 2's chunks redundant")
+    assert(r(2L)._4 === r(2L)._2, "all of media 2's bytes redundant")
+    assert(r(1L)._3 < r(1L)._1,
+      "media 1 keeps at least one keeper chunk")
+    // media 3 shares nothing (unless its content self-repeats — it
+    // doesn't at this chunk grain)
+    assert(r(3L)._3 === 0L && r(3L)._4 === 0L)
+    // global identity: kept instances == distinct fingerprints
+    val ch = Multimodal.cdcChunks(rows, "media_id", "payload")
+    val distinctFps = ch.select("fp").distinct().count()
+    val kept = r.values.map(v => v._1 - v._3).sum
+    assert(kept === distinctFps)
+  }
 }
 
 /** JVM-global lifecycle counters — executor threads share this JVM in

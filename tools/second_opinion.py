@@ -4,12 +4,13 @@
 The driver's correctness gate hash-compares the engine against DuckDB
 SQL oracles (tools/check.py). That catches engine bugs but not a
 CORRELATED misreading — both the Spark query and its SQL oracle
-encoding the same wrong contract. This tool re-derives sixteen
+encoding the same wrong contract. This tool re-derives seventeen
 representative keys covering every family (scan-agg, exact dedup,
 windowed streaming, stateful-session streaming, merge replay, CDC
 replication, MinHash/LSH recall, brute-kNN similarity, bigram-LM text
 scoring, DSIR quantized-log resampling, multimodal frame dedup,
-chained crawl-ingest dedup) in plain pandas / pure Python — no SQL
+chained crawl-ingest dedup, duplicated-span detection) in plain
+pandas / pure Python — no SQL
 engine at all — and compares against the engine's Verify dumps.
 
 Usage:
@@ -403,6 +404,39 @@ def p08(sf):
     return pd.DataFrame(rows)
 
 
+def d25(sf):
+    """Duplicated-span detection re-derived in pure Python: count every
+    8-gram's corpus-wide occurrences, flag positions with count >= 2,
+    merge overlapping [pos, pos+7] spans per doc with a running max."""
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks_of = {}
+    counts = {}
+    for i, t in zip(docs.doc_id, docs.text):
+        toks = [w for w in TOK.sub(" ", t.lower()).strip().split(" ") if w]
+        toks_of[int(i)] = toks
+        for j in range(max(len(toks) - 7, 0)):
+            g = " ".join(toks[j:j + 8])
+            counts[g] = counts.get(g, 0) + 1
+    rows = []
+    for i in sorted(toks_of):
+        toks = toks_of[i]
+        n_grams = max(len(toks) - 7, 0)
+        dup_pos = [j + 1 for j in range(n_grams)
+                   if counts[" ".join(toks[j:j + 8])] >= 2]
+        covered, prev_end = 0, None
+        for p in dup_pos:
+            if prev_end is None:
+                covered += 8
+            else:
+                covered += max(0, min(8, p + 7 - prev_end))
+            prev_end = max(prev_end or 0, p + 7)
+        rows.append({"doc_id": i, "n_tokens": len(toks),
+                     "n_grams": n_grams, "dup_grams": len(dup_pos),
+                     "dup_tokens": covered})
+    return pd.DataFrame(rows)
+
+
 def _fold_dot(a, b):
     d = 0.0
     for x, y in zip(a, b):
@@ -603,7 +637,9 @@ CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
           # boundary and the drift statistic's integer grid
           "s08_ann_recall": s08, "s15_ivf_drift": s15,
           "e02_sessions": e02, "s01_knn_brute": s01,
-          "t13_lm_score": t13}
+          "t13_lm_score": t13,
+          # the span-dedup family's all-integer detection contract
+          "d25_dup_spans": d25}
 
 
 def compare(name, mine, engine):
