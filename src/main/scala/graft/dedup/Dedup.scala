@@ -1056,19 +1056,29 @@ object Dedup {
       .agg(count(lit(1)).as("dup_grams"), sum("_inc").as("dup_tokens"))
   }
 
+  /** The span family's per-doc report: coverage of `dupPos` joined
+    * back onto every base doc, absent coverage as exact zeros.
+    * Shared by [[dupSpans]] and the incremental chain's spanStep so
+    * the p10/e25-vs-d25 schema parity the oracles assume can't
+    * drift. */
+  private[graft] def spanReport(base: DataFrame, dupPos: DataFrame,
+      idCol: String, n: Int): DataFrame = {
+    val covered = spanCoverage(dupPos, idCol, n)
+    base.select(col(idCol), col("n_tokens"), col("n_grams"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val t = spanBase(docs, idCol, textCol, n)
     val grams = gramRows(t, idCol, n)
     val dupG = grams.groupBy("g").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("g")
-    val covered = spanCoverage(
+    spanReport(t,
       grams.join(dupG, Seq("g")).select(col(idCol), col("pos")), idCol, n)
-    t.select(col(idCol), col("n_tokens"), col("n_grams"))
-      .join(covered, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"), col("n_grams"),
-        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
   /** Scrub half of the duplicated-span pair ([[dupSpans]] detects): a
@@ -1363,35 +1373,50 @@ object Dedup {
     * DuckDB parity — including d06's cosine values, which are
     * bit-identical because both engines normalize per-row then run the
     * same sequential-order dot product. */
+  /** Shared span-oracle CTE fragments (the cdcChunkCtesSql discipline:
+    * one copy of the tokenize/base/gram/coverage algebra, composed by
+    * the d25, d26 and p10/e25 oracles — a grain or tokenizer change
+    * edits ONE string). `spanGramCteSql(extra)` injects extra SELECT
+    * columns (the chain's ingest id) between doc_id and pos;
+    * `spanCovCtesSql` consumes a `dp(doc_id, pos)` CTE. */
+  private[graft] val spanBaseCtesSql: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |           CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_grams,
+       |           toks FROM t)""".stripMargin
+
+  private[graft] def spanGramCteSql(extra: String = ""): String =
+    s"""g AS (SELECT doc_id, ${extra}pos,
+       |        array_to_string(toks[CAST(pos AS INT) :
+       |                             CAST(pos + 7 AS INT)], ' ') AS gram
+       |      FROM (SELECT doc_id, toks,
+       |              unnest(generate_series(1, n_grams)) AS pos
+       |            FROM base))""".stripMargin
+
+  private[graft] val spanCovCtesSql: String =
+    """isl AS (SELECT doc_id, pos,
+      |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |            AS prev_end
+      |        FROM dp),
+      |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_grams,
+      |          CAST(SUM(CASE WHEN prev_end IS NULL THEN 8
+      |                ELSE greatest(0, least(8, pos + 7 - prev_end))
+      |              END) AS BIGINT) AS dup_tokens
+      |        FROM isl GROUP BY doc_id)""".stripMargin
+
   private val oracle0: Map[String, String] = Map(
     // d25: the duplicated-span algebra restated — grams by STRING
     // identity (the engine's md5 grouping is injective at 128 bits),
     // dup = global count >= 2, coverage by the same running-max
     // gaps-and-islands union; every output an exact integer
     "d25_dup_spans" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |           CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_grams,
-         |           toks FROM t),
-         |g AS (SELECT doc_id, pos,
-         |        array_to_string(toks[CAST(pos AS INT) :
-         |                             CAST(pos + 7 AS INT)], ' ') AS gram
-         |      FROM (SELECT doc_id, toks,
-         |              unnest(generate_series(1, n_grams)) AS pos
-         |            FROM base)),
+      s"""WITH $spanBaseCtesSql,
+         |${spanGramCteSql()},
          |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
          |dp AS (SELECT doc_id, pos FROM g
          |       WHERE gram IN (SELECT gram FROM dup)),
-         |isl AS (SELECT doc_id, pos,
-         |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |            AS prev_end
-         |        FROM dp),
-         |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_grams,
-         |          CAST(SUM(CASE WHEN prev_end IS NULL THEN 8
-         |                ELSE greatest(0, least(8, pos + 7 - prev_end))
-         |              END) AS BIGINT) AS dup_tokens
-         |        FROM isl GROUP BY doc_id)
+         |$spanCovCtesSql
          |SELECT b.doc_id, b.n_tokens, b.n_grams,
          |       COALESCE(cov.dup_grams, 0) AS dup_grams,
          |       COALESCE(cov.dup_tokens, 0) AS dup_tokens
@@ -1401,16 +1426,8 @@ object Dedup {
     // per gram (rn = 1 under that order), non-keeper spans expand to
     // covered slots, surviving tokens re-join in order
     "d26_span_dedup" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |           CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_grams,
-         |           toks FROM t),
-         |g AS (SELECT doc_id, pos,
-         |        array_to_string(toks[CAST(pos AS INT) :
-         |                             CAST(pos + 7 AS INT)], ' ') AS gram
-         |      FROM (SELECT doc_id, toks,
-         |              unnest(generate_series(1, n_grams)) AS pos
-         |            FROM base)),
+      s"""WITH $spanBaseCtesSql,
+         |${spanGramCteSql()},
          |r AS (SELECT doc_id, pos, gram,
          |        COUNT(*) OVER (PARTITION BY gram) AS c,
          |        row_number() OVER (PARTITION BY gram

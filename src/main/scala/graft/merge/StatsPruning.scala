@@ -480,15 +480,20 @@ object StatsPruning {
           }.fold(zero)(combine)
       }
     }
-    // partition values from the directory segments of the live files
+    // partition values from the directory segments of the live files.
+    // Plain string prefix-stripping, NOT java.net.URI: both `all` and
+    // the root come from Hadoop Path.toString (the decoded form), so
+    // the stripped segments carry the ON-DISK names — raw spaces
+    // intact, Spark's %xx escapes intact, decoded exactly once by
+    // unescapePath. Parsing the decoded string as a URI would throw
+    // on URI-illegal chars (a space in a partition value is legal on
+    // disk — Spark's escapePathName leaves it raw).
     val partValues: Map[String, Seq[String]] =
       if (partCols.isEmpty) Map.empty
       else {
-        val rootUri = fs.makeQualified(root).toUri
+        val rootStr = fs.makeQualified(root).toString.stripSuffix("/") + "/"
         val segs = all.flatMap { f =>
-          // getRawPath keeps the on-disk %xx escapes, so unescapePath
-          // below decodes exactly once
-          rootUri.relativize(new java.net.URI(f)).getRawPath
+          (if (f.startsWith(rootStr)) f.drop(rootStr.length) else f)
             .split('/').dropRight(1) // dir segments only
             .flatMap { seg =>
               val i = seg.indexOf('=')

@@ -367,12 +367,7 @@ object IngestDedup {
     try {
       val dupPos = j.filter(col("_seen") || col("_rnb") >= 2)
         .select(col(idCol), col("pos"))
-      val cov = Dedup.spanCoverage(dupPos, idCol, n)
-      base.select(col(idCol), col("n_tokens"), col("n_grams"))
-        .join(cov, Seq(idCol), "left")
-        .select(col(idCol), col("n_tokens"), col("n_grams"),
-          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
-          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      Dedup.spanReport(base, dupPos, idCol, n)
         .withColumn("ingest_batch", lit(b))
         .write.mode(SaveMode.Overwrite).parquet(s"$flagsPath/b=$b")
       appendGrams(
@@ -530,38 +525,19 @@ object IngestDedup {
     * (ingest, doc, pos) arrival order — `row_number() >= 2` per gram —
     * then the d25 coverage union per doc. One statement, however many
     * ingests the incremental loop actually ran. */
-  private def spanChainSqlAt(nBatches: Int): String = {
-    val toksSql = graft.text.TextAnalysis.toksSql
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-       |           CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_grams,
-       |           toks FROM t),
-       |g AS (SELECT doc_id, CAST(doc_id % $nBatches AS INT) AS ib, pos,
-       |        array_to_string(toks[CAST(pos AS INT) :
-       |                             CAST(pos + 7 AS INT)], ' ') AS gram
-       |      FROM (SELECT doc_id, toks,
-       |              unnest(generate_series(1, n_grams)) AS pos
-       |            FROM base)),
+  private def spanChainSqlAt(nBatches: Int): String =
+    s"""WITH ${Dedup.spanBaseCtesSql},
+       |${Dedup.spanGramCteSql(s"CAST(doc_id % $nBatches AS INT) AS ib, ")},
        |r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram
        |        ORDER BY ib, doc_id, pos) AS rn FROM g),
        |dp AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
-       |isl AS (SELECT doc_id, pos,
-       |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-       |            AS prev_end
-       |        FROM dp),
-       |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_grams,
-       |          CAST(SUM(CASE WHEN prev_end IS NULL THEN 8
-       |                ELSE greatest(0, least(8, pos + 7 - prev_end))
-       |              END) AS BIGINT) AS dup_tokens
-       |        FROM isl GROUP BY doc_id)
+       |${Dedup.spanCovCtesSql}
        |SELECT b.doc_id, CAST(b.doc_id % $nBatches AS INT) AS ingest_batch,
        |       b.n_tokens, b.n_grams,
        |       COALESCE(cov.dup_grams, 0) AS dup_grams,
        |       COALESCE(cov.dup_tokens, 0) AS dup_tokens
        |FROM base b LEFT JOIN cov USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
     "p08_ingest_dedup" -> chainSql,
