@@ -1092,6 +1092,34 @@ object Dedup {
     * rewrite scales exactly like the detector plus one bounded
     * explode. Emits (doc_id, n_tokens, kept_tokens, text_scrubbed);
     * strings and integers only. */
+  /** The scrub family's rewrite tail: expand non-keeper positions to
+    * covered token slots (n-fold explode of dup positions only), anti-
+    * join the token stream, reassemble per doc. Shared by the one-shot
+    * [[scrubDupSpans]] and the incremental chain's scrubStep — the
+    * same parity discipline as [[spanReport]]. Emits (id, n_tokens,
+    * kept_tokens, text_scrubbed). */
+  private[graft] def scrubReport(base: DataFrame, nonKeeperPos: DataFrame,
+      idCol: String, n: Int): DataFrame = {
+    val covered = nonKeeperPos
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+      .distinct()
+    val toks = base.select(col(idCol),
+        posexplode(col("_toks")).as(Seq("_i0", "tok")))
+      .select(col(idCol), (col("_i0") + 1).as("tpos"), col("tok"))
+    val kept = toks.join(covered, Seq(idCol, "tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok"))).as("text_scrubbed"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val t = spanBase(docs, idCol, textCol, n)
@@ -1105,24 +1133,7 @@ object Dedup {
       .filter(!(col(idCol) === col("_keep")(idCol) &&
         col("pos") === col("_keep")("pos")))
       .select(col(idCol), col("pos"))
-    val covered = nonKeeper
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
-      .distinct()
-    val toks = t.select(col(idCol),
-        posexplode(col("_toks")).as(Seq("_i0", "tok")))
-      .select(col(idCol), (col("_i0") + 1).as("tpos"), col("tok"))
-    val kept = toks.join(covered, Seq(idCol, "tpos"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("kept_tokens"),
-        concat_ws(" ", transform(
-          sort_array(collect_list(struct(col("tpos"), col("tok")))),
-          s => s.getField("tok"))).as("text_scrubbed"))
-    t.select(col(idCol), col("n_tokens"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+    scrubReport(t, nonKeeper, idCol, n)
   }
 
   // ---- query inventory ----
@@ -1393,6 +1404,24 @@ object Dedup {
        |              unnest(generate_series(1, n_grams)) AS pos
        |            FROM base))""".stripMargin
 
+  /** Scrub-oracle tail (consumes an `nk(doc_id, pos)` CTE of
+    * non-keeper positions): covered-slot expansion, token stream
+    * anti-join, per-doc reassembly. Shared by d26 and the p11/e26
+    * chain oracle. */
+  private[graft] val scrubTailCtesSql: String =
+    """covered AS (SELECT DISTINCT doc_id, pos + d AS tpos
+      |            FROM nk, unnest(generate_series(0, 7)) AS u(d)),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok,
+      |          generate_subscripts(toks, 1) AS tpos FROM base),
+      |kept AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+      |           string_agg(tok.tok, ' ' ORDER BY tok.tpos)
+      |             AS text_scrubbed
+      |         FROM tok LEFT JOIN covered
+      |           ON covered.doc_id = tok.doc_id
+      |          AND covered.tpos = tok.tpos
+      |         WHERE covered.doc_id IS NULL
+      |         GROUP BY tok.doc_id)""".stripMargin
+
   private[graft] val spanCovCtesSql: String =
     """isl AS (SELECT doc_id, pos,
       |          max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
@@ -1429,23 +1458,11 @@ object Dedup {
       s"""WITH $spanBaseCtesSql,
          |${spanGramCteSql()},
          |r AS (SELECT doc_id, pos, gram,
-         |        COUNT(*) OVER (PARTITION BY gram) AS c,
          |        row_number() OVER (PARTITION BY gram
          |          ORDER BY doc_id, pos) AS rn
          |      FROM g),
-         |nk AS (SELECT doc_id, pos FROM r WHERE c >= 2 AND rn >= 2),
-         |covered AS (SELECT DISTINCT doc_id, pos + d AS tpos
-         |            FROM nk, unnest(generate_series(0, 7)) AS u(d)),
-         |tok AS (SELECT doc_id, unnest(toks) AS tok,
-         |          generate_subscripts(toks, 1) AS tpos FROM base),
-         |kept AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
-         |           string_agg(tok.tok, ' ' ORDER BY tok.tpos)
-         |             AS text_scrubbed
-         |         FROM tok LEFT JOIN covered
-         |           ON covered.doc_id = tok.doc_id
-         |          AND covered.tpos = tok.tpos
-         |         WHERE covered.doc_id IS NULL
-         |         GROUP BY tok.doc_id)
+         |nk AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+         |$scrubTailCtesSql
          |SELECT b.doc_id, b.n_tokens,
          |       COALESCE(kept.kept_tokens, 0) AS kept_tokens,
          |       COALESCE(kept.text_scrubbed, '') AS text_scrubbed

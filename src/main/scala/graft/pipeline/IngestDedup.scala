@@ -349,7 +349,29 @@ object IngestDedup {
     * lifetime. */
   private[pipeline] def spanStep(batch: DataFrame, idCol: String,
       textCol: String, stateTable: String, flagsPath: String, b: Int,
-      n: Int): Unit = {
+      n: Int): Unit =
+    spanChainStepCore(batch, idCol, textCol, stateTable, flagsPath, b, n)(
+      Dedup.spanReport(_, _, idCol, n))
+
+  /** [[spanStep]] with the d26 REWRITE emission instead of the d25
+    * report: the batch's non-keeper spans are scrubbed from its text
+    * before it ever lands — the "clean the crawl as it arrives" shape.
+    * Same screen, same state discipline, same keeper rule; only what
+    * is written per doc differs (kept tokens + scrubbed string). */
+  private[pipeline] def scrubStep(batch: DataFrame, idCol: String,
+      textCol: String, stateTable: String, flagsPath: String, b: Int,
+      n: Int): Unit =
+    spanChainStepCore(batch, idCol, textCol, stateTable, flagsPath, b, n)(
+      Dedup.scrubReport(_, _, idCol, n))
+
+  /** The shared chain step: band the batch, rank within batch, screen
+    * against strictly-earlier state, emit `report(base, dupPos)` under
+    * the batch's own Overwrite dir, append first-appearance grams.
+    * dupPos = positions that are NOT the globally-first occurrence of
+    * their gram under (ingest, doc, pos) arrival order. */
+  private def spanChainStepCore(batch: DataFrame, idCol: String,
+      textCol: String, stateTable: String, flagsPath: String, b: Int,
+      n: Int)(report: (DataFrame, DataFrame) => DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val base = Dedup.spanBase(batch, idCol, textCol, n)
@@ -367,7 +389,7 @@ object IngestDedup {
     try {
       val dupPos = j.filter(col("_seen") || col("_rnb") >= 2)
         .select(col(idCol), col("pos"))
-      Dedup.spanReport(base, dupPos, idCol, n)
+      report(base, dupPos)
         .withColumn("ingest_batch", lit(b))
         .write.mode(SaveMode.Overwrite).parquet(s"$flagsPath/b=$b")
       appendGrams(
@@ -446,12 +468,56 @@ object IngestDedup {
     * parity by construction: e25 shares p10's oracle verbatim. */
   def streamSpanDedup(s: SparkSession, dir: String, nBatches: Int = 4,
       n: Int = 8): DataFrame = {
+    val flagsPath = runSpanStream(s, dir, nBatches, "e25_grams",
+      "graft_e25_")(spanStep(_, "doc_id", "text", _, _, _, n))
+    collectSpanFlags(s, flagsPath, "doc_id", nBatches)
+  }
+
+  private def collectScrubFlags(spark: SparkSession, flagsPath: String,
+      idCol: String, nBatches: Int): DataFrame =
+    spark.read.parquet((0 until nBatches).map(b => s"$flagsPath/b=$b"): _*)
+      .select(col(idCol), col("ingest_batch"), col("n_tokens"),
+        col("kept_tokens"), col("text_scrubbed"))
+      .orderBy(idCol)
+
+  /** The REWRITE chain: each ingest lands already scrubbed of every
+    * span whose gram was seen before (earlier ingest, or earlier in
+    * the batch) — arrival-order keep-first, so the chained rewrites
+    * collapse to one keeper rule exactly like [[spanDedupChain]]'s
+    * report does. One row per doc: (id, ingest_batch, n_tokens,
+    * kept_tokens, text_scrubbed). */
+  def scrubChain(docs: DataFrame, idCol: String, textCol: String,
+      nBatches: Int = 4, n: Int = 8,
+      stateTable: String = "p11_grams"): DataFrame = {
+    val spark = docs.sparkSession
+    Scale.dropBucketedTable(spark, stateTable)
+    val flagsPath = graft.util.Scratch.fresh("graft_p11_") + "/flags"
+    (0 until nBatches).foreach { b =>
+      scrubStep(docs.filter(col(idCol) % nBatches === b), idCol, textCol,
+        stateTable, flagsPath, b, n)
+    }
+    collectScrubFlags(spark, flagsPath, idCol, nBatches)
+  }
+
+  /** Streaming form of [[scrubChain]] — e26 shares p11's oracle
+    * verbatim (the e25/p10 parity argument, rewrite emission). */
+  def streamScrub(s: SparkSession, dir: String, nBatches: Int = 4,
+      n: Int = 8): DataFrame = {
+    val flagsPath = runSpanStream(s, dir, nBatches, "e26_grams",
+      "graft_e26_")(scrubStep(_, "doc_id", "text", _, _, _, n))
+    collectScrubFlags(s, flagsPath, "doc_id", nBatches)
+  }
+
+  /** Run one of the span-family steps per micro-batch over the
+    * ordered document drops; returns the flags path. */
+  private def runSpanStream(s: SparkSession, dir: String, nBatches: Int,
+      stateTable: String, scratchPrefix: String)(
+      step: (DataFrame, String, String, Int) => Unit): String = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = Tables.documents(s, dir)
     val in = orderedDocDrops(s, dir, nBatches)
-    val stateTable = "e25_grams"
     Scale.dropBucketedTable(s, stateTable)
-    val root = graft.util.Scratch.fresh("graft_e25_")
+    val root = graft.util.Scratch.fresh(scratchPrefix)
     val flagsPath = root + "/flags"
     val src = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
@@ -459,12 +525,11 @@ object IngestDedup {
       .option("checkpointLocation", root + "/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        spanStep(batch, "doc_id", "text", stateTable, flagsPath,
-          batchId.toInt, n)
+        step(batch, stateTable, flagsPath, batchId.toInt)
       }
       .start()
     q.awaitTermination()
-    collectSpanFlags(s, flagsPath, "doc_id", nBatches)
+    flagsPath
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -495,7 +560,16 @@ object IngestDedup {
     // e25: the same chain under Structured Streaming (micro-batch b
     // IS chain ingest b); shares p10's oracle
     "e25_stream_span_dedup" -> ((s, dir) =>
-      streamSpanDedup(s, dir, nBatches = 4))
+      streamSpanDedup(s, dir, nBatches = 4)),
+    // p11: the rewrite chain — each ingest lands scrubbed of every
+    // previously-seen span (arrival-order keep-first); the scrubbed
+    // strings are the hash-checked artifact
+    "p11_scrub_chain" -> ((s, dir) =>
+      scrubChain(Tables.documents(s, dir), "doc_id", "text",
+        nBatches = 4)),
+    // e26: p11 under Structured Streaming; shares its oracle
+    "e26_stream_scrub" -> ((s, dir) =>
+      streamScrub(s, dir, nBatches = 4))
   )
 
   /** The chained screens collapse relationally: doc X (ingest b) is
@@ -548,5 +622,24 @@ object IngestDedup {
     // the span chain and its streaming twin share one keeper-rule
     // collapse (streaming/batch parity by shared spanStep)
     "p10_span_chain" -> spanChainSqlAt(4),
-    "e25_stream_span_dedup" -> spanChainSqlAt(4))
+    "e25_stream_span_dedup" -> spanChainSqlAt(4),
+    // the rewrite chain: same keeper rule, d26's scrub tail
+    "p11_scrub_chain" -> scrubChainSqlAt(4),
+    "e26_stream_scrub" -> scrubChainSqlAt(4))
+
+  /** The rewrite chain's collapse: non-keeper positions under
+    * (ingest, doc, pos) order, then the d26 scrub tail. */
+  private def scrubChainSqlAt(nBatches: Int): String =
+    s"""WITH ${Dedup.spanBaseCtesSql},
+       |${Dedup.spanGramCteSql(s"CAST(doc_id % $nBatches AS INT) AS ib, ")},
+       |r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram
+       |        ORDER BY ib, doc_id, pos) AS rn FROM g),
+       |nk AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+       |${Dedup.scrubTailCtesSql}
+       |SELECT b.doc_id, CAST(b.doc_id % $nBatches AS INT) AS ingest_batch,
+       |       b.n_tokens,
+       |       COALESCE(kept.kept_tokens, 0) AS kept_tokens,
+       |       COALESCE(kept.text_scrubbed, '') AS text_scrubbed
+       |FROM base b LEFT JOIN kept USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
 }

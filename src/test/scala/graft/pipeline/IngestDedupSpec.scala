@@ -278,6 +278,25 @@ class IngestDedupSpec extends SparkSpec {
     assert(r(3L) === ((1, 9L, 2L, 0L, 0L)))   // unique everywhere
   }
 
+  test("scrubChain: each ingest lands scrubbed of previously-seen " +
+      "spans — keepers untouched, later copies cut, partial-overlap " +
+      "tokens preserved") {
+    val r = IngestDedup.scrubChain(spanDocs, "doc_id", "text",
+        nBatches = 2, stateTable = "test_p11_chain")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getLong(2), x.getLong(3), x.getString(4))).toMap
+    // (ingest_batch, n_tokens, kept_tokens, text_scrubbed)
+    assert(r(2L) === ((0, 10L, 10L,
+      "a1 a2 a3 a4 a5 a6 a7 a8 f2a f2b")))
+    assert(r(4L) === ((0, 9L, 9L, "b1 b2 b3 b4 b5 b6 b7 b8 f4a")))
+    // doc 10's span [2..9] repeats doc 4's gram: only the filler stays
+    assert(r(10L) === ((0, 9L, 1L, "f10a")))
+    // doc 1's span [2..9] was seen in batch 0: fillers on both sides
+    // survive (the boundary-spanning grams are unique)
+    assert(r(1L) === ((1, 10L, 2L, "f1a f1b")))
+    assert(r(3L) === ((1, 9L, 9L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")))
+  }
+
   test("spanStep is retry-idempotent: replayed micro-batch neither " +
       "double-appends gram state nor changes verdicts") {
     import graft.scale.Scale
