@@ -495,6 +495,44 @@ object Similarity {
       .write.mode("overwrite").parquet(path + "/codebooks")
   }
 
+  /** Update half of the IVF-PQ lifecycle: append a new batch WITHOUT
+    * retraining either quantizer level — coarse assignment against the
+    * stored centroids, codes against the stored per-subspace
+    * codebooks (both tiny broadcast relations), one O(batch) append
+    * into the cid-partitioned layout. This is exactly why
+    * [[buildIvfPqIndex]] codes raw vectors instead of residuals:
+    * residual codes would couple every code to its coarse centroid,
+    * so no frozen-codebook append could exist. Same collapse law as
+    * s13: build(base) + append(batch) ≡ assigning base ∪ batch
+    * against the base-trained quantizers, per-vector, so appends
+    * commute and the s18 oracle is one relational statement. */
+  def appendToIvfPqIndex(spark: SparkSession, path: String,
+      batch: DataFrame, subspaces: Int = 4, dims: Int = 64): Unit = {
+    require(dims % subspaces == 0, "dims must divide evenly into subspaces")
+    val subLen = dims / subspaces
+    val cents = spark.read.parquet(path + "/centroids")
+    val cb = spark.read.parquet(path + "/codebooks")
+    val e = batch.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cells = assign(e, cents).select(col("vec_id"), col("cid"))
+    val codes = (0 until subspaces).map { m =>
+      val cbm = cb.filter(col("sub") === m)
+        .select(col("code").as("cid"), col("cv"))
+      val sub = e.select(col("vec_id"),
+        slice(col("v"), m * subLen + 1, subLen).as("v"))
+      assign(sub, cbm)
+        .select(col("vec_id"), lit(m).as("sub"), col("cid").as("code"))
+    }.reduce(_ union _)
+      .groupBy("vec_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    cells.join(codes, "vec_id")
+      .select(col("cid"), col("vec_id").as("corpus_id"), col("codes"))
+      .write.mode(SaveMode.Append).partitionBy("cid")
+      .parquet(path + "/cells")
+  }
+
   /** Serve half of the IVF-PQ index: probe selection and partition
     * pruning exactly as [[ivfTopKServed]], then ASYMMETRIC scoring —
     * full-precision queries against the candidates' RECONSTRUCTIONS,
@@ -1132,6 +1170,22 @@ object Similarity {
       ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    // s18: the s13 frozen-quantizer append applied to BOTH levels of
+    // the compound index — build on the base, append the held-out
+    // slice against the stored coarse centroids and codebooks
+    "s18_ivf_pq_append" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s18:" + dir, "graft_s18_") {
+        p =>
+          val all = corpusOf(s, dir)
+          buildIvfPqIndex(all.filter(col("vec_id") % 10 =!= 9), p,
+            nCentroids = 10, subspaces = 4, codebook = 16,
+            maxTrainVectors = 256)
+          appendToIvfPqIndex(s, p,
+            all.filter(col("vec_id") % 10 === 9))
+      }
+      ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // product quantization: per-subspace trained codebooks, asymmetric
     // scoring against the reconstruction (sampled training, as s03)
     "s06_ann_pq" -> ((s, dir) =>
@@ -1281,14 +1335,20 @@ object Similarity {
     * scored by asymmetric cosine within probed cells only. Every
     * fragment is one of the two proven mirrors; only the composition
     * is new. */
+  /** `trainOn` scopes BOTH quantizer levels' training sets (the s13
+    * frozen-quantizer convention): "corpus" for s17 (train = serve),
+    * "corpus0" for s18 (train on the base, assign base + batch
+    * against those frozen centroids AND codebooks). */
   private def s17OracleSql(nCentroids: Int, coarseIters: Int, nProbe: Int,
       subspaces: Int, subLen: Int, codebook: Int, pqIters: Int,
-      topK: Int, trainN: Int): String = {
+      topK: Int, trainN: Int, trainOn: String = "corpus"): String = {
     val subCtes = (0 until subspaces).map { m =>
       val lo = m * subLen + 1
       val hi = (m + 1) * subLen
       s"""corpus_$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM corpus),
-         |${lloydCtesSql(codebook, pqIters, trainN, s"_$m", s"corpus_$m")},
+         |trainsrc_$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM $trainOn),
+         |${lloydCtesSql(codebook, pqIters, trainN, s"_$m",
+            s"trainsrc_$m")},
          |${assignCteSql(s"pqcells_$m", s"c${pqIters}_$m", s"corpus_$m")},
          |coded_$m AS (SELECT a.vec_id, $m AS sub, c.cv
          |             FROM pqcells_$m a JOIN c${pqIters}_$m c USING (cid))"""
@@ -1300,8 +1360,9 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+       |corpus0 AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 9),
        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-       |${lloydCtesSql(nCentroids, coarseIters, trainN, "", "corpus")},
+       |${lloydCtesSql(nCentroids, coarseIters, trainN, "", trainOn)},
        |${assignCteSql("cells", s"c$coarseIters", "corpus")},
        |$subCtes,
        |coded AS ($unionCoded),
@@ -1507,6 +1568,12 @@ object Similarity {
     "s17_ivf_pq" -> s17OracleSql(nCentroids = 10, coarseIters = 3,
       nProbe = 4, subspaces = 4, subLen = 16, codebook = 16, pqIters = 2,
       topK = 10, trainN = 256),
+    // s18: both quantizer levels train on the BASE only; the full
+    // (appended) corpus is assigned and coded against them — the
+    // frozen-quantizer append collapse at both levels
+    "s18_ivf_pq_append" -> s17OracleSql(nCentroids = 10, coarseIters = 3,
+      nProbe = 4, subspaces = 4, subLen = 16, codebook = 16, pqIters = 2,
+      topK = 10, trainN = 256, trainOn = "corpus0"),
     // the same quantize/dequantize IEEE expression the engine ships,
     // restated over unnested dims; scoring via list_cosine_similarity
     // (bit-identical to the engine's sequential-fold cosine)

@@ -231,6 +231,41 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(key).sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("appendToIvfPqIndex: O(batch) — no existing code file touched; " +
+      "appends commute at both frozen quantizer levels") {
+    import java.io.File
+    def cellFiles(p: String): Set[String] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new File(p + "/cells")).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val base = corpus.filter($"vec_id" % 3 =!= 0)
+    val batch = corpus.filter($"vec_id" % 3 === 0)
+    val one = tmpDir("graft_s18_one_")
+    Similarity.buildIvfPqIndex(base, one, nCentroids = 10,
+      subspaces = 4, codebook = 16, maxTrainVectors = 256)
+    val before = cellFiles(one)
+    Similarity.appendToIvfPqIndex(spark, one, batch)
+    assert(before.subsetOf(cellFiles(one)))
+    assert(cellFiles(one).size > before.size)
+    val two = tmpDir("graft_s18_two_")
+    Similarity.buildIvfPqIndex(base, two, nCentroids = 10,
+      subspaces = 4, codebook = 16, maxTrainVectors = 256)
+    Similarity.appendToIvfPqIndex(spark, two,
+      batch.filter($"vec_id" % 2 === 0))
+    Similarity.appendToIvfPqIndex(spark, two,
+      batch.filter($"vec_id" % 2 =!= 0))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(
+      Similarity.ivfPqTopKServed(spark, one, queries, 10, nProbe = 4)
+        .collect().map(key).sortBy(t => (t._1, t._2)).toSeq ===
+      Similarity.ivfPqTopKServed(spark, two, queries, 10, nProbe = 4)
+        .collect().map(key).sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("removeFromIvfIndex: only touched cells rewritten; deleted ids " +
       "gone; delete commutes with build (split == build-on-kept cells)") {
     import java.io.File
