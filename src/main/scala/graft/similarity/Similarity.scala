@@ -729,21 +729,42 @@ object Similarity {
     * states. A cell whose last vector is deleted becomes an empty
     * partition (visible as n_vecs=0 in [[ivfDriftStats]]). */
   def removeFromIvfIndex(spark: SparkSession, path: String,
+      deleteIds: DataFrame): Unit =
+    removeFromCells(spark, path + "/cells",
+      "corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG",
+      Seq("corpus_id", "cv", "cid"), deleteIds)
+
+  /** Delete half of the IVF-PQ lifecycle (s19) — [[removeFromIvfIndex]]
+    * over the CODES layout: only touched cid partitions rewritten,
+    * centroids and codebooks frozen, so delete commutes with build
+    * exactly as in the full-vector index (the served answers are the
+    * relational collapse with the index's holdings scoped to the kept
+    * vectors). Completes build → serve → append → delete for the
+    * compound index. */
+  def removeFromIvfPqIndex(spark: SparkSession, path: String,
+      deleteIds: DataFrame): Unit =
+    removeFromCells(spark, path + "/cells",
+      "corpus_id LONG, codes ARRAY<LONG>, cid LONG",
+      Seq("corpus_id", "codes", "cid"), deleteIds)
+
+  /** Shared no-retrain erasure over a cid-partitioned cells layout:
+    * touched-cell set via a partition-pruned semi-join, survivors
+    * anti-joined into a staging dir, per-partition directory swap —
+    * untouched cells' files are never read or rewritten. */
+  private def removeFromCells(spark: SparkSession, cellsPath: String,
+      schemaDdl: String, dataCols: Seq[String],
       deleteIds: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
-    val cellsPath = path + "/cells"
     val ids = broadcast(
       deleteIds.select(col(deleteIds.columns.head).as("_del_id")))
-    val cells = spark.read
-      .schema("corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG")
-      .parquet(cellsPath)
+    val cells = spark.read.schema(schemaDdl).parquet(cellsPath)
     val touched = cells
       .join(ids, col("corpus_id") === col("_del_id"), "left_semi")
       .select("cid").distinct().collect().map(_.getLong(0)).sorted
     if (touched.isEmpty) return
     val survivors = cells.filter(col("cid").isin(touched: _*))
       .join(ids, col("corpus_id") === col("_del_id"), "left_anti")
-      .select("corpus_id", "cv", "cid")
+      .select(dataCols.map(col): _*)
     val staging = cellsPath + "_rewrite_tmp"
     survivors.write.mode(SaveMode.Overwrite).partitionBy("cid")
       .parquet(staging)
@@ -1186,6 +1207,20 @@ object Similarity {
       ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    // s19: the no-retrain erasure on the compound index — build on
+    // the full corpus, delete the held-out slice, serve the survivors
+    "s19_ivf_pq_delete" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s19:" + dir, "graft_s19_") {
+        p =>
+          val all = corpusOf(s, dir)
+          buildIvfPqIndex(all, p, nCentroids = 10, subspaces = 4,
+            codebook = 16, maxTrainVectors = 256)
+          removeFromIvfPqIndex(s, p,
+            all.filter(col("vec_id") % 10 === 7).select("vec_id"))
+      }
+      ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // product quantization: per-subspace trained codebooks, asymmetric
     // scoring against the reconstruction (sampled training, as s03)
     "s06_ann_pq" -> ((s, dir) =>
@@ -1339,9 +1374,14 @@ object Similarity {
     * frozen-quantizer convention): "corpus" for s17 (train = serve),
     * "corpus0" for s18 (train on the base, assign base + batch
     * against those frozen centroids AND codebooks). */
+  /** `serveOn` scopes the vectors the index HOLDS at serve time (the
+    * s14 convention): "corpus" everywhere except s19, which serves
+    * "corpusKeep" (corpus minus the erased slice) against quantizers
+    * trained on the full corpus — the no-retrain delete contract. */
   private def s17OracleSql(nCentroids: Int, coarseIters: Int, nProbe: Int,
       subspaces: Int, subLen: Int, codebook: Int, pqIters: Int,
-      topK: Int, trainN: Int, trainOn: String = "corpus"): String = {
+      topK: Int, trainN: Int, trainOn: String = "corpus",
+      serveOn: String = "corpus"): String = {
     val subCtes = (0 until subspaces).map { m =>
       val lo = m * subLen + 1
       val hi = (m + 1) * subLen
@@ -1361,9 +1401,10 @@ object Similarity {
        |           FROM embeddings),
        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
        |corpus0 AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 9),
+       |corpusKeep AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 7),
        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
        |${lloydCtesSql(nCentroids, coarseIters, trainN, "", trainOn)},
-       |${assignCteSql("cells", s"c$coarseIters", "corpus")},
+       |${assignCteSql("cells", s"c$coarseIters", serveOn)},
        |$subCtes,
        |coded AS ($unionCoded),
        |recon AS (SELECT vec_id, flatten(list(cv ORDER BY sub)) AS dv
@@ -1574,6 +1615,11 @@ object Similarity {
     "s18_ivf_pq_append" -> s17OracleSql(nCentroids = 10, coarseIters = 3,
       nProbe = 4, subspaces = 4, subLen = 16, codebook = 16, pqIters = 2,
       topK = 10, trainN = 256, trainOn = "corpus0"),
+    // s19: quantizers trained on the FULL corpus, index holdings
+    // scoped to the kept vectors — the no-retrain delete collapse
+    "s19_ivf_pq_delete" -> s17OracleSql(nCentroids = 10, coarseIters = 3,
+      nProbe = 4, subspaces = 4, subLen = 16, codebook = 16, pqIters = 2,
+      topK = 10, trainN = 256, serveOn = "corpusKeep"),
     // the same quantize/dequantize IEEE expression the engine ships,
     // restated over unnested dims; scoring via list_cosine_similarity
     // (bit-identical to the engine's sequential-fold cosine)

@@ -266,6 +266,45 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(key).sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("removeFromIvfPqIndex: only touched cells rewritten; deleted " +
+      "ids gone from storage and serving") {
+    import java.io.File
+    def filesByCell(p: String): Map[String, Set[String]] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new File(p + "/cells")).map(_.getPath)
+        .filter(_.endsWith(".parquet"))
+        .groupBy(f => f.split("/").find(_.startsWith("cid=")).getOrElse(""))
+        .map { case (k, v) => k -> v.toSet }
+    }
+    val idx = tmpDir("graft_s19_spec_")
+    Similarity.buildIvfPqIndex(corpus, idx, nCentroids = 10,
+      subspaces = 4, codebook = 16, maxTrainVectors = 256)
+    val before = filesByCell(idx)
+    val del = corpus.filter($"vec_id" % 10 === 7).select("vec_id")
+    val delIds = del.as[Long].collect().toSet
+    val touched = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(idx + "/cells")
+      .filter($"corpus_id".isin(delIds.toSeq: _*))
+      .select("cid").distinct().as[Long].collect().map(c => s"cid=$c").toSet
+    Similarity.removeFromIvfPqIndex(spark, idx, del)
+    val after = filesByCell(idx)
+    // untouched cells' files are bit-for-bit the same paths
+    for ((cell, fs) <- before if !touched.contains(cell))
+      assert(after(cell) === fs, s"untouched $cell rewritten")
+    // deleted ids gone from storage...
+    val stored = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(idx + "/cells").select("corpus_id").as[Long].collect().toSet
+    assert(stored.intersect(delIds).isEmpty)
+    // ...and from serving
+    val served = Similarity.ivfPqTopKServed(spark, idx, queries, 10,
+      nProbe = 4).select("corpus_id").as[Long].collect().toSet
+    assert(served.intersect(delIds).isEmpty)
+  }
+
   test("removeFromIvfIndex: only touched cells rewritten; deleted ids " +
       "gone; delete commutes with build (split == build-on-kept cells)") {
     import java.io.File
