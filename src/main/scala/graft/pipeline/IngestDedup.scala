@@ -435,12 +435,35 @@ object IngestDedup {
     }
   }
 
+  /** Per-batch flag dirs folded into one ordered relation with the
+    * given columns — shared by the report and scrub collectors. */
+  private def collectChainFlags(spark: SparkSession, flagsPath: String,
+      idCol: String, nBatches: Int, cols: Seq[String]): DataFrame =
+    spark.read.parquet((0 until nBatches).map(b => s"$flagsPath/b=$b"): _*)
+      .select((idCol +: cols).map(col): _*)
+      .orderBy(idCol)
+
   private def collectSpanFlags(spark: SparkSession, flagsPath: String,
       idCol: String, nBatches: Int): DataFrame =
-    spark.read.parquet((0 until nBatches).map(b => s"$flagsPath/b=$b"): _*)
-      .select(col(idCol), col("ingest_batch"), col("n_tokens"),
-        col("n_grams"), col("dup_grams"), col("dup_tokens"))
-      .orderBy(idCol)
+    collectChainFlags(spark, flagsPath, idCol, nBatches,
+      Seq("ingest_batch", "n_tokens", "n_grams", "dup_grams",
+        "dup_tokens"))
+
+  /** The batch twin of [[runSpanStream]]: fresh state table, one
+    * `step` per deterministic ingest (batch = idCol % nBatches);
+    * returns the flags path. */
+  private def runSpanChainBatch(docs: DataFrame, idCol: String,
+      nBatches: Int, stateTable: String, scratchPrefix: String)(
+      step: (DataFrame, String, String, Int) => Unit): String = {
+    val spark = docs.sparkSession
+    Scale.dropBucketedTable(spark, stateTable)
+    val flagsPath = graft.util.Scratch.fresh(scratchPrefix) + "/flags"
+    (0 until nBatches).foreach { b =>
+      step(docs.filter(col(idCol) % nBatches === b), stateTable,
+        flagsPath, b)
+    }
+    flagsPath
+  }
 
   /** Replay `nBatches` span-dedup ingests (batch = `idCol %
     * nBatches`) through a fresh gram-state table; one row per doc:
@@ -451,14 +474,9 @@ object IngestDedup {
   def spanDedupChain(docs: DataFrame, idCol: String, textCol: String,
       nBatches: Int = 4, n: Int = 8,
       stateTable: String = "p10_grams"): DataFrame = {
-    val spark = docs.sparkSession
-    Scale.dropBucketedTable(spark, stateTable)
-    val flagsPath = graft.util.Scratch.fresh("graft_p10_") + "/flags"
-    (0 until nBatches).foreach { b =>
-      spanStep(docs.filter(col(idCol) % nBatches === b), idCol, textCol,
-        stateTable, flagsPath, b, n)
-    }
-    collectSpanFlags(spark, flagsPath, idCol, nBatches)
+    val flagsPath = runSpanChainBatch(docs, idCol, nBatches, stateTable,
+      "graft_p10_")(spanStep(_, idCol, textCol, _, _, _, n))
+    collectSpanFlags(docs.sparkSession, flagsPath, idCol, nBatches)
   }
 
   /** Structured-Streaming form of [[spanDedupChain]] — the same
@@ -475,10 +493,8 @@ object IngestDedup {
 
   private def collectScrubFlags(spark: SparkSession, flagsPath: String,
       idCol: String, nBatches: Int): DataFrame =
-    spark.read.parquet((0 until nBatches).map(b => s"$flagsPath/b=$b"): _*)
-      .select(col(idCol), col("ingest_batch"), col("n_tokens"),
-        col("kept_tokens"), col("text_scrubbed"))
-      .orderBy(idCol)
+    collectChainFlags(spark, flagsPath, idCol, nBatches,
+      Seq("ingest_batch", "n_tokens", "kept_tokens", "text_scrubbed"))
 
   /** The REWRITE chain: each ingest lands already scrubbed of every
     * span whose gram was seen before (earlier ingest, or earlier in
@@ -489,14 +505,9 @@ object IngestDedup {
   def scrubChain(docs: DataFrame, idCol: String, textCol: String,
       nBatches: Int = 4, n: Int = 8,
       stateTable: String = "p11_grams"): DataFrame = {
-    val spark = docs.sparkSession
-    Scale.dropBucketedTable(spark, stateTable)
-    val flagsPath = graft.util.Scratch.fresh("graft_p11_") + "/flags"
-    (0 until nBatches).foreach { b =>
-      scrubStep(docs.filter(col(idCol) % nBatches === b), idCol, textCol,
-        stateTable, flagsPath, b, n)
-    }
-    collectScrubFlags(spark, flagsPath, idCol, nBatches)
+    val flagsPath = runSpanChainBatch(docs, idCol, nBatches, stateTable,
+      "graft_p11_")(scrubStep(_, idCol, textCol, _, _, _, n))
+    collectScrubFlags(docs.sparkSession, flagsPath, idCol, nBatches)
   }
 
   /** Streaming form of [[scrubChain]] — e26 shares p11's oracle

@@ -472,27 +472,44 @@ object Similarity {
       maxTrainVectors)
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val cells = assign(e, cents).select(col("vec_id"), col("cid"))
-    val perSub = (0 until subspaces).map { m =>
-      val sub = e.select(col("vec_id"),
-        slice(col("v"), m * subLen + 1, subLen).as("embedding"))
-      val cb = kmeansCentroids(sub, codebook, pqIters, maxTrainVectors)
-      val codes = assign(sub.select(col("vec_id"),
-          col("embedding").as("v")), cb)
-        .select(col("vec_id"), lit(m).as("sub"), col("cid").as("code"))
-      (cb.select(lit(m).as("sub"), col("cid").as("code"), col("cv")), codes)
+    val cbs = (0 until subspaces).map { m =>
+      kmeansCentroids(e.select(col("vec_id"),
+        slice(col("v"), m * subLen + 1, subLen).as("embedding")),
+        codebook, pqIters, maxTrainVectors)
     }
-    val codes = perSub.map(_._2).reduce(_ union _)
+    codeAndWriteCells(e, cents, cbs, subLen, path + "/cells",
+      SaveMode.Overwrite)
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    cbs.zipWithIndex.map { case (cb, m) =>
+      cb.select(lit(m).as("sub"), col("cid").as("code"), col("cv"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(path + "/codebooks")
+  }
+
+  /** The ONE coding tail both [[buildIvfPqIndex]] and
+    * [[appendToIvfPqIndex]] run (build trains the codebooks it passes;
+    * append reads the stored ones): coarse assignment, per-subspace
+    * nearest-codeword coding, sub-order codes array, cid-partitioned
+    * write. A single implementation so a layout change (ordering,
+    * columns, residual coding) can never diverge build from append —
+    * served results depend on their bit-parity. */
+  private def codeAndWriteCells(e: DataFrame, cents: DataFrame,
+      codebooks: Seq[DataFrame], subLen: Int, cellsPath: String,
+      mode: SaveMode): Unit = {
+    val cells = assign(e, cents).select(col("vec_id"), col("cid"))
+    val codes = codebooks.zipWithIndex.map { case (cb, m) =>
+      val sub = e.select(col("vec_id"),
+        slice(col("v"), m * subLen + 1, subLen).as("v"))
+      assign(sub, cb)
+        .select(col("vec_id"), lit(m).as("sub"), col("cid").as("code"))
+    }.reduce(_ union _)
       .groupBy("vec_id")
       .agg(transform(
         sort_array(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
     cells.join(codes, "vec_id")
       .select(col("cid"), col("vec_id").as("corpus_id"), col("codes"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path + "/cells")
-    cents.write.mode("overwrite").parquet(path + "/centroids")
-    perSub.map(_._1).reduce(_ union _)
-      .write.mode("overwrite").parquet(path + "/codebooks")
+      .write.mode(mode).partitionBy("cid").parquet(cellsPath)
   }
 
   /** Update half of the IVF-PQ lifecycle: append a new batch WITHOUT
@@ -514,23 +531,11 @@ object Similarity {
     val cb = spark.read.parquet(path + "/codebooks")
     val e = batch.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val cells = assign(e, cents).select(col("vec_id"), col("cid"))
-    val codes = (0 until subspaces).map { m =>
-      val cbm = cb.filter(col("sub") === m)
-        .select(col("code").as("cid"), col("cv"))
-      val sub = e.select(col("vec_id"),
-        slice(col("v"), m * subLen + 1, subLen).as("v"))
-      assign(sub, cbm)
-        .select(col("vec_id"), lit(m).as("sub"), col("cid").as("code"))
-    }.reduce(_ union _)
-      .groupBy("vec_id")
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
-    cells.join(codes, "vec_id")
-      .select(col("cid"), col("vec_id").as("corpus_id"), col("codes"))
-      .write.mode(SaveMode.Append).partitionBy("cid")
-      .parquet(path + "/cells")
+    val cbs = (0 until subspaces).map { m =>
+      cb.filter(col("sub") === m).select(col("code").as("cid"), col("cv"))
+    }
+    codeAndWriteCells(e, cents, cbs, subLen, path + "/cells",
+      SaveMode.Append)
   }
 
   /** Serve half of the IVF-PQ index: probe selection and partition
