@@ -50,12 +50,22 @@ object Bench {
       .filter { case (k, _) => only.forall(_.contains(k)) }
     // warmup at smoke scale: JIT + codegen caches, so timings below
     // measure the queries, not JVM warmup (order-of-run noise otherwise
-    // dominates small queries)
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
-    sorted.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // dominates small queries). BUILDER records only: measured at
+    // ~7 min over the full registry (r11f), which is what pushed the
+    // r10 driver run past its outer window (rc=124, no artifact at
+    // all) — for the DRIVER regime a complete cold record beats a
+    // truncated warm one, the same trade as the 1-pass rule below.
+    // The header stamps `warmup` so regimes can't be silently mixed
+    // (bench_compare already refuses cross-producer comparisons).
+    val doWarmup = producer != "driver" ||
+      sys.env.contains("SPARK_GRAFT_FORCE_WARMUP")
+    if (doWarmup) {
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+        "/root/testdata/sf0.001")
+      sorted.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     }
     // two timed passes, min per query: one GC pause or compilation stall
     // shouldn't misreport a query as slow. A failed query records the
@@ -120,7 +130,7 @@ object Bench {
     val startedAt = java.time.Instant.now().toString
     val loadEnd = loadavg1m
     val line =
-      s"""{"metric":"total","unit":"sec","sha":"$sha","producer":"$producer","passes":$passes,"started_at":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,"cpus":${scala.util.Try(cpus.toInt).getOrElse(-1)},"sf":"$sfDir","queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sha":"$sha","producer":"$producer","passes":$passes,"warmup":$doWarmup,"started_at":"$startedAt","load_start":$loadStart,"load_end":$loadEnd,"cpus":${scala.util.Try(cpus.toInt).getOrElse(-1)},"sf":"$sfDir","queries":$qs,"value":$total}"""
     // Durable record: the driver keeps only a bounded tail of stdout, so
     // a growing registry silently loses head-of-line per-query figures.
     // Persist the full record to the repo (committed per round) and print
