@@ -110,6 +110,20 @@ object MorTable {
   def isMor(spark: SparkSession, path: String): Boolean =
     Merge.fsFor(spark, path).exists(specFile(path))
 
+  /** True iff `path` is a MOR table currently carrying delta files
+    * under `_graft_deltas/` — the state in which a base-only answer
+    * (footer row counts, footer column stats) is silently wrong,
+    * because delta rows and tombstones are merge INPUTS the base
+    * footers never see. Crash residue counts as live here:
+    * conservative refusal beats a maybe-wrong answer, and [[compact]]
+    * clears both. Metadata-priced (one existence check + one delta
+    * listing), never a data scan. */
+  def hasLiveDeltas(spark: SparkSession, path: String): Boolean =
+    isMor(spark, path) && {
+      val fs = Merge.fsFor(spark, path)
+      Merge.listDataStatuses(fs, deltaRoot(spark, path)).nonEmpty
+    }
+
   /** The table's recorded key spec. Fails on a non-MOR path — a COW
     * table has no `_graft_mor.json`. */
   def spec(spark: SparkSession, path: String): MorSpec = {
@@ -552,14 +566,18 @@ object MorTable {
         .select("okey", "part", "price", "pre")
         .orderBy("part", "okey")
     }),
+    // WIDE key space (okey % 50000): the %500 MOR snapshot saturates at
+    // sf1 (tombstones cover every key pair → empty view, vacuous 10x
+    // evidence — see q18w); dense-key MOR merge/precombine density
+    // stays covered by q28/x05/x14 and MorTableSpec.
     "q27_mor" -> ((s, dir) => {
       val path = Merge.scratchTable("graft_q27_")
       val keyCols = Seq("okey")
-      MorTable.upsert(s, Merge.replayBatch(s, dir, 0), path,
+      MorTable.upsert(s, Merge.replayBatch(s, dir, 0, 50000), path,
         keyCols, "pre", "part")
-      MorTable.upsert(s, Merge.replayBatch(s, dir, 1), path,
+      MorTable.upsert(s, Merge.replayBatch(s, dir, 1, 50000), path,
         keyCols, "pre", "part")
-      MorTable.delete(s, Merge.replayBatch(s, dir, 0)
+      MorTable.delete(s, Merge.replayBatch(s, dir, 0, 50000)
         .filter(org.apache.spark.sql.functions.col("pre") % 3 === 0)
         .select("okey", "part"), path)
       MorTable.read(s, path)
@@ -623,7 +641,7 @@ object MorTable {
     }))
 
   val oracle: Map[String, String] = Map(
-    "q27_mor" -> Merge.replaySql,
+    "q27_mor" -> Merge.replaySqlMod(50000),
     "q28_mor_compact" -> Merge.oracle("x02_indexed_upsert"),
     "x05_stream_mor" -> Merge.oracle("x04_stream_upsert"),
     // the as-of-commit-2 state is the same 2-batch merge q25 pins —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.merge.{KeyIndex, Merge}
@@ -19,7 +19,10 @@ import graft.merge.{KeyIndex, Merge}
   * oracles them) — and `graft_savepoints('<path>')`, the pinned commit
   * ids. Resolution-time cost is one metadata listing, never a data
   * scan, so an analyst can audit a 100 TB table's write history for
-  * free. Pure reads resolve eagerly; there is nothing to defer.
+  * free. Cheap pure reads resolve eagerly; `graft_count`/`graft_stats`
+  * are pure too but their footer sweep is a distributed metadata JOB,
+  * so they defer to execution like the procedures — EXPLAIN stays
+  * free however big the table.
   *
   * MAINTENANCE PROCEDURES — `graft_compact`, `graft_clean`,
   * `graft_zorder`, `graft_vacuum`, `graft_savepoint`, `graft_restore`
@@ -203,19 +206,20 @@ object GraftTableFunctions {
     * table's live files hold exactly its live rows, so this equals
     * `SELECT count(*)` — at 100 TB, a metadata-priced answer to the
     * most common analyst question. Footer reads distribute above the
-    * StatsPruning threshold. COW tables only (a MOR snapshot count
-    * needs the delta merge — use `count(*)` over the snapshot view). */
+    * StatsPruning threshold, so the sweep is a metadata JOB — which is
+    * why this resolves to a [[LeafRunnableCommand]] like the
+    * procedures: `EXPLAIN` on a 100 TB table must not launch it.
+    * COW tables only; a MOR table with live deltas REFUSES loudly
+    * rather than answer with its base-only count (delta rows and
+    * tombstones are merge inputs the base footers never see) —
+    * compact first, or `count(*)` over the snapshot view. */
   def countBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val usage = s"$countName(path) expects exactly one string literal " +
       "argument"
-    val path = exprs match {
-      case Seq(p) => strLit(p, usage)
+    exprs match {
+      case Seq(p) => GraftCountCommand(strLit(p, usage))
       case _ => throw new IllegalArgumentException(usage)
     }
-    val spark = SparkSession.active
-    import spark.implicits._
-    val (rows, files) = graft.merge.StatsPruning.footerRowCount(spark, path)
-    Seq((rows, files)).toDF("n_rows", "n_files").queryExecution.logical
   }
 
   val statsName = "graft_stats"
@@ -233,8 +237,11 @@ object GraftTableFunctions {
     * Bounds render in the comparison domain (integers plainly, DATE as
     * epoch days, TIMESTAMP as epoch micros, strings as themselves);
     * a column whose footers lack usable stats emits nulls with
-    * `exact = false` rather than a guess. Pure read: resolves eagerly,
-    * nothing to defer. */
+    * `exact = false` rather than a guess. Like [[countBuilder]], the
+    * footer sweep is a (metadata-priced but distributed) job, so it
+    * defers to a [[LeafRunnableCommand]] — `EXPLAIN` stays free — and
+    * a MOR table with live deltas refuses loudly rather than report
+    * base-only statistics. */
   def statsBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val usage = s"$statsName(path, cols) expects a string literal path " +
       "and a comma-separated string literal column list"
@@ -245,14 +252,7 @@ object GraftTableFunctions {
     val cols = colsCsv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     if (cols.isEmpty) throw new IllegalArgumentException(
       s"$statsName: empty column list")
-    val spark = SparkSession.active
-    import spark.implicits._
-    graft.merge.StatsPruning.columnStats(spark, path, cols)
-      .map(s => (s.column, s.nRows, s.nNulls, s.minValue, s.maxValue,
-        s.exact))
-      .toDF("column", "n_rows", "n_nulls", "min_value", "max_value",
-        "exact")
-      .queryExecution.logical
+    GraftStatsCommand(path, cols)
   }
 
   val vacuumName = "graft_vacuum"
@@ -322,6 +322,54 @@ object GraftTableFunctions {
   private[sql] def statsRow(names: (String, String)): Seq[Attribute] =
     Seq(AttributeReference(names._1, LongType, nullable = false)(),
       AttributeReference(names._2, LongType, nullable = false)())
+
+  /** The footer-metadata guard: a MOR table with live deltas must not
+    * answer from base footers — delta rows and tombstones are merge
+    * inputs the footers never see, so the base-only figure is silently
+    * wrong (the [[Merge.readChanges]] refusal discipline). COW,
+    * bootstrap, evolved, and fully-compacted MOR tables pass. */
+  private[sql] def refuseLiveMorDeltas(spark: SparkSession, name: String,
+      path: String): Unit =
+    require(!graft.merge.MorTable.hasLiveDeltas(spark, path),
+      s"$path is a MERGE_ON_READ table with live deltas — $name answers " +
+        "from base-file footer metadata, which never sees delta rows or " +
+        "tombstones (they are merge inputs, not merged rows); compact to " +
+        "fold deltas into base first, or aggregate over the snapshot view")
+}
+
+/** Footer-exact row count, deferred to execution: the footer sweep
+  * distributes above the StatsPruning threshold, and EXPLAIN on a
+  * 100 TB table must not launch a metadata job. */
+case class GraftCountCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftTableFunctions.statsRow(("n_rows", "n_files"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTableFunctions.refuseLiveMorDeltas(spark,
+      GraftTableFunctions.countName, path)
+    val (rows, files) = graft.merge.StatsPruning.footerRowCount(spark, path)
+    Seq(Row(rows, files))
+  }
+}
+
+/** Footer-exact per-column statistics, deferred to execution (same
+  * reasoning as [[GraftCountCommand]]). */
+case class GraftStatsCommand(path: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = true)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("n_nulls", LongType, nullable = true)(),
+    AttributeReference("min_value", StringType, nullable = true)(),
+    AttributeReference("max_value", StringType, nullable = true)(),
+    AttributeReference("exact", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTableFunctions.refuseLiveMorDeltas(spark,
+      GraftTableFunctions.statsName, path)
+    graft.merge.StatsPruning.columnStats(spark, path, cols).map { s =>
+      Row(s.column, s.nRows, s.nNulls.map(Long.box).orNull,
+        s.minValue.orNull, s.maxValue.orNull, s.exact)
+    }
+  }
 }
 
 /** The compaction rewrite, deferred to execution (see the object

@@ -792,4 +792,70 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
+
+  test("graft_count/graft_stats: MOR with live deltas refuses loudly, " +
+      "compacted MOR answers exactly, EXPLAIN launches zero jobs") {
+    import spark.implicits._
+    val path = freshTable("sql_count_mor")
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 23 === 7)
+      .select(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        col("o_orderstatus").as("part"))
+    graft.merge.MorTable.upsert(spark, rows.filter($"pre" % 2 === 0),
+      path, Seq("okey"), "pre", Seq("part"))
+    // second upsert lands as a DELTA commit: base footers no longer
+    // hold the table's rows — the silent-wrong-answer state
+    graft.merge.MorTable.upsert(spark, rows.filter($"pre" % 2 === 1),
+      path, Seq("okey"), "pre", Seq("part"))
+    assert(graft.merge.MorTable.hasLiveDeltas(spark, path))
+    for (q <- Seq(s"SELECT * FROM graft_count('$path')",
+        s"SELECT * FROM graft_stats('$path', 'okey')")) {
+      val e = intercept[Exception] { spark.sql(q).collect() }
+      assert(e.getMessage.contains("MERGE_ON_READ") &&
+        e.getMessage.contains("compact"), e.getMessage)
+    }
+    // compaction folds the deltas into base: footers are exact again,
+    // so both functions must answer — and match the snapshot read
+    graft.merge.MorTable.compact(spark, path)
+    assert(!graft.merge.MorTable.hasLiveDeltas(spark, path))
+    val exact = graft.merge.MorTable.read(spark, path).count()
+    assert(spark.sql(s"SELECT n_rows FROM graft_count('$path')")
+      .as[Long].head() === exact)
+    assert(spark.sql(s"SELECT n_rows FROM graft_stats('$path', 'okey')")
+      .as[Long].head() === exact)
+    // the footer sweep is a command: EXPLAIN (CommandExecutionMode.SKIP)
+    // must not launch the distributed metadata job — force the
+    // distributed arm so a reintroduced eager resolve can't hide in the
+    // driver-side path
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    def drainListenerBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    }
+    val prev = graft.merge.StatsPruning.distributeFooterReadsAbove
+    graft.merge.StatsPruning.distributeFooterReadsAbove = 0
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(s"EXPLAIN SELECT * FROM graft_count('$path')").collect()
+      spark.sql(s"EXPLAIN SELECT * FROM graft_stats('$path', 'okey')")
+        .collect()
+      drainListenerBus()
+      assert(jobs === 0, "EXPLAIN must not launch the footer sweep")
+      // the same statements EXECUTED do run the distributed sweep
+      assert(spark.sql(s"SELECT n_rows FROM graft_count('$path')")
+        .as[Long].head() === exact)
+      drainListenerBus()
+      assert(jobs > 0, "listener never observed the executed sweep")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.merge.StatsPruning.distributeFooterReadsAbove = prev
+    }
+  }
 }
