@@ -2599,13 +2599,18 @@ object Merge {
     }),
     // q23: compaction is content-invariant — the q18 replay (whose
     // appends leave several files per partition) compacted to one file
-    // per partition must still hash-match the same relational oracle
+    // per partition must still hash-match the same relational oracle.
+    // WIDE key space (okey % 50000, the q18w recipe): dense %500 keys
+    // saturate at sf1 (the %3 delete covers every (okey, part) pair and
+    // the compacted table is EMPTY — 0 ≡ 0 proves nothing about
+    // compaction at 10x). Dense-key compaction stays covered by q28 and
+    // the Merge/MorTable specs; this key's law needs survivors.
     "q23_compact" -> ((s, dir) => {
       val path = scratchTable("graft_q23_")
       val keyCols = Seq("okey")
-      upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
-      upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
-      delete(s, replayBatch(s, dir, 0).filter(col("pre") % 3 === 0)
+      upsert(s, replayBatch(s, dir, 0, 50000), path, keyCols, "pre", "part")
+      upsert(s, replayBatch(s, dir, 1, 50000), path, keyCols, "pre", "part")
+      delete(s, replayBatch(s, dir, 0, 50000).filter(col("pre") % 3 === 0)
         .select("okey", "part"), path, keyCols, "part")
       compact(s, path, "part", keyCols)
       readTable(s, path)
@@ -2616,14 +2621,15 @@ object Merge {
     // graft_compact('<path>') table-function procedure (partition/key
     // columns derived from the recorded key spec, no arguments beyond
     // the table). The key returns the table CONTENT after the SQL
-    // compaction, sharing q18/q23's replay oracle: the procedure must
-    // be content-invariant; its stats row is spec-asserted.
+    // compaction, sharing q23's WIDE replay oracle (okey % 50000 —
+    // non-vacuous at sf1, see q23): the procedure must be
+    // content-invariant; its stats row is spec-asserted.
     "x34_sql_compact" -> ((s, dir) => {
       val path = scratchTable("graft_x34_")
       val keyCols = Seq("okey")
-      upsert(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
-      upsert(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
-      delete(s, replayBatch(s, dir, 0).filter(col("pre") % 3 === 0)
+      upsert(s, replayBatch(s, dir, 0, 50000), path, keyCols, "pre", "part")
+      upsert(s, replayBatch(s, dir, 1, 50000), path, keyCols, "pre", "part")
+      delete(s, replayBatch(s, dir, 0, 50000).filter(col("pre") % 3 === 0)
         .select("okey", "part"), path, keyCols, "part")
       s.sql(s"SELECT * FROM graft_compact('$path')").collect()
       readTable(s, path)
@@ -3032,12 +3038,17 @@ object Merge {
     // x13: TRANSFORMED replica — a feature view (price band + exact
     // cents) maintained purely from the change stream; the delete must
     // propagate so the feature table serves no vanished source rows
+    // WIDE key space (okey % 50000): the %500 replay saturates at sf1
+    // (delete covers every key pair, the view is empty — vacuous 10x
+    // evidence); survivors here are scale-stable, see q18w.
     "x13_feature_view" -> ((s, dir) => {
       val path = scratchTable("graft_x13src_")
       val keyCols = Seq("okey")
-      upsertVersioned(s, replayBatch(s, dir, 0), path, keyCols, "pre", "part")
-      upsertVersioned(s, replayBatch(s, dir, 1), path, keyCols, "pre", "part")
-      deleteVersioned(s, replayBatch(s, dir, 0)
+      upsertVersioned(s, replayBatch(s, dir, 0, 50000), path, keyCols,
+        "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1, 50000), path, keyCols,
+        "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0, 50000)
         .filter(col("pre") % 3 === 0).select("okey", "part"),
         path, keyCols, Seq("part"))
       val dst = scratchTable("graft_x13dst_")
@@ -3172,10 +3183,11 @@ object Merge {
     // recomputes the aggregate directly from the replayed final state,
     // so the incremental path must land on EXACTLY the from-scratch
     // answer (exact-decimal sums make that bit-for-bit).
+    // WIDE key space (okey % 50000): non-vacuous sf1 evidence, see q18w
     "x08_incr_view" -> ((s, dir) => {
       val src = scratchTable("graft_x08s_")
       val vw = scratchTable("graft_x08v_")
-      def b(i: Int): DataFrame = replayBatch(s, dir, i)
+      def b(i: Int): DataFrame = replayBatch(s, dir, i, 50000)
         .withColumn("bucket", col("okey") % 10)
       upsertVersioned(s, b(0), src, Seq("okey"), "pre", "part")
       IncrementalView.create(s, src, vw, srcKeys = Seq("okey", "part"),
@@ -3195,10 +3207,11 @@ object Merge {
     // aggregate as x08, but the refreshes are driven by draining the
     // checkpointed commit stream (batch grouping is the source's
     // choice; the cursor makes any grouping land on the same state).
+    // WIDE key space (okey % 50000): non-vacuous sf1 evidence, see q18w
     "x09_stream_ivm" -> ((s, dir) => {
       val src = scratchTable("graft_x09s_")
       val vw = scratchTable("graft_x09v_")
-      def b(i: Int): DataFrame = replayBatch(s, dir, i)
+      def b(i: Int): DataFrame = replayBatch(s, dir, i, 50000)
         .withColumn("bucket", col("okey") % 10)
       upsertVersioned(s, b(0), src, Seq("okey"), "pre", "part")
       IncrementalView.create(s, src, vw, srcKeys = Seq("okey", "part"),
@@ -3347,8 +3360,10 @@ object Merge {
   /** DuckDB replay of the same algebra: per-batch dedup by max
     * precombine, batch-wins-over-stored merge, distinct-key anti-join
     * delete — each window/join mirrors one Merge stage. */
-  /** The q18 replay algebra, shared verbatim by q23: compaction must be
-    * content-invariant, so both keys check against the SAME relation. */
+  /** The q18 replay algebra at the classic %500 key space. The
+    * compaction keys (q23/x34) share [[replaySqlMod]](50000) instead:
+    * content-invariance is the same law at any key width, and only the
+    * wide space survives sf1 density (see q18w). */
   private[merge] val replaySql = replaySqlMod(500)
 
   /** The q18 replay algebra over `o_orderkey % mod` keys. mod=500 is
@@ -3413,9 +3428,10 @@ object Merge {
     // the wide-key recorded-compaction time travel (see x12w): the
     // as-of-commit-2 snapshot = the two-batch merge state at mod 50000
     "x12w_compact_versioned_wide" -> twoBatchSqlMod(50000),
-    "q23_compact" -> replaySql,
+    // compaction keys replay the WIDE algebra (sf1 non-vacuity)
+    "q23_compact" -> replaySqlMod(50000),
     // the SQL-procedure compaction must be content-invariant too
-    "x34_sql_compact" -> replaySql,
+    "x34_sql_compact" -> replaySqlMod(50000),
     // WAP replay: ONLY the published batches (0, 1, 3) fold through
     // the overwrite-latest chain — the audited-out batch 2 must leave
     // no trace
@@ -3456,7 +3472,7 @@ object Merge {
       s"""SELECT okey, part, pre,
          |  CAST(FLOOR(price / 500) AS BIGINT) AS band,
          |  CAST(CAST(price AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
-         |FROM ($replaySql)
+         |FROM (${replaySqlMod(50000)})
          |ORDER BY part, okey""".stripMargin,
     // the incrementally-maintained aggregate must equal the direct
     // aggregate of the replayed final state
@@ -3464,7 +3480,7 @@ object Merge {
       s"""SELECT part, okey % 10 AS bucket,
          |  CAST(CAST(SUM(CAST(price AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_v,
          |  COUNT(*) AS n_rows
-         |FROM ($replaySql)
+         |FROM (${replaySqlMod(50000)})
          |GROUP BY part, okey % 10
          |ORDER BY part, bucket""".stripMargin,
     // stream-driven refreshes land on the same state as x08's manual
@@ -3473,7 +3489,7 @@ object Merge {
       s"""SELECT part, okey % 10 AS bucket,
          |  CAST(CAST(SUM(CAST(price AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_v,
          |  COUNT(*) AS n_rows
-         |FROM ($replaySql)
+         |FROM (${replaySqlMod(50000)})
          |GROUP BY part, okey % 10
          |ORDER BY part, bucket""".stripMargin,
     // the snapshot-vs-snapshot full-outer classification over the same

@@ -43,12 +43,17 @@ object TrainingPipeline {
     * budget chain then runs on the rewritten corpus — the composition
     * no single-stage key exercises (every downstream stat — word
     * counts, fingerprints, token budgets — must reflect the scrubbed
-    * text, not the original). Still one lazy plan. */
+    * text, not the original). Still one lazy plan. The scrub threshold
+    * is CORPUS-RELATIVE (df > max(maxDf, N div docsPerDf), sklearn's
+    * max_df-fraction semantics): an absolute df bound stops meaning
+    * "boilerplate" the moment the corpus grows — at 10x replication it
+    * scrubs every document to nothing and the whole pipeline output is
+    * vacuously empty. */
   def curateScrubbed(docs: DataFrame, idCol: String, textCol: String,
-      strataCol: String, budgetTokens: Long, k: Int = 5, maxDf: Int = 1)
-      : DataFrame = {
+      strataCol: String, budgetTokens: Long, k: Int = 5, maxDf: Int = 1,
+      docsPerDf: Int = 500): DataFrame = {
     val scrubbed = TextAnalysis
-      .scrubDuplicateSpans(docs, idCol, textCol, k, maxDf)
+      .scrubDuplicateSpans(docs, idCol, textCol, k, maxDf, docsPerDf)
       .select(col(idCol), col("scrubbed").as(textCol))
       .join(docs.select(col(idCol), col(strataCol)), Seq(idCol))
     curate(scrubbed, idCol, textCol, strataCol, budgetTokens)
@@ -232,7 +237,8 @@ object TrainingPipeline {
          |               unnest(generate_series(1, len(toks)-4)) AS i
          |             FROM t0 WHERE len(toks) >= 5)),
          |b0 AS (SELECT gram FROM g0 GROUP BY gram
-         |       HAVING COUNT(DISTINCT doc_id) > 1),
+         |       HAVING COUNT(DISTINCT doc_id) >
+         |         greatest(1, (SELECT COUNT(*) FROM t0) // 500)),
          |s0 AS (SELECT doc_id, list(pos ORDER BY pos) AS starts
          |       FROM g0 JOIN b0 USING (gram) GROUP BY doc_id),
          |scrubbed AS (SELECT t0.doc_id, t0.lang,

@@ -507,9 +507,20 @@ object TextAnalysis {
     * doc length. The final mask is a nested HOF filter — codegen'd,
     * O(len × hits) per doc. Docs shorter than k pass through
     * untouched; the scrub never drops a document (emptied docs surface
-    * with empty text and n_tokens_after=0). */
+    * with empty text and n_tokens_after=0).
+    *
+    * `docsPerDf > 0` makes the threshold CORPUS-RELATIVE: a span is
+    * boilerplate when its df exceeds `max(maxDf, N div docsPerDf)`
+    * where N is the input's document count — the `max_df`-as-fraction
+    * semantics of sklearn's CountVectorizer, and the only form that
+    * survives scale ("appears in more than 0.2% of the corpus" means
+    * the same thing at 500 docs and at 50 M; an absolute df=1 scrubs
+    * an entire 10x-replicated corpus to nothing). N derives IN-PLAN
+    * (a broadcast 1-row aggregate, the tfidfTopTerms recipe), and the
+    * threshold arithmetic is integer division — no float digit may
+    * decide a destructive scrub. */
   def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, maxDf: Int = 1): DataFrame = {
+      k: Int = 5, maxDf: Int = 1, docsPerDf: Int = 0): DataFrame = {
     require(k >= 2, "k must be >= 2")
     require(maxDf >= 1, "maxDf must be >= 1")
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
@@ -519,9 +530,17 @@ object TextAnalysis {
         s"transform(sequence(0, size(_toks) - $k), " +
           s"i -> concat_ws(' ', slice(_toks, i + 1, $k)))"))
         .as(Seq("pos", "gram")))
-    val boiler = grams.groupBy("gram")
+    val dfBound =
+      if (docsPerDf <= 0) lit(maxDf.toLong)
+      else greatest(lit(maxDf.toLong),
+        expr(s"_ndocs div $docsPerDf"))
+    val dfAgg = grams.groupBy("gram")
       .agg(countDistinct(col(idCol)).as("_df"))
-      .filter(col("_df") > maxDf)
+    val boiler =
+      (if (docsPerDf <= 0) dfAgg
+       else dfAgg.crossJoin(broadcast(
+         docs.agg(count(lit(1)).as("_ndocs")))))
+        .filter(col("_df") > dfBound)
     val starts = grams.join(boiler, Seq("gram"), "left_semi")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("_starts"),

@@ -316,6 +316,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(os.forall(r => r.getLong(3) === 0L))
   }
 
+  test("scrubDuplicateSpans: corpus-relative threshold scales with N — " +
+      "df=2 is boilerplate in a tiny corpus but not in a grown one") {
+    val boiler = "all rights reserved by the site"   // df = 2
+    def corpus(n: Int) = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon zeta")).toDF("doc_id", "text")
+      .unionByName((3 to n).map(i =>
+        (i.toLong, s"filler text number $i words here today")).toSeq
+        .toDF("doc_id", "text"))
+    // N=6, docsPerDf=3 → bound = max(1, 2) = 2: df=2 is NOT over it
+    val small = TextAnalysis.scrubDuplicateSpans(corpus(6), "doc_id",
+      "text", k = 5, maxDf = 1, docsPerDf = 3)
+      .filter($"doc_id" <= 2L).collect()
+    assert(small.forall(_.getLong(3) === 0L),
+      "df=2 within the relative bound must not scrub")
+    // N=6, absolute maxDf=1 (docsPerDf unset) → df=2 IS scrubbed —
+    // the relative form strictly relaxes, never tightens
+    val abs = TextAnalysis.scrubDuplicateSpans(corpus(6), "doc_id",
+      "text", k = 5, maxDf = 1)
+      .filter($"doc_id" <= 2L).collect()
+    assert(abs.forall(_.getLong(3) === 2L))
+    // tiny corpus (N=2, bound = max(1, 0) = 1): df=2 scrubbed — the
+    // relative threshold degrades to the absolute one at small N
+    val tiny = TextAnalysis.scrubDuplicateSpans(corpus(2), "doc_id",
+      "text", k = 5, maxDf = 1, docsPerDf = 3)
+      .filter($"doc_id" <= 2L).collect()
+    assert(tiny.forall(_.getLong(3) === 2L))
+  }
+
   test("lmQualityScore: corpus-like text outscores rare-word salad; " +
       "short docs surface with NULL") {
     // the repeated phrase dominates the corpus counts, so its bigrams
