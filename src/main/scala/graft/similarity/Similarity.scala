@@ -512,6 +512,47 @@ object Similarity {
       .write.mode(mode).partitionBy("cid").parquet(cellsPath)
   }
 
+  /** The compound index's immutable geometry, derived from its STORED
+    * codebooks rather than trusted from caller parameters (the r11
+    * advice finding: an append or serve called with subspaces/dims
+    * differing from build would silently write incompatible codes or
+    * reconstruct truncated vectors and return plausible-but-wrong
+    * similarities). The codebooks relation is already read by every
+    * lifecycle op and is tiny (subspaces × codebook rows), so deriving
+    * (subspaces, subLen) from it costs one driver-side aggregate and
+    * removes the parameter entirely — there is nothing left to pass
+    * wrong. */
+  private def pqGeometry(cb: DataFrame): (Int, Int) = {
+    val r = cb.agg(countDistinct(col("sub")).as("n"),
+      min(size(col("cv"))).as("lo"), max(size(col("cv"))).as("hi")).head()
+    val subspaces = r.getLong(0).toInt
+    require(subspaces > 0, "empty codebooks relation — not a PQ index")
+    require(r.getInt(1) == r.getInt(2),
+      s"corrupt codebooks: sub-vector lengths vary " +
+        s"(${r.getInt(1)}..${r.getInt(2)})")
+    (subspaces, r.getInt(1))
+  }
+
+  /** The ONE decode of a codes layout back to reconstructed vectors —
+    * `subspaces` broadcast joins against the tiny codebook relation,
+    * sub-order concat — shared by serve (asymmetric scoring), drift
+    * (reconstruction means) and retrain (reconstructed holdings), so
+    * the three lifecycle consumers can never disagree about what a
+    * code means. Narrow map over the cells scan: no corpus-side
+    * shuffle. Emits (cid, corpus_id, dv). */
+  private def reconstructCells(cells: DataFrame, cb: DataFrame,
+      subspaces: Int): DataFrame = {
+    val withSubs = (0 until subspaces).foldLeft(cells) { (df, m) =>
+      df.join(broadcast(cb.filter(col("sub") === m)
+          .select(col("code").as(s"_code_$m"), col("cv").as(s"_cv_$m"))),
+        element_at(col("codes"), m + 1) === col(s"_code_$m"))
+        .drop(s"_code_$m")
+    }
+    withSubs.withColumn("dv",
+        concat((0 until subspaces).map(m => col(s"_cv_$m")): _*))
+      .select(col("cid"), col("corpus_id"), col("dv"))
+  }
+
   /** Update half of the IVF-PQ lifecycle: append a new batch WITHOUT
     * retraining either quantizer level — coarse assignment against the
     * stored centroids, codes against the stored per-subspace
@@ -522,15 +563,25 @@ object Similarity {
     * so no frozen-codebook append could exist. Same collapse law as
     * s13: build(base) + append(batch) ≡ assigning base ∪ batch
     * against the base-trained quantizers, per-vector, so appends
-    * commute and the s18 oracle is one relational statement. */
+    * commute and the s18 oracle is one relational statement.
+    *
+    * Geometry (subspaces, dims) comes from the STORED codebooks via
+    * [[pqGeometry]], never from the caller; a batch whose vectors
+    * don't match the index's dims fails loudly in-plan (raise_error)
+    * instead of writing truncated codes. */
   def appendToIvfPqIndex(spark: SparkSession, path: String,
-      batch: DataFrame, subspaces: Int = 4, dims: Int = 64): Unit = {
-    require(dims % subspaces == 0, "dims must divide evenly into subspaces")
-    val subLen = dims / subspaces
+      batch: DataFrame): Unit = {
     val cents = spark.read.parquet(path + "/centroids")
     val cb = spark.read.parquet(path + "/codebooks")
+    val (subspaces, subLen) = pqGeometry(cb)
+    val dims = subspaces * subLen
     val e = batch.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+      .withColumn("v", when(size(col("v")) === dims, col("v"))
+        .otherwise(raise_error(concat(
+          lit(s"appendToIvfPqIndex: index at $path codes $dims-dim " +
+            "vectors; batch vec_id "), col("vec_id").cast("string"),
+          lit(" has "), size(col("v")).cast("string"), lit(" dims")))))
     val cbs = (0 until subspaces).map { m =>
       cb.filter(col("sub") === m).select(col("code").as("cid"), col("cv"))
     }
@@ -550,8 +601,7 @@ object Similarity {
     * the codes, not the vectors: the hot set a serving tier actually
     * holds. */
   def ivfPqTopKServed(spark: SparkSession, path: String,
-      queries: DataFrame, k: Int, nProbe: Int,
-      subspaces: Int = 4): DataFrame = {
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val cents = spark.read.parquet(path + "/centroids")
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("qv"))
@@ -574,15 +624,7 @@ object Similarity {
       .parquet(path + "/cells")
       .filter(col("cid").isin(probedCids: _*))
     val cb = spark.read.parquet(path + "/codebooks")
-    val withSubs = (0 until subspaces).foldLeft(cells) { (df, m) =>
-      df.join(broadcast(cb.filter(col("sub") === m)
-          .select(col("code").as(s"_code_$m"), col("cv").as(s"_cv_$m"))),
-        element_at(col("codes"), m + 1) === col(s"_code_$m"))
-        .drop(s"_code_$m")
-    }
-    val recon = withSubs.withColumn("dv",
-        concat((0 until subspaces).map(m => col(s"_cv_$m")): _*))
-      .select(col("cid"), col("corpus_id"), col("dv"))
+    val recon = reconstructCells(cells, cb, pqGeometry(cb)._1)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("corpus_id"))
     recon.join(broadcast(probes), Seq("cid"))
@@ -831,6 +873,48 @@ object Similarity {
     ()
   }
 
+  /** [[retrainIvfIndex]] for the COMPOUND index (s21): retrain BOTH
+    * quantizer levels over the index's current holdings and re-code —
+    * which is, by construction, exactly ONE [[buildIvfPqIndex]] over
+    * the RECONSTRUCTED contents (the only vectors a PQ index still
+    * has; geometry from the stored codebooks via [[pqGeometry]]). That
+    * identity IS the s21 collapse law the oracle states — build over
+    * the decode of the drifted index — and it makes the lossy step
+    * honest: each retrain re-quantizes reconstructions, so quality is
+    * bounded by the codes it started from. A deployment that wants
+    * codes re-trained against ORIGINAL vectors rebuilds from source —
+    * the index cannot recover information it never stored.
+    *
+    * Staged like the IVF retrain: the new build lands under
+    * `retrain_tmp/` first, then the three layout dirs swap in with
+    * renames — a crashed retrain leaves the old index serving. The
+    * O(corpus) cost is the same scheduled, rare event the s18/s19
+    * no-retrain append/delete contracts amortize against. */
+  def retrainIvfPqIndex(spark: SparkSession, path: String,
+      nCentroids: Int, codebook: Int = 16, coarseIters: Int = 3,
+      pqIters: Int = 2, maxTrainVectors: Int = 100000): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cb = spark.read.parquet(path + "/codebooks")
+    val (subspaces, subLen) = pqGeometry(cb)
+    val cells = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(path + "/cells")
+    val recon = reconstructCells(cells, cb, subspaces)
+      .select(col("corpus_id").as("vec_id"), col("dv").as("embedding"))
+    val staging = path + "/retrain_tmp"
+    buildIvfPqIndex(recon, staging, nCentroids, subspaces, codebook,
+      coarseIters, pqIters, subspaces * subLen, maxTrainVectors)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("cells", "centroids", "codebooks").foreach { d =>
+      val dst = new Path(path, d)
+      fs.delete(dst, true)
+      fs.rename(new Path(staging, d), dst)
+    }
+    fs.delete(new Path(staging), true)
+    ()
+  }
+
   /** Index STALENESS statistic (the drift half of the lifecycle, under
     * the d23/s08 oracled-artifact discipline): per stored centroid, the
     * cosine displacement between the centroid and the mean of the
@@ -857,15 +941,27 @@ object Similarity {
     val cells = spark.read
       .schema("corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG")
       .parquet(path + "/cells")
-    val perDim = cells
-      .select(col("cid"), posexplode(col("cv")).as(Seq("i", "val")))
+    driftStatsOver(cents, cells.select(col("cid"), col("cv").as("nv")))
+  }
+
+  /** The ONE drift tail shared by [[ivfDriftStats]] and
+    * [[ivfPqDriftStats]] — per-cell exact-decimal per-dimension means
+    * of the normalized holdings `vecs (cid, nv)`, displacement vs the
+    * stored centroid on the 10^6 integer grid. One implementation so
+    * the full-vector and compound indexes can never disagree about
+    * what "drift" means (both policy loops compare it to the same kind
+    * of bar). */
+  private def driftStatsOver(cents: DataFrame, vecs: DataFrame)
+      : DataFrame = {
+    val perDim = vecs
+      .select(col("cid"), posexplode(col("nv")).as(Seq("i", "val")))
       .groupBy("cid", "i")
       .agg((sum(col("val").cast("decimal(27,20)")).cast("double") /
         count(lit(1))).as("m"))
     val nm = perDim.groupBy("cid")
       .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
         s => s.getField("m")).as("mv"))
-    val nv = cells.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    val nv = vecs.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
     val drift =
       greatest(lit(1.0) - dot(normalized(col("cv")), normalized(col("mv"))),
         lit(0.0))
@@ -877,14 +973,45 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** [[ivfDriftStats]] for the COMPOUND index (s20): the cells hold PQ
+    * codes, so the per-cell means are taken over the NORMALIZED
+    * RECONSTRUCTIONS — the only holdings the index can still see (the
+    * raw vectors are gone by design; that lossy residency is the whole
+    * point of PQ). Same emission contract as s15: (cid, n_vecs,
+    * drift_e6 on the 10^6 integer grid), emptied cells surface with
+    * n_vecs=0 and NULL drift. The statistic stays an honest retrain
+    * trigger: reconstructions are what the serve path actually scores
+    * against, so "the coarse quantizer stopped describing the
+    * reconstructions" is exactly the staleness that degrades served
+    * answers. Metadata-priced at scale: the decode is a broadcast-join
+    * map over the codes scan and the means aggregate is O(cells ×
+    * dims). */
+  def ivfPqDriftStats(spark: SparkSession, path: String): DataFrame = {
+    val cents = spark.read.parquet(path + "/centroids")
+    val cb = spark.read.parquet(path + "/codebooks")
+    val cells = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(path + "/cells")
+    val nv = reconstructCells(cells, cb, pqGeometry(cb)._1)
+      .select(col("cid"), normalized(col("dv")).as("nv"))
+    driftStatsOver(cents, nv)
+  }
+
   /** The retrain-trigger scalar: max per-cell [[ivfDriftStats]]
     * displacement on the 10^6 integer grid (empty cells' NULL drift
     * ignored — an emptied cell needs compaction, not retraining; an
     * index with NO populated cells reports 0). One number a serving
     * loop compares against its staleness bar. */
-  def maxDriftE6(spark: SparkSession, path: String): Long = {
-    val r = ivfDriftStats(spark, path)
-      .agg(max(col("drift_e6"))).head()
+  def maxDriftE6(spark: SparkSession, path: String): Long =
+    maxE6(ivfDriftStats(spark, path))
+
+  /** [[maxDriftE6]] for the compound index — the s20 statistic reduced
+    * to the one number the PQ policy loop compares to its bar. */
+  def maxPqDriftE6(spark: SparkSession, path: String): Long =
+    maxE6(ivfPqDriftStats(spark, path))
+
+  private def maxE6(stats: DataFrame): Long = {
+    val r = stats.agg(max(col("drift_e6"))).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
@@ -911,6 +1038,31 @@ object Similarity {
     val stale = maxDriftE6(spark, path) > retrainAboveE6
     if (stale)
       retrainIvfIndex(spark, path, nCentroids, iters, maxTrainVectors)
+    stale
+  }
+
+  /** [[appendWithRetrainPolicy]] for the COMPOUND index (e27): append
+    * the batch against the frozen stored quantizers, measure the s20
+    * reconstruction-drift statistic, retrain both levels when it
+    * crosses the bar. One difference from the IVF loop matters to
+    * consumers: PQ retrain re-quantizes RECONSTRUCTIONS (the s21 law),
+    * so unlike IVF — where any firing pattern collapses to one build —
+    * the final index depends on WHICH steps fired. The policy is still
+    * oracle-able because the drift bar pins the pattern: e27 sets the
+    * bar far under the measured post-append drift, so every step
+    * fires and the final state is the deterministic nest
+    * build∘decode∘append applied once per batch — which its oracle
+    * restates level by level. Economics unchanged: O(batch) appends,
+    * O(cells) drift, O(corpus) retrain only on trigger. */
+  def appendToIvfPqWithRetrainPolicy(spark: SparkSession, path: String,
+      batch: DataFrame, nCentroids: Int, retrainAboveE6: Long,
+      codebook: Int = 16, coarseIters: Int = 3, pqIters: Int = 2,
+      maxTrainVectors: Int = 100000): Boolean = {
+    appendToIvfPqIndex(spark, path, batch)
+    val stale = maxPqDriftE6(spark, path) > retrainAboveE6
+    if (stale)
+      retrainIvfPqIndex(spark, path, nCentroids, codebook, coarseIters,
+        pqIters, maxTrainVectors)
     stale
   }
 
@@ -1226,6 +1378,82 @@ object Similarity {
       ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    // s20: the staleness statistic over the COMPOUND index — s18's
+    // drifted scenario (trained on the base, the %10==9 slice appended
+    // frozen), per-cell displacement of the normalized RECONSTRUCTION
+    // means on the 10^6 integer grid (the only holdings a PQ index
+    // still has; what the serve path actually scores against)
+    "s20_ivf_pq_drift" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s18:" + dir, "graft_s18_") {
+        p =>
+          val all = corpusOf(s, dir)
+          buildIvfPqIndex(all.filter(col("vec_id") % 10 =!= 9), p,
+            nCentroids = 10, subspaces = 4, codebook = 16,
+            maxTrainVectors = 256)
+          appendToIvfPqIndex(s, p,
+            all.filter(col("vec_id") % 10 === 9))
+      }
+      ivfPqDriftStats(s, idx)
+    }),
+    // s21: the RETRAIN path closing the compound lifecycle — build on
+    // the base, append the drifted slice frozen, then retrain BOTH
+    // quantizer levels over the index's reconstructed holdings and
+    // re-code (= one build over the decode, the s21 collapse law the
+    // oracle restates level by level)
+    "s21_ivf_pq_retrain" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s21:" + dir, "graft_s21_") {
+        p =>
+          val all = corpusOf(s, dir)
+          buildIvfPqIndex(all.filter(col("vec_id") % 10 =!= 9), p,
+            nCentroids = 10, subspaces = 4, codebook = 16,
+            maxTrainVectors = 256)
+          appendToIvfPqIndex(s, p,
+            all.filter(col("vec_id") % 10 === 9))
+          retrainIvfPqIndex(s, p, nCentroids = 10, codebook = 16,
+            maxTrainVectors = 256)
+      }
+      ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    // e27: e23's online maintenance loop on the COMPOUND index — a
+    // streaming ingest appends micro-batches, measures the s20
+    // reconstruction-drift statistic after each, and retrains both
+    // quantizer levels when it crosses the bar. The bar (0.001) sits
+    // far under the measured post-append drift, so EVERY step fires —
+    // and because PQ retrain is the lossy build-over-decode (unlike
+    // IVF's bit-idempotent migration), the oracle restates the exact
+    // three-level nest the pinned firing pattern produces; a retrain
+    // that silently failed to fire would hash-mismatch.
+    "e27_stream_pq_retrain" -> ((s, dir) => {
+      val idx = graft.util.Scratch.fresh("graft_e27_")
+      val inDir = graft.util.Scratch.fresh("graft_e27in_")
+      val all = corpusOf(s, dir)
+      buildIvfPqIndex(all.filter(col("vec_id") % 10 =!= 9), idx,
+        nCentroids = 10, subspaces = 4, codebook = 16,
+        maxTrainVectors = 256)
+      val slice = all.filter(col("vec_id") % 10 === 9)
+      slice.coalesce(1).write.parquet(inDir + "/f=0")
+      slice.select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+        .coalesce(1).write.parquet(inDir + "/f=1")
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.util.Scratch.fresh("graft_e27c_"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          appendToIvfPqWithRetrainPolicy(s, idx, batch.drop("f"),
+            nCentroids = 10, retrainAboveE6 = 1000L,
+            maxTrainVectors = 256)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // product quantization: per-subspace trained codebooks, asymmetric
     // scoring against the reconstruction (sampled training, as s03)
     "s06_ann_pq" -> ((s, dir) =>
@@ -1383,50 +1611,61 @@ object Similarity {
     * s14 convention): "corpus" everywhere except s19, which serves
     * "corpusKeep" (corpus minus the erased slice) against quantizers
     * trained on the full corpus — the no-retrain delete contract. */
-  private def s17OracleSql(nCentroids: Int, coarseIters: Int, nProbe: Int,
+  /** One COMPLETE PQ-index level as CTEs, `sfx`-namespaced so levels
+    * can nest (the s21/e27 retrain oracles decode one level and build
+    * the next over it): coarse Lloyd over `trainOn` →
+    * `c<coarseIters><sfx>`, cell assignment of `codeOn` →
+    * `cells<sfx>`, per-subspace Lloyd + coding of `codeOn` against
+    * `trainOn`-trained codebooks, sub-order reconstruction →
+    * `recon<sfx> (vec_id, dv)`. The s13/s18 frozen-quantizer
+    * convention: `trainOn` scopes BOTH quantizer levels' training
+    * sets, `codeOn` the vectors the index holds. */
+  private def pqIndexCtesSql(nCentroids: Int, coarseIters: Int,
       subspaces: Int, subLen: Int, codebook: Int, pqIters: Int,
-      topK: Int, trainN: Int, trainOn: String = "corpus",
-      serveOn: String = "corpus"): String = {
+      trainN: Int, trainOn: String, codeOn: String,
+      sfx: String = ""): String = {
     val subCtes = (0 until subspaces).map { m =>
       val lo = m * subLen + 1
       val hi = (m + 1) * subLen
-      s"""corpus_$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM corpus),
-         |trainsrc_$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM $trainOn),
-         |${lloydCtesSql(codebook, pqIters, trainN, s"_$m",
-            s"trainsrc_$m")},
-         |${assignCteSql(s"pqcells_$m", s"c${pqIters}_$m", s"corpus_$m")},
-         |coded_$m AS (SELECT a.vec_id, $m AS sub, c.cv
-         |             FROM pqcells_$m a JOIN c${pqIters}_$m c USING (cid))"""
+      s"""src${sfx}_$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM $codeOn),
+         |trainsrc${sfx}_$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM $trainOn),
+         |${lloydCtesSql(codebook, pqIters, trainN, s"${sfx}_$m",
+            s"trainsrc${sfx}_$m")},
+         |${assignCteSql(s"pqcells${sfx}_$m", s"c$pqIters${sfx}_$m",
+            s"src${sfx}_$m")},
+         |coded${sfx}_$m AS (SELECT a.vec_id, $m AS sub, c.cv
+         |  FROM pqcells${sfx}_$m a JOIN c$pqIters${sfx}_$m c USING (cid))"""
         .stripMargin
     }.mkString(",\n")
     val unionCoded = (0 until subspaces)
-      .map(m => s"SELECT vec_id, sub, cv FROM coded_$m")
+      .map(m => s"SELECT vec_id, sub, cv FROM coded${sfx}_$m")
       .mkString(" UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
-       |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
-       |corpus0 AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 9),
-       |corpusKeep AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 7),
-       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-       |${lloydCtesSql(nCentroids, coarseIters, trainN, "", trainOn)},
-       |${assignCteSql("cells", s"c$coarseIters", serveOn)},
+    s"""${lloydCtesSql(nCentroids, coarseIters, trainN, sfx, trainOn)},
+       |${assignCteSql(s"cells$sfx", s"c$coarseIters$sfx", codeOn)},
        |$subCtes,
-       |coded AS ($unionCoded),
-       |recon AS (SELECT vec_id, flatten(list(cv ORDER BY sub)) AS dv
-       |          FROM coded GROUP BY vec_id),
-       |probes AS (
+       |coded$sfx AS ($unionCoded),
+       |recon$sfx AS (SELECT vec_id, flatten(list(cv ORDER BY sub)) AS dv
+       |          FROM coded$sfx GROUP BY vec_id)""".stripMargin
+  }
+
+  /** The IVF-PQ serve tail over one [[pqIndexCtesSql]] level: nProbe
+    * coarse probing, asymmetric cosine within probed cells against the
+    * level's reconstructions, bounded ranking. */
+  private def pqServeTailSql(coarseIters: Int, nProbe: Int, topK: Int,
+      sfx: String = ""): String =
+    s"""probes AS (
        |  SELECT query_id, qv, cid FROM (
        |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |        list_dot_product(${normSql("q.v")}, ${normSql("c.cv")}) DESC,
        |        c.cid) AS rn
-       |    FROM q CROSS JOIN c$coarseIters c) WHERE rn <= $nProbe),
+       |    FROM q CROSS JOIN c$coarseIters$sfx c) WHERE rn <= $nProbe),
        |scored AS (
-       |  SELECT query_id, cells.vec_id AS corpus_id,
-       |         list_cosine_similarity(qv, recon.dv) AS cos_sim
-       |  FROM probes JOIN cells USING (cid)
-       |       JOIN recon ON recon.vec_id = cells.vec_id
-       |  WHERE cells.vec_id <> query_id),
+       |  SELECT query_id, cells$sfx.vec_id AS corpus_id,
+       |         list_cosine_similarity(qv, recon$sfx.dv) AS cos_sim
+       |  FROM probes JOIN cells$sfx USING (cid)
+       |       JOIN recon$sfx ON recon$sfx.vec_id = cells$sfx.vec_id
+       |  WHERE cells$sfx.vec_id <> query_id),
        |ranked AS (
        |  SELECT query_id, corpus_id, cos_sim,
        |         row_number() OVER (PARTITION BY query_id
@@ -1435,7 +1674,103 @@ object Similarity {
        |SELECT query_id, rank, corpus_id, cos_sim
        |FROM ranked WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** The shared preamble every PQ-family oracle opens with: the raw
+    * corpus/query split plus the scenario slices. */
+  private val pqPreambleSql: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+       |corpus0 AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 9),
+       |corpusKeep AS (SELECT vec_id, v FROM corpus WHERE vec_id % 10 <> 7),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5)""".stripMargin
+
+  private def s17OracleSql(nCentroids: Int, coarseIters: Int, nProbe: Int,
+      subspaces: Int, subLen: Int, codebook: Int, pqIters: Int,
+      topK: Int, trainN: Int, trainOn: String = "corpus",
+      serveOn: String = "corpus"): String =
+    s"""WITH $pqPreambleSql,
+       |${pqIndexCtesSql(nCentroids, coarseIters, subspaces, subLen,
+          codebook, pqIters, trainN, trainOn, serveOn)},
+       |${pqServeTailSql(coarseIters, nProbe, topK)}""".stripMargin
+
+  /** s20: the s15 drift statistic over the COMPOUND index — per-cell
+    * exact-decimal means of the NORMALIZED RECONSTRUCTIONS (cells hold
+    * codes; reconstructions are all the index can still see),
+    * displacement on the 10^6 integer grid. Scenario = s18's drifted
+    * index (quantizers trained on the base, full corpus appended
+    * frozen). */
+  private def s20OracleSql(nCentroids: Int, coarseIters: Int,
+      subspaces: Int, subLen: Int, codebook: Int, pqIters: Int,
+      trainN: Int): String =
+    s"""WITH $pqPreambleSql,
+       |${pqIndexCtesSql(nCentroids, coarseIters, subspaces, subLen,
+          codebook, pqIters, trainN, "corpus0", "corpus")},
+       |nrm AS (SELECT cells.cid, cells.vec_id, ${normSql("recon.dv")} AS nv
+       |        FROM cells JOIN recon USING (vec_id)),
+       |pd AS (SELECT cid, i,
+       |         CAST(CAST(SUM(CAST(val AS DECIMAL(27,20))) AS STRING) AS DOUBLE)
+       |           / COUNT(*) AS m
+       |       FROM (SELECT cid, unnest(nv) AS val,
+       |               generate_subscripts(nv, 1) AS i FROM nrm)
+       |       GROUP BY cid, i),
+       |nm AS (SELECT cid, list(m ORDER BY i) AS mv FROM pd GROUP BY cid),
+       |nv2 AS (SELECT cid, COUNT(*) AS n_vecs FROM cells GROUP BY cid)
+       |SELECT c.cid, CAST(COALESCE(nv2.n_vecs, 0) AS BIGINT) AS n_vecs,
+       |  CASE WHEN nm.mv IS NULL THEN NULL ELSE
+       |    CAST(floor(greatest(
+       |      1 - list_dot_product(${normSql("c.cv")}, ${normSql("nm.mv")}),
+       |      0.0e0) * 1000000.0e0) AS BIGINT)
+       |  END AS drift_e6
+       |FROM c$coarseIters c LEFT JOIN nm USING (cid) LEFT JOIN nv2 USING (cid)
+       |ORDER BY c.cid""".stripMargin
+
+  /** s21: the retrain collapse for the compound index — level A is
+    * s18's drifted index (trained on the base, full corpus coded
+    * frozen); its decode `rcA` is everything the index still holds;
+    * the served level is ONE BUILD over rcA (both quantizer levels
+    * retrained, holdings re-coded) — exactly what
+    * [[retrainIvfPqIndex]] executes. */
+  private def s21OracleSql(nCentroids: Int, coarseIters: Int, nProbe: Int,
+      subspaces: Int, subLen: Int, codebook: Int, pqIters: Int,
+      topK: Int, trainN: Int): String =
+    s"""WITH $pqPreambleSql,
+       |${pqIndexCtesSql(nCentroids, coarseIters, subspaces, subLen,
+          codebook, pqIters, trainN, "corpus0", "corpus", "A")},
+       |rcA AS MATERIALIZED (SELECT vec_id, dv AS v FROM reconA),
+       |${pqIndexCtesSql(nCentroids, coarseIters, subspaces, subLen,
+          codebook, pqIters, trainN, "rcA", "rcA")},
+       |${pqServeTailSql(coarseIters, nProbe, topK)}""".stripMargin
+
+  /** e27: the online PQ policy loop, restated level by level. The bar
+    * fires on EVERY batch (set 60×+ under the measured post-append
+    * reconstruction drift, the e23 discipline), so the state machine
+    * is pinned: level A = build(base) + frozen append of the
+    * in-distribution slice → decode rcA; retrain 1 = build over rcA,
+    * then frozen append of the off-distribution negated slice b2 →
+    * decode rcB (level B codes rcA ∪ b2 against rcA-trained
+    * quantizers); retrain 2 = build over rcB = the served level. A
+    * run in which either retrain silently failed to fire serves
+    * different bits and hash-mismatches — the oracle checks the firing
+    * pattern, not just the end shape. */
+  private def e27OracleSql(nCentroids: Int, coarseIters: Int, nProbe: Int,
+      subspaces: Int, subLen: Int, codebook: Int, pqIters: Int,
+      topK: Int, trainN: Int): String =
+    s"""WITH $pqPreambleSql,
+       |b2 AS (SELECT vec_id + 1000000000 AS vec_id,
+       |         list_transform(v, x -> -x) AS v
+       |       FROM corpus WHERE vec_id % 10 = 9),
+       |${pqIndexCtesSql(nCentroids, coarseIters, subspaces, subLen,
+          codebook, pqIters, trainN, "corpus0", "corpus", "A")},
+       |rcA AS MATERIALIZED (SELECT vec_id, dv AS v FROM reconA),
+       |augB AS MATERIALIZED (SELECT vec_id, v FROM rcA UNION ALL
+       |         SELECT vec_id, v FROM b2),
+       |${pqIndexCtesSql(nCentroids, coarseIters, subspaces, subLen,
+          codebook, pqIters, trainN, "rcA", "augB", "B")},
+       |rcB AS MATERIALIZED (SELECT vec_id, dv AS v FROM reconB),
+       |${pqIndexCtesSql(nCentroids, coarseIters, subspaces, subLen,
+          codebook, pqIters, trainN, "rcB", "rcB")},
+       |${pqServeTailSql(coarseIters, nProbe, topK)}""".stripMargin
 
   /** DuckDB SQL for the s03 IVF pipeline: THREE unrolled Lloyd
     * iterations reproducing [[kmeansCentroids]] exactly — assignment by
@@ -1625,6 +1960,21 @@ object Similarity {
     "s19_ivf_pq_delete" -> s17OracleSql(nCentroids = 10, coarseIters = 3,
       nProbe = 4, subspaces = 4, subLen = 16, codebook = 16, pqIters = 2,
       topK = 10, trainN = 256, serveOn = "corpusKeep"),
+    // s20: the compound index's staleness statistic — drift of the
+    // normalized reconstruction means, s18's drifted scenario
+    "s20_ivf_pq_drift" -> s20OracleSql(nCentroids = 10, coarseIters = 3,
+      subspaces = 4, subLen = 16, codebook = 16, pqIters = 2,
+      trainN = 256),
+    // s21: retrain = ONE BUILD over the decode of the drifted index,
+    // both quantizer levels — the compound collapse law
+    "s21_ivf_pq_retrain" -> s21OracleSql(nCentroids = 10, coarseIters = 3,
+      nProbe = 4, subspaces = 4, subLen = 16, codebook = 16, pqIters = 2,
+      topK = 10, trainN = 256),
+    // e27: the online policy loop's pinned firing pattern, restated as
+    // the exact three-level build∘decode∘append nest
+    "e27_stream_pq_retrain" -> e27OracleSql(nCentroids = 10,
+      coarseIters = 3, nProbe = 4, subspaces = 4, subLen = 16,
+      codebook = 16, pqIters = 2, topK = 10, trainN = 256),
     // the same quantize/dequantize IEEE expression the engine ships,
     // restated over unnested dims; scoring via list_cosine_similarity
     // (bit-identical to the engine's sequential-fold cosine)

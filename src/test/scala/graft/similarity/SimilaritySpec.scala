@@ -305,6 +305,113 @@ class SimilaritySpec extends SparkSpec {
     assert(served.intersect(delIds).isEmpty)
   }
 
+  /** The spec's own decode of a compound index's holdings — the same
+    * codebook joins the engine runs, re-derived independently so the
+    * retrain collapse can be checked against it. */
+  private def decodePq(idx: String): org.apache.spark.sql.DataFrame = {
+    val cb = spark.read.parquet(idx + "/codebooks")
+    val cells = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(idx + "/cells")
+    val subspaces = cb.select("sub").distinct().count().toInt
+    val withSubs = (0 until subspaces).foldLeft(cells) { (df, m) =>
+      df.join(cb.filter($"sub" === m)
+          .select($"code".as(s"_c$m"), $"cv".as(s"_v$m")),
+        element_at($"codes", m + 1) === col(s"_c$m")).drop(s"_c$m")
+    }
+    withSubs.select($"corpus_id".as("vec_id"),
+      concat((0 until subspaces).map(m => col(s"_v$m")): _*)
+        .as("embedding"))
+  }
+
+  test("retrainIvfPqIndex: the collapse law — retrain == ONE BUILD over " +
+      "the decode of the drifted index, bit for bit; holdings preserved; " +
+      "no staging residue") {
+    val idx = tmpDir("graft_s21_spec_")
+    Similarity.buildIvfPqIndex(corpus.filter($"vec_id" % 10 =!= 9), idx,
+      nCentroids = 10, subspaces = 4, codebook = 16, maxTrainVectors = 256)
+    Similarity.appendToIvfPqIndex(spark, idx,
+      corpus.filter($"vec_id" % 10 === 9))
+    val idsBefore = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(idx + "/cells").select("corpus_id")
+      .as[Long].collect().sorted.toSeq
+    // the law's right-hand side: one build over the decoded holdings
+    val want = tmpDir("graft_s21_want_")
+    Similarity.buildIvfPqIndex(decodePq(idx), want, nCentroids = 10,
+      subspaces = 4, codebook = 16, maxTrainVectors = 256)
+    Similarity.retrainIvfPqIndex(spark, idx, nCentroids = 10,
+      codebook = 16, maxTrainVectors = 256)
+    def cents(p: String) = spark.read.parquet(p + "/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    def books(p: String) = spark.read.parquet(p + "/codebooks")
+      .select("sub", "code", "cv").as[(Int, Long, Seq[Double])]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    def codes(p: String) = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(p + "/cells").as[(Long, Seq[Long], Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(cents(idx) === cents(want), "coarse centroids differ")
+    assert(books(idx) === books(want), "codebooks differ")
+    assert(codes(idx) === codes(want), "cells/codes differ")
+    assert(codes(idx).map(_._1) === idsBefore,
+      "retrain must migrate every holding, never drop one")
+    assert(!new java.io.File(idx + "/retrain_tmp").exists(),
+      "staged swap must clean its staging dir")
+  }
+
+  test("ivfPqDriftStats: n_vecs totals the holdings, drift on the LONG " +
+      "grid, emptied cell surfaces NULL; policy fires on the bar; a " +
+      "mismatched-dims append refuses loudly") {
+    val idx = tmpDir("graft_s20_spec_")
+    Similarity.buildIvfPqIndex(corpus, idx, nCentroids = 10,
+      subspaces = 4, codebook = 16, maxTrainVectors = 256)
+    val stats = Similarity.ivfPqDriftStats(spark, idx).collect()
+    assert(stats.map(_.getLong(1)).sum === corpus.count())
+    assert(stats.filter(_.getLong(1) > 0)
+      .forall(r => !r.isNullAt(2) && r.getLong(2) >= 0L))
+    // empty a whole cell: its row must surface with n_vecs=0, NULL drift
+    val victim = stats.filter(_.getLong(1) > 0).map(_.getLong(0)).min
+    val victimIds = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(idx + "/cells").filter($"cid" === victim)
+      .select($"corpus_id".as("vec_id"))
+    Similarity.removeFromIvfPqIndex(spark, idx, victimIds)
+    val emptied = Similarity.ivfPqDriftStats(spark, idx).collect()
+      .find(_.getLong(0) == victim).get
+    assert(emptied.getLong(1) === 0L && emptied.isNullAt(2))
+    // the policy: an absurd bar never fires, the e27 bar fires on the
+    // off-distribution negated batch (and actually swaps the quantizers)
+    val calm = corpus.filter($"vec_id" % 10 === 9)
+      .select(($"vec_id" + 2000000000L).as("vec_id"), $"embedding")
+    assert(!Similarity.appendToIvfPqWithRetrainPolicy(spark, idx, calm,
+      nCentroids = 10, retrainAboveE6 = Long.MaxValue,
+      maxTrainVectors = 256), "nothing crosses an infinite bar")
+    val centsBefore = spark.read.parquet(idx + "/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val neg = corpus.filter($"vec_id" % 10 === 9)
+      .select(($"vec_id" + 1000000000L).as("vec_id"),
+        transform($"embedding", x => -x).as("embedding"))
+    assert(Similarity.appendToIvfPqWithRetrainPolicy(spark, idx, neg,
+      nCentroids = 10, retrainAboveE6 = 1000L, maxTrainVectors = 256),
+      "the negated cluster must cross the e27 bar")
+    assert(spark.read.parquet(idx + "/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      !== centsBefore, "the fired retrain must swap the coarse level")
+    // geometry is DERIVED from the stored codebooks: a batch whose
+    // vectors don't match the index's dims refuses in-plan instead of
+    // writing truncated codes
+    val skinny = corpus.limit(3)
+      .select(($"vec_id" + 3000000000L).as("vec_id"),
+        slice($"embedding", 1, 32).as("embedding"))
+    val e = intercept[Exception] {
+      Similarity.appendToIvfPqIndex(spark, idx, skinny)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("dims")), msgs(e).mkString("; "))
+  }
+
   test("removeFromIvfIndex: only touched cells rewritten; deleted ids " +
       "gone; delete commutes with build (split == build-on-kept cells)") {
     import java.io.File

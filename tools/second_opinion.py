@@ -517,61 +517,54 @@ def s08(sf):
     return pd.DataFrame(rows)
 
 
-def s15(sf):
-    """IVF drift statistic, re-derived imperatively: the s13 scenario
-    (Lloyd on the md5-sampled base, full corpus assigned frozen), exact
-    DECIMAL per-dim means, sequential normalize/dot, emitted as
-    floor(max(drift,0)*1e6) — the integer grid the r10 red key moved
-    to. The grid is the contract under test: it must absorb the
-    toString-dialect and fold-association noise that flipped the old
-    8-decimal emission."""
-    import math
-    from decimal import Decimal, ROUND_HALF_UP
-    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-    vecs = {int(i): [float(x) for x in v]
-            for i, v in zip(emb.vec_id, emb.embedding)
-            if int(i) >= 5}
-    base = {i: v for i, v in vecs.items() if i % 10 != 9}
-    nvecs = {i: _normalize(v) for i, v in vecs.items()}
-    # deterministic md5-ordered train sample of 256, Lloyd k=10 x 3
-    train_ids = sorted(base, key=lambda i: (
-        hashlib.md5(str(i).encode()).hexdigest(), i))[:256]
-    # cents: (cid, vector) — an EMPTY training cluster vanishes (both
-    # engines' GROUP BY drops it); surviving cids keep their values
-    cents = [(c, base[i]) for c, i in enumerate(sorted(train_ids)[:10])]
+def _assign_cid(nvv, cs_norm):
+    """Nearest centroid by sequential-fold dot; tie -> lowest cid
+    (cs_norm is cid-ordered, first seen wins)."""
+    best, bs = None, None
+    for cid, ncv in cs_norm:
+        s = _fold_dot(nvv, ncv)
+        if bs is None or s > bs:
+            best, bs = cid, s
+    return best
 
-    def assign_cid(nvv, cs_norm):
-        best, bs = None, None
-        for cid, ncv in cs_norm:
-            s = _fold_dot(nvv, ncv)
-            if bs is None or s > bs:   # tie -> lowest cid (first seen)
-                best, bs = cid, s
-        return best
 
-    for _ in range(3):
+def _lloyd(train, k, iters, train_n=256):
+    """The deterministic md5-sampled Lloyd both engines implement, over
+    a {vec_id: vector} dict: md5-ordered sample of train_n, first-k
+    seed, assign by normalized dot (ties -> lowest cid), per-dim means
+    as sequential double folds in vec_id order. Empty clusters vanish
+    (both engines' GROUP BY drops them). Returns [(cid, cv)]."""
+    train_ids = sorted(train, key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))[:train_n]
+    nvecs = {i: _normalize(train[i]) for i in train_ids}
+    cents = [(c, train[i]) for c, i in enumerate(sorted(train_ids)[:k])]
+    for _ in range(iters):
         cs_norm = [(cid, _normalize(cv)) for cid, cv in cents]
         members = {cid: [] for cid, _ in cents}
         for i in sorted(train_ids):
-            members[assign_cid(nvecs[i], cs_norm)].append(i)
+            members[_assign_cid(nvecs[i], cs_norm)].append(i)
         new = []
         for cid, _ in cents:
             ms = members[cid]
             if not ms:
-                continue        # GROUP BY drops the empty cluster
-            dims = len(base[ms[0]])
+                continue
+            dims = len(train[ms[0]])
             acc = [0.0] * dims
             for i in ms:        # vec_id order, sequential double fold
-                v = base[i]
+                v = train[i]
                 for d in range(dims):
                     acc[d] += v[d]
             new.append((cid, [x / len(ms) for x in acc]))
         cents = new
-    # full corpus assigned frozen (build(base) + append(%10==9))
-    cs_norm = [(cid, _normalize(cv)) for cid, cv in cents]
-    cells = {cid: [] for cid, _ in cents}
-    for i in sorted(vecs):
-        cells[assign_cid(nvecs[i], cs_norm)].append(i)
+    return cents
+
+
+def _drift_rows(cents, cells, nvecs):
+    """The drift emission shared by s15/s20: per-cell exact-DECIMAL
+    per-dim means of the normalized holdings, displacement vs the
+    centroid on the floor(*1e6) integer grid; empty cells -> NULL."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
     q20 = Decimal(1).scaleb(-20)
     rows = []
     for cid, cv in cents:
@@ -590,6 +583,71 @@ def s15(sf):
         rows.append({"cid": cid, "n_vecs": len(ms),
                      "drift_e6": math.floor(max(drift, 0.0) * 1000000.0)})
     return pd.DataFrame(rows)
+
+
+def s15(sf):
+    """IVF drift statistic, re-derived imperatively: the s13 scenario
+    (Lloyd on the md5-sampled base, full corpus assigned frozen), exact
+    DECIMAL per-dim means, sequential normalize/dot, emitted as
+    floor(max(drift,0)*1e6) — the integer grid the r10 red key moved
+    to. The grid is the contract under test: it must absorb the
+    toString-dialect and fold-association noise that flipped the old
+    8-decimal emission."""
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    vecs = {int(i): [float(x) for x in v]
+            for i, v in zip(emb.vec_id, emb.embedding)
+            if int(i) >= 5}
+    base = {i: v for i, v in vecs.items() if i % 10 != 9}
+    nvecs = {i: _normalize(v) for i, v in vecs.items()}
+    cents = _lloyd(base, 10, 3)
+    # full corpus assigned frozen (build(base) + append(%10==9))
+    cs_norm = [(cid, _normalize(cv)) for cid, cv in cents]
+    cells = {cid: [] for cid, _ in cents}
+    for i in sorted(vecs):
+        cells[_assign_cid(nvecs[i], cs_norm)].append(i)
+    return _drift_rows(cents, cells, nvecs)
+
+
+def s20(sf):
+    """IVF-PQ drift: the s18 drifted COMPOUND index re-derived
+    imperatively — coarse Lloyd on the base, one codebook Lloyd per
+    16-dim subspace slice of the base, full corpus assigned AND coded
+    frozen, per-cell exact-DECIMAL means of the NORMALIZED
+    RECONSTRUCTIONS (sub-order codeword concat), floor(drift*1e6).
+    A third implementation of the whole PQ coding contract — subspace
+    slicing, per-subspace codeword assignment, reconstruction order —
+    the one place (r11 verdict) engine and DuckDB oracle could still
+    agree on a wrong codebook contract."""
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    vecs = {int(i): [float(x) for x in v]
+            for i, v in zip(emb.vec_id, emb.embedding)
+            if int(i) >= 5}
+    base = {i: v for i, v in vecs.items() if i % 10 != 9}
+    nvecs = {i: _normalize(v) for i, v in vecs.items()}
+    subspaces, sub_len = 4, 16
+    cents = _lloyd(base, 10, 3)
+    books = [_lloyd({i: v[m * sub_len:(m + 1) * sub_len]
+                     for i, v in base.items()}, 16, 2)
+             for m in range(subspaces)]
+    # full corpus assigned frozen against the base-trained coarse level
+    cs_norm = [(cid, _normalize(cv)) for cid, cv in cents]
+    cells = {cid: [] for cid, _ in cents}
+    for i in sorted(vecs):
+        cells[_assign_cid(nvecs[i], cs_norm)].append(i)
+    # ...and coded frozen against the base-trained codebooks; the
+    # reconstruction is the sub-order concat of assigned codewords
+    rec = {i: [] for i in vecs}
+    for m in range(subspaces):
+        book = books[m]
+        bn = [(cid, _normalize(cv)) for cid, cv in book]
+        bv = dict(book)
+        for i, v in vecs.items():
+            sv = v[m * sub_len:(m + 1) * sub_len]
+            rec[i].extend(bv[_assign_cid(_normalize(sv), bn)])
+    nrec = {i: _normalize(rv) for i, rv in rec.items()}
+    return _drift_rows(cents, cells, nrec)
 
 
 def q12b(sf):
@@ -636,6 +694,8 @@ CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
           # verdict's stretch ask): the recall fraction's rank-10
           # boundary and the drift statistic's integer grid
           "s08_ann_recall": s08, "s15_ivf_drift": s15,
+          # the compound-index PQ coding contract (r11 verdict item 7)
+          "s20_ivf_pq_drift": s20,
           "e02_sessions": e02, "s01_knn_brute": s01,
           "t13_lm_score": t13,
           # the span-dedup family's all-integer detection contract
