@@ -66,7 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (graft.sql.GraftTableFunctions.countName,
         graft.sql.GraftTableFunctions.countBuilder _),
       (graft.sql.GraftTableFunctions.statsName,
-        graft.sql.GraftTableFunctions.statsBuilder _)
+        graft.sql.GraftTableFunctions.statsBuilder _),
+      // the curation/dedup pipeline surface for the Athena-shaped
+      // analyst: duplicated-span detection and Gopher quality rules
+      // over any (id, text) parquet path — lazy plans, EXPLAIN-free
+      (graft.sql.GraftTableFunctions.dupSpansName,
+        graft.sql.GraftTableFunctions.dupSpansBuilder _),
+      (graft.sql.GraftTableFunctions.gopherName,
+        graft.sql.GraftTableFunctions.gopherBuilder _)
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((
         FunctionIdentifier(name),

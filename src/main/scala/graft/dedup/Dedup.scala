@@ -1176,6 +1176,14 @@ object Dedup {
     "d25_dup_spans" -> ((s, dir) =>
       dupSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
         .orderBy("doc_id")),
+    // x42: d25 driven through SQL — graft_dup_spans('<path>', n), the
+    // curation surface for the Athena-shaped analyst (SURVEY §2.6's
+    // persona can now reach span dedup without the DataFrame API).
+    // Shares d25's oracle verbatim: the table function IS the same
+    // lazy plan over the same parquet.
+    "x42_sql_dup_spans" -> ((s, dir) =>
+      s.sql(s"SELECT * FROM graft_dup_spans('$dir/documents.parquet', 8)" +
+        " ORDER BY doc_id")),
     // d26: the rewrite half — duplicated spans deleted except each
     // gram's globally-first occurrence, tokens re-joined; the scrubbed
     // STRINGS are the hash-checked artifact
@@ -1904,5 +1912,8 @@ object Dedup {
     * is lossless — DedupSpec asserts set equality), so the two keys
     * share one oracle string. */
   val oracle: Map[String, String] =
-    oracle0 + ("d15_jaccard_prefix" -> oracle0("d04_jaccard_neardup"))
+    oracle0 + ("d15_jaccard_prefix" -> oracle0("d04_jaccard_neardup")) +
+      // the SQL table-function surface is the SAME lazy plan over the
+      // same parquet, so it must land on the same relation
+      ("x42_sql_dup_spans" -> oracle0("d25_dup_spans"))
 }

@@ -255,6 +255,57 @@ object GraftTableFunctions {
     GraftStatsCommand(path, cols)
   }
 
+  val dupSpansName = "graft_dup_spans"
+
+  /** `SELECT * FROM graft_dup_spans('<path>'[, n[, id_col,
+    * text_col]])` — d25's exact duplicated-span detection opened to
+    * the SQL analyst: per document, the positions whose n-gram recurs
+    * anywhere in the corpus and the merged token mass those spans
+    * cover ([[graft.dedup.Dedup.dupSpans]]), over any parquet
+    * directory of (id, text) rows. Resolution builds the LAZY plan
+    * only (pure transformations — the corpus-sized gram shuffle runs
+    * when the statement executes, so EXPLAIN stays free); the x42 key
+    * shares d25's DuckDB oracle verbatim. */
+  def dupSpansBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$dupSpansName(path[, n[, id_col, text_col]]) expects " +
+      "a string literal path, an optional integral gram size, and " +
+      "optional id/text column name literals"
+    val (path, n, idCol, textCol) = exprs match {
+      case Seq(p) => (strLit(p, usage), 8, "doc_id", "text")
+      case Seq(p, g) =>
+        (strLit(p, usage), longLit(g, usage).toInt, "doc_id", "text")
+      case Seq(p, g, i, t) => (strLit(p, usage), longLit(g, usage).toInt,
+        strLit(i, usage), strLit(t, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    val spark = SparkSession.active
+    graft.dedup.Dedup.dupSpans(spark.read.parquet(path), idCol, textCol, n)
+      .queryExecution.logical
+  }
+
+  val gopherName = "graft_gopher_rules"
+
+  /** `SELECT * FROM graft_gopher_rules('<path>'[, id_col, text_col])`
+    * — t12's Gopher document-quality rules opened to the SQL analyst
+    * ([[graft.text.TextAnalysis.gopherRules]]): per document, the rule
+    * features and the keep verdict, over any parquet directory of
+    * (id, text) rows. Lazy plan at resolution, like
+    * [[dupSpansBuilder]]; the x43 key shares t12's oracle verbatim. */
+  def gopherBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$gopherName(path[, id_col, text_col]) expects a " +
+      "string literal path and optional id/text column name literals"
+    val (path, idCol, textCol) = exprs match {
+      case Seq(p) => (strLit(p, usage), "doc_id", "text")
+      case Seq(p, i, t) =>
+        (strLit(p, usage), strLit(i, usage), strLit(t, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    val spark = SparkSession.active
+    graft.text.TextAnalysis
+      .gopherRules(spark.read.parquet(path), idCol, textCol)
+      .queryExecution.logical
+  }
+
   val vacuumName = "graft_vacuum"
 
   /** `SELECT * FROM graft_vacuum('<path>')` — sweep leaked staging

@@ -682,6 +682,12 @@ object TextAnalysis {
     "t12_gopher_rules" -> ((s, dir) =>
       gopherRules(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // x43: t12 driven through SQL — graft_gopher_rules('<path>'), the
+    // quality-rule surface for the Athena-shaped analyst; shares t12's
+    // oracle verbatim (same lazy plan over the same parquet)
+    "x43_sql_gopher_rules" -> ((s, dir) =>
+      s.sql(s"SELECT * FROM graft_gopher_rules('$dir/documents.parquet')" +
+        " ORDER BY doc_id")),
     "t03_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("_toks", tokens(col("text")))
@@ -743,7 +749,7 @@ object TextAnalysis {
   private def stopSql(set: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${set.map("'" + _ + "'").mkString(",")})))"
 
-  val oracle: Map[String, String] = Map(
+  private val oracle0: Map[String, String] = Map(
     // t02's score expression, then a rank window per stratum; the keep
     // bound is CEIL(0.3 * n) with the same literal on both sides
     "t17_quality_select" ->
@@ -1005,4 +1011,9 @@ object TextAnalysis {
         |    '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  /** The SQL table-function surface (x43) is the SAME lazy plan over
+    * the same parquet, so it shares t12's oracle verbatim. */
+  val oracle: Map[String, String] =
+    oracle0 + ("x43_sql_gopher_rules" -> oracle0("t12_gopher_rules"))
 }

@@ -793,6 +793,69 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("graft_dup_spans/graft_gopher_rules: the curation surface from " +
+      "SQL — agrees with the DataFrame API, honors column-name args, " +
+      "EXPLAIN runs no job, arity errors are loud") {
+    import spark.implicits._
+    val dir = freshTable("sql_curation")
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "solo unique words nothing shared anywhere at all here now"))
+      .toDF("doc_id", "text").write.parquet(dir)
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_dup_spans('$dir', 8) ORDER BY doc_id")
+    val viaApi = graft.dedup.Dedup.dupSpans(
+      spark.read.parquet(dir), "doc_id", "text", n = 8).orderBy("doc_id")
+    assert(viaSql.collect().toSeq === viaApi.collect().toSeq)
+    val gSql = spark.sql(
+      s"SELECT * FROM graft_gopher_rules('$dir') ORDER BY doc_id")
+    val gApi = graft.text.TextAnalysis.gopherRules(
+      spark.read.parquet(dir), "doc_id", "text").orderBy("doc_id")
+    assert(gSql.collect().toSeq === gApi.collect().toSeq)
+    // renamed columns reach the same relation through the name args
+    val dir2 = freshTable("sql_curation2")
+    spark.read.parquet(dir)
+      .select($"doc_id".as("id"), $"text".as("body"))
+      .write.parquet(dir2)
+    val renamed = spark.sql(s"SELECT * FROM graft_dup_spans('$dir2', 8, " +
+      "'id', 'body') ORDER BY id")
+    assert(renamed.collect().map(_.toSeq.drop(1)).toSeq ===
+      viaApi.collect().map(_.toSeq.drop(1)).toSeq)
+    // the plan is LAZY at resolution: EXPLAIN pays at most parquet
+    // schema inference (one bounded metadata job per statement, the
+    // same price graft_snapshot resolution pays) — never the
+    // corpus-sized gram shuffle, whose stages only run at execution
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    def drain(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(s"EXPLAIN SELECT * FROM graft_dup_spans('$dir')").collect()
+      spark.sql(s"EXPLAIN SELECT * FROM graft_gopher_rules('$dir')")
+        .collect()
+      drain()
+      assert(jobs <= 2,
+        s"EXPLAIN ran $jobs jobs — more than schema inference")
+      val atExplain = jobs
+      spark.sql(s"SELECT * FROM graft_dup_spans('$dir')").collect()
+      drain()
+      assert(jobs > atExplain, "execution never ran the span stages")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_dup_spans('$dir', 8, 'id')")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_dup_spans"), e.getMessage)
+  }
+
   test("graft_count/graft_stats: MOR with live deltas refuses loudly, " +
       "compacted MOR answers exactly, EXPLAIN launches zero jobs") {
     import spark.implicits._
