@@ -424,15 +424,22 @@ object StatsPruning {
     *    across files in the comparison domains [[toBound]] defines;
     *    any file with unusable stats flips `exact` to false and the
     *    unknown fields emit as null rather than a guess.
-    *  - hive PARTITION columns (recorded in the table's key spec):
-    *    values live in directory names, not footers — bounds are the
-    *    string-ordered min/max over observed directory values, null
-    *    count 0 (the writer never emits a null-partition dir).
+    *  - hive PARTITION columns (from the table's recorded key spec,
+    *    or — for a bare parquet dir with no spec — derived from the
+    *    `k=v` directory segments, the same evidence Spark's reader
+    *    infers them from; without that derivation a partition column
+    *    would pass the schema check yet never appear in a footer and
+    *    be reported as 100% null with exact=true, the r11 advice
+    *    finding): values live in directory names, not footers —
+    *    bounds are the string-ordered min/max over observed directory
+    *    values. A `__HIVE_DEFAULT_PARTITION__` dir is the writer's
+    *    NULL sentinel: its rows count as nulls (one extra footer pass
+    *    over just those files — exact), never as the literal string.
     *  - a column absent from a file's schema (pre-evolution file)
     *    reads back null there: counted as exactly that file's rows.
     *
-    * Unknown columns (in neither the table schema nor the key spec)
-    * throw. Footer reads distribute above
+    * Unknown columns (in neither the table schema nor the partition
+    * spec) throw. Footer reads distribute above
     * [[distributeFooterReadsAbove]], same as the pruning arm. */
   def columnStats(spark: SparkSession, path: String, cols: Seq[String])
       : Seq[ColumnStats] = {
@@ -440,8 +447,22 @@ object StatsPruning {
     val fs = Merge.fsFor(spark, path)
     val root = fs.makeQualified(new Path(path))
     val all = Merge.listDataStatuses(fs, root).map(_.getPath.toString)
+    val rootStr = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    // `k=v` directory segments per file (decoded exactly once — see
+    // the partition-value comment below for why NOT java.net.URI)
+    def segsOf(f: String): Seq[(String, String)] =
+      (if (f.startsWith(rootStr)) f.drop(rootStr.length) else f)
+        .split('/').dropRight(1).toSeq
+        .flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i <= 0) None
+          else Some(seg.take(i) -> unescapePath(seg.drop(i + 1)))
+        }
+    val fileSegs: Seq[(String, Seq[(String, String)])] =
+      all.map(f => f -> segsOf(f))
     val partitionCols = KeyIndex.readSpec(spark, path)
-      .map(_.partitionCols).getOrElse(Nil)
+      .map(_.partitionCols).getOrElse(
+        fileSegs.flatMap(_._2.map(_._1)).distinct)
     val tableSchema = Merge.readTable(spark, path).schema.fieldNames.toSet
     val unknown = cols.filterNot(c =>
       tableSchema.contains(c) || partitionCols.contains(c))
@@ -488,28 +509,28 @@ object StatsPruning {
     // unescapePath. Parsing the decoded string as a URI would throw
     // on URI-illegal chars (a space in a partition value is legal on
     // disk — Spark's escapePathName leaves it raw).
+    val hiveNull = "__HIVE_DEFAULT_PARTITION__"
     val partValues: Map[String, Seq[String]] =
       if (partCols.isEmpty) Map.empty
-      else {
-        val rootStr = fs.makeQualified(root).toString.stripSuffix("/") + "/"
-        val segs = all.flatMap { f =>
-          (if (f.startsWith(rootStr)) f.drop(rootStr.length) else f)
-            .split('/').dropRight(1) // dir segments only
-            .flatMap { seg =>
-              val i = seg.indexOf('=')
-              if (i <= 0) None
-              else Some(seg.take(i) -> unescapePath(seg.drop(i + 1)))
-            }
-        }
-        segs.groupBy(_._1).map { case (k, vs) =>
-          k -> vs.map(_._2).distinct.sorted
-        }
+      else fileSegs.flatMap(_._2).groupBy(_._1).map { case (k, vs) =>
+        // the sentinel is the writer's encoding of NULL, not a value:
+        // it must never surface as a literal bound
+        k -> vs.map(_._2).filter(_ != hiveNull).distinct.sorted
       }
+    // exact null counts for partition columns: the rows under each
+    // column's null-sentinel dirs, from one footer pass over JUST
+    // those files (normally zero — graft writers never emit one)
+    val partNulls: Map[String, Long] = partCols.map { c =>
+      val nullFiles = fileSegs.collect {
+        case (f, segs) if segs.contains((c, hiveNull)) => f
+      }
+      c -> nullFiles.map(f => fileColumnStats(conf, f, Nil)._1).sum
+    }.toMap
     cols.map { c =>
       if (partCols.contains(c)) {
         val vs = partValues.getOrElse(c, Nil)
-        ColumnStats(c, totalRows, Some(0L), vs.headOption, vs.lastOption,
-          exact = true)
+        ColumnStats(c, totalRows, Some(partNulls(c)), vs.headOption,
+          vs.lastOption, exact = true)
       } else {
         val a = merged(c)
         if (a.exact)

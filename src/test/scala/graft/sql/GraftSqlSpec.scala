@@ -793,6 +793,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("graft_stats on a bare hive dir (no key spec): partition column " +
+      "answers from dir segments, null sentinel counts as nulls not a " +
+      "literal bound") {
+    import spark.implicits._
+    val dir = freshTable("sql_stats_bare")
+    // a plain partitioned write — NO graft key spec recorded
+    Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String]))
+      .toDF("okey", "part")
+      .write.partitionBy("part").parquet(dir)
+    val r = spark.sql(s"SELECT * FROM graft_stats('$dir', 'part,okey')")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // the partition column: derived from k=v segments (pre-fix it was
+    // treated as a data column absent from every footer — reported as
+    // 100% null with exact=true, confidently wrong)
+    assert(r("part").getLong(1) === 5L)
+    assert(r("part").getLong(2) === 2L,
+      "__HIVE_DEFAULT_PARTITION__ rows must count as nulls")
+    assert(r("part").getString(3) === "A" && r("part").getString(4) === "B",
+      "the null sentinel must never surface as a string bound")
+    assert(r("part").getBoolean(5))
+    // data columns still answer from footers
+    assert(r("okey").getLong(1) === 5L && r("okey").getLong(2) === 0L)
+    assert(r("okey").getString(3) === "1" && r("okey").getString(4) === "5")
+  }
+
   test("graft_dup_spans/graft_gopher_rules: the curation surface from " +
       "SQL — agrees with the DataFrame API, honors column-name args, " +
       "EXPLAIN runs no job, arity errors are loud") {

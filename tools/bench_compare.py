@@ -87,6 +87,20 @@ def main():
                  f"sha={new_sha} vs {old_prod} sha={old_sha}): figures "
                  "from different producers disagree by up to 2x (box "
                  "load). Pass --allow-cross-producer to override.")
+    # same-producer records can still mix warmup REGIMES: driver runs
+    # stopped warming up in r11 (warmup:false) while older driver
+    # records ran warm — a measured ~10% systematic skew (676s cold vs
+    # 613s warm over the full registry), enough to fake or mask a
+    # regression. A record without the field predates the split and
+    # ran warm.
+    new_warm = new_hdr.get("warmup", True)
+    old_warm = old_hdr.get("warmup", True)
+    if new_warm != old_warm and not allow_cross:
+        sys.exit(f"refusing cross-warmup-regime comparison "
+                 f"(warmup={new_warm} sha={new_sha} vs warmup={old_warm} "
+                 f"sha={old_sha}): cold and warm runs skew ~10% "
+                 "systematically. Pass --allow-cross-producer to "
+                 "override.")
     added = sorted(set(new) - set(old))
     dropped = sorted(set(old) - set(new))
     bad = []
