@@ -73,7 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (graft.sql.GraftTableFunctions.dupSpansName,
         graft.sql.GraftTableFunctions.dupSpansBuilder _),
       (graft.sql.GraftTableFunctions.gopherName,
-        graft.sql.GraftTableFunctions.gopherBuilder _)
+        graft.sql.GraftTableFunctions.gopherBuilder _),
+      // ANN serving + index observability for the same persona:
+      // top-k over a persisted IVF/IVF-PQ index, drift report
+      (graft.sql.GraftTableFunctions.annTopKName,
+        graft.sql.GraftTableFunctions.annTopKBuilder _),
+      (graft.sql.GraftTableFunctions.annDriftName,
+        graft.sql.GraftTableFunctions.annDriftBuilder _)
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((
         FunctionIdentifier(name),

@@ -1454,6 +1454,46 @@ object Similarity {
       ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    // x44/x45: ANN serving from SQL — graft_ann_topk over the SAME
+    // persisted indexes s12/s17 serve (Scratch-cached, so the builds
+    // are shared), layout auto-detected from the stored codebooks/.
+    // Each shares its DataFrame twin's oracle verbatim: the SQL
+    // surface is the same serve collapse, reached from the console.
+    "x44_sql_ann_topk" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s12:" + dir, "graft_s12_") {
+        p => buildIvfIndex(corpusOf(s, dir), p, nCentroids = 10,
+          maxTrainVectors = 256)
+      }
+      val qDir = graft.util.Scratch.cached("annq:" + dir, "graft_annq_") {
+        p => queriesOf(s, dir).coalesce(1).write.mode("overwrite")
+          .parquet(p + "/q")
+      }
+      s.sql(s"SELECT * FROM graft_ann_topk('$idx', '$qDir/q', 10, 4)")
+    }),
+    "x45_sql_ann_pq_topk" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s17:" + dir, "graft_s17_") {
+        p => buildIvfPqIndex(corpusOf(s, dir), p, nCentroids = 10,
+          subspaces = 4, codebook = 16, maxTrainVectors = 256)
+      }
+      val qDir = graft.util.Scratch.cached("annq:" + dir, "graft_annq_") {
+        p => queriesOf(s, dir).coalesce(1).write.mode("overwrite")
+          .parquet(p + "/q")
+      }
+      s.sql(s"SELECT * FROM graft_ann_topk('$idx', '$qDir/q', 10, 4)")
+    }),
+    // x46: the drift report from SQL — s15's statistic over s13's
+    // drifted index (shared build), the one number an operator
+    // compares to a retrain bar without leaving the console
+    "x46_sql_ann_drift" -> ((s, dir) => {
+      val idx = graft.util.Scratch.cached("s13:" + dir, "graft_s13_") {
+        p =>
+          val all = corpusOf(s, dir)
+          buildIvfIndex(all.filter(col("vec_id") % 10 =!= 9), p,
+            nCentroids = 10, maxTrainVectors = 256)
+          appendToIvfIndex(s, p, all.filter(col("vec_id") % 10 === 9))
+      }
+      s.sql(s"SELECT * FROM graft_ann_drift('$idx') ORDER BY cid")
+    }),
     // product quantization: per-subspace trained codebooks, asymmetric
     // scoring against the reconstruction (sampled training, as s03)
     "s06_ann_pq" -> ((s, dir) =>
@@ -1828,7 +1868,7 @@ object Similarity {
   /** All three ANN tiers carry full oracles: s01 is exact, s02's planes
     * are portable constants, s03's k-means is reproduced by unrolled
     * deterministic Lloyd SQL. */
-  val oracle: Map[String, String] = Map(
+  private val oracle0: Map[String, String] = Map(
     "s10_random_projection" -> s10OracleSql(outDims = 16, dims = 64,
       seed0 = 1000),
     // s09: the BM25 more-like-this chain (t16's per-term algebra with
@@ -1973,6 +2013,13 @@ object Similarity {
     // e27: the online policy loop's pinned firing pattern, restated as
     // the exact three-level build∘decode∘append nest
     "e27_stream_pq_retrain" -> e27OracleSql(nCentroids = 10,
+      coarseIters = 3, nProbe = 4, subspaces = 4, subLen = 16,
+      codebook = 16, pqIters = 2, topK = 10, trainN = 256),
+    // the SQL ANN surface shares its DataFrame twins' collapses
+    // verbatim — same indexes, same serve algebra, reached from SQL
+    "x44_sql_ann_topk" -> s03OracleSql(k = 10, iters = 3, nProbe = 4,
+      topK = 10, trainN = 256),
+    "x45_sql_ann_pq_topk" -> s17OracleSql(nCentroids = 10,
       coarseIters = 3, nProbe = 4, subspaces = 4, subLen = 16,
       codebook = 16, pqIters = 2, topK = 10, trainN = 256),
     // the same quantize/dequantize IEEE expression the engine ships,
@@ -2178,4 +2225,9 @@ object Similarity {
         |  CAST(CAST(SUM(n_match) AS STRING) AS DOUBLE) / SUM(n_nn) AS knn_agreement
         |FROM perq GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** The SQL drift report (x46) is the SAME statistic over the SAME
+    * drifted index s15 oracles, reached from the console. */
+  val oracle: Map[String, String] =
+    oracle0 + ("x46_sql_ann_drift" -> oracle0("s15_ivf_drift"))
 }

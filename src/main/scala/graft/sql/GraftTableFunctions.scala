@@ -306,6 +306,54 @@ object GraftTableFunctions {
       .queryExecution.logical
   }
 
+  val annTopKName = "graft_ann_topk"
+
+  /** `SELECT * FROM graft_ann_topk('<index>', '<queries>', k,
+    * n_probe)` — ANN serving from SQL: top-k cosine neighbors for
+    * every query vector in the parquet at `queries` (vec_id,
+    * embedding), against a persisted IVF or IVF-PQ index (the layout
+    * is detected from the stored `codebooks/` dir, never declared by
+    * the caller). A [[LeafRunnableCommand]]: probe selection runs a
+    * |queries|-sized job the moment the statement executes — and a
+    * result set bounded at k×|queries| rows is exactly what a command
+    * node wants to return — while EXPLAIN stays free. Shares the
+    * s12/s17 serve collapse oracles (x44/x45). */
+  def annTopKBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$annTopKName(index_path, queries_path, k, n_probe) " +
+      "expects two string literal paths and two integral literals"
+    exprs match {
+      case Seq(p, q, kk, np) => GraftAnnTopKCommand(strLit(p, usage),
+        strLit(q, usage), longLit(kk, usage).toInt,
+        longLit(np, usage).toInt)
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
+  val annDriftName = "graft_ann_drift"
+
+  /** `SELECT * FROM graft_ann_drift('<index>')` — the index staleness
+    * statistic from SQL ([[graft.similarity.Similarity.ivfDriftStats]]
+    * / [[graft.similarity.Similarity.ivfPqDriftStats]], layout
+    * auto-detected): per stored centroid, the holdings count and the
+    * displacement of the (reconstruction) mean on the 10^6 integer
+    * grid — the number an operator compares to a retrain bar without
+    * leaving the SQL console. Command node: the means aggregate is a
+    * job; the report is |centroids| rows. Shares s15's oracle (x46). */
+  def annDriftBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$annDriftName(index_path) expects exactly one string " +
+      "literal argument"
+    exprs match {
+      case Seq(p) => GraftAnnDriftCommand(strLit(p, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
+  private[sql] def isPqIndex(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"),
+      "codebooks")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   val vacuumName = "graft_vacuum"
 
   /** `SELECT * FROM graft_vacuum('<path>')` — sweep leaked staging
@@ -386,6 +434,47 @@ object GraftTableFunctions {
         "from base-file footer metadata, which never sees delta rows or " +
         "tombstones (they are merge inputs, not merged rows); compact to " +
         "fold deltas into base first, or aggregate over the snapshot view")
+}
+
+/** ANN serve as a command (see [[GraftTableFunctions.annTopKBuilder]]):
+  * the probe job runs at execution, the k×|queries|-bounded result
+  * returns as the command's rows. */
+case class GraftAnnTopKCommand(indexPath: String, queriesPath: String,
+    k: Int, nProbe: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("query_id", LongType, nullable = false)(),
+    AttributeReference("rank", LongType, nullable = false)(),
+    AttributeReference("corpus_id", LongType, nullable = false)(),
+    AttributeReference("cos_sim",
+      org.apache.spark.sql.types.DoubleType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val queries = spark.read.parquet(queriesPath)
+    val served =
+      if (GraftTableFunctions.isPqIndex(spark, indexPath))
+        graft.similarity.Similarity.ivfPqTopKServed(spark, indexPath,
+          queries, k, nProbe)
+      else
+        graft.similarity.Similarity.ivfTopKServed(spark, indexPath,
+          queries, k, nProbe)
+    served.orderBy("query_id", "rank").collect().toSeq
+  }
+}
+
+/** Index staleness report as a command (see
+  * [[GraftTableFunctions.annDriftBuilder]]). */
+case class GraftAnnDriftCommand(indexPath: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cid", LongType, nullable = false)(),
+    AttributeReference("n_vecs", LongType, nullable = false)(),
+    AttributeReference("drift_e6", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val stats =
+      if (GraftTableFunctions.isPqIndex(spark, indexPath))
+        graft.similarity.Similarity.ivfPqDriftStats(spark, indexPath)
+      else graft.similarity.Similarity.ivfDriftStats(spark, indexPath)
+    stats.collect().toSeq
+  }
 }
 
 /** Footer-exact row count, deferred to execution: the footer sweep

@@ -793,6 +793,60 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("graft_ann_topk/graft_ann_drift: SQL serving agrees with the " +
+      "DataFrame twins on both layouts, EXPLAIN runs no probe job, " +
+      "arity errors are loud") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter($"vec_id" >= 5)
+    val queries = emb.filter($"vec_id" < 5)
+    val qDir = graft.util.Scratch.fresh("graft_annq_spec_")
+    queries.coalesce(1).write.mode("overwrite").parquet(qDir + "/q")
+    val ivf = graft.util.Scratch.fresh("graft_x44_spec_")
+    graft.similarity.Similarity.buildIvfIndex(corpus, ivf,
+      nCentroids = 10, maxTrainVectors = 256)
+    val pq = graft.util.Scratch.fresh("graft_x45_spec_")
+    graft.similarity.Similarity.buildIvfPqIndex(corpus, pq,
+      nCentroids = 10, subspaces = 4, codebook = 16,
+      maxTrainVectors = 256)
+    def viaSql(idx: String) = spark.sql(
+      s"SELECT * FROM graft_ann_topk('$idx', '$qDir/q', 10, 4)")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql(ivf) === graft.similarity.Similarity
+      .ivfTopKServed(spark, ivf, queries, 10, 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+    // the SAME function serves the compound layout (auto-detected)
+    assert(viaSql(pq) === graft.similarity.Similarity
+      .ivfPqTopKServed(spark, pq, queries, 10, 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+    assert(spark.sql(s"SELECT * FROM graft_ann_drift('$pq')")
+      .collect().map(_.toSeq).toSeq ===
+      graft.similarity.Similarity.ivfPqDriftStats(spark, pq)
+        .collect().map(_.toSeq).toSeq)
+    // command nodes: EXPLAIN must not run the probe/means jobs
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(s"EXPLAIN SELECT * FROM graft_ann_topk('$ivf', " +
+        s"'$qDir/q', 10, 4)").collect()
+      spark.sql(s"EXPLAIN SELECT * FROM graft_ann_drift('$ivf')")
+        .collect()
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      assert(jobs === 0, "EXPLAIN over the ANN surface ran a job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ann_topk('$ivf', 10)").collect()
+    }
+    assert(e.getMessage.contains("graft_ann_topk"), e.getMessage)
+  }
+
   test("graft_stats on a bare hive dir (no key spec): partition column " +
       "answers from dir segments, null sentinel counts as nulls not a " +
       "literal bound") {
