@@ -505,6 +505,42 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[contaminationFlags]] (GPT-3/The-Pile-style decon runs both: a
+    * paraphrased eval leak shares no 13-gram with the benchmark but
+    * sits right next to it in embedding space): flag corpus vectors
+    * whose cosine to ANY benchmark vector reaches `minCos`. Emits per
+    * corpus vector the hit count, the nearest benchmark id (ties →
+    * lowest id; cosine bits are engine-portable, proven by s01's
+    * hash-matched floats, so the argmax and the threshold verdict are
+    * too), and the verdict.
+    *
+    * Shape at 100 TB: the benchmark side is SMALL by nature (eval
+    * suites, not corpora) — it broadcasts, and the corpus scan stays a
+    * narrow map + per-row bounded aggregate with no corpus shuffle.
+    * The one-per-(corpus, bench) score relation never materializes
+    * wider than a map-side window. */
+  def semanticContaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      normalized(col(vecCol).cast("array<double>")).as("nv"))
+    val b = benchmark.select(col(idCol).as("bid"),
+      normalized(col(vecCol).cast("array<double>")).as("bnv"))
+    val scored = c.crossJoin(org.apache.spark.sql.functions.broadcast(b))
+      .select(col("vec_id"), col("bid"),
+        dot(col("nv"), col("bnv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))
+    val nearest = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"),
+        col("bid").as("nearest_id"))
+    val hits = scored.groupBy("vec_id")
+      .agg(sum(when(col("cos") >= minCos, 1L).otherwise(0L)).as("n_hits"))
+    hits.join(nearest, Seq("vec_id"))
+      .select(col("vec_id"), col("n_hits"), col("nearest_id"),
+        (col("n_hits") > 0L).as("contaminated"))
+  }
+
   /** Per-document contamination REPORT — the thresholdable variant of
     * [[contaminationFlags]]: distinct-shingle total, shared-with-eval
     * count, and the overlap fraction. Pipelines threshold the fraction
@@ -1299,6 +1335,18 @@ object Dedup {
         docs.filter(col("doc_id") < 10), "doc_id", "text")
         .orderBy("id")
     }),
+    // d27: SEMANTIC decontamination — d07's flags in embedding space
+    // (vec_id < 10 plays the benchmark; minCos 0.3 sits inside the
+    // corpus's upper max-cos decile at every SF, so verdicts are
+    // non-vacuous and split). Integer/boolean emissions; the one
+    // float (the cosine) only drives comparisons, never digits.
+    "d27_semantic_decontaminate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      semanticContaminationFlags(emb.filter(col("vec_id") >= 10),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        minCos = 0.3)
+        .orderBy("vec_id")
+    }),
     "d08_hash_sample" -> ((s, dir) =>
       hashSampleByStratum(Tables.documents(s, dir), "doc_id", "lang", 5)
         .select("doc_id", "lang", "source", "n_chars")
@@ -1892,6 +1940,31 @@ object Dedup {
          |FROM r WHERE rank <= 5
          |ORDER BY cid, rank""".stripMargin
     },
+    // d27: the cosine is computed with the proven normalize-then-dot
+    // fragments (bit-identical across engines, the s01/d06 guarantee),
+    // so the threshold verdict, hit count, and argmax tiebreak are all
+    // integer-deterministic
+    "d27_semantic_decontaminate" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id,
+         |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+         |      FROM e),
+         |corp AS (SELECT vec_id, vn FROM n WHERE vec_id >= 10),
+         |bench AS (SELECT vec_id AS bid, vn AS bvn FROM n WHERE vec_id < 10),
+         |scored AS (SELECT c.vec_id, b.bid,
+         |             list_dot_product(c.vn, b.bvn) AS cos
+         |           FROM corp c CROSS JOIN bench b),
+         |near AS (SELECT vec_id, bid AS nearest_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, bid) AS rn FROM scored) WHERE rn = 1),
+         |hits AS (SELECT vec_id,
+         |           SUM(CASE WHEN cos >= 0.3e0 THEN 1 ELSE 0 END) AS n_hits
+         |         FROM scored GROUP BY vec_id)
+         |SELECT h.vec_id, CAST(h.n_hits AS BIGINT) AS n_hits,
+         |  near.nearest_id, h.n_hits > 0 AS contaminated
+         |FROM hits h JOIN near USING (vec_id)
+         |ORDER BY h.vec_id""".stripMargin,
     "d06_embedding_topsim" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

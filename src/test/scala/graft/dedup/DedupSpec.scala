@@ -234,6 +234,26 @@ class DedupSpec extends SparkSpec {
     assert(flags(11L) === ((0L, false)))
   }
 
+  test("semanticContaminationFlags: cosine hits counted, nearest ties " +
+      "to lowest benchmark id, orthogonal vector is clean") {
+    def v(xs: Double*): Seq[Double] = xs ++ Seq.fill(4 - xs.length)(0.0)
+    val bench = Seq((0L, v(1.0)), (1L, v(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, v(2.0)),            // cos 1 to b0, 0 to b1
+      (11L, v(0.7, 0.7)),       // cos .707.. to BOTH — a bit-exact tie
+      (12L, v(0.0, 0.0, 5.0))   // orthogonal to both
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticContaminationFlags(corpus, bench,
+      "vec_id", "embedding", minCos = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(10L) === ((1L, 0L, true)))
+    assert(out(11L) === ((2L, 0L, true)), "tie must pick the lowest bid")
+    assert(out(12L) === ((0L, 0L, false)),
+      "clean vector still reports its nearest benchmark")
+  }
+
   test("contaminationReport: fraction bounded, agrees with the binary flags") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
