@@ -79,7 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (graft.sql.GraftTableFunctions.annTopKName,
         graft.sql.GraftTableFunctions.annTopKBuilder _),
       (graft.sql.GraftTableFunctions.annDriftName,
-        graft.sql.GraftTableFunctions.annDriftBuilder _)
+        graft.sql.GraftTableFunctions.annDriftBuilder _),
+      // read-only table integrity report (names what vacuum/rollback/
+      // compact would fix; never touches the table)
+      (graft.sql.GraftTableFunctions.fsckName,
+        graft.sql.GraftTableFunctions.fsckBuilder _)
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((
         FunctionIdentifier(name),

@@ -2640,6 +2640,26 @@ object Merge {
     // graft_clean('<path>', retain_last) procedure. Cleaning sweeps
     // only reconstruction history; the CURRENT state must be
     // untouched, so the key shares x26's batch-wins replay oracle.
+    // x47: the read-only integrity report over a healthy versioned
+    // replay — every check row is pinned by the oracle, and the
+    // footer_row_count detail is cross-checked against the RELATIONAL
+    // count of the same replay (footer sum == count(*), the x40 law
+    // restated through the fsck surface). Corruption detection (leaks,
+    // inflight residue, unrecorded deltas, dangling savepoints) is
+    // spec-asserted in GraftSqlSpec, where file-level seeding is
+    // observable.
+    "x47_sql_fsck" -> ((s, dir) => {
+      val path = scratchTable("graft_x47_")
+      val keyCols = Seq("okey")
+      upsertVersioned(s, replayBatch(s, dir, 0, 50000), path, keyCols,
+        "pre", "part")
+      upsertVersioned(s, replayBatch(s, dir, 1, 50000), path, keyCols,
+        "pre", "part")
+      deleteVersioned(s, replayBatch(s, dir, 0, 50000)
+        .filter(col("pre") % 3 === 0).select("okey", "part"),
+        path, keyCols, Seq("part"))
+      s.sql(s"SELECT * FROM graft_fsck('$path') ORDER BY check_name")
+    }),
     "x35_sql_clean" -> ((s, dir) => {
       val path = scratchTable("graft_x35_")
       val keyCols = Seq("okey")
@@ -3428,6 +3448,22 @@ object Merge {
     // the wide-key recorded-compaction time travel (see x12w): the
     // as-of-commit-2 snapshot = the two-batch merge state at mod 50000
     "x12w_compact_versioned_wide" -> twoBatchSqlMod(50000),
+    // x47: the healthy-table report, row by row; footer_row_count's
+    // detail recomputes the SAME replay relationally — the one check
+    // whose value is data-derived on both sides
+    "x47_sql_fsck" ->
+      s"""SELECT * FROM (VALUES
+         |  ('commit_timeline', 'ok', 'recorded=3 inflight=0 foreign=0'),
+         |  ('footer_row_count', 'ok',
+         |   'rows=' || CAST((SELECT COUNT(*) FROM (${replaySqlMod(50000)}))
+         |              AS VARCHAR)),
+         |  ('key_spec', 'ok', 'partition=part keys=okey'),
+         |  ('mor_deltas', 'ok', 'cow table'),
+         |  ('savepoints', 'ok', 'pinned=0 unrecorded=0'),
+         |  ('schema_meta', 'ok', 'recorded'),
+         |  ('staging', 'ok', 'leaks=0')
+         |) AS t(check_name, status, detail)
+         |ORDER BY check_name""".stripMargin,
     // compaction keys replay the WIDE algebra (sf1 non-vacuity)
     "q23_compact" -> replaySqlMod(50000),
     // the SQL-procedure compaction must be content-invariant too

@@ -99,7 +99,7 @@ object MorTable {
 
   private def specFile(path: String) = new Path(path, "_graft_mor.json")
 
-  private def deltaRoot(spark: SparkSession, path: String): Path = {
+  private[merge] def deltaRoot(spark: SparkSession, path: String): Path = {
     val fs = Merge.fsFor(spark, path)
     new Path(fs.makeQualified(new Path(path)), deltaRel)
   }
@@ -329,7 +329,7 @@ object MorTable {
   /** Commit ids that were ISSUED but never recorded (inflight markers
     * and rollback tombstones). Metadata-sized listing; these are the
     * ids whose delta rows must never surface. */
-  private def unrecordedIds(spark: SparkSession, path: String): Seq[Long] = {
+  private[merge] def unrecordedIds(spark: SparkSession, path: String): Seq[Long] = {
     val fs = Merge.fsFor(spark, path)
     val dir = Merge.commitsDirPath(path)
     if (!fs.exists(dir)) Nil

@@ -354,6 +354,26 @@ object GraftTableFunctions {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  val fsckName = "graft_fsck"
+
+  /** `SELECT * FROM graft_fsck('<path>')` — the read-only table
+    * integrity report ([[graft.merge.Fsck]]): staging leaks, timeline
+    * residue, key/schema records, savepoint references, MOR delta
+    * residue, footer row count — one `(check_name, status, detail)`
+    * row per check, statuses ok/warn/skip. Metadata-priced (listings
+    * + footers, no data scan) but still a distributed footer job on a
+    * big table, so it defers to execution like graft_count; strictly
+    * read-only — it NAMES what vacuum/rollback/compact would fix and
+    * never touches the table. */
+  def fsckBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$fsckName(path) expects exactly one string literal " +
+      "argument"
+    exprs match {
+      case Seq(p) => GraftFsckCommand(strLit(p, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
   val vacuumName = "graft_vacuum"
 
   /** `SELECT * FROM graft_vacuum('<path>')` — sweep leaked staging
@@ -475,6 +495,20 @@ case class GraftAnnDriftCommand(indexPath: String)
       else graft.similarity.Similarity.ivfDriftStats(spark, indexPath)
     stats.collect().toSeq
   }
+}
+
+/** The integrity report as a command (see
+  * [[GraftTableFunctions.fsckBuilder]]): EXPLAIN stays free, the
+  * checks run at execution, the report is a handful of rows. */
+case class GraftFsckCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("check_name", StringType, nullable = false)(),
+    AttributeReference("status", StringType, nullable = false)(),
+    AttributeReference("detail", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.merge.Fsck.report(spark, path).map {
+      case (c, s, d) => Row(c, s, d)
+    }
 }
 
 /** Footer-exact row count, deferred to execution: the footer sweep

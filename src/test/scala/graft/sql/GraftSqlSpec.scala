@@ -793,6 +793,74 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("graft_fsck: healthy table all-ok; seeded staging leak, inflight " +
+      "residue, timeline junk, and dangling savepoint each surface as " +
+      "warn; MOR residue detected; strictly read-only") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = freshTable("sql_fsck")
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 31 === 4)
+      .select(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("price"), col("o_orderkey").as("pre"),
+        col("o_orderstatus").as("part"))
+    graft.merge.Merge.upsertVersioned(spark, rows, path, Seq("okey"),
+      "pre", "part")
+    def report(): Map[String, (String, String)] =
+      spark.sql(s"SELECT * FROM graft_fsck('$path')").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+        .toMap
+    val healthy = report()
+    assert(healthy.values.forall(_._1 == "ok"), healthy)
+    assert(healthy("footer_row_count")._2 ===
+      s"rows=${graft.merge.Merge.readTable(spark, path).count()}")
+    // seed: a staging leak, an inflight marker, timeline junk, and a
+    // dangling savepoint pin
+    val t = new Path(path.stripSuffix("/"))
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(t.getParent, s"${t.getName}_staging_7"))
+    fs.create(new Path(path, "_graft_commits/00000000000000000099.inflight"),
+      true).close()
+    fs.create(new Path(path, "_graft_commits/notes.txt"), true).close()
+    fs.create(new Path(path, "_graft_history/_savepoint_777"), true).close()
+    val content = graft.merge.Merge.readTable(spark, path)
+      .orderBy("okey").collect().map(_.toSeq).toSeq
+    val r2 = report()
+    assert(r2("staging") === (("warn", "leaks=1")), r2)
+    assert(r2("commit_timeline")._1 === "warn")
+    assert(r2("commit_timeline")._2.contains("inflight=1") &&
+      r2("commit_timeline")._2.contains("foreign=1"), r2)
+    assert(r2("savepoints") === (("warn", "pinned=1 unrecorded=1")), r2)
+    // read-only: a second report is identical and content is untouched
+    assert(report() === r2)
+    assert(graft.merge.Merge.readTable(spark, path)
+      .orderBy("okey").collect().map(_.toSeq).toSeq === content)
+    // MOR residue: live deltas skip the footer check; an unrecorded
+    // delta id (crash residue) warns
+    val mor = freshTable("sql_fsck_mor")
+    graft.merge.MorTable.upsert(spark, rows.filter($"pre" % 2 === 0),
+      mor, Seq("okey"), "pre", Seq("part"))
+    graft.merge.MorTable.upsert(spark, rows.filter($"pre" % 2 === 1),
+      mor, Seq("okey"), "pre", Seq("part"))
+    def morReport(): Map[String, (String, String)] =
+      spark.sql(s"SELECT * FROM graft_fsck('$mor')").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+        .toMap
+    val m1 = morReport()
+    assert(m1("footer_row_count")._1 === "skip", m1)
+    assert(m1("mor_deltas")._1 === "ok", m1)
+    // unrecorded residue: tombstone a recorded delta commit's entry
+    val mfs = new Path(mor)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaEntry = mfs.listStatus(new Path(mor, "_graft_commits"))
+      .map(_.getPath).filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    mfs.rename(deltaEntry, new Path(deltaEntry.getParent,
+      deltaEntry.getName.stripSuffix(".json") + ".rolledback"))
+    val m2 = morReport()
+    assert(m2("mor_deltas")._1 === "warn", m2)
+    assert(m2("mor_deltas")._2.contains("unrecorded=1"), m2)
+  }
+
   test("graft_ann_topk/graft_ann_drift: SQL serving agrees with the " +
       "DataFrame twins on both layouts, EXPLAIN runs no probe job, " +
       "arity errors are loud") {
