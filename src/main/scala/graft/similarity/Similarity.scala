@@ -512,25 +512,34 @@ object Similarity {
       .write.mode(mode).partitionBy("cid").parquet(cellsPath)
   }
 
-  /** The compound index's immutable geometry, derived from its STORED
-    * codebooks rather than trusted from caller parameters (the r11
-    * advice finding: an append or serve called with subspaces/dims
-    * differing from build would silently write incompatible codes or
-    * reconstruct truncated vectors and return plausible-but-wrong
-    * similarities). The codebooks relation is already read by every
-    * lifecycle op and is tiny (subspaces × codebook rows), so deriving
-    * (subspaces, subLen) from it costs one driver-side aggregate and
-    * removes the parameter entirely — there is nothing left to pass
-    * wrong. */
-  private def pqGeometry(cb: DataFrame): (Int, Int) = {
-    val r = cb.agg(countDistinct(col("sub")).as("n"),
-      min(size(col("cv"))).as("lo"), max(size(col("cv"))).as("hi")).head()
-    val subspaces = r.getLong(0).toInt
-    require(subspaces > 0, "empty codebooks relation — not a PQ index")
-    require(r.getInt(1) == r.getInt(2),
-      s"corrupt codebooks: sub-vector lengths vary " +
-        s"(${r.getInt(1)}..${r.getInt(2)})")
-    (subspaces, r.getInt(1))
+  /** The stored codebooks as a LOCAL relation plus their derived
+    * geometry, in ONE tiny job: the relation is subspaces × codebook
+    * rows (64 here; a few thousand at any realistic PQ setting), yet
+    * every lifecycle op joins against slices of it `subspaces` times —
+    * re-scanning the parquet per slice and paying a separate geometry
+    * aggregate put four-plus metadata jobs on the serve path (the r12a
+    * s17 flag). Collect once, derive geometry from the collected rows,
+    * and hand consumers a LocalRelation the broadcast joins read for
+    * free. Geometry comes from the STORED codebooks rather than
+    * trusted caller parameters (the r11 advice finding: an append or
+    * serve called with subspaces/dims differing from build would
+    * silently write incompatible codes or reconstruct truncated
+    * vectors and return plausible-but-wrong similarities) — there is
+    * nothing left to pass wrong. */
+  private def loadCodebooks(spark: SparkSession, path: String)
+      : (DataFrame, Int, Int) = {
+    val raw = spark.read.parquet(path + "/codebooks")
+      .select(col("sub").cast("int").as("sub"),
+        col("code").cast("long").as("code"), col("cv"))
+    val rows = raw.collect()
+    require(rows.nonEmpty, "empty codebooks relation — not a PQ index")
+    val subspaces = rows.map(_.getInt(0)).distinct.length
+    val lens = rows.map(_.getSeq[Double](2).length).distinct
+    require(lens.length == 1,
+      s"corrupt codebooks: sub-vector lengths vary (${lens.mkString(",")})")
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), raw.schema)
+    (local, subspaces, lens.head)
   }
 
   /** The ONE decode of a codes layout back to reconstructed vectors —
@@ -566,14 +575,13 @@ object Similarity {
     * commute and the s18 oracle is one relational statement.
     *
     * Geometry (subspaces, dims) comes from the STORED codebooks via
-    * [[pqGeometry]], never from the caller; a batch whose vectors
+    * [[loadCodebooks]], never from the caller; a batch whose vectors
     * don't match the index's dims fails loudly in-plan (raise_error)
     * instead of writing truncated codes. */
   def appendToIvfPqIndex(spark: SparkSession, path: String,
       batch: DataFrame): Unit = {
     val cents = spark.read.parquet(path + "/centroids")
-    val cb = spark.read.parquet(path + "/codebooks")
-    val (subspaces, subLen) = pqGeometry(cb)
+    val (cb, subspaces, subLen) = loadCodebooks(spark, path)
     val dims = subspaces * subLen
     val e = batch.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
@@ -623,8 +631,8 @@ object Similarity {
       .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
       .parquet(path + "/cells")
       .filter(col("cid").isin(probedCids: _*))
-    val cb = spark.read.parquet(path + "/codebooks")
-    val recon = reconstructCells(cells, cb, pqGeometry(cb)._1)
+    val (cb, subspaces, _) = loadCodebooks(spark, path)
+    val recon = reconstructCells(cells, cb, subspaces)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("corpus_id"))
     recon.join(broadcast(probes), Seq("cid"))
@@ -877,7 +885,7 @@ object Similarity {
     * quantizer levels over the index's current holdings and re-code —
     * which is, by construction, exactly ONE [[buildIvfPqIndex]] over
     * the RECONSTRUCTED contents (the only vectors a PQ index still
-    * has; geometry from the stored codebooks via [[pqGeometry]]). That
+    * has; geometry from the stored codebooks via [[loadCodebooks]]). That
     * identity IS the s21 collapse law the oracle states — build over
     * the decode of the drifted index — and it makes the lossy step
     * honest: each retrain re-quantizes reconstructions, so quality is
@@ -894,8 +902,7 @@ object Similarity {
       nCentroids: Int, codebook: Int = 16, coarseIters: Int = 3,
       pqIters: Int = 2, maxTrainVectors: Int = 100000): Unit = {
     import org.apache.hadoop.fs.Path
-    val cb = spark.read.parquet(path + "/codebooks")
-    val (subspaces, subLen) = pqGeometry(cb)
+    val (cb, subspaces, subLen) = loadCodebooks(spark, path)
     val cells = spark.read
       .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
       .parquet(path + "/cells")
@@ -988,11 +995,11 @@ object Similarity {
     * dims). */
   def ivfPqDriftStats(spark: SparkSession, path: String): DataFrame = {
     val cents = spark.read.parquet(path + "/centroids")
-    val cb = spark.read.parquet(path + "/codebooks")
+    val (cb, subspaces, _) = loadCodebooks(spark, path)
     val cells = spark.read
       .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
       .parquet(path + "/cells")
-    val nv = reconstructCells(cells, cb, pqGeometry(cb)._1)
+    val nv = reconstructCells(cells, cb, subspaces)
       .select(col("cid"), normalized(col("dv")).as("nv"))
     driftStatsOver(cents, nv)
   }
