@@ -27,9 +27,11 @@ def main():
     shas = {d.get("sha") for _, d in shards}
     producers = {d.get("producer") for _, d in shards}
     sfs = {d.get("sf") for _, d in shards}
-    if len(producers) > 1 or len(sfs) > 1:
+    # a record missing the field predates the warmup split and ran warm
+    warmups = {d.get("warmup", True) for _, d in shards}
+    if len(producers) > 1 or len(sfs) > 1 or len(warmups) > 1:
         sys.exit(f"refusing to merge mixed shards: "
-                 f"producers={producers} sfs={sfs}")
+                 f"producers={producers} sfs={sfs} warmups={warmups}")
     if len(shas) > 1 and not allow_mixed_sha:
         # a doc-only commit landing mid-run is legitimate; anything
         # touching the engine is not — the caller must check the diff
@@ -57,6 +59,7 @@ def main():
         "cpus": shards[0][1].get("cpus", -1),
         "sf": shards[0][1].get("sf"),
         "passes": shards[0][1].get("passes"),
+        "warmup": shards[0][1].get("warmup", True),
         "sharded": len(shards),
         "queries": queries,
         "value": sum(v for v in queries.values() if v >= 0),
