@@ -516,12 +516,21 @@ object Dedup {
     * too), and the verdict.
     *
     * Shape at 100 TB: the benchmark side is SMALL by nature (eval
-    * suites, not corpora) — it broadcasts, and the corpus scan stays a
-    * narrow map + per-row bounded aggregate with no corpus shuffle.
-    * The one-per-(corpus, bench) score relation never materializes
-    * wider than a map-side window. */
+    * suites, not corpora) — it broadcasts, and the corpus side pays
+    * exactly ONE shuffle: the hit count and the nearest-id argmax
+    * compute in the same `groupBy(vec_id)` aggregate (the argmax as a
+    * struct-min, map-side partial like any min), so the
+    * |corpus|×|bench| score relation collapses inside each map task
+    * and never re-exchanges for a window or a self-join. An empty
+    * benchmark refuses loudly — a decon report over zero eval vectors
+    * flags nothing and is indistinguishable from a clean corpus, the
+    * silent-wrong-answer shape (usually a bad eval path or filter). */
   def semanticContaminationFlags(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    require(!benchmark.isEmpty,
+      "semanticContaminationFlags: the benchmark relation is empty — " +
+        "a decontamination report over zero eval vectors would mark " +
+        "every corpus vector clean; check the eval-set path/filter")
     val c = corpus.select(col(idCol).as("vec_id"),
       normalized(col(vecCol).cast("array<double>")).as("nv"))
     val b = benchmark.select(col(idCol).as("bid"),
@@ -529,15 +538,14 @@ object Dedup {
     val scored = c.crossJoin(org.apache.spark.sql.functions.broadcast(b))
       .select(col("vec_id"), col("bid"),
         dot(col("nv"), col("bnv")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))
-    val nearest = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("vec_id"),
-        col("bid").as("nearest_id"))
-    val hits = scored.groupBy("vec_id")
-      .agg(sum(when(col("cos") >= minCos, 1L).otherwise(0L)).as("n_hits"))
-    hits.join(nearest, Seq("vec_id"))
-      .select(col("vec_id"), col("n_hits"), col("nearest_id"),
+    // nearest = max cos, ties -> lowest bid == lexicographic struct-min
+    // of (-cos, bid); bid stays its native orderable type
+    scored.groupBy("vec_id")
+      .agg(sum(when(col("cos") >= minCos, 1L).otherwise(0L)).as("n_hits"),
+        min(struct((-col("cos")).as("neg_cos"), col("bid").as("bid")))
+          .as("_best"))
+      .select(col("vec_id"), col("n_hits"),
+        col("_best.bid").as("nearest_id"),
         (col("n_hits") > 0L).as("contaminated"))
   }
 
@@ -1064,14 +1072,21 @@ object Dedup {
         greatest(col("n_tokens") - (n - 1), lit(0L)))
 
   /** (id, pos, g) — every n-gram position with its md5 gram identity
-    * (128-bit: no cross-engine collision question at any corpus
-    * size). `base` is [[spanBase]]'s output. */
+    * as 16 RAW BYTES (128-bit: no collision question at any corpus
+    * size, even for the destructive scrub). `unhex` halves the
+    * identity's shuffle footprint vs the 32-char hex string — at a
+    * 100 TB corpus the gram relation is ~n_tokens rows and its `g`
+    * column dominates the span family's two exchanges, so the binary
+    * form cuts those shuffles' bytes ~2x with bit-identical results
+    * (hex↔bytes is a bijection: equal-gram sets, keeper choices, and
+    * reports cannot differ — spec-pinned against a hex-gram replay).
+    * `base` is [[spanBase]]'s output. */
   private[graft] def gramRows(base: DataFrame, idCol: String, n: Int)
       : DataFrame =
     base.filter(col("n_grams") > 0)
       .select(col(idCol), posexplode(transform(
         sequence(lit(1), col("n_grams")),
-        i => md5(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
+        i => unhex(md5(concat_ws(" ", slice(col("_toks"), i, lit(n)))))))
         .as(Seq("_p0", "g")))
       .select(col(idCol), (col("_p0") + 1).as("pos"), col("g"))
 

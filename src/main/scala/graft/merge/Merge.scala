@@ -105,7 +105,10 @@ object Merge {
     * one partition tuple in `partitionCols` order. */
   private[merge] def touchedPartitions(
       batch: DataFrame, partitionCols: Seq[String]): Seq[Seq[Any]] =
-    batch.select(partitionCols.map(col): _*).distinct().collect()
+    // an unpartitioned table is one (empty-tuple) partition, always
+    // touched — no job needed to know that
+    if (partitionCols.isEmpty) Seq(Seq.empty)
+    else batch.select(partitionCols.map(col): _*).distinct().collect()
       .map(r => partitionCols.indices.map(r.get)).toSeq
 
   /** Null-safe membership for the touched-partition filter: a plain
@@ -131,7 +134,11 @@ object Merge {
       parts.map { tuple =>
         partitionCols.zip(tuple)
           .map { case (c, v) => col(c) <=> lit(v) }
-          .reduce(_ && _)
+          // zero partition columns: every row lives in the one
+          // (empty-tuple) partition, so its membership test is TRUE —
+          // an unpartitioned table's delete/upsert scopes to the
+          // whole table, not to nothing
+          .reduceOption(_ && _).getOrElse(lit(true))
       }.reduceOption(_ || _).getOrElse(lit(false))
 
   /** One hive path segment, escaped exactly as Spark's partitioned

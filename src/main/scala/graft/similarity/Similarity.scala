@@ -527,7 +527,7 @@ object Similarity {
     * vectors and return plausible-but-wrong similarities) — there is
     * nothing left to pass wrong. */
   private def loadCodebooks(spark: SparkSession, path: String)
-      : (DataFrame, Int, Int) = {
+      : (DataFrame, Int, Int, Int) = {
     val raw = spark.read.parquet(path + "/codebooks")
       .select(col("sub").cast("int").as("sub"),
         col("code").cast("long").as("code"), col("cv"))
@@ -537,9 +537,15 @@ object Similarity {
     val lens = rows.map(_.getSeq[Double](2).length).distinct
     require(lens.length == 1,
       s"corrupt codebooks: sub-vector lengths vary (${lens.mkString(",")})")
+    // codebook size = the coding WIDTH max(code)+1 — stored geometry,
+    // never a caller parameter (a retrain passed a different size
+    // would silently change the index's code width). Not the entry
+    // count: kmeans can leave a cluster empty, so a sub may STORE
+    // fewer entries than the width it codes against.
+    val codebook = rows.map(_.getLong(1)).max.toInt + 1
     val local = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), raw.schema)
-    (local, subspaces, lens.head)
+    (local, subspaces, lens.head, codebook)
   }
 
   /** The ONE decode of a codes layout back to reconstructed vectors —
@@ -581,7 +587,7 @@ object Similarity {
   def appendToIvfPqIndex(spark: SparkSession, path: String,
       batch: DataFrame): Unit = {
     val cents = spark.read.parquet(path + "/centroids")
-    val (cb, subspaces, subLen) = loadCodebooks(spark, path)
+    val (cb, subspaces, subLen, _) = loadCodebooks(spark, path)
     val dims = subspaces * subLen
     val e = batch.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
@@ -631,7 +637,7 @@ object Similarity {
       .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
       .parquet(path + "/cells")
       .filter(col("cid").isin(probedCids: _*))
-    val (cb, subspaces, _) = loadCodebooks(spark, path)
+    val (cb, subspaces, _, _) = loadCodebooks(spark, path)
     val recon = reconstructCells(cells, cb, subspaces)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("corpus_id"))
@@ -893,32 +899,49 @@ object Similarity {
     * codes re-trained against ORIGINAL vectors rebuilds from source —
     * the index cannot recover information it never stored.
     *
+    * EVERY piece of geometry — subspaces, dims, and the codebook size
+    * — comes from the STORED codebooks relation ([[loadCodebooks]]),
+    * never from the caller: a retrain cannot silently change the
+    * index's code width any more than it can its dimensionality.
+    *
     * Staged like the IVF retrain: the new build lands under
-    * `retrain_tmp/` first, then the three layout dirs swap in with
-    * renames — a crashed retrain leaves the old index serving. The
-    * O(corpus) cost is the same scheduled, rare event the s18/s19
-    * no-retrain append/delete contracts amortize against. */
+    * `retrain_tmp/` first, then the three layout dirs swap in with a
+    * two-phase rename — every live dir steps ASIDE to `retrain_old/`
+    * before any new dir moves in, so a crash mid-swap never leaves
+    * mixed-generation dirs: the unserveable window is the renames
+    * themselves, and `retrain_old/` still holds the complete previous
+    * generation for manual restore (the swap is not crash-ATOMIC —
+    * rename sequences on a filesystem never are — but it is
+    * crash-RECOVERABLE at every window, and a fresh retrain clears
+    * any residue first). The O(corpus) cost is the same scheduled,
+    * rare event the s18/s19 no-retrain append/delete contracts
+    * amortize against. */
   def retrainIvfPqIndex(spark: SparkSession, path: String,
-      nCentroids: Int, codebook: Int = 16, coarseIters: Int = 3,
+      nCentroids: Int, coarseIters: Int = 3,
       pqIters: Int = 2, maxTrainVectors: Int = 100000): Unit = {
     import org.apache.hadoop.fs.Path
-    val (cb, subspaces, subLen) = loadCodebooks(spark, path)
+    val (cb, subspaces, subLen, codebook) = loadCodebooks(spark, path)
     val cells = spark.read
       .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
       .parquet(path + "/cells")
     val recon = reconstructCells(cells, cb, subspaces)
       .select(col("corpus_id").as("vec_id"), col("dv").as("embedding"))
-    val staging = path + "/retrain_tmp"
-    buildIvfPqIndex(recon, staging, nCentroids, subspaces, codebook,
-      coarseIters, pqIters, subspaces * subLen, maxTrainVectors)
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("cells", "centroids", "codebooks").foreach { d =>
-      val dst = new Path(path, d)
-      fs.delete(dst, true)
-      fs.rename(new Path(staging, d), dst)
-    }
-    fs.delete(new Path(staging), true)
+    val staging = new Path(path, "retrain_tmp")
+    val aside = new Path(path, "retrain_old")
+    fs.delete(staging, true) // residue from a crashed previous attempt
+    fs.delete(aside, true)
+    buildIvfPqIndex(recon, staging.toString, nCentroids, subspaces,
+      codebook, coarseIters, pqIters, subspaces * subLen, maxTrainVectors)
+    val dirs = Seq("cells", "centroids", "codebooks")
+    fs.mkdirs(aside)
+    // phase 1: the complete old generation steps aside intact
+    dirs.foreach(d => fs.rename(new Path(path, d), new Path(aside, d)))
+    // phase 2: the complete new generation moves in
+    dirs.foreach(d => fs.rename(new Path(staging, d), new Path(path, d)))
+    fs.delete(staging, true)
+    fs.delete(aside, true)
     ()
   }
 
@@ -995,7 +1018,7 @@ object Similarity {
     * dims). */
   def ivfPqDriftStats(spark: SparkSession, path: String): DataFrame = {
     val cents = spark.read.parquet(path + "/centroids")
-    val (cb, subspaces, _) = loadCodebooks(spark, path)
+    val (cb, subspaces, _, _) = loadCodebooks(spark, path)
     val cells = spark.read
       .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
       .parquet(path + "/cells")
@@ -1063,12 +1086,12 @@ object Similarity {
     * O(cells) drift, O(corpus) retrain only on trigger. */
   def appendToIvfPqWithRetrainPolicy(spark: SparkSession, path: String,
       batch: DataFrame, nCentroids: Int, retrainAboveE6: Long,
-      codebook: Int = 16, coarseIters: Int = 3, pqIters: Int = 2,
+      coarseIters: Int = 3, pqIters: Int = 2,
       maxTrainVectors: Int = 100000): Boolean = {
     appendToIvfPqIndex(spark, path, batch)
     val stale = maxPqDriftE6(spark, path) > retrainAboveE6
     if (stale)
-      retrainIvfPqIndex(spark, path, nCentroids, codebook, coarseIters,
+      retrainIvfPqIndex(spark, path, nCentroids, coarseIters,
         pqIters, maxTrainVectors)
     stale
   }
@@ -1416,7 +1439,7 @@ object Similarity {
             maxTrainVectors = 256)
           appendToIvfPqIndex(s, p,
             all.filter(col("vec_id") % 10 === 9))
-          retrainIvfPqIndex(s, p, nCentroids = 10, codebook = 16,
+          retrainIvfPqIndex(s, p, nCentroids = 10,
             maxTrainVectors = 256)
       }
       ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)

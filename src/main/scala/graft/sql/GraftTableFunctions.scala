@@ -59,6 +59,30 @@ object GraftTableFunctions {
     case _ => throw new IllegalArgumentException(usage)
   }
 
+  /** The shared corpus resolver every row-level path-taking SQL
+    * function reads through. `spark.read.parquet` skips `_`-prefixed
+    * directories, so on a MERGE_ON_READ table it silently analyzes the
+    * stale base — delta rows and tombstones under `_graft_deltas/` are
+    * invisible (the exact trap [[refuseLiveMorDeltas]] closes for the
+    * footer-metadata functions). Row-level functions don't need the
+    * refusal: they can serve the SNAPSHOT view, so a MOR path resolves
+    * to [[graft.merge.MorTable.read]] (base ∪ live deltas, one per-key
+    * argmax, tombstones gone — and a delta-free MOR short-circuits to
+    * the plain base read), a graft COW table reads through its
+    * recorded schema (exact types + null-fill across additive
+    * evolution), and a plain parquet directory reads raw, byte-for-byte
+    * what these functions always did. Resolution-time cost is
+    * filesystem metadata only (marker-file existence, delta listing) —
+    * never a Spark job — so the EXPLAIN-stays-lazy contract of
+    * [[dupSpansBuilder]]/[[gopherBuilder]] holds on every branch. */
+  private[sql] def resolveCorpus(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    if (graft.merge.MorTable.isMor(spark, path))
+      graft.merge.MorTable.read(spark, path)
+    else if (Merge.recordedSchema(spark, path).isDefined)
+      Merge.readTable(spark, path)
+    else spark.read.parquet(path)
+
   private val intTypes: Seq[DataType] =
     Seq(IntegerType, LongType, ShortType)
 
@@ -262,10 +286,12 @@ object GraftTableFunctions {
     * the SQL analyst: per document, the positions whose n-gram recurs
     * anywhere in the corpus and the merged token mass those spans
     * cover ([[graft.dedup.Dedup.dupSpans]]), over any parquet
-    * directory of (id, text) rows. Resolution builds the LAZY plan
-    * only (pure transformations — the corpus-sized gram shuffle runs
-    * when the statement executes, so EXPLAIN stays free); the x42 key
-    * shares d25's DuckDB oracle verbatim. */
+    * directory of (id, text) rows — graft-managed tables resolve
+    * through [[resolveCorpus]], so a MOR table is analyzed at its
+    * snapshot view, never its stale base. Resolution builds the LAZY
+    * plan only (pure transformations — the corpus-sized gram shuffle
+    * runs when the statement executes, so EXPLAIN stays free); the
+    * x42 key shares d25's DuckDB oracle verbatim. */
   def dupSpansBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val usage = s"$dupSpansName(path[, n[, id_col, text_col]]) expects " +
       "a string literal path, an optional integral gram size, and " +
@@ -279,7 +305,7 @@ object GraftTableFunctions {
       case _ => throw new IllegalArgumentException(usage)
     }
     val spark = SparkSession.active
-    graft.dedup.Dedup.dupSpans(spark.read.parquet(path), idCol, textCol, n)
+    graft.dedup.Dedup.dupSpans(resolveCorpus(spark, path), idCol, textCol, n)
       .queryExecution.logical
   }
 
@@ -289,7 +315,8 @@ object GraftTableFunctions {
     * — t12's Gopher document-quality rules opened to the SQL analyst
     * ([[graft.text.TextAnalysis.gopherRules]]): per document, the rule
     * features and the keep verdict, over any parquet directory of
-    * (id, text) rows. Lazy plan at resolution, like
+    * (id, text) rows ([[resolveCorpus]]: MOR tables serve their
+    * snapshot view). Lazy plan at resolution, like
     * [[dupSpansBuilder]]; the x43 key shares t12's oracle verbatim. */
   def gopherBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val usage = s"$gopherName(path[, id_col, text_col]) expects a " +
@@ -302,7 +329,7 @@ object GraftTableFunctions {
     }
     val spark = SparkSession.active
     graft.text.TextAnalysis
-      .gopherRules(spark.read.parquet(path), idCol, textCol)
+      .gopherRules(resolveCorpus(spark, path), idCol, textCol)
       .queryExecution.logical
   }
 
@@ -456,9 +483,17 @@ object GraftTableFunctions {
         "fold deltas into base first, or aggregate over the snapshot view")
 }
 
+object GraftAnnTopKCommand {
+  /** Conf key bounding the command's driver-side result set. */
+  val capConf = "spark.graft.sql.annTopK.maxResultRows"
+  val defaultCap = 1000000L
+}
+
 /** ANN serve as a command (see [[GraftTableFunctions.annTopKBuilder]]):
   * the probe job runs at execution, the k×|queries|-bounded result
-  * returns as the command's rows. */
+  * returns as the command's rows — bounded for real by
+  * [[GraftAnnTopKCommand.capConf]] (default 10^6), refusing loudly
+  * when the product would flood the driver. */
 case class GraftAnnTopKCommand(indexPath: String, queriesPath: String,
     k: Int, nProbe: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -468,7 +503,22 @@ case class GraftAnnTopKCommand(indexPath: String, queriesPath: String,
     AttributeReference("cos_sim",
       org.apache.spark.sql.types.DoubleType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val queries = spark.read.parquet(queriesPath)
+    val queries = GraftTableFunctions.resolveCorpus(spark, queriesPath)
+    // A command node RETURNS its rows through the driver, so the
+    // result set must be driver-sized by contract: cap k×|queries|
+    // before serving (the queries count is one narrow column scan at
+    // execution). An online batch of 10^6 queries belongs in the
+    // DataFrame API (ivfTopKServed writes wherever the caller points
+    // it), not a SQL literal result.
+    val cap = spark.conf.getOption(GraftAnnTopKCommand.capConf)
+      .map(_.toLong).getOrElse(GraftAnnTopKCommand.defaultCap)
+    val nQueries = queries.count()
+    require(k.toLong * nQueries <= cap,
+      s"graft_ann_topk would materialize k=$k × $nQueries queries = " +
+        s"${k.toLong * nQueries} rows on the driver (cap $cap). Serve " +
+        "large batches through the DataFrame API " +
+        "(Similarity.ivfTopKServed / ivfPqTopKServed) and write the " +
+        s"result out, or raise ${GraftAnnTopKCommand.capConf}")
     val served =
       if (GraftTableFunctions.isPqIndex(spark, indexPath))
         graft.similarity.Similarity.ivfPqTopKServed(spark, indexPath,

@@ -539,6 +539,37 @@ class DedupSpec extends SparkSpec {
     assert(r(6L) === ((2L, 0L, 0L, 0L)))
   }
 
+  test("gramRows: the 16-byte binary gram identity is bit-equivalent " +
+      "to the hex-string identity — detector and scrub reports match " +
+      "a hex-gram replay on the oracle corpus") {
+    import org.apache.spark.sql.functions.{col => c, _}
+    val corpus = graft.Tables.documents(spark, sfDir).limit(200)
+    // hex-gram replay of dupSpans: same spanBase/coverage machinery,
+    // gram identity left as the 32-char md5 hex (the pre-r13 form)
+    val n = 8
+    val t = Dedup.spanBase(corpus, "doc_id", "text", n)
+    val hexGrams = t.filter(c("n_grams") > 0)
+      .select(c("doc_id"), posexplode(transform(
+        sequence(lit(1), c("n_grams")),
+        i => md5(concat_ws(" ", slice(c("_toks"), i, lit(n))))))
+        .as(Seq("_p0", "g")))
+      .select(c("doc_id"), (c("_p0") + 1).as("pos"), c("g"))
+    val hexDupG = hexGrams.groupBy("g").agg(count(lit(1)).as("_c"))
+      .filter(c("_c") >= 2).select("g")
+    val hexReport = Dedup.spanReport(t,
+      hexGrams.join(hexDupG, Seq("g")).select(c("doc_id"), c("pos")),
+      "doc_id", n).orderBy("doc_id")
+    val binReport = Dedup.dupSpans(corpus, "doc_id", "text", n)
+      .orderBy("doc_id")
+    assert(binReport.collect().toSeq === hexReport.collect().toSeq,
+      "binary gram identity changed the detector's report")
+    // and the gram relation itself is the unhex image of the hex one
+    assert(Dedup.gramRows(t, "doc_id", n)
+      .select(c("doc_id"), c("pos"), hex(c("g")).as("g"))
+      .exceptAll(hexGrams.select(c("doc_id"), c("pos"),
+        upper(c("g")).as("g"))).isEmpty)
+  }
+
   test("scrubDupSpans: globally-first occurrence kept, later spans " +
       "deleted, tokens re-joined in order") {
     val corpus = Seq(

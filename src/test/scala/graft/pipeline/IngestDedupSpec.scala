@@ -305,15 +305,19 @@ class IngestDedupSpec extends SparkSpec {
     val flags = graft.util.Scratch.fresh("graft_p10_retry_") + "/flags"
     def batch(b: Int) = spanDocs.filter(col("doc_id") % 2 === b)
     IngestDedup.spanStep(batch(0), "doc_id", "text", tbl, flags, 0, 8)
-    val state0 = spark.table(tbl).collect().map(_.toString).sorted.toSeq
+    // g is 16 raw bytes: hex it before stringifying (Array.toString
+    // is reference identity, not content)
+    def stateRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(hex(col("g")), col("ingest_batch"))
+        .collect().map(_.toString).sorted.toSeq
+    val state0 = stateRows(spark.table(tbl))
     (1 to 3).foreach { _ =>
       IngestDedup.spanStep(batch(1), "doc_id", "text", tbl, flags, 1, 8)
     }
     val state = spark.table(tbl)
     // state stays globally distinct — one landed copy per gram
     assert(state.groupBy("g").count().filter(col("count") > 1).isEmpty)
-    assert(state.where(col("ingest_batch") === 0).collect()
-      .map(_.toString).sorted.toSeq === state0)
+    assert(stateRows(state.where(col("ingest_batch") === 0)) === state0)
     // batch 1 appended ONLY its genuinely new grams: doc 1's repeated
     // gram is already in state from batch 0
     val b1New = state.where(col("ingest_batch") === 1).count()

@@ -341,7 +341,7 @@ class SimilaritySpec extends SparkSpec {
     Similarity.buildIvfPqIndex(decodePq(idx), want, nCentroids = 10,
       subspaces = 4, codebook = 16, maxTrainVectors = 256)
     Similarity.retrainIvfPqIndex(spark, idx, nCentroids = 10,
-      codebook = 16, maxTrainVectors = 256)
+      maxTrainVectors = 256)
     def cents(p: String) = spark.read.parquet(p + "/centroids")
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     def books(p: String) = spark.read.parquet(p + "/codebooks")
@@ -358,6 +358,22 @@ class SimilaritySpec extends SparkSpec {
       "retrain must migrate every holding, never drop one")
     assert(!new java.io.File(idx + "/retrain_tmp").exists(),
       "staged swap must clean its staging dir")
+    assert(!new java.io.File(idx + "/retrain_old").exists(),
+      "staged swap must clean the stepped-aside generation")
+  }
+
+  test("retrainIvfPqIndex: codebook size is STORED geometry — a " +
+      "non-default build retrains at its own width, no parameter " +
+      "to pass wrong") {
+    val idx = tmpDir("graft_s21w_spec_")
+    Similarity.buildIvfPqIndex(corpus, idx, nCentroids = 10,
+      subspaces = 4, codebook = 8, maxTrainVectors = 256)
+    Similarity.retrainIvfPqIndex(spark, idx, nCentroids = 10,
+      maxTrainVectors = 256)
+    val perSub = spark.read.parquet(idx + "/codebooks")
+      .groupBy("sub").count().collect().map(_.getLong(1)).distinct.toSeq
+    assert(perSub === Seq(8L),
+      s"retrain changed the codebook width: $perSub")
   }
 
   test("ivfPqDriftStats: n_vecs totals the holdings, drift on the LONG " +

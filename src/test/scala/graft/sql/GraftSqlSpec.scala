@@ -1004,6 +1004,99 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_dup_spans"), e.getMessage)
   }
 
+  test("graft_dup_spans/graft_gopher_rules on a MOR table with live " +
+      "deltas: the SNAPSHOT view is analyzed, never the stale base — " +
+      "updated text and tombstones are visible, EXPLAIN stays lazy") {
+    import spark.implicits._
+    val path = freshTable("sql_curation_mor")
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // base commit: docs 1/2 share a full dup span, doc 3 exists
+    graft.merge.MorTable.upsert(spark,
+      Seq((1L, dup, 1L), (2L, dup, 1L), (3L, "short", 1L))
+        .toDF("doc_id", "text", "ver"),
+      path, Seq("doc_id"), "ver", Seq.empty)
+    // delta commit: doc 2 rewritten to unique text (the dup span
+    // DISAPPEARS at the snapshot), doc 3 tombstoned
+    graft.merge.MorTable.upsert(spark,
+      Seq((2L, "solo unique words nothing shared anywhere at all here", 2L))
+        .toDF("doc_id", "text", "ver"),
+      path, Seq("doc_id"), "ver", Seq.empty)
+    graft.merge.MorTable.delete(spark, Seq(3L).toDF("doc_id"), path)
+    assert(graft.merge.MorTable.hasLiveDeltas(spark, path))
+    val snapshot = graft.merge.MorTable.read(spark, path)
+    // dup_spans: the snapshot has NO recurring 8-gram, so every row
+    // reports zero duplicated mass — the stale base (what a raw
+    // parquet read sees) would report docs 1/2 as fully duplicated
+    val spans = spark.sql(
+      s"SELECT * FROM graft_dup_spans('$path', 8) ORDER BY doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(spans === graft.dedup.Dedup.dupSpans(
+      snapshot, "doc_id", "text", n = 8).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq)
+    val staleBase = graft.dedup.Dedup.dupSpans(
+      spark.read.parquet(path), "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(spans !== staleBase,
+      "the MOR path must not resolve to the raw base read")
+    // gopher: row set follows the snapshot — tombstoned doc 3 is gone
+    val gopher = spark.sql(
+      s"SELECT * FROM graft_gopher_rules('$path') ORDER BY doc_id")
+    assert(gopher.collect().map(_.toSeq).toSeq ===
+      graft.text.TextAnalysis.gopherRules(snapshot, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    assert(!gopher.select("doc_id").as[Long].collect().contains(3L),
+      "a tombstoned document surfaced in the quality report")
+    // the snapshot resolution is still LAZY: EXPLAIN launches no jobs
+    // on this unpartitioned table (recorded schema = no parquet
+    // inference; empty partition cols = no touched-partition job).
+    // A PARTITIONED MOR table additionally pays one distinct job over
+    // its live DELTA files at plan time — delta-metadata-sized,
+    // bounded by compaction cadence, never a base scan.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(s"EXPLAIN SELECT * FROM graft_dup_spans('$path')")
+        .collect()
+      spark.sql(s"EXPLAIN SELECT * FROM graft_gopher_rules('$path')")
+        .collect()
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      assert(jobs === 0,
+        s"EXPLAIN over a MOR-backed curation function ran $jobs jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("graft_ann_topk: a result set over the driver cap refuses " +
+      "loudly and names the conf; raising the cap serves") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val idx = graft.util.Scratch.fresh("graft_anncap_spec_")
+    graft.similarity.Similarity.buildIvfIndex(emb.filter($"vec_id" >= 5),
+      idx, nCentroids = 10, maxTrainVectors = 256)
+    val qDir = graft.util.Scratch.fresh("graft_anncap_q_") + "/q"
+    emb.filter($"vec_id" < 5).coalesce(1).write.parquet(qDir)
+    val conf = graft.sql.GraftAnnTopKCommand.capConf
+    spark.conf.set(conf, "49") // 5 queries × k=10 = 50 > 49
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_ann_topk('$idx', '$qDir', 10, 4)")
+          .collect()
+      }
+      assert(e.getMessage.contains(conf) &&
+        e.getMessage.contains("ivfTopKServed"), e.getMessage)
+      spark.conf.set(conf, "50")
+      assert(spark.sql(
+        s"SELECT * FROM graft_ann_topk('$idx', '$qDir', 10, 4)")
+        .count() === 50L)
+    } finally spark.conf.unset(conf)
+  }
+
   test("graft_count/graft_stats: MOR with live deltas refuses loudly, " +
       "compacted MOR answers exactly, EXPLAIN launches zero jobs") {
     import spark.implicits._

@@ -14,6 +14,19 @@ Scaling rules (replica i in 0..9):
     across both tables and fact/fact joins scale honestly; dimension
     FKs (custkey/partkey/suppkey) stay as-is — 10x fact rows per
     dimension row, which is exactly how real facts grow.
+  - every shift is CONGRUENCE-ALIGNED (a multiple of the lcm of every
+    modulus the registry folds that key by — %500/%7/%3/%50000/%11/
+    %2/%10 for orderkeys), so each replica is a residue-exact copy of
+    the sf0.1 source: a modulo-folded replay key (q18's okey%500 fold,
+    the %7 batch split, the %3 delete) sees the same survivor-cell
+    structure at sf1 as at sf0.1 instead of saturating to an empty
+    table — replay keys stay non-vacuous BY CONSTRUCTION (the r11/r12
+    carried task; previously the dense shift packed ~300 orders into
+    every (okey%500, part) cell, the %3 delete covered every cell, and
+    q18/x07 proved 0 == 0). Side effect: the orderkey shift
+    (11,550,000) is ~77x the dense range, so the sf1 keyspace has
+    TPC-H-like gaps (~1.3% fill) instead of the unrealistic dense
+    packing.
   - events: event_id and user_id shifted — 10x USERS with the original
     per-user history, so sessionization/window state grows with
     entities (the dimension that matters for state stores), while the
@@ -38,6 +51,32 @@ import pyarrow.parquet as pq
 REPLICAS = 10
 
 
+def lcm(*ns):
+    import math
+    out = 1
+    for n in ns:
+        out = out * n // math.gcd(out, n)
+    return out
+
+
+# every modulus the registry folds each key family by (grep
+# `% <n>` over src/main against the column) — a shift that is a
+# multiple of the lcm preserves every residue, so modulo-folded
+# replays keep sf0.1's cell structure at sf1
+ORDERKEY_ALIGN = lcm(500, 7, 3, 50000, 11, 2, 10)   # 11,550,000
+DOC_ALIGN = lcm(3, 5)
+EVENT_ALIGN = 2
+USER_ALIGN = 8
+VEC_ALIGN = lcm(10, 97)
+
+
+def aligned(step, align):
+    """Round the replica shift UP to the alignment (never down — the
+    shift must stay >= the source key range so replicas cannot
+    collide)."""
+    return ((step + align - 1) // align) * align
+
+
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -57,7 +96,7 @@ def main():
         write(dim, read(dim))
 
     li, od = read("lineitem"), read("orders")
-    K = pc.max(od["o_orderkey"]).as_py() + 1
+    K = aligned(pc.max(od["o_orderkey"]).as_py() + 1, ORDERKEY_ALIGN)
 
     def shifted(table, col, step, i):
         if i == 0:
@@ -73,14 +112,14 @@ def main():
         [shifted(od, "o_orderkey", K, i) for i in range(REPLICAS)]))
 
     ev = read("events")
-    E = pc.max(ev["event_id"]).as_py() + 1
-    U = pc.max(ev["user_id"]).as_py() + 1
+    E = aligned(pc.max(ev["event_id"]).as_py() + 1, EVENT_ALIGN)
+    U = aligned(pc.max(ev["user_id"]).as_py() + 1, USER_ALIGN)
     write("events", pa.concat_tables(
         [shifted(shifted(ev, "event_id", E, i), "user_id", U, i)
          for i in range(REPLICAS)]))
 
     docs = read("documents")
-    D = pc.max(docs["doc_id"]).as_py() + 1
+    D = aligned(pc.max(docs["doc_id"]).as_py() + 1, DOC_ALIGN)
     reps = []
     for i in range(REPLICAS):
         t = shifted(docs, "doc_id", D, i)
@@ -98,7 +137,7 @@ def main():
     write("documents", pa.concat_tables(reps))
 
     emb = read("embeddings")
-    V = pc.max(emb["vec_id"]).as_py() + 1
+    V = aligned(pc.max(emb["vec_id"]).as_py() + 1, VEC_ALIGN)
     write("embeddings", pa.concat_tables(
         [shifted(emb, "vec_id", V, i) for i in range(REPLICAS)]))
     print(f"done -> {dst}")

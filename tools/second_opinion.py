@@ -4,10 +4,10 @@
 The driver's correctness gate hash-compares the engine against DuckDB
 SQL oracles (tools/check.py). That catches engine bugs but not a
 CORRELATED misreading — both the Spark query and its SQL oracle
-encoding the same wrong contract. This tool re-derives seventeen
+encoding the same wrong contract. This tool re-derives nineteen
 representative keys covering every family (scan-agg, exact dedup,
 windowed streaming, stateful-session streaming, merge replay, CDC
-replication, MinHash/LSH recall, brute-kNN similarity, bigram-LM text
+replication AND the change-feed image-pair algebra itself, MinHash/LSH recall, brute-kNN similarity, bigram-LM text
 scoring, DSIR quantized-log resampling, multimodal frame dedup,
 chained crawl-ingest dedup, duplicated-span detection) in plain
 pandas / pure Python — no SQL
@@ -16,7 +16,7 @@ engine at all — and compares against the engine's Verify dumps.
 Usage:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/so_out \
       q03_agg_pricing,d01_exact_dedup,e01_windowed_counts,e02_sessions,\
-q18_upsert_replay,x07_cdc_replica,d23_lsh_recall,s01_knn_brute,\
+q18_upsert_replay,x07_cdc_replica,x06_stream_cdc,d23_lsh_recall,s01_knn_brute,\
 t13_lm_score,d24_dsir_sample,m05_frame_dedup,p08_ingest_dedup"
   python3 tools/second_opinion.py /root/testdata/sf0.001 /tmp/so_out
 
@@ -200,6 +200,59 @@ def q18(sf):
     out = t2[[not ((k, p) in dkeys) for k, p in zip(t2.okey, t2.part)]]
     return out.sort_values(["part", "okey"]).reset_index(drop=True) \
         .astype({"okey": "int64", "pre": "int64"})
+
+
+def x06(sf):
+    """The change-feed algebra itself (x06/q29's row-level CDC classes:
+    insert / update pre+post image pairs / delete with pre-change
+    payload) re-derived in plain pandas — the one family the 18-key
+    set did not cover (x07 checks the REPLICA's end state; this checks
+    the stream of changes that produced it)."""
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderkey", "o_orderstatus",
+                                 "o_totalprice"])
+    raw = pd.DataFrame({"okey": o.o_orderkey % 500,
+                        "part": o.o_orderstatus,
+                        "price": o.o_totalprice, "pre": o.o_orderkey})
+
+    def batch(mask):
+        b = raw[mask]
+        idx = b.groupby(["okey", "part"]).pre.idxmax()
+        return b.loc[idx]
+
+    b1 = batch(raw.pre % 7 == 0)
+    b2 = batch(raw.pre % 7 == 1)
+    k1 = {(k, p): (pr, v) for k, p, pr, v
+          in zip(b1.okey, b1.part, b1.price, b1.pre)}
+    k2 = set(zip(b2.okey, b2.part))
+    rows = []
+    # commit 1: batch-1 winners land as pure inserts
+    for k, p, pr, v in zip(b1.okey, b1.part, b1.price, b1.pre):
+        rows.append((k, p, pr, v, "insert", 1))
+    # commit 2: batch-2 winners split insert vs update image PAIR
+    for k, p, pr, v in zip(b2.okey, b2.part, b2.price, b2.pre):
+        if (k, p) in k1:
+            old_pr, old_v = k1[(k, p)]
+            rows.append((k, p, old_pr, old_v, "update_preimage", 2))
+            rows.append((k, p, pr, v, "update_postimage", 2))
+        else:
+            rows.append((k, p, pr, v, "insert", 2))
+    # commit 3: the delete's victims carry their pre-change payload
+    # from the two-batch merge state (batch-2 winner, else batch-1)
+    t2 = pd.concat([b2, b1[[not ((k, p) in k2)
+                            for k, p in zip(b1.okey, b1.part)]]])
+    dk = raw[(raw.pre % 7 == 0) & (raw.pre % 3 == 0)]
+    dkeys = set(zip(dk.okey, dk.part))
+    for k, p, pr, v in zip(t2.okey, t2.part, t2.price, t2.pre):
+        if (k, p) in dkeys:
+            rows.append((k, p, pr, v, "delete", 3))
+    return pd.DataFrame(
+        rows, columns=["okey", "part", "price", "pre",
+                       "_change_type", "_change_commit"]) \
+        .astype({"okey": "int64", "pre": "int64",
+                 "_change_commit": "int64"}) \
+        .sort_values(["_change_commit", "_change_type", "part", "okey"]) \
+        .reset_index(drop=True)
 
 
 def e02(sf):
@@ -690,6 +743,9 @@ CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
           # the re-derivation is shared and the check is that the
           # replica landed on it
           "x07_cdc_replica": q18,
+          # the change-feed algebra itself (r12 verdict task 7): the
+          # full image-pair stream x07's replica consumed
+          "x06_stream_cdc": x06,
           # the two float-sensitive similarity artifacts (the r10
           # verdict's stretch ask): the recall fraction's rank-10
           # boundary and the drift statistic's integer grid
