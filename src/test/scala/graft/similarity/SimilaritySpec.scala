@@ -388,32 +388,66 @@ class SimilaritySpec extends SparkSpec {
       .forall(r => !r.isNullAt(2) && r.getLong(2) >= 0L))
     // empty a whole cell: its row must surface with n_vecs=0, NULL drift
     val victim = stats.filter(_.getLong(1) > 0).map(_.getLong(0)).min
+    // materialized: the lazy plan would pin idx/cells' CURRENT file
+    // list, which later appends/rewrites invalidate
     val victimIds = spark.read
       .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
       .parquet(idx + "/cells").filter($"cid" === victim)
       .select($"corpus_id".as("vec_id"))
+      .as[Long].collect().toSeq.toDF("vec_id")
     Similarity.removeFromIvfPqIndex(spark, idx, victimIds)
     val emptied = Similarity.ivfPqDriftStats(spark, idx).collect()
       .find(_.getLong(0) == victim).get
     assert(emptied.getLong(1) === 0L && emptied.isNullAt(2))
-    // the policy: an absurd bar never fires, the e27 bar fires on the
-    // off-distribution negated batch (and actually swaps the quantizers)
+    // the drift-excess policy, both directions at the e27 bar (0.15):
+    // a below-bar in-distribution drain performs NO retrain — the
+    // quantizers are byte-identical and serving equals a twin index
+    // that only ever appended — and the clump drain fires and swaps
     val calm = corpus.filter($"vec_id" % 10 === 9)
       .select(($"vec_id" + 2000000000L).as("vec_id"), $"embedding")
+    def quantizers() =
+      (spark.read.parquet(idx + "/centroids")
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq,
+       spark.read.parquet(idx + "/codebooks")
+         .select("sub", "code", "cv").as[(Int, Long, Seq[Double])]
+         .collect().sortBy(t => (t._1, t._2)).toSeq)
+    val before = quantizers()
     assert(!Similarity.appendToIvfPqWithRetrainPolicy(spark, idx, calm,
-      nCentroids = 10, retrainAboveE6 = Long.MaxValue,
-      maxTrainVectors = 256), "nothing crosses an infinite bar")
-    val centsBefore = spark.read.parquet(idx + "/centroids")
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-    val neg = corpus.filter($"vec_id" % 10 === 9)
+      nCentroids = 10, excessAboveE6 = 150000L,
+      maxTrainVectors = 256), "the in-distribution batch fired")
+    assert(quantizers() === before,
+      "a below-bar drain must not touch either quantizer level")
+    // bit-identical serving vs a plain append (the skip is a no-op
+    // beyond the append itself)
+    val twin = tmpDir("graft_s20_twin_")
+    Similarity.buildIvfPqIndex(corpus, twin, nCentroids = 10,
+      subspaces = 4, codebook = 16, maxTrainVectors = 256)
+    Similarity.removeFromIvfPqIndex(spark, twin, victimIds)
+    Similarity.appendToIvfPqIndex(spark, twin, calm)
+    val queries = corpus.filter($"vec_id" < 15)
+    assert(Similarity.ivfPqTopKServed(spark, idx, queries, 10, 4)
+      .orderBy("query_id", "rank").collect().toSeq ===
+      Similarity.ivfPqTopKServed(spark, twin, queries, 10, 4)
+        .orderBy("query_id", "rank").collect().toSeq,
+      "a skipped retrain changed served bits")
+    // the incrementally-maintained state equals a full recomputation
+    val state = spark.read.parquet(idx + "/drift_state")
+      .select("cid", "drift_e6").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val full = Similarity.ivfPqDriftStats(spark, idx).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(state === full,
+      "touched-cells-only maintenance drifted from the full statistic")
+    val clump = corpus.filter($"vec_id" % 10 === 9)
       .select(($"vec_id" + 1000000000L).as("vec_id"),
-        transform($"embedding", x => -x).as("embedding"))
-    assert(Similarity.appendToIvfPqWithRetrainPolicy(spark, idx, neg,
-      nCentroids = 10, retrainAboveE6 = 1000L, maxTrainVectors = 256),
-      "the negated cluster must cross the e27 bar")
-    assert(spark.read.parquet(idx + "/centroids")
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-      !== centsBefore, "the fired retrain must swap the coarse level")
+        transform($"embedding", x => abs(x) + lit(2.0f)).as("embedding"))
+    assert(Similarity.appendToIvfPqWithRetrainPolicy(spark, idx, clump,
+      nCentroids = 10, excessAboveE6 = 150000L, maxTrainVectors = 256),
+      "the off-distribution clump must cross the e27 bar")
+    assert(quantizers() !== before,
+      "the fired retrain must swap the quantizers")
     // geometry is DERIVED from the stored codebooks: a batch whose
     // vectors don't match the index's dims refuses in-plan instead of
     // writing truncated codes
