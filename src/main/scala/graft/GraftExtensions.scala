@@ -83,7 +83,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // read-only table integrity report (names what vacuum/rollback/
       // compact would fix; never touches the table)
       (graft.sql.GraftTableFunctions.fsckName,
-        graft.sql.GraftTableFunctions.fsckBuilder _)
+        graft.sql.GraftTableFunctions.fsckBuilder _),
+      // incremental-view console: read the live groups (lazy) and
+      // advance the view from its source's change stream (command)
+      (graft.sql.GraftTableFunctions.readViewName,
+        graft.sql.GraftTableFunctions.readViewBuilder _),
+      (graft.sql.GraftTableFunctions.refreshViewName,
+        graft.sql.GraftTableFunctions.refreshViewBuilder _)
     ).foreach { case (name, builder) =>
       ext.injectTableFunction((
         FunctionIdentifier(name),

@@ -3230,6 +3230,29 @@ object Merge {
           graft.Tables.d(col("sum_v")).as("sum_v"), col("n_rows"))
         .orderBy("part", "bucket")
     }),
+    // x48: x08's IVM loop driven from the SQL console — the refreshes
+    // run through graft_refresh_view (a command node: EXPLAIN
+    // refreshes nothing, each SELECT applies exactly the source
+    // commits past the view's own cursor) and the final read through
+    // graft_read_view; shares x08's oracle because the final relation
+    // must be identical to the API-driven loop's.
+    "x48_sql_ivm" -> ((s, dir) => {
+      val src = scratchTable("graft_x48s_")
+      val vw = scratchTable("graft_x48v_")
+      def b(i: Int): DataFrame = replayBatch(s, dir, i, 50000)
+        .withColumn("bucket", col("okey") % 10)
+      upsertVersioned(s, b(0), src, Seq("okey"), "pre", "part")
+      IncrementalView.create(s, src, vw, srcKeys = Seq("okey", "part"),
+        groupCols = Seq("part", "bucket"), sumCol = "price",
+        partitionCol = "part")
+      upsertVersioned(s, b(1), src, Seq("okey"), "pre", "part")
+      s.sql(s"SELECT * FROM graft_refresh_view('$vw')").collect()
+      deleteVersioned(s, b(0).filter(col("pre") % 3 === 0)
+        .select("okey", "part"), src, Seq("okey"), Seq("part"))
+      s.sql(s"SELECT * FROM graft_refresh_view('$vw')").collect()
+      s.sql(s"SELECT part, bucket, CAST(sum_v AS DOUBLE) AS sum_v, " +
+        s"n_rows FROM graft_read_view('$vw') ORDER BY part, bucket")
+    }),
     // x09: STREAMING view maintenance — same source replay and final
     // aggregate as x08, but the refreshes are driven by draining the
     // checkpointed commit stream (batch grouping is the source's
@@ -3959,6 +3982,10 @@ object Merge {
   val oracle: Map[String, String] =
     oracle0 +
       ("x24_sql_commits" -> oracle0("q22_timeline")) +
+      // x48 drives x08's exact IVM loop from the SQL console
+      // (graft_refresh_view advances the cursor, graft_read_view
+      // emits the live groups) — same final relation, same oracle
+      ("x48_sql_ivm" -> oracle0("x08_incr_view")) +
       // e18 replays x04's corpus through the NATIVE streaming sink
       // (writeStream.format("graft"), no foreachBatch hop) with the
       // same ordered payload — the final state must be the same

@@ -457,6 +457,45 @@ object GraftTableFunctions {
     }
   }
 
+  val refreshViewName = "graft_refresh_view"
+
+  /** `SELECT * FROM graft_refresh_view('<view>')` — advance an
+    * incremental view to its source's head purely from the change
+    * stream ([[graft.merge.IncrementalView.refresh]]: O(changed rows),
+    * never a source rescan). A [[LeafRunnableCommand]] like every
+    * procedure — EXPLAIN and CREATE VIEW over it refresh nothing; the
+    * returned row is the cursor movement (src_ts_before,
+    * src_ts_after), and re-running when the source hasn't moved is a
+    * no-op that returns equal cursors. Completes the operator console
+    * the fsck/compact/clean family started: build the view once from
+    * the DataFrame API, keep it fresh from the SQL console. */
+  def refreshViewBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$refreshViewName(view_path) expects exactly one " +
+      "string literal argument"
+    exprs match {
+      case Seq(p) => GraftRefreshViewCommand(strLit(p, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  }
+
+  val readViewName = "graft_read_view"
+
+  /** `SELECT * FROM graft_read_view('<view>')` — the view's live
+    * groups ([[graft.merge.IncrementalView.readView]]: tombstoned
+    * groups hidden, group cols + exact-decimal sum + count). Lazy
+    * plan at resolution like [[dupSpansBuilder]]; the x48 key drives
+    * the whole IVM loop from SQL and shares x08's oracle. */
+  def readViewBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$readViewName(view_path) expects exactly one " +
+      "string literal argument"
+    val path = exprs match {
+      case Seq(p) => strLit(p, usage)
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    graft.merge.IncrementalView.readView(SparkSession.active, path)
+      .queryExecution.logical
+  }
+
   private[sql] def specOrFail(spark: SparkSession, name: String,
       path: String): graft.merge.KeySpec =
     KeyIndex.readSpec(spark, path).getOrElse(
@@ -544,6 +583,22 @@ case class GraftAnnDriftCommand(indexPath: String)
         graft.similarity.Similarity.ivfPqDriftStats(spark, indexPath)
       else graft.similarity.Similarity.ivfDriftStats(spark, indexPath)
     stats.collect().toSeq
+  }
+}
+
+/** The incremental-view refresh as a command (see
+  * [[GraftTableFunctions.refreshViewBuilder]]): the change-stream
+  * apply runs at execution; the row is the cursor movement. */
+case class GraftRefreshViewCommand(viewPath: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftTableFunctions.statsRow(("src_ts_before", "src_ts_after"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = graft.merge.Merge.readTable(spark, viewPath)
+      .agg(org.apache.spark.sql.functions.max("src_ts"))
+      .collect()(0).getLong(0)
+    val after = graft.merge.IncrementalView.refresh(spark, viewPath)
+    Seq(Row(before, after))
   }
 }
 

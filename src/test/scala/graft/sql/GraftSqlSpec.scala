@@ -1072,6 +1072,51 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("graft_refresh_view/graft_read_view: the IVM console — EXPLAIN " +
+      "refreshes nothing, a SELECT applies exactly the pending " +
+      "commits, a no-op re-run returns equal cursors, the read " +
+      "matches the API view") {
+    import graft.merge.{IncrementalView, Merge}
+    val src = freshTable("sql_ivm_src")
+    val vw = freshTable("sql_ivm_view")
+    def b(i: Int): DataFrame = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 7 === i)
+      .select((col("o_orderkey") % 50000).as("okey"),
+        col("o_orderstatus").as("part"),
+        col("o_totalprice").as("price"),
+        col("o_orderkey").as("pre"))
+      .withColumn("bucket", col("okey") % 10)
+    Merge.upsertVersioned(spark, b(0), src, Seq("okey"), "pre", "part")
+    IncrementalView.create(spark, src, vw,
+      srcKeys = Seq("okey", "part"), groupCols = Seq("part", "bucket"),
+      sumCol = "price", partitionCol = "part")
+    Merge.upsertVersioned(spark, b(1), src, Seq("okey"), "pre", "part")
+    // EXPLAIN over the procedure must not move the cursor
+    spark.sql(s"EXPLAIN SELECT * FROM graft_refresh_view('$vw')")
+      .collect()
+    val cursorAfterExplain = Merge.readTable(spark, vw)
+      .agg(max("src_ts")).head().getLong(0)
+    val srcHead = Merge.commits(spark, src)
+      .agg(max("commit_ts")).head().getLong(0)
+    assert(cursorAfterExplain < srcHead,
+      "EXPLAIN over graft_refresh_view advanced the view")
+    // the SELECT applies the pending commit and reports the movement
+    val r1 = spark.sql(s"SELECT * FROM graft_refresh_view('$vw')")
+      .head()
+    assert(r1.getLong(0) === cursorAfterExplain &&
+      r1.getLong(1) === srcHead, r1.toString)
+    // no-op re-run: equal cursors, view untouched
+    val r2 = spark.sql(s"SELECT * FROM graft_refresh_view('$vw')")
+      .head()
+    assert(r2.getLong(0) === r2.getLong(1))
+    // the lazy read equals the API view
+    assert(spark.sql(
+      s"SELECT * FROM graft_read_view('$vw') ORDER BY part, bucket")
+      .collect().toSeq ===
+      IncrementalView.readView(spark, vw).orderBy("part", "bucket")
+        .collect().toSeq)
+  }
+
   test("graft_ann_topk: a result set over the driver cap refuses " +
       "loudly and names the conf; raising the cap serves") {
     import spark.implicits._
