@@ -179,15 +179,21 @@ object GraftTableFunctions {
     * time travel WITHOUT catalog registration, the path-based
     * complement of `VERSION AS OF`). A pure read: resolves eagerly to
     * the same plan the DataFrame API serves, so pruning/pushdown
-    * behave identically. */
+    * behave identically. MOR tables resolve through the MOR readers
+    * on BOTH branches (current → snapshot view, as-of → the delta-
+    * aware replay) — `Merge.readTable`/`Merge.readAsOf` see only the
+    * base namespace, the [[resolveCorpus]] stale-base trap. */
   def snapshotBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val usage = s"$snapshotName(path[, commit_ts]) expects a string " +
       "literal path and an optional integral literal commit id"
     val spark = SparkSession.active
     val df = exprs match {
-      case Seq(p) => Merge.readTable(spark, strLit(p, usage))
+      case Seq(p) => resolveCorpus(spark, strLit(p, usage))
       case Seq(p, c) =>
-        Merge.readAsOf(spark, strLit(p, usage), longLit(c, usage))
+        val (path, asOf) = (strLit(p, usage), longLit(c, usage))
+        if (graft.merge.MorTable.isMor(spark, path))
+          graft.merge.MorTable.readAsOf(spark, path, asOf)
+        else Merge.readAsOf(spark, path, asOf)
       case _ => throw new IllegalArgumentException(usage)
     }
     df.queryExecution.logical

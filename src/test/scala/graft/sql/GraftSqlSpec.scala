@@ -1046,6 +1046,18 @@ class GraftSqlSpec extends SparkSpec {
         .orderBy("doc_id").collect().map(_.toSeq).toSeq)
     assert(!gopher.select("doc_id").as[Long].collect().contains(3L),
       "a tombstoned document surfaced in the quality report")
+    // graft_snapshot inherits the same discipline on both branches:
+    // the current read is the snapshot view, and the as-of read is
+    // the delta-aware MOR replay (not the base-namespace one)
+    assert(spark.sql(s"SELECT * FROM graft_snapshot('$path') " +
+      "ORDER BY doc_id").collect().toSeq ===
+      snapshot.orderBy("doc_id").collect().toSeq)
+    val c1 = graft.merge.Merge.commits(spark, path)
+      .agg(min("commit_ts")).head().getLong(0)
+    assert(spark.sql(s"SELECT * FROM graft_snapshot('$path', $c1) " +
+      "ORDER BY doc_id").collect().toSeq ===
+      graft.merge.MorTable.readAsOf(spark, path, c1)
+        .orderBy("doc_id").collect().toSeq)
     // the snapshot resolution is still LAZY: EXPLAIN launches no jobs
     // on this unpartitioned table (recorded schema = no parquet
     // inference; empty partition cols = no touched-partition job).
