@@ -124,6 +124,19 @@ object MorTable {
       Merge.listDataStatuses(fs, deltaRoot(spark, path)).nonEmpty
     }
 
+  /** The live delta files as (qualified path, bytes) — the listing
+    * complement of [[hasLiveDeltas]] for observability surfaces
+    * (`graft_files` lists them alongside base files: they are live
+    * data of the table). Empty on a non-MOR path. */
+  def liveDeltaFiles(spark: SparkSession, path: String)
+      : Seq[(String, Long)] =
+    if (!isMor(spark, path)) Seq.empty
+    else {
+      val fs = Merge.fsFor(spark, path)
+      Merge.listDataStatuses(fs, deltaRoot(spark, path))
+        .map(st => (st.getPath.toString, st.getLen))
+    }
+
   /** The table's recorded key spec. Fails on a non-MOR path — a COW
     * table has no `_graft_mor.json`. */
   def spec(spark: SparkSession, path: String): MorSpec = {

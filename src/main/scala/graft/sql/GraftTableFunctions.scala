@@ -204,8 +204,13 @@ object GraftTableFunctions {
   /** `SELECT * FROM graft_files('<path>')` — the table's current data
     * files with their sizes (Delta's `DESCRIBE DETAIL` / Hudi's
     * `call show_fsview_all` analogue): one row per live file,
-    * (file, bytes), paths relative to the table root. Metadata-only —
-    * a file listing plus statuses, no data scan. */
+    * (file, bytes), paths relative to the table root. On a MOR table
+    * the live DELTA files are listed too (`_graft_deltas/...` rows) —
+    * they are live data of the table, and an operator sizing storage
+    * or a compaction from a base-only listing would silently
+    * under-count (the same `_`-prefix invisibility as the
+    * [[resolveCorpus]] trap). Metadata-only — a file listing plus
+    * statuses, no data scan. */
   def filesBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val usage = s"$filesName(path) expects exactly one string literal " +
       "argument"
@@ -218,11 +223,13 @@ object GraftTableFunctions {
     val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(root).toUri
-    val rows = Merge.readTable(spark, path).inputFiles.toSeq.sorted.map {
-      f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val rel = rootUri.relativize(fs.makeQualified(p).toUri).getPath
-        (rel, fs.getFileStatus(p).getLen)
+    val base = Merge.readTable(spark, path).inputFiles.toSeq
+    val deltas = graft.merge.MorTable.liveDeltaFiles(spark, path)
+      .map(_._1)
+    val rows = (base ++ deltas).sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val rel = rootUri.relativize(fs.makeQualified(p).toUri).getPath
+      (rel, fs.getFileStatus(p).getLen)
     }
     rows.toDF("file", "bytes").queryExecution.logical
   }

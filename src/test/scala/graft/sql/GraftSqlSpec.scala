@@ -1046,6 +1046,12 @@ class GraftSqlSpec extends SparkSpec {
         .orderBy("doc_id").collect().map(_.toSeq).toSeq)
     assert(!gopher.select("doc_id").as[Long].collect().contains(3L),
       "a tombstoned document surfaced in the quality report")
+    // graft_files lists the live DELTA files alongside base — an
+    // operator sizing a compaction must see them
+    val listed = spark.sql(s"SELECT file FROM graft_files('$path')")
+      .as[String].collect()
+    assert(listed.exists(_.startsWith("_graft_deltas/")),
+      s"live delta files missing from graft_files: ${listed.toSeq}")
     // graft_snapshot inherits the same discipline on both branches:
     // the current read is the snapshot view, and the as-of read is
     // the delta-aware MOR replay (not the base-namespace one)
