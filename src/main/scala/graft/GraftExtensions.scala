@@ -74,6 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sql.GraftTableFunctions.dupSpansBuilder _),
       (graft.sql.GraftTableFunctions.gopherName,
         graft.sql.GraftTableFunctions.gopherBuilder _),
+      (graft.sql.GraftTableFunctions.deconName,
+        graft.sql.GraftTableFunctions.deconBuilder _),
       // ANN serving + index observability for the same persona:
       // top-k over a persisted IVF/IVF-PQ index, drift report
       (graft.sql.GraftTableFunctions.annTopKName,

@@ -1235,6 +1235,22 @@ object Dedup {
     "x42_sql_dup_spans" -> ((s, dir) =>
       s.sql(s"SELECT * FROM graft_dup_spans('$dir/documents.parquet', 8)" +
         " ORDER BY doc_id")),
+    // x49: d13's contamination report driven through SQL —
+    // graft_decon_report('<corpus>', '<eval>'), the decontamination
+    // console for the same persona (threshold the overlap fraction
+    // without leaving SQL). Shares d13's oracle verbatim: the table
+    // function is the same lazy plan over the same relations, reached
+    // through the MOR-aware corpus resolver.
+    "x49_sql_decon" -> ((s, dir) => {
+      val base = graft.util.Scratch.cached("x49:" + dir, "graft_x49_") {
+        p =>
+          val docs = Tables.documents(s, dir)
+          docs.filter(col("doc_id") >= 10).write.parquet(p + "/corpus")
+          docs.filter(col("doc_id") < 10).write.parquet(p + "/eval")
+      }
+      s.sql(s"SELECT * FROM graft_decon_report('$base/corpus', " +
+        s"'$base/eval') ORDER BY id")
+    }),
     // d26: the rewrite half — duplicated spans deleted except each
     // gram's globally-first occurrence, tokens re-joined; the scrubbed
     // STRINGS are the hash-checked artifact
@@ -2003,5 +2019,6 @@ object Dedup {
     oracle0 + ("d15_jaccard_prefix" -> oracle0("d04_jaccard_neardup")) +
       // the SQL table-function surface is the SAME lazy plan over the
       // same parquet, so it must land on the same relation
-      ("x42_sql_dup_spans" -> oracle0("d25_dup_spans"))
+      ("x42_sql_dup_spans" -> oracle0("d25_dup_spans")) +
+      ("x49_sql_decon" -> oracle0("d13_contamination_frac"))
 }

@@ -346,6 +346,34 @@ object GraftTableFunctions {
       .queryExecution.logical
   }
 
+  val deconName = "graft_decon_report"
+
+  /** `SELECT * FROM graft_decon_report('<corpus>', '<eval>'[, id_col,
+    * text_col])` — benchmark decontamination from SQL
+    * ([[graft.dedup.Dedup.contaminationReport]]): per corpus document
+    * the distinct-shingle total, the count shared with ANY eval-set
+    * document, and the overlap fraction a curation pass thresholds
+    * ("drop > 10%, flag > 1%"). Both paths resolve through
+    * [[resolveCorpus]] (a merge-managed eval set or corpus serves its
+    * snapshot view). Lazy plan at resolution like [[dupSpansBuilder]];
+    * the x49 key shares d13's oracle verbatim. */
+  def deconBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = s"$deconName(corpus_path, eval_path[, id_col, " +
+      "text_col]) expects two string literal paths and optional " +
+      "id/text column name literals"
+    val (cPath, ePath, idCol, textCol) = exprs match {
+      case Seq(c, e) => (strLit(c, usage), strLit(e, usage),
+        "doc_id", "text")
+      case Seq(c, e, i, t) => (strLit(c, usage), strLit(e, usage),
+        strLit(i, usage), strLit(t, usage))
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    val spark = SparkSession.active
+    graft.dedup.Dedup.contaminationReport(
+      resolveCorpus(spark, cPath), resolveCorpus(spark, ePath),
+      idCol, textCol).queryExecution.logical
+  }
+
   val annTopKName = "graft_ann_topk"
 
   /** `SELECT * FROM graft_ann_topk('<index>', '<queries>', k,

@@ -1002,6 +1002,24 @@ class GraftSqlSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("graft_dup_spans"), e.getMessage)
+    // graft_decon_report: same-relation law vs the DataFrame API,
+    // honoring the column-name args on the renamed copy
+    val dApi = graft.dedup.Dedup.contaminationReport(
+      spark.read.parquet(dir).filter($"doc_id" >= 2),
+      spark.read.parquet(dir).filter($"doc_id" < 2), "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    spark.read.parquet(dir).filter($"doc_id" >= 2)
+      .select($"doc_id".as("id"), $"text".as("body"))
+      .write.parquet(dir2 + "_c")
+    spark.read.parquet(dir).filter($"doc_id" < 2)
+      .select($"doc_id".as("id"), $"text".as("body"))
+      .write.parquet(dir2 + "_e")
+    assert(spark.sql(s"SELECT * FROM graft_decon_report('${dir2}_c', " +
+      s"'${dir2}_e', 'id', 'body') ORDER BY id").collect().toSeq === dApi)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_decon_report('$dir')").collect()
+    }
+    assert(e2.getMessage.contains("graft_decon_report"), e2.getMessage)
   }
 
   test("graft_dup_spans/graft_gopher_rules on a MOR table with live " +
