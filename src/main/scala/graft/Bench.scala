@@ -138,8 +138,15 @@ object Bench {
     // a growing registry silently loses head-of-line per-query figures.
     // Persist the full record to the repo (committed per round) and print
     // the summary with `value` (the total) LAST so it survives truncation.
+    // bench_full_latest.json is the BUILDER figure of record (two
+    // timed passes after warmup on a quiet box). The driver regime
+    // (one cold pass, warmup=false) is not comparable, so its durable
+    // record lands under a regime-qualified name instead of silently
+    // re-dirtying the committed builder record every round;
+    // tools/gen_baseline.py additionally refuses a mis-regimed latest.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT",
-      "/root/repo/bench_full_latest.json")
+      if (producer == "builder") "/root/repo/bench_full_latest.json"
+      else "/root/repo/bench_full_driver_latest.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

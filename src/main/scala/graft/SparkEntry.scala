@@ -27,7 +27,8 @@ object SparkEntry {
       pipeline.Expectations.queries ++ pipeline.Profile.queries ++
       pipeline.IngestDedup.queries ++
       streaming.EventStreams.queries ++ scale.Scale.queries ++
-      sources.GraftSourceQueries.queries ++ merge.Occ.queries
+      sources.GraftSourceQueries.queries ++ merge.Occ.queries ++
+      sql.AnalystDay.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       pipeline.Expectations.oracle ++ pipeline.Profile.oracle ++
       pipeline.IngestDedup.oracle ++
       streaming.EventStreams.oracle ++ scale.Scale.oracle ++
-      sources.GraftSourceQueries.oracle ++ merge.Occ.oracle
+      sources.GraftSourceQueries.oracle ++ merge.Occ.oracle ++
+      sql.AnalystDay.oracle
 }

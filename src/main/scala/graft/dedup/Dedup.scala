@@ -524,13 +524,27 @@ object Dedup {
     * and never re-exchanges for a window or a self-join. An empty
     * benchmark refuses loudly — a decon report over zero eval vectors
     * flags nothing and is indistinguishable from a clean corpus, the
-    * silent-wrong-answer shape (usually a bad eval path or filter). */
+    * silent-wrong-answer shape (usually a bad eval path or filter);
+    * the refusal rides IN the plan (it fires at the first action), so
+    * constructing or EXPLAINing the report launches no job. */
   def semanticContaminationFlags(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, vecCol: String, minCos: Double): DataFrame = {
-    require(!benchmark.isEmpty,
-      "semanticContaminationFlags: the benchmark relation is empty — " +
-        "a decontamination report over zero eval vectors would mark " +
-        "every corpus vector clean; check the eval-set path/filter")
+    // the empty-benchmark refusal rides IN the plan, so construction
+    // and EXPLAIN stay lazy/job-free like every sibling transformation
+    // — the error fires on the first ACTION instead, exactly where a
+    // silent empty report would otherwise surface. It is attached as a
+    // zero-row UNION branch (a one-row benchmark count whose lone row
+    // raises when the count is 0 and is filtered away otherwise)
+    // rather than a cross join: an empty-side cross join is pruned by
+    // PropagateEmptyRelation when the optimizer can PROVE the
+    // benchmark empty, which is precisely the case that must refuse
+    val guard = benchmark.agg(count(lit(1)).as("_bn"))
+      .select(when(col("_bn") === 0L, raise_error(lit(
+        "semanticContaminationFlags: the benchmark relation is empty " +
+          "— a decontamination report over zero eval vectors would " +
+          "mark every corpus vector clean; check the eval-set " +
+          "path/filter"))).otherwise(lit(true)).as("_ok"))
+      .filter(col("_ok").isNull) // never true: 0 rows survive
     val c = corpus.select(col(idCol).as("vec_id"),
       normalized(col(vecCol).cast("array<double>")).as("nv"))
     val b = benchmark.select(col(idCol).as("bid"),
@@ -540,13 +554,16 @@ object Dedup {
         dot(col("nv"), col("bnv")).as("cos"))
     // nearest = max cos, ties -> lowest bid == lexicographic struct-min
     // of (-cos, bid); bid stays its native orderable type
-    scored.groupBy("vec_id")
+    val report = scored.groupBy("vec_id")
       .agg(sum(when(col("cos") >= minCos, 1L).otherwise(0L)).as("n_hits"),
         min(struct((-col("cos")).as("neg_cos"), col("bid").as("bid")))
           .as("_best"))
       .select(col("vec_id"), col("n_hits"),
         col("_best.bid").as("nearest_id"),
         (col("n_hits") > 0L).as("contaminated"))
+    val pad = report.schema.fields.map(f =>
+      lit(null).cast(f.dataType).as(f.name))
+    report.union(guard.select(pad.toIndexedSeq: _*))
   }
 
   /** Per-document contamination REPORT — the thresholdable variant of

@@ -124,8 +124,13 @@ object IncrementalView {
     * one if the source has nothing new — then nothing is written). */
   def refresh(spark: SparkSession, viewPath: String): Long = {
     val spec = readSpec(spark, viewPath)
-    val applied = Merge.readTable(spark, viewPath)
-      .agg(max("src_ts")).collect()(0).getLong(0)
+    val appliedRow = Merge.readTable(spark, viewPath)
+      .agg(max("src_ts")).collect()(0)
+    require(!appliedRow.isNullAt(0),
+      s"incremental view at $viewPath has no rows, so no src_ts " +
+        "cursor — was it created over an empty source? rebuild the " +
+        "view once the source has data")
+    val applied = appliedRow.getLong(0)
     val head = srcHead(spark, spec.src)
     require(head >= applied, s"source ${spec.src} head $head is behind " +
       s"the view cursor $applied — was the source restored/rolled back? " +

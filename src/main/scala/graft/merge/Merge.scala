@@ -106,10 +106,26 @@ object Merge {
   private[merge] def touchedPartitions(
       batch: DataFrame, partitionCols: Seq[String]): Seq[Seq[Any]] =
     // an unpartitioned table is one (empty-tuple) partition, always
-    // touched — no job needed to know that
+    // touched — no job needed to know that (read-path planners like
+    // the MOR snapshot merge rely on this staying job-free; WRITE
+    // paths go through touchedPartitionsProbed)
     if (partitionCols.isEmpty) Seq(Seq.empty)
     else batch.select(partitionCols.map(col): _*).distinct().collect()
       .map(r => partitionCols.indices.map(r.get)).toSeq
+
+  /** [[touchedPartitions]] for the WRITE paths (upsert /
+    * insertOverwrite / delete): additionally probes an UNPARTITIONED
+    * batch for emptiness (one LIMIT-1 job — the partitioned branch
+    * already pays a distinct-collect job, so the layouts stay
+    * comparable) so that an empty batch yields ZERO touched partitions
+    * in both layouts and the callers' `parts.isEmpty` no-op guards
+    * fire identically — without it an empty write against an
+    * unpartitioned table ran a table-scoped merge and recorded a
+    * spurious timeline commit while the partitioned path no-opped. */
+  private[merge] def touchedPartitionsProbed(
+      batch: DataFrame, partitionCols: Seq[String]): Seq[Seq[Any]] =
+    if (partitionCols.isEmpty && batch.isEmpty) Seq.empty
+    else touchedPartitions(batch, partitionCols)
 
   /** Null-safe membership for the touched-partition filter: a plain
     * `isin` evaluates to NULL (= dropped) for null-partition rows, so a
@@ -857,7 +873,7 @@ object Merge {
             touchedPartitions(deduped, partitionCols).map(renderPartition)
           else Nil), Some(res))
       }
-      val parts = touchedPartitions(deduped, partitionCols)
+      val parts = touchedPartitionsProbed(deduped, partitionCols)
       if (parts.isEmpty) return (MergeStats(0L, Nil), None)
       val stored = readTable(spark, path)
       // a batch may ADD columns (additive evolution) but never DROP
@@ -1096,7 +1112,7 @@ object Merge {
             touchedPartitions(deduped, partitionCols).map(renderPartition)
           else Nil), Some(res))
       }
-      val parts = touchedPartitions(deduped, partitionCols)
+      val parts = touchedPartitionsProbed(deduped, partitionCols)
       if (parts.isEmpty) return (MergeStats(0L, Nil), None)
       val stored = readTable(spark, path)
       // the same additive-evolution contract as upsert: a batch may add
@@ -1164,7 +1180,7 @@ object Merge {
     val delDistinct = keys.select(delKeys.map(col): _*).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val parts = touchedPartitions(delDistinct, partitionCols)
+      val parts = touchedPartitionsProbed(delDistinct, partitionCols)
       if (parts.isEmpty) return (MergeStats(0L, Nil), None)
       val stored = readTable(spark, path)
       // same index-pruned candidate discovery as upsert (delete keys
@@ -2519,7 +2535,7 @@ object Merge {
     * at JVM exit (a bench process runs each replay three times; without
     * the sweep every run leaves a table-sized temp dir behind). Not
     * removed eagerly: the returned DataFrame's lineage reads the dir. */
-  private[merge] def scratchTable(prefix: String): String = {
+  private[graft] def scratchTable(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix).toString
     // check-and-install under the SAME lock as the append: two threads
     // racing first use must not both install the hook
@@ -2544,7 +2560,7 @@ object Merge {
     * same-key rows per batch, so within-batch precombine dedup (O4) is
     * genuinely exercised; precombine is unique (o_orderkey), so the
     * winner is total — no tie-break dependence. */
-  private[merge] def replayBatch(spark: SparkSession, dir: String, b: Int,
+  private[graft] def replayBatch(spark: SparkSession, dir: String, b: Int,
       keyMod: Int = 500): DataFrame =
     graft.Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 7 === b)
@@ -3445,7 +3461,7 @@ object Merge {
       |  WHERE b2.pre IS NULL)
       |ORDER BY part, okey""".stripMargin
 
-  private[merge] def replaySqlMod(mod: Int): String =
+  private[graft] def replaySqlMod(mod: Int): String =
     s"""WITH raw AS (SELECT o_orderkey % $mod AS okey, o_orderstatus AS part,
       |               o_totalprice AS price, o_orderkey AS pre
       |             FROM orders),

@@ -556,16 +556,26 @@ object Similarity {
     * code means. Narrow map over the cells scan: no corpus-side
     * shuffle. Emits (cid, corpus_id, dv). */
   private def reconstructCells(cells: DataFrame, cb: DataFrame,
+      subspaces: Int): DataFrame =
+    decodeCodes(cells, cb, subspaces)
+      .select(col("cid"), col("corpus_id"), col("dv"))
+
+  /** The decode itself, over ANY relation carrying a `codes` column
+    * (other columns pass through): [[reconstructCells]] applies it per
+    * stored row; the drift statistic applies it per DISTINCT code
+    * word ([[ivfPqDriftStatsImpl]]) — one implementation so the two
+    * can never disagree about what a code means. */
+  private def decodeCodes(df: DataFrame, cb: DataFrame,
       subspaces: Int): DataFrame = {
-    val withSubs = (0 until subspaces).foldLeft(cells) { (df, m) =>
-      df.join(broadcast(cb.filter(col("sub") === m)
+    val withSubs = (0 until subspaces).foldLeft(df) { (d, m) =>
+      d.join(broadcast(cb.filter(col("sub") === m)
           .select(col("code").as(s"_code_$m"), col("cv").as(s"_cv_$m"))),
         element_at(col("codes"), m + 1) === col(s"_code_$m"))
         .drop(s"_code_$m")
     }
     withSubs.withColumn("dv",
         concat((0 until subspaces).map(m => col(s"_cv_$m")): _*))
-      .select(col("cid"), col("corpus_id"), col("dv"))
+      .drop((0 until subspaces).map(m => s"_cv_$m"): _*)
   }
 
   /** Update half of the IVF-PQ lifecycle: append a new batch WITHOUT
@@ -847,9 +857,13 @@ object Similarity {
     * quantizer on the index's CURRENT contents (the same deterministic
     * md5-sampled Lloyd as build — spherical k-means over the stored
     * normalized vectors) and migrate every vector to its new cell.
-    * The rewrite lands in staging directories first and swaps in with
-    * two directory renames, so a crashed retrain leaves the old index
-    * intact rather than half-migrated. O(corpus) once per retrain by
+    * The rewrite lands under `retrain_tmp/` first and swaps in with
+    * the same two-phase rename discipline as [[retrainIvfPqIndex]]
+    * (old generation steps aside to `retrain_old/`, new one moves in;
+    * [[recoverRetrainResidue]] self-heals any crash window on the
+    * next retrain), so a crashed retrain can never be read as a
+    * half-migrated or mixed-generation index. O(corpus) once per
+    * retrain by
     * design — the scheduled, rare event appends/deletes amortize
     * against (the s13/s14 no-retrain contract is what makes THIS cost
     * acceptable).
@@ -864,6 +878,14 @@ object Similarity {
   def retrainIvfIndex(spark: SparkSession, path: String, nCentroids: Int,
       iters: Int = 3, maxTrainVectors: Int = 100000): Unit = {
     import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path, "retrain_tmp")
+    val aside = new Path(path, "retrain_old")
+    val dirs = Seq("cells", "centroids")
+    recoverRetrainResidue(fs, path, staging, aside, dirs)
+    fs.delete(staging, true) // residue from a crashed previous attempt
+    fs.delete(aside, true)
     val corpus = spark.read
       .schema("corpus_id LONG, cv ARRAY<DOUBLE>, cid LONG")
       .parquet(path + "/cells")
@@ -871,19 +893,22 @@ object Similarity {
     val cents = kmeansCentroids(corpus, nCentroids, iters, maxTrainVectors)
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val cellsTmp = new Path(path + "/cells_retrain_tmp")
-    val centsTmp = new Path(path + "/centroids_retrain_tmp")
     assign(e, cents)
       .select(col("cid"), col("vec_id").as("corpus_id"),
         col("v").as("cv"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
-      .parquet(cellsTmp.toString)
-    cents.write.mode(SaveMode.Overwrite).parquet(centsTmp.toString)
-    val fs = cellsTmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cellsDir = new Path(path + "/cells")
-    val centsDir = new Path(path + "/centroids")
-    fs.delete(cellsDir, true); fs.rename(cellsTmp, cellsDir)
-    fs.delete(centsDir, true); fs.rename(centsTmp, centsDir)
+      .parquet(new Path(staging, "cells").toString)
+    cents.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(staging, "centroids").toString)
+    fs.mkdirs(aside)
+    // the same two-phase swap as the PQ retrain: the complete old
+    // generation steps aside intact, then the new one moves in — a
+    // crash at any window is healed by recoverRetrainResidue on the
+    // next retrain, never read as mixed generations
+    dirs.foreach(d => fs.rename(new Path(path, d), new Path(aside, d)))
+    dirs.foreach(d => fs.rename(new Path(staging, d), new Path(path, d)))
+    fs.delete(staging, true)
+    fs.delete(aside, true)
     ()
   }
 
@@ -909,29 +934,34 @@ object Similarity {
     * two-phase rename — every live dir steps ASIDE to `retrain_old/`
     * before any new dir moves in, so a crash mid-swap never leaves
     * mixed-generation dirs: the unserveable window is the renames
-    * themselves, and `retrain_old/` still holds the complete previous
-    * generation for manual restore (the swap is not crash-ATOMIC —
-    * rename sequences on a filesystem never are — but it is
-    * crash-RECOVERABLE at every window, and a fresh retrain clears
-    * any residue first). The O(corpus) cost is the same scheduled,
+    * themselves (the swap is not crash-ATOMIC — rename sequences on a
+    * filesystem never are — but it is crash-RECOVERABLE at every
+    * window, and a fresh retrain SELF-HEALS on entry via
+    * [[recoverRetrainResidue]]: rolled FORWARD from `retrain_tmp/`
+    * once the old generation has fully stepped aside, rolled BACK
+    * from `retrain_old/` otherwise — never a mixed-generation read,
+    * and `retrain_old/` is never deleted while it is the only copy of
+    * a layout dir). The O(corpus) cost is the same scheduled,
     * rare event the s18/s19 no-retrain append/delete contracts
     * amortize against. */
   def retrainIvfPqIndex(spark: SparkSession, path: String,
       nCentroids: Int, coarseIters: Int = 3,
       pqIters: Int = 2, maxTrainVectors: Int = 100000): Unit = {
     import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path, "retrain_tmp")
+    val aside = new Path(path, "retrain_old")
+    recoverRetrainResidue(fs, path, staging, aside,
+      Seq("cells", "centroids", "codebooks"))
+    fs.delete(staging, true) // residue from a crashed previous attempt
+    fs.delete(aside, true)
     val (cb, subspaces, subLen, codebook) = loadCodebooks(spark, path)
     val cells = spark.read
       .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
       .parquet(path + "/cells")
     val recon = reconstructCells(cells, cb, subspaces)
       .select(col("corpus_id").as("vec_id"), col("dv").as("embedding"))
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(path, "retrain_tmp")
-    val aside = new Path(path, "retrain_old")
-    fs.delete(staging, true) // residue from a crashed previous attempt
-    fs.delete(aside, true)
     buildIvfPqIndex(recon, staging.toString, nCentroids, subspaces,
       codebook, coarseIters, pqIters, subspaces * subLen, maxTrainVectors)
     val dirs = Seq("cells", "centroids", "codebooks")
@@ -943,6 +973,41 @@ object Similarity {
     fs.delete(staging, true)
     fs.delete(aside, true)
     ()
+  }
+
+  /** Self-heal a crashed two-phase retrain swap before touching
+    * anything: a crash inside the swap leaves each layout dir in
+    * exactly one of live, `retrain_old` (phase 1 moves live dirs
+    * aside) or `retrain_tmp` (phase 2 moves the new build in). Which
+    * generation the surviving live dirs belong to is decided by
+    * `retrain_old`'s COMPLETENESS — phase 2 only starts after ALL
+    * live dirs stepped aside, so a complete aside set means any dir
+    * already live is NEW (finish the swap: roll the rest FORWARD from
+    * staging) while an incomplete aside set means phase 1 was
+    * interrupted and live dirs are OLD (undo it: roll the moved ones
+    * BACK from aside). Either way the index is one coherent
+    * generation afterwards — a mixed-generation restore is impossible
+    * by construction. If a missing dir exists in neither source the
+    * index is genuinely damaged: fail naming `retrain_old` as the
+    * manual restore source instead of deleting it. */
+  private def recoverRetrainResidue(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, staging: org.apache.hadoop.fs.Path,
+      aside: org.apache.hadoop.fs.Path, dirs: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val missing = dirs.filterNot(d => fs.exists(new Path(path, d)))
+    if (missing.isEmpty) return
+    val asideComplete = dirs.forall(d => fs.exists(new Path(aside, d)))
+    missing.foreach { d =>
+      val src =
+        if (asideComplete) new Path(staging, d) else new Path(aside, d)
+      if (!fs.exists(src))
+        throw new IllegalStateException(
+          s"index at $path lost layout dir '$d' to a crashed retrain " +
+            s"swap and no recovery source holds it ($src is absent); " +
+            s"$aside holds any surviving previous-generation dirs for " +
+            "manual restore")
+      fs.rename(src, new Path(path, d))
+    }
   }
 
   /** Index STALENESS statistic (the drift half of the lifecycle, under
@@ -982,16 +1047,33 @@ object Similarity {
     * what "drift" means (both policy loops compare it to the same kind
     * of bar). */
   private def driftStatsOver(cents: DataFrame, vecs: DataFrame)
+      : DataFrame =
+    driftStatsWeighted(cents, vecs.withColumn("cnt", lit(1L)))
+
+  /** [[driftStatsOver]] with a multiplicity column `cnt`: each (cid,
+    * nv) row stands for `cnt` identical holdings. The decimal mean is
+    * BIT-IDENTICAL to summing the row `cnt` times — `cnt` copies of
+    * one decimal sum to exactly value × cnt (decimal arithmetic is
+    * exact within precision, and the widened decimal(38,20) product
+    * cannot overflow: |component| ≤ 1 after normalization, counts fit
+    * in 10 digits), and decimal addition is order-free — so the PQ
+    * path can aggregate DISTINCT code words instead of rows (a PQ
+    * index has at most codebook^subspaces distinct reconstructions;
+    * see [[ivfPqDriftStatsImpl]]) without moving a single bit of the
+    * emitted statistic. */
+  private def driftStatsWeighted(cents: DataFrame, vecs: DataFrame)
       : DataFrame = {
     val perDim = vecs
-      .select(col("cid"), posexplode(col("nv")).as(Seq("i", "val")))
+      .select(col("cid"), col("cnt"),
+        posexplode(col("nv")).as(Seq("i", "val")))
       .groupBy("cid", "i")
-      .agg((sum(col("val").cast("decimal(27,20)")).cast("double") /
-        count(lit(1))).as("m"))
+      .agg((sum(col("val").cast("decimal(27,20)") *
+        col("cnt").cast("decimal(10,0)")).cast("double") /
+        sum(col("cnt"))).as("m"))
     val nm = perDim.groupBy("cid")
       .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
         s => s.getField("m")).as("mv"))
-    val nv = vecs.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    val nv = vecs.groupBy("cid").agg(sum(col("cnt")).as("n_vecs"))
     val drift =
       greatest(lit(1.0) - dot(normalized(col("cv")), normalized(col("mv"))),
         lit(0.0))
@@ -1013,9 +1095,12 @@ object Similarity {
     * trigger: reconstructions are what the serve path actually scores
     * against, so "the coarse quantizer stopped describing the
     * reconstructions" is exactly the staleness that degrades served
-    * answers. Metadata-priced at scale: the decode is a broadcast-join
-    * map over the codes scan and the means aggregate is O(cells ×
-    * dims). */
+    * answers. Metadata-priced at scale: the only corpus-sized work is
+    * a map-side-partial count over (cid, codes) — the decode and the
+    * exact-decimal means run over DISTINCT code words (≤
+    * codebook^subspaces rows), weighted by those counts, which is
+    * bit-identical to the per-row aggregation (decimal arithmetic is
+    * exact and order-free; spec-pinned). */
   def ivfPqDriftStats(spark: SparkSession, path: String): DataFrame =
     ivfPqDriftStatsImpl(spark, path, None)
 
@@ -1036,9 +1121,18 @@ object Similarity {
       .parquet(path + "/cells")
     val cells = only.map(c => cells0.filter(col("cid").isin(c: _*)))
       .getOrElse(cells0)
-    val nv = reconstructCells(cells, cb, subspaces)
-      .select(col("cid"), normalized(col("dv")).as("nv"))
-    driftStatsOver(cents, nv)
+    // A PQ cell holds at most codebook^subspaces DISTINCT
+    // reconstructions, so the corpus-sized pass is ONE count aggregate
+    // over (cid, codes) — map-side partial, a few-thousand-row shuffle
+    // — and the decode + normalize runs over the distinct code words
+    // only, never per stored row. driftStatsWeighted's decimal means
+    // are bit-identical to the per-row aggregation (exact arithmetic,
+    // order-free; spec-pinned), so the emitted statistic is unchanged.
+    val combos = cells.groupBy(col("cid"), col("codes"))
+      .agg(count(lit(1)).as("cnt"))
+    val nv = decodeCodes(combos, cb, subspaces)
+      .select(col("cid"), normalized(col("dv")).as("nv"), col("cnt"))
+    driftStatsWeighted(cents, nv)
   }
 
   /** The retrain-trigger scalar: max per-cell [[ivfDriftStats]]
@@ -1126,7 +1220,17 @@ object Similarity {
     * serves different bits and hash-mismatches. Economics: a below-bar
     * drain costs O(batch + touched cells) — no O(corpus) work at all
     * (the skip is the point); the O(corpus) retrain and baseline reset
-    * run only on trigger, plus once at adoption. */
+    * run only on trigger, plus once at adoption.
+    *
+    * Crash safety of the state itself: every `drift_state/` write is
+    * complete-or-absent ([[writeStateAtomic]]), and a missing state on
+    * an already-adopted index (the `drift_adopted` marker) FAILS
+    * loudly instead of silently re-baselining at accumulated drift —
+    * see [[ensurePqDriftState]] / [[readoptPqDriftBaseline]]. A crash
+    * between a fired retrain and its baseline reset leaves the OLD
+    * baselines against the new index — the gate then errs toward
+    * re-FIRING (retrain is convergent: build over the decode), never
+    * toward masking. */
   def appendToIvfPqWithRetrainPolicy(spark: SparkSession, path: String,
       batch: DataFrame, nCentroids: Int, excessAboveE6: Long,
       coarseIters: Int = 3, pqIters: Int = 2,
@@ -1135,8 +1239,7 @@ object Similarity {
     val statePath = path + "/drift_state"
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(statePath)))
-      writePqDriftState(spark, path, statePath)
+    ensurePqDriftState(spark, path, fs)
     appendToIvfPqIndex(spark, path, batch)
     val cents = spark.read.parquet(path + "/centroids")
     val touched = assign(
@@ -1154,10 +1257,10 @@ object Similarity {
       (cid, baseline, drift)
     }.sortBy(_._1)
     import spark.implicits._
-    state.map { case (c, b, d) =>
-      (c, b.map(Long.box).orNull, d.map(Long.box).orNull)
-    }.toSeq.toDF("cid", "baseline_e6", "drift_e6")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statePath)
+    writeStateAtomic(spark, statePath,
+      state.map { case (c, b, d) =>
+        (c, b.map(Long.box).orNull, d.map(Long.box).orNull)
+      }.toSeq.toDF("cid", "baseline_e6", "drift_e6"))
     val stale = state.exists { case (_, baseline, drift) =>
       baseline.exists(b => drift.exists(_ - b > excessAboveE6))
     }
@@ -1174,10 +1277,86 @@ object Similarity {
     * has zero excess by definition). */
   private def writePqDriftState(spark: SparkSession, path: String,
       statePath: String): Unit =
-    ivfPqDriftStats(spark, path)
-      .select(col("cid"), col("drift_e6").as("baseline_e6"),
-        col("drift_e6"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statePath)
+    writeStateAtomic(spark, statePath,
+      ivfPqDriftStats(spark, path)
+        .select(col("cid"), col("drift_e6").as("baseline_e6"),
+          col("drift_e6")))
+
+  /** Complete-or-absent state write: the relation lands fully under a
+    * staging dir first, then swaps in with delete + rename. No reader
+    * can ever observe a half-written `drift_state/` — a crash inside
+    * the swap leaves the dir ABSENT (with the adoption marker still
+    * present), which the next drain refuses LOUDLY instead of silently
+    * re-baselining (see [[ensurePqDriftState]]). The input relation
+    * must not read `statePath` lazily — callers collect it first. */
+  private def writeStateAtomic(spark: SparkSession, statePath: String,
+      df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(statePath)
+    val tmp = new Path(statePath + "__tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(dst, true)
+    fs.rename(tmp, dst)
+    ()
+  }
+
+  private def driftMarker(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "drift_adopted")
+
+  /** Baseline presence/adoption protocol for the PQ retrain policy.
+    * The `drift_adopted` marker (stamped once, at first adoption)
+    * distinguishes "this index was never under the policy" from "the
+    * recorded baseline was LOST": without it, a crash that destroys
+    * `drift_state/` would make the next drain re-record the baseline
+    * at the index's CURRENT (already accumulated) drift — folding the
+    * staleness the policy exists to detect into the new baseline, so
+    * the gate silently never fires on it. Lost state therefore FAILS
+    * here, naming [[readoptPqDriftBaseline]] as the explicit,
+    * operator-acknowledged recovery. A state dir without `_SUCCESS`
+    * counts as lost (partial = a torn legacy write; the atomic writer
+    * never leaves one). */
+  private def ensurePqDriftState(spark: SparkSession, path: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    import org.apache.hadoop.fs.Path
+    val statePath = path + "/drift_state"
+    val present = fs.exists(new Path(statePath, "_SUCCESS"))
+    val marker = driftMarker(path)
+    val adopted = fs.exists(marker)
+    if (present) {
+      // pre-marker index (state recorded before the marker existed):
+      // stamp it now so a later loss is detected
+      if (!adopted) fs.create(marker).close()
+    } else if (adopted) {
+      throw new IllegalStateException(
+        s"IVF-PQ retrain policy at $path: drift_state/ is missing or " +
+          "partial but the index was already adopted (drift_adopted " +
+          "marker present) — a crash destroyed the recorded baseline. " +
+          "Re-baselining silently here would fold any drift " +
+          "accumulated since adoption into the new baseline and mask " +
+          "staleness; call Similarity.readoptPqDriftBaseline to " +
+          "re-adopt EXPLICITLY at the index's current drift.")
+    } else {
+      // first adoption: record the birth baseline, then stamp
+      writePqDriftState(spark, path, statePath)
+      fs.create(marker).close()
+    }
+  }
+
+  /** EXPLICIT re-adoption after a lost `drift_state/` (the recovery
+    * [[ensurePqDriftState]]'s refusal names): re-record every cell's
+    * baseline at the index's CURRENT drift and stamp the adoption
+    * marker. Deliberately a separate, operator-called entry point —
+    * re-adoption resets the excess gate's zero, so any staleness the
+    * index accumulated before the loss stops being detectable; doing
+    * that must be a decision, never a silent side effect of a drain. */
+  def readoptPqDriftBaseline(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writePqDriftState(spark, path, path + "/drift_state")
+    if (!fs.exists(driftMarker(path))) fs.create(driftMarker(path)).close()
+  }
 
   /** Embedding-space retrieval EVAL: leave-one-out kNN label agreement
     * over a labeled corpus — the standard harness for judging whether

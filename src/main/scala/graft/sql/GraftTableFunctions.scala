@@ -635,9 +635,14 @@ case class GraftRefreshViewCommand(viewPath: String)
   override val output: Seq[Attribute] =
     GraftTableFunctions.statsRow(("src_ts_before", "src_ts_after"))
   override def run(spark: SparkSession): Seq[Row] = {
-    val before = graft.merge.Merge.readTable(spark, viewPath)
-      .agg(org.apache.spark.sql.functions.max("src_ts"))
-      .collect()(0).getLong(0)
+    val beforeRow = graft.merge.Merge.readTable(spark, viewPath)
+      .agg(org.apache.spark.sql.functions.max("src_ts")).collect()(0)
+    if (beforeRow.isNullAt(0))
+      throw new IllegalStateException(
+        s"graft_refresh_view: view at $viewPath has no rows, so no " +
+          "src_ts cursor — was it created over an empty source? " +
+          "rebuild the view once the source has data")
+    val before = beforeRow.getLong(0)
     val after = graft.merge.IncrementalView.refresh(spark, viewPath)
     Seq(Row(before, after))
   }

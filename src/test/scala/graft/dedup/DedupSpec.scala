@@ -595,4 +595,40 @@ class DedupSpec extends SparkSpec {
     // no duplicates anywhere: untouched
     assert(r(5L) === ((9L, 9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
   }
+
+  test("semanticContaminationFlags: the empty-benchmark refusal rides " +
+      "IN the plan — construction and EXPLAIN stay job-free, the " +
+      "first action throws") {
+    def v(xs: Double*): Seq[Double] = xs ++ Seq.fill(4 - xs.length)(0.0)
+    val corpus = Seq((10L, v(2.0)), (11L, v(0.7, 0.7)))
+      .toDF("vec_id", "embedding")
+    val emptyBench = corpus.filter(lit(false))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val flagged =
+      try {
+        val df = Dedup.semanticContaminationFlags(corpus, emptyBench,
+          "vec_id", "embedding", minCos = 0.5)
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExtendedMode)
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        assert(jobs === 0,
+          "constructing/EXPLAINing the report launched a job — the " +
+            "lazy-transformation contract broke")
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val e = intercept[Exception] { flagged.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("benchmark relation is empty")),
+      msgs(e).mkString(" | "))
+  }
 }

@@ -136,4 +136,20 @@ class IncrementalViewSpec extends SparkSpec {
       IncrementalView.refresh(spark, vw))
     assert(e.getMessage.contains("rebuild the view"))
   }
+
+  test("a view created over an empty source refuses refresh with a " +
+      "clear cursor diagnostic (not an opaque null unboxing)") {
+    val (src, vw) = mkSrc()
+    Merge.upsertVersioned(spark, srcBatch(Seq((1L, "a", 10.0, 1L))),
+      src, Seq("k"), "pre", "part")
+    Merge.deleteVersioned(spark, Seq((1L, "a")).toDF("k", "part"),
+      src, Seq("k"), Seq("part"))
+    IncrementalView.create(spark, src, vw, Seq("k", "part"),
+      Seq("part", "bucket"), "v", "part")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refresh(spark, vw)
+    }
+    assert(e.getMessage.contains("no rows"), e.getMessage)
+    assert(e.getMessage.contains(vw), "the diagnostic must name the view")
+  }
 }

@@ -920,4 +920,33 @@ class MergeSpec extends SparkSpec {
     assert(Merge.commits(spark, path).select("commit_ts")
       .as[Long].collect().toSeq === Seq(1L))
   }
+
+  test("an EMPTY batch no-ops identically on both layouts: no " +
+      "table-scoped merge, no spurious timeline commit (upsert, " +
+      "insertOverwrite, delete)") {
+    def commitCount(path: String): Long =
+      Merge.commits(spark, path).count()
+    def run(partitionCols: Seq[String]): Unit = {
+      val path = tmpDir(s"graft_r14_empty_${partitionCols.size}_")
+      Merge.upsert(spark,
+        tx(("T1", "2024-01-01", "ADAGBP", 1.0),
+           ("T2", "2024-01-02", "ADAGBP", 2.0)),
+        path, keyCols, "price", partitionCols)
+      val before = readTable(path)
+      val commits = commitCount(path)
+      val empty = tx().filter(lit(false))
+      Merge.upsert(spark, empty, path, keyCols, "price", partitionCols)
+      Merge.insertOverwrite(spark, empty, path, keyCols, "price",
+        partitionCols)
+      Merge.delete(spark, empty.select("transaction_id", "close_time"),
+        path, keyCols, partitionCols)
+      assert(readTable(path) === before,
+        s"an empty write mutated the table (partitionCols=$partitionCols)")
+      assert(commitCount(path) === commits,
+        "an empty write recorded a spurious commit " +
+          s"(partitionCols=$partitionCols)")
+    }
+    run(Seq("close_time")) // partitioned: the pre-existing contract
+    run(Nil)               // unpartitioned: must no-op IDENTICALLY
+  }
 }

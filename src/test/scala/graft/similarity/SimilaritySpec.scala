@@ -845,4 +845,181 @@ class SimilaritySpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty, "empty serve — dead key")
   }
+
+  test("retrain policy: lost drift_state on an adopted index refuses " +
+      "loudly instead of silently re-baselining; explicit re-adoption " +
+      "restores the gate and the off-distribution clump still fires") {
+    import org.apache.hadoop.fs.Path
+    val idx = tmpDir("graft_r14_state_")
+    Similarity.buildIvfPqIndex(corpus, idx, nCentroids = 10,
+      subspaces = 4, codebook = 16, maxTrainVectors = 256)
+    val fs = new Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def calm(shift: Long) = corpus.filter($"vec_id" % 10 === 9)
+      .select(($"vec_id" + shift).as("vec_id"), $"embedding")
+    def drain(batch: org.apache.spark.sql.DataFrame) =
+      Similarity.appendToIvfPqWithRetrainPolicy(spark, idx, batch,
+        nCentroids = 10, excessAboveE6 = 150000L, maxTrainVectors = 256)
+    // adoption drain stamps the marker and a complete state dir
+    assert(!drain(calm(2000000000L)))
+    assert(fs.exists(new Path(idx, "drift_adopted")))
+    assert(fs.exists(new Path(idx + "/drift_state/_SUCCESS")))
+    def cellRows() = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(idx + "/cells").count()
+    // crash window 1: the state dir destroyed after adoption — the
+    // next drain must refuse BEFORE touching the index (a silent
+    // re-baseline here would fold accumulated drift into the new
+    // baseline and the gate could never fire on it)
+    fs.delete(new Path(idx, "drift_state"), true)
+    val before = cellRows()
+    val e1 = intercept[IllegalStateException] { drain(calm(2100000000L)) }
+    assert(e1.getMessage.contains("readoptPqDriftBaseline"))
+    assert(cellRows() === before, "a refused drain appended anyway")
+    // explicit re-adoption is the recovery the refusal names
+    Similarity.readoptPqDriftBaseline(spark, idx)
+    assert(!drain(calm(2200000000L)))
+    // crash window 2: a PARTIAL state dir (torn legacy write — the
+    // atomic writer never leaves one) counts as lost, not readable
+    fs.delete(new Path(idx + "/drift_state/_SUCCESS"), false)
+    val e2 = intercept[IllegalStateException] { drain(calm(2300000000L)) }
+    assert(e2.getMessage.contains("readoptPqDriftBaseline"))
+    Similarity.readoptPqDriftBaseline(spark, idx)
+    // the re-adopted gate still has both behaviors: calm skips ...
+    assert(!drain(calm(2400000000L)))
+    // ... and the off-distribution clump fires
+    val clump = corpus.filter($"vec_id" % 10 === 9)
+      .select(($"vec_id" + 2500000000L).as("vec_id"),
+        transform($"embedding", x => abs(x) + lit(2.0f)).as("embedding"))
+    assert(drain(clump), "the clump must still cross the bar after " +
+      "re-adoption")
+  }
+
+  test("ivfPqDriftStats: the distinct-code-word weighted aggregation " +
+      "is bit-identical to the per-row statistic") {
+    import graft.dedup.Dedup.{dot, normalized}
+    val idx = tmpDir("graft_r14_drift_")
+    Similarity.buildIvfPqIndex(corpus, idx, nCentroids = 10,
+      subspaces = 4, codebook = 16, maxTrainVectors = 256)
+    // force duplicate code words: append the same vectors under new ids
+    Similarity.appendToIvfPqIndex(spark, idx,
+      corpus.select(($"vec_id" + 4000000000L).as("vec_id"), $"embedding"))
+    val cells = spark.read
+      .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
+      .parquet(idx + "/cells")
+    val cb = spark.read.parquet(idx + "/codebooks")
+    // per-ROW reference, rebuilt here from the stored layout with no
+    // distinct-code compression anywhere: decode every stored row,
+    // normalize, exact-decimal per-dimension means, displacement on
+    // the 1e6 grid
+    val decoded = (0 until 4).foldLeft(cells) { (d, m) =>
+      d.join(broadcast(cb.filter($"sub" === m)
+          .select($"code".as(s"c$m"), $"cv".as(s"v$m"))),
+        element_at($"codes", m + 1) === col(s"c$m"))
+    }.withColumn("dv", concat((0 until 4).map(m => col(s"v$m")): _*))
+    val nv = decoded.select($"cid", normalized($"dv").as("nv"))
+    val perDim = nv.select($"cid", posexplode($"nv").as(Seq("i", "v")))
+      .groupBy("cid", "i")
+      .agg((sum($"v".cast("decimal(27,20)")).cast("double") /
+        count(lit(1))).as("m"))
+    val mv = perDim.groupBy("cid")
+      .agg(transform(sort_array(collect_list(struct($"i", $"m"))),
+        s => s.getField("m")).as("mv"))
+    val n = nv.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    val drift = greatest(
+      lit(1.0) - dot(normalized($"cv"), normalized($"mv")), lit(0.0))
+    val ref = spark.read.parquet(idx + "/centroids")
+      .join(mv, Seq("cid"), "left").join(n, Seq("cid"), "left")
+      .select($"cid", coalesce($"n_vecs", lit(0L)).as("n_vecs"),
+        when($"mv".isNotNull, floor(drift * lit(1000000.0)))
+          .cast("long").as("drift_e6"))
+      .orderBy("cid")
+    val got = Similarity.ivfPqDriftStats(spark, idx)
+      .collect().map(_.toSeq).toSeq
+    assert(got === ref.collect().map(_.toSeq).toSeq)
+    assert(got.nonEmpty && got.exists(r =>
+      r(2) != null && r(2).asInstanceOf[Long] > 0L))
+  }
+
+  test("retrainIvfPqIndex self-heals every crash window of the " +
+      "two-phase swap; a genuinely lost dir fails naming retrain_old") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fresh(tag: String): String = {
+      val p = tmpDir(tag)
+      Similarity.buildIvfPqIndex(corpus, p, nCentroids = 10,
+        subspaces = 4, codebook = 16, maxTrainVectors = 256)
+      p
+    }
+    def served(p: String) =
+      Similarity.ivfPqTopKServed(spark, p, queries, 10, 4)
+        .orderBy("query_id", "rank").collect().toSeq
+    // the deterministic reference: retrain of an intact twin
+    val intact = fresh("graft_r14_swap_ref_")
+    Similarity.retrainIvfPqIndex(spark, intact, nCentroids = 10,
+      maxTrainVectors = 256)
+    val expect = served(intact)
+    // window A: phase 1 interrupted — one live dir already stepped
+    // aside, retrain_old INCOMPLETE => surviving live dirs are OLD;
+    // recovery must roll the moved dir BACK, then retrain normally
+    val a = fresh("graft_r14_swap_a_")
+    val fsA = new Path(a).getFileSystem(conf)
+    fsA.mkdirs(new Path(a, "retrain_old"))
+    fsA.rename(new Path(a, "cells"), new Path(a + "/retrain_old/cells"))
+    Similarity.retrainIvfPqIndex(spark, a, nCentroids = 10,
+      maxTrainVectors = 256)
+    assert(served(a) === expect, "phase-1 heal diverged from the " +
+      "intact retrain")
+    // window B: phase 2 interrupted — retrain_old COMPLETE => any
+    // live dir is NEW; recovery must roll the rest FORWARD from
+    // retrain_tmp (the staged generation here is a byte-copy of the
+    // old one, so the follow-up retrain is comparable bit-for-bit)
+    val b = fresh("graft_r14_swap_b_")
+    val fsB = new Path(b).getFileSystem(conf)
+    fsB.mkdirs(new Path(b, "retrain_tmp"))
+    fsB.mkdirs(new Path(b, "retrain_old"))
+    Seq("cells", "centroids", "codebooks").foreach { d =>
+      FileUtil.copy(fsB, new Path(b, d),
+        fsB, new Path(b + "/retrain_tmp/" + d), false, conf)
+      fsB.rename(new Path(b, d), new Path(b + "/retrain_old/" + d))
+    }
+    fsB.rename(new Path(b + "/retrain_tmp/cells"), new Path(b, "cells"))
+    Similarity.retrainIvfPqIndex(spark, b, nCentroids = 10,
+      maxTrainVectors = 256)
+    assert(served(b) === expect, "phase-2 heal diverged from the " +
+      "intact retrain")
+    // a genuinely lost dir (no recovery source) fails naming the
+    // manual restore location instead of deleting it
+    val c = fresh("graft_r14_swap_c_")
+    val fsC = new Path(c).getFileSystem(conf)
+    fsC.delete(new Path(c, "cells"), true)
+    val e = intercept[IllegalStateException] {
+      Similarity.retrainIvfPqIndex(spark, c, nCentroids = 10,
+        maxTrainVectors = 256)
+    }
+    assert(e.getMessage.contains("retrain_old"))
+  }
+
+  test("retrainIvfIndex: the two-phase swap self-heals a phase-1 " +
+      "crash window (no mixed-generation read)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fresh(tag: String): String = {
+      val p = tmpDir(tag)
+      Similarity.buildIvfIndex(corpus, p, nCentroids = 10)
+      p
+    }
+    def served(p: String) =
+      Similarity.ivfTopKServed(spark, p, queries, 10, 4)
+        .orderBy("query_id", "rank").collect().toSeq
+    val intact = fresh("graft_r14_ivfswap_ref_")
+    Similarity.retrainIvfIndex(spark, intact, nCentroids = 10)
+    val expect = served(intact)
+    val a = fresh("graft_r14_ivfswap_a_")
+    val fs = new Path(a).getFileSystem(conf)
+    fs.mkdirs(new Path(a, "retrain_old"))
+    fs.rename(new Path(a, "cells"), new Path(a + "/retrain_old/cells"))
+    Similarity.retrainIvfIndex(spark, a, nCentroids = 10)
+    assert(served(a) === expect)
+  }
 }

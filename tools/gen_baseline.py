@@ -34,6 +34,20 @@ def driver_tail(path):
 
 def full_record(path):
     d = json.load(open(path))
+    # bench_full_latest.json is the BUILDER figure of record; a
+    # driver-regime (one cold pass / warmup=false) record under that
+    # name would silently poison every cross-round comparison. Refuse
+    # loudly instead of ingesting it — graft.Bench routes driver runs
+    # to bench_full_driver_latest.json, so hitting this means the
+    # builder record was clobbered and must be restored first.
+    if os.path.basename(path) == "bench_full_latest.json" and (
+            d.get("producer") != "builder" or d.get("warmup") is False):
+        raise SystemExit(
+            f"REFUSING {path}: producer={d.get('producer')!r} "
+            f"warmup={d.get('warmup')!r} — bench_full_latest.json must "
+            "be a builder warmup record; restore the builder record "
+            "(git checkout) or rerun via tools/run_bench_sharded.sh "
+            "before regenerating")
     qs = {k: v for k, v in d.get("queries", {}).items() if v >= 0}
     return qs, d.get("producer"), d.get("sha"), d.get("sf", "")
 
@@ -56,6 +70,11 @@ def main():
         # own section's evidence) must never mingle scales here.
         # Headerless legacy records predate sf1data and are sf0.1.
         if sf and not sf.rstrip("/").endswith("sf0.1"):
+            continue
+        # driver-regime durable records (bench_full_driver_*.json) are
+        # incomparable to builder columns and already surface via the
+        # BENCH_rN driver artifacts above
+        if producer == "driver":
             continue
         stem = os.path.basename(p).replace("bench_full_", "") \
             .replace(".json", "")

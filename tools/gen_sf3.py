@@ -5,13 +5,21 @@ the steepest cost shape in the repo — the gram explode is O(corpus
 tokens), and sf1 measured d25 at 7.2x / d26 at 8.4x on 10x data; this
 probe checks the next 3x stays linear).
 
-Only `documents.parquet` is generated — the probe benches
-d25/d26/p10/p11/x42, which read nothing else. Same replica discipline
-as gen_sf1: doc_id shifts congruence-aligned (lcm of the registry's
-doc_id moduli), per-replica token prefixes ("s{i} ") so the corpus
-doesn't degenerate into an exact-dup blowup.
+Two corpora are generated, each feeding one probe family:
+  - documents.parquet — the span family (d25/d26/p10/p11/x42), whose
+    gram explode is O(corpus tokens);
+  - orders.parquet — the versioned-replay/IVM/CDC family (x07/x08/
+    x13/x48, e21/e22; r13 verdict task 2), whose cost rides commit
+    metadata + changed-row scans — the shape a long-lived 100 TB
+    deployment stresses.
 
-Usage: python3 tools/gen_sf3.py [sf1data/documents.parquet [sf3data]]
+Same replica discipline as gen_sf1: key shifts congruence-aligned
+(the lcm of every modulus the registry folds that key by — so every
+modulo-folded replay cell keeps its sf0.1 survivor structure instead
+of saturating), per-replica token prefixes ("s{i} ") on documents so
+the corpus doesn't degenerate into an exact-dup blowup.
+
+Usage: python3 tools/gen_sf3.py [sf1data [sf3data]]
 """
 import os
 import sys
@@ -22,15 +30,42 @@ import pyarrow.parquet as pq
 
 REPLICAS = 3
 DOC_ALIGN = 15  # lcm(3, 5) — the doc_id moduli the registry folds by
+# lcm(500, 7, 3, 50000, 11, 2, 10) — every orderkey modulus the
+# registry folds by (gen_sf1.ORDERKEY_ALIGN; keep in sync)
+ORDERKEY_ALIGN = 11550000
+
+
+def gen_orders(src_dir, dst):
+    od = pq.read_table(os.path.join(src_dir, "orders.parquet"))
+    step = pc.max(od["o_orderkey"]).as_py() + 1
+    step = ((step + ORDERKEY_ALIGN - 1) // ORDERKEY_ALIGN) * ORDERKEY_ALIGN
+    reps = []
+    for i in range(REPLICAS):
+        t = od
+        if i > 0:
+            ki = t.schema.get_field_index("o_orderkey")
+            t = t.set_column(ki, "o_orderkey",
+                             pc.add(t["o_orderkey"],
+                                    pa.scalar(i * step,
+                                              t["o_orderkey"].type)))
+        reps.append(t)
+    out = pa.concat_tables(reps)
+    pq.write_table(out.replace_schema_metadata(None),
+                   f"{dst}/orders.parquet", compression="snappy")
+    print(f"orders: {out.num_rows} rows -> {dst}")
 
 
 def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    src = sys.argv[1] if len(sys.argv) > 1 else \
-        os.path.join(root, "sf1data", "documents.parquet")
+    src_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.path.join(root, "sf1data")
+    # back-compat: a documents.parquet path selects its parent dir
+    if src_dir.endswith(".parquet"):
+        src_dir = os.path.dirname(src_dir)
     dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(root, "sf3data")
     os.makedirs(dst, exist_ok=True)
-    docs = pq.read_table(src)
+    gen_orders(src_dir, dst)
+    docs = pq.read_table(os.path.join(src_dir, "documents.parquet"))
     step = pc.max(docs["doc_id"]).as_py() + 1
     step = ((step + DOC_ALIGN - 1) // DOC_ALIGN) * DOC_ALIGN
     reps = []

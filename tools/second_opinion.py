@@ -4,12 +4,13 @@
 The driver's correctness gate hash-compares the engine against DuckDB
 SQL oracles (tools/check.py). That catches engine bugs but not a
 CORRELATED misreading — both the Spark query and its SQL oracle
-encoding the same wrong contract. This tool re-derives nineteen
+encoding the same wrong contract. This tool re-derives twenty
 representative keys covering every family (scan-agg, exact dedup,
 windowed streaming, stateful-session streaming, merge replay, CDC
 replication AND the change-feed image-pair algebra itself, MinHash/LSH recall, brute-kNN similarity, bigram-LM text
 scoring, DSIR quantized-log resampling, multimodal frame dedup,
-chained crawl-ingest dedup, duplicated-span detection) in plain
+chained crawl-ingest dedup, duplicated-span detection, MOR
+snapshot-read merge) in plain
 pandas / pure Python — no SQL
 engine at all — and compares against the engine's Verify dumps.
 
@@ -730,6 +731,30 @@ def q17b(sf):
     ).sort_values("l_returnflag").reset_index(drop=True)
 
 
+def x05(sf):
+    """x05_stream_mor: ordered-payload streaming ingestion into a MOR
+    table; the SNAPSHOT view (base + live delta log, no compaction)
+    must equal the corpus-wide per-(okey, part) precombine argmax
+    however the file source grouped micro-batches — re-derived here as
+    a plain groupby idxmax over the filtered orders projection (pre is
+    the unique o_orderkey, so the argmax is tie-free). A MOR snapshot
+    that leaked a shadowed delta row, dropped a base row under the
+    touched-partition union, or mis-merged the ordered payload would
+    disagree with this relation."""
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderkey", "o_orderstatus",
+                                 "o_totalprice"])
+    o = o[o.o_orderkey % 7 <= 2]
+    raw = pd.DataFrame({
+        "okey": o.o_orderkey % 500,
+        "part": o.o_orderstatus,
+        "price": o.o_totalprice,
+        "pre": o.o_orderkey})
+    win = raw.loc[raw.groupby(["okey", "part"]).pre.idxmax()]
+    return win[["okey", "part", "price", "pre"]].sort_values(
+        ["part", "okey"]).reset_index(drop=True)
+
+
 CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
           # the sketch error-contract emissions (q12b exact side is a
           # genuine third distinct-count implementation)
@@ -755,7 +780,10 @@ CHECKS = {"q03_agg_pricing": q03, "d01_exact_dedup": d01,
           "e02_sessions": e02, "s01_knn_brute": s01,
           "t13_lm_score": t13,
           # the span-dedup family's all-integer detection contract
-          "d25_dup_spans": d25}
+          "d25_dup_spans": d25,
+          # the MOR snapshot surface (r13 verdict task 7): base + live
+          # deltas merged read, ordered payload, streaming ingestion
+          "x05_stream_mor": x05}
 
 
 def compare(name, mine, engine):
