@@ -18,9 +18,9 @@ object Bench {
     val loadStart = loadavg1m
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus))
       // UTC pin: q02/q13 timestamp formatting must not depend on host TZ
       // (the DuckDB oracle compares naive timestamps)
       .config("spark.sql.session.timeZone", "UTC")

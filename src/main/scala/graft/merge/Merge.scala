@@ -2560,6 +2560,27 @@ object Merge {
     * same-key rows per batch, so within-batch precombine dedup (O4) is
     * genuinely exercised; precombine is unique (o_orderkey), so the
     * winner is total — no tie-break dependence. */
+  /** Run `body` with AQE's post-shuffle partition coalescing OFF,
+    * restoring the session value after. The compaction driver keys
+    * (x12/x12w) use this around their SETUP commits: their subject is
+    * the table service over a task-fragmented small-file layout — the
+    * shape a high-parallelism production writer leaves — and the
+    * session's coalescing writer (see [[graft.SessionTuning]]) would
+    * otherwise land commits in one right-sized file per partition,
+    * leaving `require(n > 0)` nothing to compact. Layout-only: the
+    * committed ROWS are identical either way (both keys' oracles are
+    * unchanged). */
+  private[graft] def fragmented[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   private[graft] def replayBatch(spark: SparkSession, dir: String, b: Int,
       keyMod: Int = 500): DataFrame =
     graft.Tables.orders(spark, dir)
@@ -3320,13 +3341,19 @@ object Merge {
     // Same expected state as q25 through a physically different path.
     "x12_compact_versioned" -> ((s, dir) => {
       val path = scratchTable("graft_x12_")
-      upsertVersioned(s, replayBatch(s, dir, 0), path, Seq("okey"),
-        "pre", "part")
-      val c2 = upsertVersioned(s, replayBatch(s, dir, 1), path,
-        Seq("okey"), "pre", "part")
-      deleteVersioned(s, replayBatch(s, dir, 0)
-        .filter(col("pre") % 3 === 0).select("okey", "part"),
-        path, Seq("okey"), Seq("part"))
+      fragmented(s) {
+        upsertVersioned(s, replayBatch(s, dir, 0), path, Seq("okey"),
+          "pre", "part")
+      }
+      val c2 = fragmented(s) {
+        upsertVersioned(s, replayBatch(s, dir, 1), path,
+          Seq("okey"), "pre", "part")
+      }
+      fragmented(s) {
+        deleteVersioned(s, replayBatch(s, dir, 0)
+          .filter(col("pre") % 3 === 0).select("okey", "part"),
+          path, Seq("okey"), Seq("part"))
+      }
       val n = compactVersioned(s, path, Seq("part"), Seq("okey"))
       require(n > 0, "x12 expects the replay layout to need compaction")
       readAsOf(s, path, c2)
@@ -3343,13 +3370,19 @@ object Merge {
     // the rewrite retired (not destroyed) the old layout.
     "x12w_compact_versioned_wide" -> ((s, dir) => {
       val path = scratchTable("graft_x12w_")
-      upsertVersioned(s, replayBatch(s, dir, 0, 50000), path, Seq("okey"),
-        "pre", "part")
-      val c2 = upsertVersioned(s, replayBatch(s, dir, 1, 50000), path,
-        Seq("okey"), "pre", "part")
-      deleteVersioned(s, replayBatch(s, dir, 0, 50000)
-        .filter(col("pre") % 3 === 0).select("okey", "part"),
-        path, Seq("okey"), Seq("part"))
+      fragmented(s) {
+        upsertVersioned(s, replayBatch(s, dir, 0, 50000), path, Seq("okey"),
+          "pre", "part")
+      }
+      val c2 = fragmented(s) {
+        upsertVersioned(s, replayBatch(s, dir, 1, 50000), path,
+          Seq("okey"), "pre", "part")
+      }
+      fragmented(s) {
+        deleteVersioned(s, replayBatch(s, dir, 0, 50000)
+          .filter(col("pre") % 3 === 0).select("okey", "part"),
+          path, Seq("okey"), Seq("part"))
+      }
       val n = compactVersioned(s, path, Seq("part"), Seq("okey"))
       require(n > 0, "x12w expects the replay layout to need compaction")
       readAsOf(s, path, c2)
