@@ -34,9 +34,36 @@ import org.apache.spark.sql.SparkSession
   * defaults are what the committed bench figures measure.
   */
 object SessionTuning {
+  /** Match the streaming checkpoint manager to the checkpoint
+    * filesystem (guide §7.3-class finding, root-caused by thread
+    * dumps): the default FileContext-based manager's rename path on
+    * the LOCAL filesystem goes through Hadoop's
+    * `AbstractFileSystem.renameInternal` → `FileUtil.readLink`, which
+    * FORKS a `readlink` process per checkpoint-file rename — with 32
+    * state partitions × 4 join state stores × a delta file (plus its
+    * checksum sibling) per micro-batch, every stateful drain pays
+    * hundreds of process forks from a multi-GB JVM, and tasks
+    * serialize behind them (all 32 task threads were parked in that
+    * frame in 3 of 4 dumps). The FileSystem-based manager renames via
+    * `File.renameTo` — same POSIX atomicity, no fork: e10's stateful
+    * join drain drops 13.1→8.2 s (summed task time 266→99 s) with no
+    * other change. HDFS/object-store deployments should override per
+    * environment (that is exactly why Spark exposes the class as
+    * config). */
+  private val fsCheckpointManager =
+    "org.apache.spark.sql.execution.streaming.checkpointing." +
+      "FileSystemBasedCheckpointFileManager"
+
   def tuned(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
       sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_REPARTITION", "true"))
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_BYTES", "64m"))
+    .config("spark.sql.streaming.checkpointFileManagerClass",
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_MANAGER", fsCheckpointManager))
+  // deliberately NOT set: spark.sql.streaming.checkpoint.fileChecksum
+  // .enabled stays at its stock default (true) — disabling it buys a
+  // further ~25% on the stateful-join drains (e10 8.2→6.2 s measured)
+  // but trades away 4.1's checkpoint-corruption detection; that is an
+  // operator's call per deployment, not a bench default.
 }
