@@ -3116,11 +3116,13 @@ object Merge {
         .filter(col("pre") % 3 === 0).select("okey", "part"),
         path, keyCols, Seq("part"))
       val dst = scratchTable("graft_x13dst_")
-      val q = IncrementalStream.replicateTransformed(s, path, dst,
-        scratchTable("graft_x13ckpt_"), keyCols, "pre", Seq("part"),
-        df => df.select(col("okey"), col("part"), col("pre"),
-          floor(col("price") / 500).cast("long").as("band"),
-          (graft.Tables.dec(col("price")) * 100).cast("long").as("cents")))
+      val q = graft.util.StreamTuning.startAdapted(s, path) {
+        IncrementalStream.replicateTransformed(s, path, dst,
+          scratchTable("graft_x13ckpt_"), keyCols, "pre", Seq("part"),
+          df => df.select(col("okey"), col("part"), col("pre"),
+            floor(col("price") / 500).cast("long").as("band"),
+            (graft.Tables.dec(col("price")) * 100).cast("long").as("cents")))
+      }
       q.awaitTermination()
       readTable(s, dst)
         .select("okey", "part", "pre", "band", "cents")
@@ -3135,8 +3137,10 @@ object Merge {
         .filter(col("pre") % 3 === 0).select("okey", "part"),
         path, keyCols, Seq("part"))
       val dst = scratchTable("graft_x07dst_")
-      val q = IncrementalStream.replicateTo(s, path, dst,
-        scratchTable("graft_x07ckpt_"), keyCols, "pre", Seq("part"))
+      val q = graft.util.StreamTuning.startAdapted(s, path) {
+        IncrementalStream.replicateTo(s, path, dst,
+          scratchTable("graft_x07ckpt_"), keyCols, "pre", Seq("part"))
+      }
       q.awaitTermination()
       readTable(s, dst)
         .select("okey", "part", "price", "pre")
@@ -3156,8 +3160,10 @@ object Merge {
         .filter(col("pre") % 3 === 0).select("okey", "part"),
         path, keyCols, Seq("part"))
       val dst = scratchTable("graft_x07wdst_")
-      val q = IncrementalStream.replicateTo(s, path, dst,
-        scratchTable("graft_x07wckpt_"), keyCols, "pre", Seq("part"))
+      val q = graft.util.StreamTuning.startAdapted(s, path) {
+        IncrementalStream.replicateTo(s, path, dst,
+          scratchTable("graft_x07wckpt_"), keyCols, "pre", Seq("part"))
+      }
       q.awaitTermination()
       readTable(s, dst)
         .select("okey", "part", "price", "pre")
@@ -3212,9 +3218,11 @@ object Merge {
         .filter(col("pre") % 3 === 0).select("okey", "part"),
         path, keyCols, Seq("part"))
       val sink = scratchTable("graft_x06sink_")
-      val q = IncrementalStream.foreachChanges(s, path,
-        scratchTable("graft_x06ckpt_"), Seq("okey", "part")) { (ch, _, _) =>
-        ch.write.mode("append").parquet(sink)
+      val q = graft.util.StreamTuning.startAdapted(s, path) {
+        IncrementalStream.foreachChanges(s, path,
+          scratchTable("graft_x06ckpt_"), Seq("okey", "part")) {
+          (ch, _, _) => ch.write.mode("append").parquet(sink)
+        }
       }
       q.awaitTermination()
       s.read.parquet(sink)
@@ -3307,8 +3315,10 @@ object Merge {
       upsertVersioned(s, b(1), src, Seq("okey"), "pre", "part")
       deleteVersioned(s, b(0).filter(col("pre") % 3 === 0)
         .select("okey", "part"), src, Seq("okey"), Seq("part"))
-      val q = IncrementalStream.maintainView(s, src, vw,
-        scratchTable("graft_x09ck_"))
+      val q = graft.util.StreamTuning.startAdapted(s, src) {
+        IncrementalStream.maintainView(s, src, vw,
+          scratchTable("graft_x09ck_"))
+      }
       q.awaitTermination()
       IncrementalView.readView(s, vw)
         .select(col("part"), col("bucket"),
@@ -3409,15 +3419,17 @@ object Merge {
           col("o_totalprice").as("price"),
           col("o_orderkey").as("pre"))
       rows.repartition(8).write.parquet(inDir)
-      val q = s.readStream.schema(rows.schema)
-        .option("maxFilesPerTrigger", 3).parquet(inDir)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", scratchTable("graft_x04ckpt_"))
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          upsertOrdered(s, batch, path, Seq("okey"), "pre", Seq("part"))
-        }
-        .start()
+      val q = graft.util.StreamTuning.startAdapted(s, inDir) {
+        s.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", 3).parquet(inDir)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", scratchTable("graft_x04ckpt_"))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            upsertOrdered(s, batch, path, Seq("okey"), "pre", Seq("part"))
+          }
+          .start()
+      }
       q.awaitTermination()
       readTable(s, path)
         .select("okey", "part", "price", "pre")
@@ -3438,18 +3450,20 @@ object Merge {
           col("o_totalprice").as("price"),
           col("o_orderkey").as("pre"))
       rows.repartition(8).write.parquet(inDir)
-      val q = s.readStream.schema(rows.schema)
-        .option("maxFilesPerTrigger", 3).parquet(inDir)
-        .writeStream
-        .format("graft")
-        .option("path", path)
-        .option("op", "upsert_ordered")
-        .option("keys", "okey")
-        .option("precombine", "pre")
-        .option("partition", "part")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", scratchTable("graft_e18ckpt_"))
-        .start()
+      val q = graft.util.StreamTuning.startAdapted(s, inDir) {
+        s.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", 3).parquet(inDir)
+          .writeStream
+          .format("graft")
+          .option("path", path)
+          .option("op", "upsert_ordered")
+          .option("keys", "okey")
+          .option("precombine", "pre")
+          .option("partition", "part")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", scratchTable("graft_e18ckpt_"))
+          .start()
+      }
       q.awaitTermination()
       readTable(s, path)
         .select("okey", "part", "price", "pre")

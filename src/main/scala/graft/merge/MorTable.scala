@@ -637,16 +637,19 @@ object MorTable {
           org.apache.spark.sql.functions.col("o_totalprice").as("price"),
           org.apache.spark.sql.functions.col("o_orderkey").as("pre"))
       rows.repartition(8).write.parquet(inDir)
-      val q = s.readStream.schema(rows.schema)
-        .option("maxFilesPerTrigger", 3).parquet(inDir)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", Merge.scratchTable("graft_x05ckpt_"))
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          MorTable.upsertOrdered(s, batch, path,
-            Seq("okey"), "pre", Seq("part")): Unit
-        }
-        .start()
+      val q = graft.util.StreamTuning.startAdapted(s, inDir) {
+        s.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", 3).parquet(inDir)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            Merge.scratchTable("graft_x05ckpt_"))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            MorTable.upsertOrdered(s, batch, path,
+              Seq("okey"), "pre", Seq("part")): Unit
+          }
+          .start()
+      }
       q.awaitTermination()
       MorTable.read(s, path)
         .select("okey", "part", "price", "pre")

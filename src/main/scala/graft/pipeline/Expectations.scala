@@ -110,17 +110,19 @@ object Expectations {
     val src = s.readStream
       .schema(graft.streaming.EventStreams.eventSchema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = src.writeStream
-      .option("checkpointLocation", s"$run/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val real = batch.filter(col("event_id") =!= -1L)
-        if (!real.isEmpty)
-          report(real, eventRules).withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
-        ()
-      }
-      .start()
+    val q = graft.util.StreamTuning.startAdapted(s, in) {
+      src.writeStream
+        .option("checkpointLocation", s"$run/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val real = batch.filter(col("event_id") =!= -1L)
+          if (!real.isEmpty)
+            report(real, eventRules).withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+    }
     q.awaitTermination()
     val out = s.read.parquet(outDir)
       .groupBy("rule")

@@ -218,14 +218,16 @@ object IngestDedup {
     val flagsPath = root + "/flags"
     val src = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = src.writeStream
-      .option("checkpointLocation", root + "/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestStep(batch, "doc_id", "text", stateTable, flagsPath,
-          batchId.toInt)
-      }
-      .start()
+    val q = graft.util.StreamTuning.startAdapted(s, in) {
+      src.writeStream
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          ingestStep(batch, "doc_id", "text", stateTable, flagsPath,
+            batchId.toInt)
+        }
+        .start()
+    }
     q.awaitTermination()
     collectFlags(s, flagsPath, "doc_id", nBatches)
   }
@@ -532,13 +534,15 @@ object IngestDedup {
     val flagsPath = root + "/flags"
     val src = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = src.writeStream
-      .option("checkpointLocation", root + "/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        step(batch, stateTable, flagsPath, batchId.toInt)
-      }
-      .start()
+    val q = graft.util.StreamTuning.startAdapted(s, in) {
+      src.writeStream
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          step(batch, stateTable, flagsPath, batchId.toInt)
+        }
+        .start()
+    }
     q.awaitTermination()
     flagsPath
   }

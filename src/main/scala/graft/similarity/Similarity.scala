@@ -367,6 +367,110 @@ object Similarity {
     } finally train.unpersist()
   }
 
+  /** One independent Lloyd training inside a [[kmeansCentroidsGrouped]]
+    * batch: group id, its centroid count, its iteration count, and the
+    * narrow projection carving its training view out of the full
+    * vector (identity for a coarse quantizer, a `slice` for a PQ
+    * subspace). */
+  private[similarity] case class KmGroup(gid: Int, k: Int, iters: Int,
+      slice: Column => Column)
+
+  /** [[kmeansCentroids]] for SEVERAL independent quantizers in ONE set
+    * of driver jobs — the compound-index build trains a coarse
+    * quantizer plus one codebook per PQ subspace, and running each as
+    * its own sequential Lloyd loop put 16 driver-blocking collect jobs
+    * (plus 5 full-corpus md5 sample scans) on e27/s21's hot path where
+    * 4 suffice (optimization guide §5: the driver is the bottleneck,
+    * not the data). Every training draws its sample from the SAME
+    * md5-ordered vec_id prefix — the sample selection depends only on
+    * vec_id, never on the embedding — so one full-vector sample feeds
+    * all groups, each group's view carved by its narrow `slice`
+    * projection over the 256-row cached sample.
+    *
+    * Bit-equivalence to the sequential loops (oracle-bearing: s09,
+    * s17–s21, e27, x45 hashes ride these centroids), argued term by
+    * term and pinned by KmeansGroupedSpec + the full-registry oracle
+    * gate:
+    *  - sample: `orderBy(md5(vec_id), vec_id).limit(n)` picks a vec_id
+    *    set independent of the group's projection — identical rows.
+    *  - init: the old `monotonically_increasing_id` over the
+    *    `orderBy(vec_id).limit(k)` single-partition TakeOrdered result
+    *    numbers rows 0..k-1 in vec_id order; `row_number() over
+    *    (partition by g order by vec_id) - 1` is the same numbering.
+    *  - assignment: the same `dot(normalized(v), normalized(cv))` /
+    *    `row_number` tie-break expressions, windowed by (g, vec_id)
+    *    instead of (vec_id) — identical within every group.
+    *  - update: [[collectMean]] sorts each group's members by vec_id
+    *    before its sequential fold — fold order per (g, cid) group is
+    *    exactly the per-cid order of the sequential code.
+    * Groups with fewer iterations freeze (their rows filtered OUT of
+    * later iterations' jobs) exactly where their sequential loop would
+    * have stopped. Returns each group's final centroids as the same
+    * sorted LOCAL relation [[kmeansCentroids]] returns. */
+  private[similarity] def kmeansCentroidsGrouped(e: DataFrame,
+      groups: Seq[KmGroup], maxTrainVectors: Int): Map[Int, DataFrame] = {
+    require(groups.nonEmpty, "kmeansCentroidsGrouped: no groups")
+    groups.foreach(g =>
+      require(maxTrainVectors >= g.k, "maxTrainVectors must be >= k"))
+    require(groups.map(_.gid).distinct.length == groups.length,
+      "kmeansCentroidsGrouped: duplicate group ids")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sample = e.select(col("vec_id"), col("v"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(maxTrainVectors)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-group training views are narrow maps over the tiny cached
+    // sample — re-deriving them per iteration is free; only the sample
+    // itself (the one corpus scan) is cached
+    val train = groups.map { g =>
+      sample.select(lit(g.gid).as("g"), col("vec_id"),
+        g.slice(col("v")).as("v"))
+    }.reduce(_ union _)
+    def materializeG(df: DataFrame): Map[Int, Seq[(Long, Seq[Double])]] =
+      df.select(col("g"), col("cid"), col("cv"))
+        .as[(Int, Long, Seq[Double])].collect().toSeq
+        .groupBy(_._1).map { case (g, rows) =>
+          g -> rows.map(r => (r._2, r._3)).sortBy(_._1)
+        }
+    try {
+      val spec = groups.map(g => (g.gid, g.k)).toDF("g", "k")
+      val wInit = Window.partitionBy("g").orderBy("vec_id")
+      var cents = materializeG(
+        train.withColumn("rn", row_number().over(wInit))
+          .join(broadcast(spec), Seq("g"))
+          .filter(col("rn") <= col("k"))
+          .select(col("g"), (col("rn") - 1).cast("long").as("cid"),
+            col("v").as("cv")))
+      val wAssign = Window.partitionBy("g", "vec_id")
+        .orderBy(col("sim").desc, col("cid"))
+      var it = 0
+      val maxIters = groups.map(_.iters).max
+      while (it < maxIters) {
+        val active = groups.filter(_.iters > it).map(_.gid)
+        val cn = active.flatMap(g => cents(g).map { case (cid, cv) =>
+          (g, cid, cv)
+        }).toDF("g", "cid", "cv")
+        val assigned = train.filter(col("g").isin(active: _*))
+          .withColumn("vn", normalized(col("v")))
+          .join(broadcast(cn.select(col("g"), col("cid"),
+            normalized(col("cv")).as("cvn"))), Seq("g"))
+          .select(col("g"), col("vec_id"), col("v"), col("cid"),
+            dot(col("vn"), col("cvn")).as("sim"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+        cents = cents ++ materializeG(
+          assigned.groupBy("g", "cid")
+            .agg(collectMean(col("v"), col("vec_id")).as("cv")))
+        it += 1
+      }
+      cents.map { case (g, cs) => g -> cs.toDF("cid", "cv") }
+    } finally {
+      sample.unpersist()
+      ()
+    }
+  }
+
   /** Element-wise mean of arrays in a group via a fold over the
     * collected list, SORTED by `orderKey` first — collect_list order is
     * partition-arrival order, and a float sum in nondeterministic order
@@ -429,11 +533,16 @@ object Similarity {
     val subLen = dims / subspaces
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    // all subspace codebooks train in ONE batched Lloyd loop (3 driver
+    // jobs instead of 12; see kmeansCentroidsGrouped's equivalence note)
+    val trained = kmeansCentroidsGrouped(e,
+      (0 until subspaces).map(m => KmGroup(m, codebook, iters,
+        v => slice(v, m * subLen + 1, subLen))), maxTrainVectors)
     val coded = (0 until subspaces).map { m =>
       val sub = e.select(col("vec_id"),
-        slice(col("v"), m * subLen + 1, subLen).as("embedding"))
-      val cents = kmeansCentroids(sub, codebook, iters, maxTrainVectors)
-      assign(sub.select(col("vec_id"), col("embedding").as("v")), cents)
+        slice(col("v"), m * subLen + 1, subLen).as("v"))
+      val cents = trained(m)
+      assign(sub, cents)
         .join(cents, "cid")
         .select(col("vec_id"), lit(m).as("sub"), col("cv"))
     }.reduce(_ union _)
@@ -468,15 +577,19 @@ object Similarity {
       maxTrainVectors: Int = 100000): Unit = {
     require(dims % subspaces == 0, "dims must divide evenly into subspaces")
     val subLen = dims / subspaces
-    val cents = kmeansCentroids(corpus, nCentroids, coarseIters,
-      maxTrainVectors)
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val cbs = (0 until subspaces).map { m =>
-      kmeansCentroids(e.select(col("vec_id"),
-        slice(col("v"), m * subLen + 1, subLen).as("embedding")),
-        codebook, pqIters, maxTrainVectors)
-    }
+    // coarse quantizer + every subspace codebook train in ONE batched
+    // Lloyd loop: 4 driver jobs + 1 corpus sample scan instead of 16 + 5
+    // (gid -1 = coarse over the full vector; gid m = subspace m's slice;
+    // the coarse group's extra iteration runs with the subspace rows
+    // filtered out — see kmeansCentroidsGrouped's equivalence note)
+    val trained = kmeansCentroidsGrouped(e,
+      KmGroup(-1, nCentroids, coarseIters, v => v) +:
+        (0 until subspaces).map(m => KmGroup(m, codebook, pqIters,
+          v => slice(v, m * subLen + 1, subLen))), maxTrainVectors)
+    val cents = trained(-1)
+    val cbs = (0 until subspaces).map(trained(_))
     codeAndWriteCells(e, cents, cbs, subLen, path + "/cells",
       SaveMode.Overwrite)
     cents.write.mode("overwrite").parquet(path + "/centroids")
@@ -1508,17 +1621,19 @@ object Similarity {
       val outDir = graft.util.Scratch.fresh("graft_e19o_")
       queriesOf(s, dir).repartition(3).write.mode("overwrite").parquet(qDir)
       val qSchema = s.read.parquet(qDir).schema
-      val stream = s.readStream.schema(qSchema)
-        .option("maxFilesPerTrigger", 1).parquet(qDir)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          graft.util.Scratch.fresh("graft_e19c_"))
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          ivfTopKServed(s, idx, batch, 10, nProbe = 4)
-            .write.mode("overwrite").parquet(s"$outDir/b=$bid")
-        }
-        .start()
+      val stream = graft.util.StreamTuning.startAdapted(s, qDir) {
+        s.readStream.schema(qSchema)
+          .option("maxFilesPerTrigger", 1).parquet(qDir)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.util.Scratch.fresh("graft_e19c_"))
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            ivfTopKServed(s, idx, batch, 10, nProbe = 4)
+              .write.mode("overwrite").parquet(s"$outDir/b=$bid")
+          }
+          .start()
+      }
       stream.awaitTermination()
       s.read.parquet(outDir)
         .select("query_id", "rank", "corpus_id", "cos_sim")
@@ -1548,19 +1663,21 @@ object Similarity {
         transform(col("embedding"), x => -x).as("embedding"))
         .coalesce(1).write.parquet(inDir + "/f=1")
       val schema = s.read.parquet(inDir).schema
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          graft.util.Scratch.fresh("graft_e23c_"))
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          appendWithRetrainPolicy(s, idx, batch.drop("f"),
-            nCentroids = 10, retrainAboveE6 = 1000L,
-            maxTrainVectors = 256)
-          ()
-        }
-        .start()
+      val q = graft.util.StreamTuning.startAdapted(s, inDir) {
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.util.Scratch.fresh("graft_e23c_"))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            appendWithRetrainPolicy(s, idx, batch.drop("f"),
+              nCentroids = 10, retrainAboveE6 = 1000L,
+              maxTrainVectors = 256)
+            ()
+          }
+          .start()
+      }
       q.awaitTermination()
       ivfTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")
@@ -1733,19 +1850,21 @@ object Similarity {
           .as("embedding"))
         .coalesce(1).write.parquet(inDir + "/f=1")
       val schema = s.read.parquet(inDir).schema
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          graft.util.Scratch.fresh("graft_e27c_"))
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          appendToIvfPqWithRetrainPolicy(s, idx, batch.drop("f"),
-            nCentroids = 10, excessAboveE6 = 150000L,
-            maxTrainVectors = 256)
-          ()
-        }
-        .start()
+      val q = graft.util.StreamTuning.startAdapted(s, inDir) {
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.util.Scratch.fresh("graft_e27c_"))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            appendToIvfPqWithRetrainPolicy(s, idx, batch.drop("f"),
+              nCentroids = 10, excessAboveE6 = 150000L,
+              maxTrainVectors = 256)
+            ()
+          }
+          .start()
+      }
       q.awaitTermination()
       ivfPqTopKServed(s, idx, queriesOf(s, dir), 10, nProbe = 4)
         .orderBy("query_id", "rank")

@@ -813,16 +813,18 @@ object GraftSourceQueries {
           Seq("okey"), "pre", "part")
         ()
       }
-      val q = s.readStream.format("graft").load(path)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          graft.util.Scratch.fresh("graft_e21c_"))
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          batch.write.mode(SaveMode.Overwrite)
-            .parquet(s"$outDir/b=$bid")
-        }
-        .start()
+      val q = graft.util.StreamTuning.startAdapted(s, path) {
+        s.readStream.format("graft").load(path)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.util.Scratch.fresh("graft_e21c_"))
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            batch.write.mode(SaveMode.Overwrite)
+              .parquet(s"$outDir/b=$bid")
+          }
+          .start()
+      }
       q.awaitTermination()
       s.read.parquet(outDir)
         .select("okey", "price", "pre", "part")
@@ -867,19 +869,21 @@ object GraftSourceQueries {
           partitionCol = "part")
         ()
       }
-      val q = s.readStream.format("graft").load(src)
-        .withColumnRenamed(graft.merge.Merge.commitCol, "src_commit")
-        .writeStream
-        .format("graft")
-        .option("path", dst)
-        .option("op", "upsert_ordered")
-        .option("keys", "okey")
-        .option("precombine", "src_commit")
-        .option("partition", "part")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          graft.util.Scratch.fresh("graft_e22c_"))
-        .start()
+      val q = graft.util.StreamTuning.startAdapted(s, src) {
+        s.readStream.format("graft").load(src)
+          .withColumnRenamed(graft.merge.Merge.commitCol, "src_commit")
+          .writeStream
+          .format("graft")
+          .option("path", dst)
+          .option("op", "upsert_ordered")
+          .option("keys", "okey")
+          .option("precombine", "src_commit")
+          .option("partition", "part")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.util.Scratch.fresh("graft_e22c_"))
+          .start()
+      }
       q.awaitTermination()
       graft.merge.Merge.readTable(s, dst)
         .select("okey", "price", "pre", "part")
@@ -920,15 +924,17 @@ object GraftSourceQueries {
           .drop(graft.merge.Merge.commitCol)
       val joined = graft.streaming.EventStreams.intervalJoin(
         tail(clicksT), tail(buysT))
-      val q = joined.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          graft.util.Scratch.fresh("graft_e24k_"))
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          batch.write.mode(SaveMode.Overwrite)
-            .parquet(s"$outDir/b=$bid")
-        }
-        .start()
+      val q = graft.util.StreamTuning.startAdapted(s, clicksT) {
+        joined.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.util.Scratch.fresh("graft_e24k_"))
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            batch.write.mode(SaveMode.Overwrite)
+              .parquet(s"$outDir/b=$bid")
+          }
+          .start()
+      }
       q.awaitTermination()
       s.read.parquet(outDir)
         .select("l_id", "r_id", "user_id", "l_ts", "r_ts")

@@ -449,13 +449,17 @@ object EventStreams {
       build: DataFrame => DataFrame): DataFrame = {
     val run = java.nio.file.Files
       .createTempDirectory(s"graft_$name").toString
-    val src = s.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = build(src).writeStream
-      .option("checkpointLocation", s"$run/ckpt")
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .format("memory").queryName(name).start()
+    // state partitions sized from the drain's input bytes, not the core
+    // count — see StreamTuning (guide §2.2 for stateful streams)
+    val q = graft.util.StreamTuning.startAdapted(s, in) {
+      val src = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      build(src).writeStream
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+    }
     q.awaitTermination()
     // the checkpoint/state tree is only needed while the drain runs —
     // the memory sink holds the result; a bench process drains each
@@ -484,23 +488,25 @@ object EventStreams {
     val in = prepareDrainInput(s, dir, 1, Nil)
     val run = java.nio.file.Files.createTempDirectory("graft_e15").toString
     val tablePath = s"$run/table"
-    val src = s.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = windowedCounts(src).writeStream
-      .option("checkpointLocation", s"$run/ckpt")
-      .outputMode(OutputMode.Update())
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          Merge.upsertOrdered(s,
-            batch.withColumn("ver", lit(batchId))
-              .withColumn("pt", lit("all")),
-            tablePath, Seq("window_start", "event_type"), "ver",
-            Seq("pt"))
+    val q = graft.util.StreamTuning.startAdapted(s, in) {
+      val src = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      windowedCounts(src).writeStream
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) {
+            Merge.upsertOrdered(s,
+              batch.withColumn("ver", lit(batchId))
+                .withColumn("pt", lit("all")),
+              tablePath, Seq("window_start", "event_type"), "ver",
+              Seq("pt"))
+          }
+          ()
         }
-        ()
-      }
-      .start()
+        .start()
+    }
     q.awaitTermination()
     val out = Merge.readTable(s, tablePath)
       .filter(col("event_type") =!= "_sentinel")
@@ -541,30 +547,32 @@ object EventStreams {
         lit("all").as("pt")),
       dimPath, Seq("user_id"), "ver", Seq("pt"))
     val outDir = s"$run/out"
-    val src = s.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = src.writeStream
-      .option("checkpointLocation", s"$run/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val dim = Merge.readTable(s, dimPath)
-          .select(col("user_id"), col("segment"))
-        batch.join(broadcast(dim), Seq("user_id"))
-          .select("event_id", "user_id", "value", "segment")
-          .write.mode("append").parquet(outDir)
-        if (batchId == 0) {
-          // the SCD update lands BETWEEN micro-batches: a third of the
-          // users move to a new segment
-          Merge.upsert(s,
-            cust.filter(col("c_custkey") % 3 === 0)
-              .select(col("c_custkey").as("user_id"),
-                lit("UPDATED").as("segment"), lit(2L).as("ver"),
-                lit("all").as("pt")),
-            dimPath, Seq("user_id"), "ver", Seq("pt"))
+    val q = graft.util.StreamTuning.startAdapted(s, in) {
+      val src = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      src.writeStream
+        .option("checkpointLocation", s"$run/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val dim = Merge.readTable(s, dimPath)
+            .select(col("user_id"), col("segment"))
+          batch.join(broadcast(dim), Seq("user_id"))
+            .select("event_id", "user_id", "value", "segment")
+            .write.mode("append").parquet(outDir)
+          if (batchId == 0) {
+            // the SCD update lands BETWEEN micro-batches: a third of the
+            // users move to a new segment
+            Merge.upsert(s,
+              cust.filter(col("c_custkey") % 3 === 0)
+                .select(col("c_custkey").as("user_id"),
+                  lit("UPDATED").as("segment"), lit(2L).as("ver"),
+                  lit("all").as("pt")),
+              dimPath, Seq("user_id"), "ver", Seq("pt"))
+          }
+          ()
         }
-        ()
-      }
-      .start()
+        .start()
+    }
     q.awaitTermination()
     val out = s.read.parquet(outDir)
       .filter(col("event_id") =!= -1L)
