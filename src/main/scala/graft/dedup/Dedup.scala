@@ -579,12 +579,20 @@ object Dedup {
       .select(col(idCol).as("id"), col("sh")).distinct()
     val evalSh = shingleRows(evalSet, idCol, textCol)
       .select(col("sh")).distinct()
-    val totals = corpusSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val shared = corpusSh.join(evalSh, Seq("sh"))
-      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    // ONE pass over the corpus shingles: the old shape referenced
+    // corpusSh twice (totals aggregate + shared join), re-running the
+    // shingle explode and its distinct both times. evalSh is DISTINCT,
+    // so a left join against it marked with a constant preserves
+    // corpusSh's cardinality exactly (each sh matches at most one eval
+    // row) and count(_hit) counts precisely the shared shingles — the
+    // same two numbers, one materialization and one exchange fewer
+    // (guide §2.4).
+    val counts = corpusSh
+      .join(evalSh.withColumn("_hit", lit(1)), Seq("sh"), "left")
+      .groupBy("id").agg(count(lit(1)).as("n_shingles"),
+        count(col("_hit")).as("n_shared"))
     corpus.select(col(idCol).as("id"))
-      .join(totals, Seq("id"), "left")
-      .join(shared, Seq("id"), "left")
+      .join(counts, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -1143,10 +1151,18 @@ object Dedup {
       n: Int = 8): DataFrame = {
     val t = spanBase(docs, idCol, textCol, n)
     val grams = gramRows(t, idCol, n)
-    val dupG = grams.groupBy("g").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= 2).select("g")
-    spanReport(t,
-      grams.join(dupG, Seq("g")).select(col(idCol), col("pos")), idCol, n)
+    // a gram's occurrence count comes from ONE window pass over the
+    // gram relation instead of groupBy-count + join-back (guide §2.4):
+    // the old shape materialized the exploded md5 gram relation — the
+    // span family's dominant compute and shuffle at corpus scale —
+    // TWICE (once under the aggregate, once as the join probe) and
+    // exchanged both; the window keeps one materialization and one
+    // exchange. Same (id, pos) multiset by definition of the count.
+    val wg = Window.partitionBy("g")
+    val dupPos = grams.withColumn("_c", count(lit(1)).over(wg))
+      .filter(col("_c") >= 2)
+      .select(col(idCol), col("pos"))
+    spanReport(t, dupPos, idCol, n)
   }
 
   /** Scrub half of the duplicated-span pair ([[dupSpans]] detects): a
@@ -1192,12 +1208,15 @@ object Dedup {
       n: Int = 8): DataFrame = {
     val t = spanBase(docs, idCol, textCol, n)
     val grams = gramRows(t, idCol, n)
-    // per gram: occurrence count and the keeper (globally first)
-    val byGram = grams.groupBy("g")
-      .agg(count(lit(1)).as("_c"),
-        min(struct(col(idCol), col("pos"))).as("_keep"))
+    // per gram: occurrence count and the keeper (globally first) via
+    // ONE window pass — same single-materialization argument as
+    // [[dupSpans]]; min(struct) over the whole g-partition is exactly
+    // the old groupBy's min, so keeper choices are identical
+    val wg = Window.partitionBy("g")
+    val nonKeeper = grams
+      .withColumn("_c", count(lit(1)).over(wg))
+      .withColumn("_keep", min(struct(col(idCol), col("pos"))).over(wg))
       .filter(col("_c") >= 2)
-    val nonKeeper = grams.join(byGram, Seq("g"))
       .filter(!(col(idCol) === col("_keep")(idCol) &&
         col("pos") === col("_keep")("pos")))
       .select(col(idCol), col("pos"))

@@ -74,11 +74,27 @@ object GraftTableFunctions {
     * what these functions always did. Resolution-time cost is
     * filesystem metadata only (marker-file existence, delta listing) —
     * never a Spark job — so the EXPLAIN-stays-lazy contract of
-    * [[dupSpansBuilder]]/[[gopherBuilder]] holds on every branch. */
+    * [[dupSpansBuilder]]/[[gopherBuilder]] holds on every branch.
+    *
+    * A MOR table with LIVE deltas additionally resolves through a lazy
+    * `localCheckpoint`: the snapshot there is a base ∪ delta window
+    * merge, and the span/decon algebras reference their corpus several
+    * times — x50's committed plan showed THREE copies of the base+delta
+    * merge subtree, each re-listing and re-merging the same files per
+    * run (guide §5: cache when a relation is reused and recomputing it
+    * is the expensive part). The lazy checkpoint materializes the
+    * merged snapshot once, on first use, within the statement's own
+    * execution — no job at resolution time, no state shared across
+    * invocations (each call re-resolves from the files), and the rows
+    * are by construction the same snapshot every reference saw. */
   private[sql] def resolveCorpus(spark: SparkSession, path: String)
       : org.apache.spark.sql.DataFrame =
-    if (graft.merge.MorTable.isMor(spark, path))
-      graft.merge.MorTable.read(spark, path)
+    if (graft.merge.MorTable.isMor(spark, path)) {
+      val snap = graft.merge.MorTable.read(spark, path)
+      if (graft.merge.MorTable.hasLiveDeltas(spark, path))
+        snap.localCheckpoint(false)
+      else snap
+    }
     else if (Merge.recordedSchema(spark, path).isDefined)
       Merge.readTable(spark, path)
     else spark.read.parquet(path)
