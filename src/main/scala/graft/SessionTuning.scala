@@ -50,7 +50,10 @@ object SessionTuning {
     * other change. HDFS/object-store deployments should override per
     * environment (that is exactly why Spark exposes the class as
     * config). */
-  private val fsCheckpointManager =
+  /** The local-FS default; `SPARK_GRAFT_CKPT_MANAGER` overrides per
+    * deployment (exposed for CheckpointManagerSpec's override-matrix
+    * pin). */
+  private[graft] val defaultCheckpointManager =
     "org.apache.spark.sql.execution.streaming.checkpointing." +
       "FileSystemBasedCheckpointFileManager"
 
@@ -60,7 +63,8 @@ object SessionTuning {
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_BYTES", "64m"))
     .config("spark.sql.streaming.checkpointFileManagerClass",
-      sys.env.getOrElse("SPARK_GRAFT_CKPT_MANAGER", fsCheckpointManager))
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_MANAGER",
+        defaultCheckpointManager))
   // deliberately NOT set: spark.sql.streaming.checkpoint.fileChecksum
   // .enabled stays at its stock default (true) — disabling it buys a
   // further ~25% on the stateful-join drains (e10 8.2→6.2 s measured)

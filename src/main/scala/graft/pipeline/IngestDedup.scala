@@ -82,17 +82,27 @@ object IngestDedup {
       .agg(min(col("_cid")).as("dup_of"),
         countDistinct(col("_cid")).as("n_matches"))
 
+  /** True iff partition `ingest_batch=b` of `table` is already
+    * registered — the landed-replay probe, answered from the session
+    * catalog's partition metadata (what the pruned scan consulted
+    * anyway) with NO Spark job; the chains run one probe per ingest
+    * and each `isEmpty` probe cost a scheduled job's latency. */
+  private def partitionLanded(spark: SparkSession, table: String,
+      b: Int): Boolean =
+    spark.sessionState.catalog
+      .listPartitionNames(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .contains(s"ingest_batch=$b")
+
   /** Append ingest `b`'s bands to the bucketed state table, SKIPPING
     * when partition ingest_batch=b already landed (a replayed
     * micro-batch must not double-append). Returns whether the append
-    * ran. The landed check is partition-pruned — one pruned `isEmpty`
-    * probe, not a state scan. */
+    * ran. The landed check is catalog metadata ([[partitionLanded]]). */
   private[pipeline] def appendBands(bands: DataFrame, table: String,
       b: Int): Boolean = {
     val spark = bands.sparkSession
     val exists = spark.catalog.tableExists(table)
-    if (exists && !spark.table(table)
-        .where(col("ingest_batch") === b).isEmpty) false
+    if (exists && partitionLanded(spark, table, b)) false
     else {
       bands.withColumn("ingest_batch", lit(b))
         .write
@@ -115,25 +125,31 @@ object IngestDedup {
       textCol: String, stateTable: String, flagsPath: String, b: Int)
       : Unit = {
     val spark = batch.sparkSession
+    // persisted: the banding (minhash signatures — the step's CPU) fed
+    // BOTH the screen's flags write and the state append, and without
+    // the cache each action re-hashed the batch from scratch
     val bands = bandRows(batch, idCol, textCol)
-    val flagged =
-      if (!spark.catalog.tableExists(stateTable))
-        // first ingest ever: nothing earlier exists — clean by contract
-        bands.select(col(idCol)).distinct()
-          .withColumn("dup_of", lit(null).cast("long"))
-          .withColumn("n_matches", lit(0L))
-      else
-        // strictly-earlier partitions only: a replayed batch's own
-        // (already-landed) bands are pruned out, so it cannot
-        // self-match — the retry contract
-        screenJoin(spark.table(stateTable).where(col("ingest_batch") < b),
-          bands, idCol)
-    // materialize THIS ingest's verdicts before the state mutates:
-    // the append below must not be visible to batch b's own screen
-    flagged.withColumn("ingest_batch", lit(b))
-      .write.mode(SaveMode.Overwrite).parquet(s"$flagsPath/b=$b")
-    appendBands(bands, stateTable, b)
-    ()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val flagged =
+        if (!spark.catalog.tableExists(stateTable))
+          // first ingest ever: nothing earlier exists — clean by contract
+          bands.select(col(idCol)).distinct()
+            .withColumn("dup_of", lit(null).cast("long"))
+            .withColumn("n_matches", lit(0L))
+        else
+          // strictly-earlier partitions only: a replayed batch's own
+          // (already-landed) bands are pruned out, so it cannot
+          // self-match — the retry contract
+          screenJoin(spark.table(stateTable).where(col("ingest_batch") < b),
+            bands, idCol)
+      // materialize THIS ingest's verdicts before the state mutates:
+      // the append below must not be visible to batch b's own screen
+      flagged.withColumn("ingest_batch", lit(b))
+        .write.mode(SaveMode.Overwrite).parquet(s"$flagsPath/b=$b")
+      appendBands(bands, stateTable, b)
+      ()
+    } finally { bands.unpersist(); () }
   }
 
   private def collectFlags(spark: SparkSession, flagsPath: String,
@@ -422,8 +438,7 @@ object IngestDedup {
       b: Int): Boolean = {
     val spark = newGrams.sparkSession
     val exists = spark.catalog.tableExists(table)
-    if (exists && !spark.table(table)
-        .where(col("ingest_batch") === b).isEmpty) false
+    if (exists && partitionLanded(spark, table, b)) false
     else {
       newGrams.withColumn("ingest_batch", lit(b))
         .write
