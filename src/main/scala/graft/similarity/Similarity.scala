@@ -709,8 +709,18 @@ object Similarity {
     * instead of writing truncated codes. */
   def appendToIvfPqIndex(spark: SparkSession, path: String,
       batch: DataFrame): Unit = {
-    val cents = spark.read.parquet(path + "/centroids")
     val (cb, subspaces, subLen, _) = loadCodebooks(spark, path)
+    appendToIvfPqIndexLoaded(spark, path, batch,
+      spark.read.parquet(path + "/centroids"), cb, subspaces, subLen)
+  }
+
+  /** [[appendToIvfPqIndex]] with the stored centroids/codebooks already
+    * loaded — the retrain-policy drain loads them once and runs both
+    * the append and the drift statistic against the same relations
+    * (one codebook collect per drain instead of two). */
+  private def appendToIvfPqIndexLoaded(spark: SparkSession, path: String,
+      batch: DataFrame, cents: DataFrame, cb: DataFrame,
+      subspaces: Int, subLen: Int): Unit = {
     val dims = subspaces * subLen
     val e = batch.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
@@ -1225,10 +1235,18 @@ object Similarity {
     * of just those cells. */
   private def ivfPqDriftStatsImpl(spark: SparkSession, path: String,
       only: Option[Seq[Long]]): DataFrame = {
-    val cents0 = spark.read.parquet(path + "/centroids")
+    val (cb, subspaces, _, _) = loadCodebooks(spark, path)
+    ivfPqDriftStatsLoaded(spark, path, only,
+      spark.read.parquet(path + "/centroids"), cb, subspaces)
+  }
+
+  /** [[ivfPqDriftStatsImpl]] against already-loaded centroids/codebooks
+    * (see [[appendToIvfPqIndexLoaded]]'s one-load-per-drain note). */
+  private def ivfPqDriftStatsLoaded(spark: SparkSession, path: String,
+      only: Option[Seq[Long]], cents0: DataFrame, cb: DataFrame,
+      subspaces: Int): DataFrame = {
     val cents = only.map(c => cents0.filter(col("cid").isin(c: _*)))
       .getOrElse(cents0)
-    val (cb, subspaces, _, _) = loadCodebooks(spark, path)
     val cells0 = spark.read
       .schema("corpus_id LONG, codes ARRAY<LONG>, cid LONG")
       .parquet(path + "/cells")
@@ -1353,13 +1371,20 @@ object Similarity {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     ensurePqDriftState(spark, path, fs)
-    appendToIvfPqIndex(spark, path, batch)
+    // ONE load of the stored quantizers per drain: append, the touched
+    // assignment and the restricted drift statistic all run against
+    // the same collected codebooks/centroid relations (two codebook
+    // collects and a second centroid read per drain otherwise)
+    val (cb, subspaces, subLen, _) = loadCodebooks(spark, path)
     val cents = spark.read.parquet(path + "/centroids")
+    appendToIvfPqIndexLoaded(spark, path, batch, cents, cb, subspaces,
+      subLen)
     val touched = assign(
       batch.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v")), cents)
       .select("cid").distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val fresh = ivfPqDriftStatsImpl(spark, path, Some(touched)).collect()
+    val fresh = ivfPqDriftStatsLoaded(spark, path, Some(touched),
+      cents, cb, subspaces).collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     val state = spark.read.parquet(statePath).collect().map { r =>
