@@ -76,23 +76,29 @@ object GraftTableFunctions {
     * never a Spark job — so the EXPLAIN-stays-lazy contract of
     * [[dupSpansBuilder]]/[[gopherBuilder]] holds on every branch.
     *
-    * A MOR table with LIVE deltas additionally resolves through a lazy
-    * `localCheckpoint`: the snapshot there is a base ∪ delta window
-    * merge, and the span/decon algebras reference their corpus several
-    * times — x50's committed plan showed THREE copies of the base+delta
-    * merge subtree, each re-listing and re-merging the same files per
-    * run (guide §5: cache when a relation is reused and recomputing it
-    * is the expensive part). The lazy checkpoint materializes the
-    * merged snapshot once, on first use, within the statement's own
-    * execution — no job at resolution time, no state shared across
-    * invocations (each call re-resolves from the files), and the rows
-    * are by construction the same snapshot every reference saw. */
+    * A MOR table with LIVE deltas additionally resolves `persist`ed:
+    * the snapshot there is a base ∪ delta window merge, and the
+    * span/decon algebras reference their corpus several times — x50's
+    * committed plan showed THREE copies of the base+delta merge
+    * subtree, each re-listing and re-merging the same files per run
+    * (guide §5: cache when a relation is reused and recomputing it is
+    * the expensive part). `persist` keeps resolution fully lazy (the
+    * spec's EXPLAIN-runs-0-jobs pin; a lazy `localCheckpoint` was
+    * tried first and rejected — under AQE its `toRdd` materializes the
+    * query stages AT RESOLUTION, 2 jobs from a bare EXPLAIN) while
+    * every reference inside the statement reads the one cached
+    * materialization. Freshness is safe by construction: the cache
+    * entry is keyed on the resolved plan INCLUDING the listed
+    * base/delta files, so any later commit to the table produces a
+    * different plan and re-resolves — a stale hit would need the same
+    * path with the same files, which is exactly the snapshot it
+    * caches. */
   private[sql] def resolveCorpus(spark: SparkSession, path: String)
       : org.apache.spark.sql.DataFrame =
     if (graft.merge.MorTable.isMor(spark, path)) {
       val snap = graft.merge.MorTable.read(spark, path)
       if (graft.merge.MorTable.hasLiveDeltas(spark, path))
-        snap.localCheckpoint(false)
+        snap.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else snap
     }
     else if (Merge.recordedSchema(spark, path).isDefined)
